@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Central SparkSession factory — one place for the engine's session-level
+  * tuning so Verify, Bench, Profile and tests run identical configs.
+  *
+  * Notable choices (all public Spark conf):
+  *  - shuffle.partitions = cores (local[32] harness; on a real cluster
+  *    AQE coalesces from a larger initial number);
+  *  - AQE on: runtime join-strategy switch + skew-join splitting — the
+  *    100 TB safety net;
+  *  - InferFiltersFromGenerate excluded: it infers `size(arr)>0` below
+  *    explode(), and predicate pushdown then re-inlines the generator's
+  *    full defining expression into a per-row Filter — for expensive
+  *    array builders (regexp tokenize + shingle HOFs) that recomputed the
+  *    tokenizer ~6× per row and made shingle dedup 5× slower. The filter
+  *    is redundant (explode already drops empty arrays).
+  *  - parquet nanos-as-long: Spark 4 rejects TIMESTAMP(NANOS) parquet
+  *    (events.ts) otherwise; Tables.load rebuilds a micros timestamp.
+  */
+object GraftSession {
+  def build(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession =
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.optimizer.excludedRules",
+              "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+}

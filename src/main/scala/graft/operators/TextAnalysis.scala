@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline, built entirely
+  * from codegen'd `org.apache.spark.sql.functions` (no UDFs): tokenizers,
+  * quality signals, a stopword-profile language guesser and a rolling-hash
+  * fingerprint. All are per-row narrow transforms — they scale linearly and
+  * never shuffle on their own.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (raw). */
+  def wsTokens(text: Column): Column =
+    regexp_extract_all(text, lit("\\S+"), lit(0))
+
+  /** Lowercased word tokens for dedup/language work. */
+  def wordTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+
+  /** BPE-ish pre-tokenizer: letter runs, single digits, single symbols. */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))
+
+  /** Count of tokens present in `words` (small in-filter, codegen'd). */
+  def hitCount(tokens: Column, words: Seq[String]): Column =
+    size(filter(tokens, t => t.isin(words: _*))).cast("long")
+
+  /** Number of punctuation characters. */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[^.,;:!?]", "")).cast("long")
+
+  /** Sum of token lengths (exact integer arithmetic). */
+  def tokenLenSum(tokens: Column): Column =
+    aggregate(transform(tokens, t => length(t).cast("long")), lit(0L), (a, v) => a + v)
+
+  // Tiny per-language stopword profiles. Shared with the DuckDB oracle SQL
+  // (graft.queries.Ext builds the SQL from these same lists).
+  val stopEn = Seq("the", "and", "of", "to", "in", "is", "it", "that", "a")
+  val stopEs = Seq("el", "la", "de", "que", "y", "en", "los", "del", "una")
+  val stopDe = Seq("der", "die", "und", "das", "von", "mit", "ist", "nicht")
+  val stopFr = Seq("le", "les", "des", "et", "un", "une", "dans", "est")
+
+  /** Language guess = argmax of stopword hits (ties resolve en>es>de>fr,
+    * all-zero → "unknown"). Pure case-ladder, mirrored in oracle SQL. */
+  def langGuess(en: Column, es: Column, de: Column, fr: Column): Column =
+    when(en >= es && en >= de && en >= fr && en > 0, "en")
+      .when(es >= de && es >= fr && es > 0, "es")
+      .when(de >= fr && de > 0, "de")
+      .when(fr > 0, "fr")
+      .otherwise("unknown")
+
+  /** Polynomial rolling-hash fingerprint over token first-bytes:
+    * fold(0; h = (h*131 + ascii(tok)) mod 1e9+7). Deterministic and
+    * order-sensitive (a permutation-resistant content id would use
+    * xxhash64 of the full text; this mirrors classic winnowing-style
+    * fingerprints while staying oracle-reproducible). */
+  def rollingFingerprint(tokens: Column): Column =
+    aggregate(
+      transform(tokens, t => ascii(t).cast("long")),
+      lit(0L),
+      (acc, c) => (acc * 131L + c) % 1000000007L)
+}

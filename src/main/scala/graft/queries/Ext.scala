@@ -1,0 +1,303 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, Similarity, TextAnalysis => TA}
+
+/** EXT operators (SURVEY.md §2 EXT rows): dedup, similarity search, text
+  * analysis, multimodal plumbing — the training-data-pipeline surface.
+  * Oracle SQL is generated from the same constants as the Spark side so
+  * thresholds and stopword lists cannot drift.
+  */
+object Ext {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String) = Tables.load(s, dir, name)
+
+  private val JaccardThreshold = 0.8
+  private val CosineDupThreshold = 0.4
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup: content digest → representative + multiplicity.
+    "q30_dedup_exact" -> ((s, dir) => {
+      Dedup.exactGroups(t(s, dir, "documents"))
+        .orderBy("content_hash")
+    }),
+
+    // Exact n-gram Jaccard near-dup pairs (ground truth for LSH).
+    "q31_dedup_jaccard" -> ((s, dir) => {
+      Dedup.jaccardPairs(Dedup.shingleSets(t(s, dir, "documents")), JaccardThreshold)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // MinHash+LSH candidates, exact-verified — must reproduce q31's answer
+    // (16 bands × 4 rows: P[miss | j≥0.8] < 3e-4).
+    "q32_dedup_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashDupPairs(t(s, dir, "documents"), JaccardThreshold)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // SimHash near-dup candidates (rows-only check: signature definition
+    // is Spark-specific xxhash64).
+    "q33_dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashDupPairs(Dedup.simhash(t(s, dir, "documents")), maxHamming = 3)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Quality signals: token counts, stopword ratio, punctuation, length.
+    // Tokens materialize in their own projection: the tokenizer regexp
+    // would otherwise re-run once per consuming expression (and per lambda
+    // element inside HOFs).
+    "q34_text_quality" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), TA.wordTokens(col("text")).as("toks"))
+      val toks = col("toks")
+      d.select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars_obs"),
+          TA.hitCount(toks, TA.stopEn).as("stop_hits"),
+          TA.punctCount(col("text")).as("punct_cnt"),
+          TA.tokenLenSum(toks).as("tok_len_sum"))
+        .withColumn("stop_ratio",
+          when(col("n_tokens") > 0,
+               col("stop_hits").cast("double") / col("n_tokens").cast("double")))
+        .withColumn("avg_tok_len",
+          when(col("n_tokens") > 0,
+               col("tok_len_sum").cast("double") / col("n_tokens").cast("double")))
+        .orderBy("doc_id")
+    }),
+
+    // Language ID from stopword profiles (argmax case-ladder).
+    "q35_langid" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), TA.wordTokens(col("text")).as("toks"))
+      val toks = col("toks")
+      d.select(
+          col("doc_id"),
+          TA.hitCount(toks, TA.stopEn).as("en_hits"),
+          TA.hitCount(toks, TA.stopEs).as("es_hits"),
+          TA.hitCount(toks, TA.stopDe).as("de_hits"),
+          TA.hitCount(toks, TA.stopFr).as("fr_hits"))
+        .withColumn("lang_pred",
+          TA.langGuess(col("en_hits"), col("es_hits"), col("de_hits"), col("fr_hits")))
+        .orderBy("doc_id")
+    }),
+
+    // Token counting: whitespace and BPE-ish pre-tokenizer.
+    "q36_token_counts" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          size(TA.wsTokens(col("text"))).cast("long").as("ws_tokens"),
+          size(TA.bpeishTokens(col("text"))).cast("long").as("bpe_tokens"),
+          length(col("text")).cast("long").as("chars"))
+        .orderBy("doc_id")
+    }),
+
+    // Rolling-hash document fingerprint (ordered fold — oracle mirrors
+    // with list_reduce).
+    "q37_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          TA.rollingFingerprint(TA.wsTokens(lower(col("text")))).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // Brute-force cosine top-10 for a broadcast query set.
+    "q38_ann_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") % 100 === 0), k = 10)
+        .select("query_id", "cand_id", "rank", "sim")
+        .orderBy("query_id", "rank")
+    }),
+
+    // IVF-style top-3 within the query's cell (label = coarse cell id).
+    "q39_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.cellTopK(e, e.filter(col("vec_id") % 100 === 0), k = 3)
+        .select("query_id", "cand_id", "rank", "sim")
+        .orderBy("query_id", "rank")
+    }),
+
+    // Embedding-cosine near-dup pairs, cell-blocked (label = IVF bucket):
+    // the 100 TB shape — within-cell equi-join, never all-pairs.
+    "q40_embed_dups" -> ((s, dir) => {
+      Similarity.cellDupPairs(t(s, dir, "embeddings"), CosineDupThreshold)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Multimodal plumbing: opaque binary payload + typed metadata
+    // (byte length, digest, magic prefix) — the decode stage itself is
+    // exercised in MultimodalSpec with a deterministic stub.
+    "q41_multimodal_meta" -> ((s, dir) => {
+      val bin = col("text").cast("binary")
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          length(bin).cast("long").as("byte_len"),
+          sha2(bin, 256).as("digest"),
+          substring(hex(bin), 1, 8).as("magic_hex"))
+        .orderBy("doc_id")
+    }),
+
+    // HLL distinct (approximate — rows-only check; exactness is covered by
+    // q05). At 100 TB this replaces count(distinct) everywhere feasible.
+    "q42_hll_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+             count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")
+    })
+  )
+
+  // ---------------------------------------------------------------- oracle
+
+  /** Shared shingle CTE: trigram shingles over lowercased whitespace
+    * tokens, distinct per doc — mirrors Dedup.shingleSets exactly. */
+  private val shingleCte =
+    """toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tokens FROM documents),
+       sh AS (SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(tokens) >= 3
+                     THEN list_transform(range(1, len(tokens)-1),
+                            i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))
+                     ELSE CAST([] AS VARCHAR[]) END)) AS shingle FROM toks),
+       sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)"""
+
+  private val jaccardSql =
+    s"""WITH $shingleCte,
+        inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+                  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT a_id, b_id,
+               CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+        FROM inter JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+        WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= $JaccardThreshold
+        ORDER BY a_id, b_id"""
+
+  /** Ordered-fold double dot product — bitwise-identical to Spark's
+    * aggregate(zip_with(...)) left fold. */
+  private def foldDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), p -> p[1]*p[2])), (x,y) -> x+y)"
+  private def foldNorm(a: String): String =
+    s"sqrt(list_reduce(list_prepend(0.0, list_transform($a, x -> x*x)), (x,y) -> x+y))"
+
+  /** Unit-vector CTE mirroring Similarity.unitVectors: normalize once,
+    * then similarity is a single dot fold. */
+  private val unitCte =
+    s"""ev AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        e AS (SELECT vec_id, label, list_transform(v, x -> x / n) AS u
+              FROM (SELECT vec_id, label, v, ${foldNorm("v")} AS n FROM ev))"""
+
+  private def sqlList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+  private def hitSql(words: Seq[String]): String =
+    s"CAST(len(list_filter(tokens, t -> list_contains(${sqlList(words)}, t))) AS BIGINT)"
+
+  val oracle: Map[String, String] = Map(
+    "q30_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS copies
+         FROM documents GROUP BY 1 ORDER BY content_hash""",
+
+    "q31_dedup_jaccard" -> jaccardSql,
+
+    // LSH must land on the exact answer (verified candidates).
+    "q32_dedup_minhash_lsh" -> jaccardSql,
+
+    "q34_text_quality" ->
+      s"""WITH toks AS (
+            SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS tokens
+            FROM documents)
+          SELECT doc_id,
+                 CAST(len(tokens) AS BIGINT) AS n_tokens,
+                 CAST(length(text) AS BIGINT) AS n_chars_obs,
+                 ${hitSql(TA.stopEn)} AS stop_hits,
+                 CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS punct_cnt,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(tokens, t -> CAST(length(t) AS BIGINT))), (a,b) -> a+b) AS tok_len_sum,
+                 CASE WHEN len(tokens) > 0 THEN
+                   CAST(${hitSql(TA.stopEn)} AS DOUBLE) / CAST(len(tokens) AS DOUBLE) END AS stop_ratio,
+                 CASE WHEN len(tokens) > 0 THEN
+                   CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(tokens, t -> CAST(length(t) AS BIGINT))), (a,b) -> a+b) AS DOUBLE)
+                   / CAST(len(tokens) AS DOUBLE) END AS avg_tok_len
+          FROM toks ORDER BY doc_id""",
+
+    "q35_langid" ->
+      s"""WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tokens
+            FROM documents)
+          SELECT doc_id,
+                 ${hitSql(TA.stopEn)} AS en_hits,
+                 ${hitSql(TA.stopEs)} AS es_hits,
+                 ${hitSql(TA.stopDe)} AS de_hits,
+                 ${hitSql(TA.stopFr)} AS fr_hits,
+                 CASE WHEN ${hitSql(TA.stopEn)} >= ${hitSql(TA.stopEs)}
+                       AND ${hitSql(TA.stopEn)} >= ${hitSql(TA.stopDe)}
+                       AND ${hitSql(TA.stopEn)} >= ${hitSql(TA.stopFr)}
+                       AND ${hitSql(TA.stopEn)} > 0 THEN 'en'
+                      WHEN ${hitSql(TA.stopEs)} >= ${hitSql(TA.stopDe)}
+                       AND ${hitSql(TA.stopEs)} >= ${hitSql(TA.stopFr)}
+                       AND ${hitSql(TA.stopEs)} > 0 THEN 'es'
+                      WHEN ${hitSql(TA.stopDe)} >= ${hitSql(TA.stopFr)}
+                       AND ${hitSql(TA.stopDe)} > 0 THEN 'de'
+                      WHEN ${hitSql(TA.stopFr)} > 0 THEN 'fr'
+                      ELSE 'unknown' END AS lang_pred
+          FROM toks ORDER BY doc_id""",
+
+    "q36_token_counts" ->
+      """SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
+                CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens,
+                CAST(length(text) AS BIGINT) AS chars
+         FROM documents ORDER BY doc_id""",
+
+    "q37_fingerprint" ->
+      """SELECT doc_id,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(regexp_extract_all(lower(text), '\S+'),
+                                 t -> CAST(ascii(t) AS BIGINT))),
+                  (a, c) -> (a * 131 + c) % 1000000007) AS fp
+         FROM documents ORDER BY doc_id""",
+
+    "q38_ann_topk" ->
+      s"""WITH $unitCte,
+          q AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+          sims AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                          ${foldDot("q.u", "c.u")} AS sim
+                   FROM q JOIN e c ON c.vec_id <> q.vec_id)
+          SELECT query_id, cand_id, CAST(rk AS BIGINT) AS rank, sim
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY sim DESC, cand_id ASC) AS rk
+                FROM sims)
+          WHERE rk <= 10 ORDER BY query_id, rank""",
+
+    "q39_ann_ivf" ->
+      s"""WITH $unitCte,
+          q AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+          sims AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                          ${foldDot("q.u", "c.u")} AS sim
+                   FROM q JOIN e c ON c.label = q.label AND c.vec_id <> q.vec_id)
+          SELECT query_id, cand_id, CAST(rk AS BIGINT) AS rank, sim
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY sim DESC, cand_id ASC) AS rk
+                FROM sims)
+          WHERE rk <= 3 ORDER BY query_id, rank""",
+
+    "q40_embed_dups" ->
+      s"""WITH $unitCte
+          SELECT a_id, b_id, sim FROM (
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id, ${foldDot("a.u", "b.u")} AS sim
+            FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+          WHERE sim >= $CosineDupThreshold
+          ORDER BY a_id, b_id""",
+
+    "q41_multimodal_meta" ->
+      """SELECT doc_id,
+                CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+                sha256(text) AS digest,
+                substring(hex(CAST(text AS BLOB)), 1, 8) AS magic_hex
+         FROM documents ORDER BY doc_id"""
+  )
+}
