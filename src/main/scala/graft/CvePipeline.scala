@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Merge, Prioritizer}
+import graft.sources.Readers
+
+/** The reference's whole job (main.py:64-98) as one declarative flow:
+  * NVD init → per-source enrichment upserts → prioritization.
+  *
+  * Sources land as files (landing-dir interface, Readers); each source
+  * normalizes to `{id, <source>}` and full-outer-merges into the snapshot
+  * (K1). Multi-row sources (Exploit-DB / Metasploit / Debian) default to
+  * the lossless array shape (J2); `fidelity = true` reproduces the
+  * reference's last-writer-wins collapse.
+  *
+  * Scale: each merge is one shuffle on `id`; small deltas broadcast under
+  * AQE. The per-source merges could be chained in one plan (Catalyst fuses
+  * the projections; the joins pipeline through a single sort-merge chain
+  * on the same key when the snapshot is pre-partitioned by id).
+  */
+object CvePipeline {
+
+  case class Landing(
+      nvd: Option[String] = None,
+      epss: Option[String] = None,
+      exploitDb: Option[String] = None,
+      kev: Option[String] = None,
+      metasploit: Option[String] = None,
+      debian: Option[String] = None,
+      cveOrgDir: Option[String] = None,
+      redhat: Option[String] = None)
+
+  /** Collapse a multi-row source to one row per id: lossless array or
+    * reference-fidelity last-writer-wins (source file order stands in for
+    * bulk_write order via a deterministic sort surrogate). */
+  private def collapse(df: DataFrame, sourceCol: String, fidelity: Boolean): DataFrame =
+    if (fidelity)
+      Merge.lastWriterWins(
+        df.withColumn("_pos", monotonically_increasing_id()), "id", col("_pos"))
+        .drop("_pos")
+    else
+      Merge.lossless(df, "id", sourceCol)
+
+  /** Build the unified snapshot from landed files. `now` is injectable so
+    * golden tests are deterministic (F13 timestamps). */
+  def buildSnapshot(spark: SparkSession, landing: Landing,
+                    fidelity: Boolean = false,
+                    now: Column = current_timestamp()): DataFrame = {
+    val deltas: Seq[DataFrame] = Seq(
+      landing.nvd.map(p => Readers.nvd(spark, p)),
+      landing.exploitDb.map(p => collapse(Readers.exploitDb(spark, p), "exploitdb", fidelity)),
+      landing.metasploit.map(p => collapse(Readers.metasploit(spark, p), "metasploit", fidelity)),
+      landing.epss.map(p => Readers.epss(spark, p)),
+      landing.kev.map(p => Readers.kev(spark, p)),
+      landing.debian.map(p => collapse(Readers.debian(spark, p), "debian", fidelity)),
+      landing.cveOrgDir.map(p => Readers.cveOrg(spark, p)),
+      landing.redhat.map(p => Readers.redhat(spark, p))
+    ).flatten
+    require(deltas.nonEmpty, "at least one landed source required")
+    val empty = Merge.init(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.StringType, nullable = false)))),
+      now)
+    val merged = deltas.foldLeft(empty)((snap, d) => Merge.upsert(snap, d, "id", now))
+    prioritize(merged)
+  }
+
+  /** §3.3: the prioritization scan as a narrow projection. */
+  def prioritize(snapshot: DataFrame): DataFrame = {
+    val cols = snapshot.columns.toSet
+    val kevCol = if (cols("kev")) col("kev") else lit(null)
+    val nvdCol = if (cols("nvd")) col("nvd") else lit(null)
+    val epssCol = if (cols("epss")) col("epss") else lit(null)
+    if (cols("nvd") && cols("epss"))
+      snapshot.withColumn("priority", Prioritizer.score(nvdCol, kevCol, epssCol))
+    else
+      snapshot.withColumn("priority",
+        Prioritizer.priority(kevCol, lit(0.0), lit(0.0)))
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and runs far away today"),
+    (2L, "the quick brown fox jumps over the lazy dog and runs far away tonight"), // near-dup of 1
+    (3L, "completely different content about spark shuffles and partitions here"),
+    (4L, "the quick brown fox jumps over the lazy dog and runs far away today"),   // exact dup of 1
+    (5L, "tiny doc") // < 3 tokens -> no shingles
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val g = Dedup.exactGroups(corpus)
+    assert(g.count() == 4)
+    val dup = g.filter(col("copies") === 2).head()
+    assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("exact jaccard finds the near-dup pair and the exact pair") {
+    val pairs = Dedup.jaccardPairs(Dedup.shingleSets(corpus), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    assert(pairs.find(p => p._1 == 1L && p._2 == 4L).get._3 == 1.0)
+  }
+
+  test("minhash LSH reproduces the exact-jaccard answer on this corpus") {
+    val exact = Dedup.jaccardPairs(Dedup.shingleSets(corpus), 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashDupPairs(corpus, 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+  }
+
+  test("simhash: identical docs share signatures; near-dups within hamming 3") {
+    val sim = Dedup.simhash(corpus)
+    val sigs = sim.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(4L)) // identical text, identical signature
+    val pairs = Dedup.simhashDupPairs(sim, maxHamming = 3)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // distinct doc stays out
+  }
+
+  test("shingles: docs under n tokens produce empty sets, not errors") {
+    val sets = Dedup.shingleSets(corpus)
+    assert(sets.filter(col("doc_id") === 5L).select(size(col("shingles")))
+      .head().getInt(0) == 0)
+  }
+}
