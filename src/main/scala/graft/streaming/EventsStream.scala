@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.operators.Merge
+
+/** Streaming layer (SURVEY.md §2.9): the reference is a scheduled
+  * micro-batch incremental pipeline with persisted watermarks; its
+  * semantics map 1:1 onto Structured Streaming:
+  *
+  *  - T1 periodic trigger → Trigger.ProcessingTime / AvailableNow;
+  *  - T2 persisted watermark → checkpointLocation (+ our Watermarks table
+  *    for cross-job visibility);
+  *  - T3 catch-up of missed windows → Trigger.AvailableNow drains backlog;
+  *  - T4 overlap safety → the foreachBatch sink is the idempotent K1
+  *    upsert, so re-delivered windows are no-ops;
+  *  - T5 event-time windows → window / session_window with withWatermark;
+  *  - T6 graceful shutdown → StreamingQuery.stop().
+  *
+  * All transforms below take a plain DataFrame so the identical code runs
+  * in batch (tests, backfills) and streaming (readStream) — the Spark
+  * unified-API property the reference had to hand-roll.
+  */
+object EventsStream {
+
+  /** File-source stream over a parquet events directory (schema locked —
+    * streaming reads never infer). */
+  def readEvents(spark: SparkSession, dir: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** T5: tumbling event-time window aggregate with a 2h lateness bound.
+    * State is bounded by the watermark — at 100 TB of events/day this is
+    * what keeps the agg state O(windows), not O(events). */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+           sum(col("value")).as("value_sum"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+              col("cnt"), col("value_sum"))
+
+  /** T5: sliding window (1h length, 30m slide). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("cnt"))
+
+  /** T5: session windows per user with a 30m gap. */
+  def userSessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes").as("s"), col("user_id"))
+      .agg(count(lit(1)).as("events"),
+           sum(col("value")).as("value_sum"))
+      .select(col("s.start").as("session_start"), col("s.end").as("session_end"),
+              col("user_id"), col("events"), col("value_sum"))
+
+  /** T4: idempotent snapshot merge as a foreachBatch sink — each
+    * micro-batch runs the K1 upsert against the parquet snapshot and
+    * rewrites it (what MERGE INTO does on an ACID table). Re-delivery of
+    * a batch converges to the same snapshot. */
+  def mergeSink(delta: DataFrame, snapshotPath: String, key: String = "id",
+                checkpoint: String): DataStreamWriter[Row] =
+    delta.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val collapsed = Merge.lastWriterWins(
+          batch.withColumn("_pos", monotonically_increasing_id()), key,
+          col("_pos")).drop("_pos")
+        val snapDir = new java.io.File(snapshotPath)
+        val snapshot =
+          if (snapDir.exists && snapDir.listFiles != null && snapDir.listFiles.nonEmpty)
+            spark.read.parquet(snapshotPath)
+          else Merge.init(collapsed.limit(0))
+        val merged = Merge.upsert(snapshot, collapsed, key)
+        val tmp = snapshotPath + "_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val dst = new org.apache.hadoop.fs.Path(snapshotPath)
+        fs.delete(dst, true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+        ()
+      }
+
+  /** T3: drain everything currently available, then stop (the reference's
+    * catch-up-on-missed-windows tick). */
+  def runAvailableNow(writer: DataStreamWriter[Row]): StreamingQuery =
+    writer.trigger(Trigger.AvailableNow()).start()
+}

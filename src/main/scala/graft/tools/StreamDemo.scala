@@ -1,0 +1,53 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.{GraftSession, Tables}
+import graft.operators.Multimodal
+import graft.streaming.EventsStream
+
+/** End-to-end drive of the streaming + multimodal layers against the
+  * driver's test tables. Usage: runMain graft.tools.StreamDemo [sfDir]
+  */
+object StreamDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = GraftSession.build("4")
+    spark.sparkContext.setLogLevel("WARN")
+    val work = java.nio.file.Files.createTempDirectory("streamdemo").toString
+
+    // Stage events parquet as a file-source backlog, then drain with
+    // AvailableNow through the windowed aggregation (T3/T5).
+    val events = Tables.load(spark, sfDir, "events")
+    events.write.parquet(s"$work/in/batch1")
+    val schema = events.schema
+    val stream = spark.readStream.schema(schema).parquet(s"$work/in/*")
+    val q = EventsStream.hourlyCounts(stream)
+      .writeStream.format("memory").queryName("hourly_demo")
+      .outputMode("append")
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // append-mode only emits windows the watermark has passed
+    val emitted = spark.table("hourly_demo").count()
+    val totalWindows = events
+      .groupBy(date_trunc("hour", col("ts")), col("event_type")).count().count()
+    println(s"[streamdemo] windows emitted=$emitted (closed) of $totalWindows total")
+
+    // Multimodal: documents.text as opaque binary payloads → meta → decode
+    // stub → resize → similarity-ready features.
+    val media = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").as("media_id"), lit("image").as("media_type"),
+              col("text").cast("binary").as("payload"),
+              lit(null).cast(Multimodal.mediaSchema("meta").dataType).as("meta"))
+    val withMeta = Multimodal.withPayloadMeta(media, col("payload"))
+    val decoded = Multimodal.decodeStub(withMeta, dim = 8)
+    val resized = Multimodal.resizeMeta(decoded, maxSide = 256)
+    println(s"[streamdemo] decoded ${decoded.count()} payloads; " +
+      s"resized>${resized.filter(col("out_width") <= 256).count()} within bounds")
+    val avgW = resized.agg(avg(col("width"))).head().getDouble(0)
+    println(f"[streamdemo] avg fake-decoded width: $avgW%.1f px")
+    spark.stop()
+  }
+}

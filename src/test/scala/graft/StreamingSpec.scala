@@ -1,0 +1,99 @@
+package graft
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.EventsStream
+
+case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.from(Instant.parse(s))
+
+  test("T5: tumbling-window counts over a memory stream (append after watermark)") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventsStream.hourlyCounts(mem.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Ev(ts("2024-01-01T10:05:00Z"), 1, "click", 1.0),
+        Ev(ts("2024-01-01T10:45:00Z"), 2, "click", 2.0),
+        Ev(ts("2024-01-01T10:50:00Z"), 1, "view", 5.0))
+      q.processAllAvailable()
+      // advance the watermark past 10:00-11:00 + 2h lateness
+      mem.addData(Ev(ts("2024-01-01T13:30:00Z"), 3, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly").collect()
+        .map(r => (r.getAs[Timestamp]("window_start").toInstant.toString,
+                   r.getAs[String]("event_type"), r.getAs[Long]("cnt")))
+        .toSet
+      assert(rows == Set(
+        ("2024-01-01T10:00:00Z", "click", 2L),
+        ("2024-01-01T10:00:00Z", "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("T5: session windows close after the gap") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventsStream.userSessions(mem.toDF())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Ev(ts("2024-01-01T10:00:00Z"), 1, "click", 1.0),
+        Ev(ts("2024-01-01T10:10:00Z"), 1, "click", 1.0), // same session
+        Ev(ts("2024-01-01T11:30:00Z"), 1, "click", 1.0)) // new session
+      q.processAllAvailable()
+      mem.addData(Ev(ts("2024-01-01T15:00:00Z"), 9, "x", 0.0)) // advance wm
+      q.processAllAvailable()
+      val sessions = spark.table("sessions")
+        .filter($"user_id" === 1).collect()
+        .map(r => (r.getAs[Timestamp]("session_start").toInstant.toString,
+                   r.getAs[Long]("events")))
+        .toSet
+      assert(sessions == Set(("2024-01-01T10:00:00Z", 2L),
+                             ("2024-01-01T11:30:00Z", 1L)))
+    } finally q.stop()
+  }
+
+  test("T3/T4: AvailableNow drains a file backlog through the idempotent merge sink") {
+    val work = java.nio.file.Files.createTempDirectory("stream").toString
+    val srcDir = s"$work/in"; val snap = s"$work/snapshot"; val ckpt = s"$work/ckpt"
+    // batch 1 lands before the stream starts (backlog)
+    Seq(("CVE-1", 0.1), ("CVE-2", 0.2)).toDF("id", "epss")
+      .write.parquet(s"$srcDir/b1")
+    val schema = spark.read.parquet(s"$srcDir/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$srcDir/*")
+    val q1 = EventsStream.runAvailableNow(
+      EventsStream.mergeSink(stream, snap, "id", ckpt))
+    q1.awaitTermination()
+    val after1 = spark.read.parquet(snap)
+    assert(after1.count() == 2)
+    val created1 = after1.filter($"id" === "CVE-1")
+      .select("created_at").head().getTimestamp(0)
+
+    // batch 2: update CVE-1, add CVE-3 — catch-up tick picks up only new files
+    Seq(("CVE-1", 0.9), ("CVE-3", 0.3)).toDF("id", "epss")
+      .write.parquet(s"$srcDir/b2")
+    val q2 = EventsStream.runAvailableNow(
+      EventsStream.mergeSink(spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$srcDir/*"), snap, "id", ckpt))
+    q2.awaitTermination()
+    val after2 = spark.read.parquet(snap)
+    assert(after2.count() == 3)
+    assert(after2.filter($"id" === "CVE-1").select("epss").head().getDouble(0) == 0.9)
+    // T4: created_at preserved across the re-merge
+    assert(after2.filter($"id" === "CVE-1")
+      .select("created_at").head().getTimestamp(0) == created1)
+  }
+}
