@@ -22,6 +22,7 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
   def build(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession =
     SparkSession.builder()
+      .withExtensions(new GraftExtensions()(_))
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")

@@ -51,9 +51,16 @@ object Dedup {
     docs.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
 
-  /** Exploded (doc_id, shingle) pairs — shingles are pre-distinct. */
+  /** Exploded (doc_id, shingle) pairs, with the shingle string collapsed
+    * to its xxhash64 — set-identical modulo 2^-64 collisions, and the
+    * downstream self-joins compare 8-byte keys instead of ~20-char
+    * strings. Persisted: every consumer (sizes, both join sides,
+    * signatures) reuses one computation instead of re-tokenizing. */
   private def exploded(shingleSets: DataFrame): DataFrame =
-    shingleSets.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    shingleSets
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Exact pairwise n-gram Jaccard ≥ threshold via shingle equi-join.
     * `maxShingleDf` drops shingles occurring in more than that many docs
@@ -86,8 +93,10 @@ object Dedup {
   /** MinHash signatures: sig[j] = min over shingles of xxhash64(j, shingle).
     * One shuffle (groupBy doc_id); 64 partial-aggregated mins. */
   def minhashSignatures(shingleSets: DataFrame, numHashes: Int = 64): DataFrame =
-    exploded(shingleSets)
-      .groupBy("doc_id")
+    signaturesFromExploded(exploded(shingleSets), numHashes)
+
+  private def signaturesFromExploded(sh: DataFrame, numHashes: Int): DataFrame =
+    sh.groupBy("doc_id")
       .agg(array((0 until numHashes).map(j =>
         min(xxhash64(lit(j), col("shingle")))): _*).as("sig"))
 
@@ -116,8 +125,8 @@ object Dedup {
                       idCol: String = "doc_id", textCol: String = "text",
                       n: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
     val sets = shingleSets(docs, idCol, textCol, n)
-    val cand = lshCandidates(minhashSignatures(sets, numHashes), bands, numHashes / bands)
     val sh = exploded(sets)
+    val cand = lshCandidates(signaturesFromExploded(sh, numHashes), bands, numHashes / bands)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.as("a"), col("a_id") === col("a.doc_id"))

@@ -22,13 +22,18 @@ object Similarity {
   /** Cast to array<double> (exact for float inputs). */
   def asDouble(v: Column): Column = v.cast("array<double>")
 
-  /** Ordered-fold dot product. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product via the native codegen'd expression (graft_dot,
+    * registered by GraftExtensions) — same ordered summation as
+    * [[foldDot]] but a primitive loop inside whole-stage codegen. */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Reference implementation: ordered higher-order fold. Kept for
+    * cross-checking the native expression bit-for-bit in specs. */
+  def foldDot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
-  /** L2 norm via the same ordered fold. */
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+  /** L2 norm via the same ordered summation. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 

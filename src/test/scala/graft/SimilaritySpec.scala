@@ -35,6 +35,16 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs == Set((1L, 2L), (3L, 4L)))
   }
 
+  test("native graft_dot is bit-identical to the ordered HOF fold") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val both = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .limit(2000)
+      .select(Similarity.dot(col("a.v"), col("b.v")).as("native"),
+              Similarity.foldDot(col("a.v"), col("b.v")).as("fold"))
+    assert(both.filter(col("native") =!= col("fold")).count() == 0)
+  }
+
   test("unit vectors have norm 1 (fold math sanity)") {
     val u = Similarity.unitVectors(vecs, Seq("vec_id" -> "id"))
     val norms = u.select(Similarity.norm(col("unit")).as("n")).collect().map(_.getDouble(0))
