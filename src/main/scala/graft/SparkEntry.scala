@@ -38,11 +38,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
-    graft.queries.Ext.queries
+    graft.queries.Ext.queries ++
+    graft.queries.Advanced.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
-    graft.queries.Ext.oracle
+    graft.queries.Ext.oracle ++
+    graft.queries.Advanced.oracle
 }

@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import QueryUtil._
+
+/** Advanced EXT operators (SURVEY.md §2.3 EXT joins, §2.9 T5 batch
+  * analog): sessionization, as-of join, range join. Each is written the
+  * way it survives 100 TB — window functions over a single shuffle on the
+  * entity key, broadcast of the small side of the non-equi join.
+  */
+object Advanced {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String) = Tables.load(s, dir, name)
+
+  val queries: Map[String, Q] = Map(
+    // T5 batch analog of session_window: gap-based sessionization via
+    // lag + cumulative sum — one shuffle on user_id, no state store.
+    "q43_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts".asc)
+      val sess = Window.partitionBy($"user_id", $"session_id")
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+        .withColumn("new_session",
+          when($"prev_ts".isNull ||
+               unix_micros($"ts") - unix_micros($"prev_ts") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum($"new_session").over(byUser))
+        .groupBy($"user_id", $"session_id")
+        .agg(count(lit(1)).as("events"),
+             dsum($"value", 6).as("value_sum"),
+             ((unix_micros(max($"ts")) - unix_micros(min($"ts"))) / lit(1000000L))
+               .cast("long").as("duration_s"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // EXT as-of join: latest order at-or-before each event, per entity.
+    // Equi-join on the key + row_number keeps it a hash join, not a BNL;
+    // at scale both sides shuffle once on the key.
+    "q44_asof_join" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .filter($"user_id" <= 50)
+        .select($"event_id", $"user_id", $"ts")
+      val ord = t(s, dir, "orders")
+        .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice")
+      val w = Window.partitionBy($"event_id")
+        .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+      ev.join(ord, $"user_id" === $"o_custkey" && $"o_orderdate" <= $"ts", "left")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"event_id", $"user_id",
+                $"o_orderkey".as("asof_orderkey"),
+                $"o_totalprice".as("asof_totalprice"))
+        .orderBy("event_id")
+    }),
+
+    // EXT range join: band lookup on a value interval. The band table is
+    // tiny and broadcast → a broadcast nested-loop the executor evaluates
+    // per row; no shuffle of the fact side.
+    "q45_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val bands = broadcast(Seq(
+        ("budget", 900.0, 935.0),
+        ("mid", 935.0, 970.0),
+        ("premium", 970.0, 1000.0)
+      ).toDF("band", "lo", "hi"))
+      t(s, dir, "part")
+        .join(bands, $"p_retailprice" >= $"lo" && $"p_retailprice" < $"hi", "left")
+        .groupBy($"band")
+        .agg(count(lit(1)).as("cnt"),
+             sum($"p_retailprice".cast(DecimalType(18, 2))).cast("double").as("price_sum"))
+        .orderBy($"band".asc_nulls_first)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q43_sessionize" ->
+      s"""WITH marked AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)),
+          sessioned AS (
+            SELECT *, CAST(SUM(new_session) OVER
+                   (PARTITION BY user_id ORDER BY ts ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS session_id
+            FROM marked)
+          SELECT user_id, session_id, COUNT(*) AS events,
+                 ${dsumSql("value", 6)} AS value_sum,
+                 CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS BIGINT)
+                   AS duration_s
+          FROM sessioned GROUP BY user_id, session_id
+          ORDER BY user_id, session_id""",
+
+    "q44_asof_join" ->
+      """SELECT event_id, user_id, asof_orderkey, asof_totalprice FROM (
+           SELECT e.event_id, e.user_id, o.o_orderkey AS asof_orderkey,
+                  o.o_totalprice AS asof_totalprice,
+                  ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                     ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+           FROM (SELECT event_id, user_id, ts FROM events WHERE user_id <= 50) e
+           LEFT JOIN orders o
+             ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+         WHERE rn = 1 ORDER BY event_id""",
+
+    "q45_range_join" ->
+      """WITH bands(band, lo, hi) AS (
+           VALUES ('budget', 900.0, 935.0), ('mid', 935.0, 970.0),
+                  ('premium', 970.0, 1000.0))
+         SELECT band, COUNT(*) AS cnt,
+                CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+         FROM part LEFT JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+         GROUP BY band ORDER BY band NULLS FIRST"""
+  )
+}

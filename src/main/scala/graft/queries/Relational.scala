@@ -335,6 +335,34 @@ object Relational {
                 $"total_results",
                 ceil($"total_results" / lit(2000.0)).cast("long").as("num_pages"))
         .orderBy("o_orderstatus")
+    }),
+
+    // F2-F5/F22: string-function battery — split element, trim/ltrim,
+    // regexp metadata extract (2 groups), URI credential masking.
+    "q28_string_fns" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "part")
+        .select(
+          $"p_partkey",
+          element_at(split($"p_name", " "), 1).as("first_word"),
+          element_at(split($"p_name", " "), -1).as("last_word"),
+          trim(concat(lit("  "), $"p_brand", lit("  "))).as("brand_trim"),
+          regexp_extract($"p_type", "^(\\w+) (\\w+)", 1).as("type_head"),
+          regexp_extract($"p_type", "^(\\w+) (\\w+)", 2).as("type_mid"),
+          regexp_replace(
+            concat(lit("db://user:secret@host/"), $"p_brand"),
+            "://([^:]+):[^@]+@", "://$1:***@").as("masked_uri"))
+        .orderBy("p_partkey")
+    }),
+
+    // EXT §2.4: cube — all grouping-set combinations in one pass.
+    "q29_cube" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), grouping_id().as("gid"))
+        .orderBy($"gid", $"o_orderstatus".asc_nulls_first,
+                 $"o_orderpriority".asc_nulls_first)
     })
   )
 
@@ -511,6 +539,23 @@ object Relational {
     "q27_paging_math" ->
       """SELECT o_orderstatus, COUNT(*) AS total_results,
                 CAST(CEIL(COUNT(*) / 2000.0) AS BIGINT) AS num_pages
-         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q28_string_fns" ->
+      """SELECT p_partkey,
+                string_split(p_name, ' ')[1] AS first_word,
+                string_split(p_name, ' ')[-1] AS last_word,
+                trim('  ' || p_brand || '  ') AS brand_trim,
+                regexp_extract(p_type, '^(\w+) (\w+)', 1) AS type_head,
+                regexp_extract(p_type, '^(\w+) (\w+)', 2) AS type_mid,
+                regexp_replace('db://user:secret@host/' || p_brand,
+                               '://([^:]+):[^@]+@', '://\1:***@') AS masked_uri
+         FROM part ORDER BY p_partkey""",
+
+    "q29_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+                CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
   )
 }
