@@ -20,8 +20,13 @@ import org.apache.spark.sql.SparkSession
   *    (events.ts) otherwise; Tables.load rebuilds a micros timestamp.
   */
 object GraftSession {
-  def build(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession =
-    SparkSession.builder()
+  def build(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
+    // Experiment hook: SPARK_GRAFT_EXTRA_CONFS="k1=v1,k2=v2" overlays
+    // arbitrary confs (profiling A/B runs) without code changes.
+    val extra = sys.env.get("SPARK_GRAFT_EXTRA_CONFS").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.contains("="))
+      .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }
+    val b = SparkSession.builder()
       .withExtensions(new GraftExtensions()(_))
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
@@ -30,6 +35,9 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.optimizer.excludedRules",
               "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      .config("spark.sql.warehouse.dir",
+              s"/tmp/graft-warehouse-${ProcessHandle.current().pid()}")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    extra.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }.getOrCreate()
+  }
 }

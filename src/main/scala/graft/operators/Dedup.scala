@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication for a 100 TB training-data pipeline.
@@ -63,8 +64,11 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Exact pairwise n-gram Jaccard ≥ threshold via shingle equi-join.
-    * `maxShingleDf` drops shingles occurring in more than that many docs
-    * (skew guard; 0 disables — used for oracle parity at test scale). */
+    * Set sizes ride along on the exploded rows (window count over doc_id)
+    * so no post-aggregation joins are needed — the pair aggregate carries
+    * (na, nb) as grouping constants. `maxShingleDf` drops shingles
+    * occurring in more than that many docs (skew guard; 0 disables —
+    * used for oracle parity at test scale). */
   def jaccardPairs(shingleSets: DataFrame, threshold: Double,
                    maxShingleDf: Long = 0L): DataFrame = {
     val sh0 = exploded(shingleSets)
@@ -75,18 +79,18 @@ object Dedup {
           .filter(col("df") <= maxShingleDf).select("shingle")
         sh0.join(df, "shingle")
       }
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
-                        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+    val shN = sh.withColumn("n",
+      count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    val inter = shN.as("a")
+      .join(shN.as("b"), col("a.shingle") === col("b.shingle") &&
+                         col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+               col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("i"))
     inter
-      .join(sizes.as("sa"), col("a_id") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("b_id") === col("sb.doc_id"))
       .select(col("a_id"), col("b_id"),
         (col("i").cast("double") /
-         (col("sa.n") + col("sb.n") - col("i")).cast("double")).as("jaccard"))
+         (col("na") + col("nb") - col("i")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -127,18 +131,18 @@ object Dedup {
     val sets = shingleSets(docs, idCol, textCol, n)
     val sh = exploded(sets)
     val cand = lshCandidates(signaturesFromExploded(sh, numHashes), bands, numHashes / bands)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shN = sh.withColumn("n",
+      count(lit(1)).over(Window.partitionBy(col("doc_id"))))
     val inter = cand
-      .join(sh.as("a"), col("a_id") === col("a.doc_id"))
-      .join(sh.as("b"), col("b_id") === col("b.doc_id") &&
-                        col("a.shingle") === col("b.shingle"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("i"))
+      .join(shN.as("a"), col("a_id") === col("a.doc_id"))
+      .join(shN.as("b"), col("b_id") === col("b.doc_id") &&
+                         col("a.shingle") === col("b.shingle"))
+      .groupBy(col("a_id"), col("b_id"), col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("i"))
     inter
-      .join(sizes.as("sa"), col("a_id") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("b_id") === col("sb.doc_id"))
       .select(col("a_id"), col("b_id"),
         (col("i").cast("double") /
-         (col("sa.n") + col("sb.n") - col("i")).cast("double")).as("jaccard"))
+         (col("na") + col("nb") - col("i")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -141,6 +141,22 @@ object Ext {
         .orderBy("doc_id")
     }),
 
+    // Multimodal decode + feature stage end-to-end (rows-only: the
+    // mapPartitions codec stage is not SQL-expressible): payload → decode
+    // stub → resize → mean feature magnitude per channel count.
+    "q46_multimodal_decode" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), lit("image").as("media_type"),
+                col("text").cast("binary").as("payload"))
+      val decoded = Multimodal.decodeStub(media, dim = 8)
+      Multimodal.resizeMeta(decoded, maxSide = 256)
+        .select(col("media_id"), col("channels").cast("long").as("channels"),
+                col("out_width").cast("long").as("out_width"),
+                col("out_height").cast("long").as("out_height"))
+        .orderBy("media_id")
+    }),
+
     // HLL distinct (approximate — rows-only check; exactness is covered by
     // q05). At 100 TB this replaces count(distinct) everywhere feasible.
     "q42_hll_distinct" -> ((s, dir) => {

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+import graft.operators.Joins
+
+/** Scale-mechanics evidence: bucketed co-located joins (SURVEY K6 — the
+  * "index" analog), salted skew joins, and pushdown assertions. */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def countShuffles(df: org.apache.spark.sql.DataFrame): Int = {
+    // Materialize so AQE finalizes the plan, then count shuffle nodes.
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan
+    val finalPlan = plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    var n = 0
+    finalPlan.foreach { case _: ShuffleExchangeExec => n += 1; case _ => }
+    n
+  }
+
+  test("K6: joining two tables bucketed on the key needs zero shuffles") {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    val dir = "/root/testdata/sf0.001"
+    Tables.load(spark, dir, "orders")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    Tables.load(spark, dir, "lineitem")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("b_lineitem")
+    // disable broadcast so the join would otherwise shuffle both sides
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("b_orders")
+        .join(spark.table("b_lineitem"), $"o_orderkey" === $"l_orderkey")
+        .groupBy($"o_orderkey").agg(count(lit(1)).as("n"))
+      assert(countShuffles(j) == 0, "bucketed join+agg should be shuffle-free")
+      // sanity: same join un-bucketed shuffles both sides
+      val raw = Tables.load(spark, dir, "orders")
+        .join(Tables.load(spark, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+      assert(countShuffles(raw) >= 2)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted join: identical result to the plain join, salt spreads a hot key") {
+    val hot = (1 to 500).map(i => ("hot", i.toLong)) ++ Seq(("cold", 1L))
+    val large = hot.toDF("k", "v")
+    val small = Seq(("hot", "H"), ("cold", "C")).toDF("k", "tag")
+    val plain = large.join(small, "k").groupBy("k", "tag").count()
+    val salted = Joins.saltedJoin(large, small, "k", factor = 8, saltCols = Seq("v"))
+      .groupBy("k", "tag").count()
+    assert(plain.orderBy("k").collect().toSeq == salted.orderBy("k").collect().toSeq)
+    // the salt column spreads the hot key across the factor space
+    val saltSpread = large
+      .withColumn("_salt", pmod(xxhash64($"v"), lit(8L)))
+      .filter($"k" === "hot").select("_salt").distinct().count()
+    assert(saltSpread == 8)
+  }
+
+  test("pushdown: filters and projections reach the parquet scan") {
+    val df = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .filter($"l_quantity" > 30).select("l_orderkey", "l_quantity")
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters") && scan.contains("GreaterThan(l_quantity,30.0"),
+      s"missing pushed filter in: $scan")
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"missing pruned schema in: $scan")
+  }
+}
