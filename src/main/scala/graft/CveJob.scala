@@ -1,0 +1,89 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Merge, Watermarks}
+
+/** Job orchestration (main.py:64-147, 202-238): init-vs-update inference,
+  * the periodic tick, catch-up on missed windows, graceful stop.
+  *
+  * The reference's scheduler thread + signal handlers become a plain
+  * driver loop here: each tick is a batch job whose incremental window is
+  * computed from the persisted watermark (T2/T3), and every write is the
+  * idempotent K1 merge so overlapping windows are safe (T4).
+  */
+object CveJob {
+  val JobSource = "cvemate" // main.py:62, 98
+
+  /** Quirk #1 (SURVEY §2.11): the documented --init/--update flags don't
+    * exist; mode is inferred from a missing job watermark
+    * (main.py:232-238). */
+  def isInitRun(spark: SparkSession, statusPath: String): Boolean =
+    Watermarks.lastUpdated(spark, statusPath, JobSource).isEmpty
+
+  /** T3: a tick is due when elapsed ≥ interval (main.py:107-116) —
+    * the catch-up rule that runs immediately after downtime. */
+  def isTickDue(spark: SparkSession, statusPath: String,
+                now: Timestamp, intervalHours: Int = 4): Boolean =
+    Watermarks.lastUpdated(spark, statusPath, JobSource) match {
+      case None => true
+      case Some(last) =>
+        now.getTime - last.getTime >= intervalHours * 3600L * 1000L
+    }
+
+  /** One tick: run the landed sources through the merge, stamp the job
+    * watermark (main.py:98). `landing` sources that are absent are
+    * skipped — the per-source freshness gate (P11) lives with the caller
+    * because it needs each source's upstream stamp. */
+  def runTick(spark: SparkSession, landing: CvePipeline.Landing,
+              snapshotPath: String, statusPath: String,
+              now: Timestamp): Unit = {
+    val nowCol = lit(now.toString).cast("timestamp")
+    val snapDir = new java.io.File(snapshotPath)
+    val hasSnapshot = snapDir.exists && snapDir.listFiles != null &&
+      snapDir.listFiles.nonEmpty
+    val result =
+      if (!hasSnapshot) {
+        CvePipeline.buildSnapshot(spark, landing, now = nowCol)
+      } else {
+        val snapshot = spark.read.parquet(snapshotPath).drop("priority")
+        val merged = Seq(
+          landing.epss.map(p => graft.sources.Readers.epss(spark, p)),
+          landing.kev.map(p => graft.sources.Readers.kev(spark, p)),
+          landing.nvd.map(p => graft.sources.Readers.nvd(spark, p))
+        ).flatten.foldLeft(snapshot)((s, d) => Merge.upsert(s, d, "id", nowCol))
+        CvePipeline.prioritize(merged)
+      }
+    val tmp = snapshotPath + "_tmp"
+    result.write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(snapshotPath)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    Watermarks.upsert(spark, statusPath, JobSource, now)
+  }
+
+  /** T1/T6: the scheduler loop as a driver function — tick when due,
+    * sleep otherwise, stop cooperatively. Production deployments would
+    * use an external scheduler or Trigger.ProcessingTime; this mirrors
+    * the reference's in-process loop (main.py:123-147). */
+  def loop(spark: SparkSession, landing: CvePipeline.Landing,
+           snapshotPath: String, statusPath: String,
+           intervalHours: Int, shouldStop: () => Boolean,
+           clock: () => Timestamp = () => new Timestamp(System.currentTimeMillis()),
+           sleepMs: Long = 1000L): Int = {
+    var ticks = 0
+    while (!shouldStop()) {
+      val now = clock()
+      if (isTickDue(spark, statusPath, now, intervalHours)) {
+        runTick(spark, landing, snapshotPath, statusPath, now)
+        ticks += 1
+      } else Thread.sleep(sleepMs)
+    }
+    ticks
+  }
+}

@@ -35,27 +35,26 @@ object CveDemo {
     snap.select("id", "priority").orderBy("id").collect()
       .foreach(r => println(s"[cvedemo] ${r.getString(0)} -> P${r.getInt(1)}"))
 
-    // Incremental tick (§3.2): freshness gate + re-merge + watermark advance
+    // Incremental tick (§3.2) via the job orchestration: init inference,
+    // interval gating, per-source freshness (P11), watermark advance.
     val wmPath = s"$work/update_status"
-    val now = new java.sql.Timestamp(System.currentTimeMillis())
+    val snapPath = s"$work/job_snapshot"
+    val t1 = java.sql.Timestamp.valueOf("2025-04-05 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2025-04-05 02:00:00") // < interval
+    val t3 = java.sql.Timestamp.valueOf("2025-04-05 06:00:00") // >= interval
+    println(s"[cvedemo] init run? ${graft.CveJob.isInitRun(spark, wmPath)} (expect true)")
+    graft.CveJob.runTick(spark, landing, snapPath, wmPath, t1)
+    println(s"[cvedemo] tick due at +2h? ${graft.CveJob.isTickDue(spark, wmPath, t2)} (expect false)")
+    println(s"[cvedemo] tick due at +6h? ${graft.CveJob.isTickDue(spark, wmPath, t3)} (expect true)")
+    graft.CveJob.runTick(spark, landing, snapPath, wmPath, t3)
+
     val kevReleased = Readers.kevDateReleased(spark, p("known_exploited_vulnerabilities.json"))
-    val fresh = Watermarks.isFresh(
-      Watermarks.sourceLastUpdate(spark, wmPath, "kev"), kevReleased)
-    println(s"[cvedemo] kev fresh? $fresh (first tick: expect false -> update)")
-    if (!fresh) {
-      val snapshot = spark.read.parquet(s"$work/cve_snapshot").drop("priority")
-      val merged = Merge.upsert(snapshot, Readers.kev(spark, p("known_exploited_vulnerabilities.json")))
-      val rescored = CvePipeline.prioritize(merged)
-      rescored.write.mode("overwrite").parquet(s"$work/cve_snapshot_v2")
-      Watermarks.upsert(spark, wmPath, "kev", now, Some(kevReleased))
-      println(s"[cvedemo] incremental merge rows: ${rescored.count()}")
-    }
-    val fresh2 = Watermarks.isFresh(
-      Watermarks.sourceLastUpdate(spark, wmPath, "kev"), kevReleased)
-    println(s"[cvedemo] kev fresh after tick? $fresh2 (expect true -> skip)")
+    Watermarks.upsert(spark, wmPath, "kev", t3, Some(kevReleased))
+    println(s"[cvedemo] kev fresh after stamping? ${Watermarks.isFresh(
+      Watermarks.sourceLastUpdate(spark, wmPath, "kev"), kevReleased)} (expect true -> skip)")
 
     // The analytic scan alone (§3.3), with pruned projection
-    val pr = spark.read.parquet(s"$work/cve_snapshot_v2")
+    val pr = spark.read.parquet(snapPath)
       .groupBy("priority").agg(count(lit(1)).as("n")).orderBy("priority")
     pr.collect().foreach(r => println(s"[cvedemo] P${r.getInt(0)}: ${r.getLong(1)} CVEs"))
     spark.stop()

@@ -48,6 +48,18 @@ object StreamDemo {
       s"resized>${resized.filter(col("out_width") <= 256).count()} within bounds")
     val avgW = resized.agg(avg(col("width"))).head().getDouble(0)
     println(f"[streamdemo] avg fake-decoded width: $avgW%.1f px")
+
+    // IVF cell build over embeddings: typed Aggregator centroids.
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val units = graft.operators.Similarity.unitVectors(
+      emb, Seq("vec_id" -> "id", "label" -> "label"))
+    val cents = graft.operators.VectorAggregates.centroids(units, "label", "unit")
+    val stats = cents.select(
+      count(lit(1)).as("cells"),
+      min(graft.operators.Similarity.norm(col("centroid"))).as("min_norm"),
+      max(graft.operators.Similarity.norm(col("centroid"))).as("max_norm")).head()
+    println(f"[streamdemo] IVF centroids: ${stats.getLong(0)} cells, " +
+      f"norm range [${stats.getDouble(1)}%.3f, ${stats.getDouble(2)}%.3f]")
     spark.stop()
   }
 }
