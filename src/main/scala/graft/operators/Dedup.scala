@@ -146,6 +146,35 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over near-dup pairs → cluster id = min doc_id
+    * reachable (the "which copy do we keep" step after pair finding).
+    * Iterative min-label propagation with lineage truncation per round
+    * (localCheckpoint) — the standard Spark shape for iterative graph
+    * algorithms; rounds = graph diameter, and near-dup components are
+    * tiny/star-shaped so this converges in 2-3 rounds at any scale. */
+  def clusters(pairs: DataFrame): DataFrame = {
+    val fwd = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val prop = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst").as("pid")).agg(min(col("label")).as("plabel"))
+      val next = labels.join(prop, labels("id") === prop("pid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** 64-bit SimHash per document from unigram token hashes weighted by
     * term frequency. Two shuffles (token count, doc reassembly). */
   def simhash(docs: DataFrame, idCol: String = "doc_id",

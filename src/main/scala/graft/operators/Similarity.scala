@@ -96,6 +96,38 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** Exact-decimal per-dimension centroids: deterministic under any
+    * aggregation order (decimal sums), reproducible in the oracle. Used
+    * by the oracle-checked IVF assignment; the production build path is
+    * VectorAggregates.centroids (double buffers, one pass). */
+  def exactCentroids(units: DataFrame, cellCol: String = "cell",
+                     unitCol: String = "unit"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    units
+      .select(col(cellCol).as("cell"), posexplode(col(unitCol)).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg((sum(col("v").cast(DecimalType(28, 16))).cast("double") /
+            count(lit(1)).cast("double")).as("cv"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+                     s => s.getField("cv")).as("centroid"))
+  }
+
+  /** IVF assign: each vector goes to its nearest centroid by dot product
+    * (deterministic tie-break on cell id). Centroids are broadcast — the
+    * corpus never shuffles. */
+  def assignCells(units: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("sim").desc, col("c_cell").asc)
+    units.select(col("id"), col("unit"))
+      .crossJoin(broadcast(
+        centroids.select(col("cell").as("c_cell"), col("centroid"))))
+      .select(col("id"), col("c_cell"), dot(col("unit"), col("centroid")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("c_cell").as("assigned_cell"), col("sim").as("cell_sim"))
+  }
+
   /** All-pairs variant (no blocking) — exact but O(n²); test scale only. */
   def dupPairs(corpus: DataFrame, threshold: Double,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

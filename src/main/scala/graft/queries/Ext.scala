@@ -141,6 +141,29 @@ object Ext {
         .orderBy("doc_id")
     }),
 
+    // Dup-cluster resolution: connected components over the verified
+    // near-dup pairs (iterative min-label propagation; oracle = recursive
+    // CTE reachability).
+    "q48_dup_clusters" -> ((s, dir) => {
+      Dedup.clusters(
+        Dedup.jaccardPairs(Dedup.shingleSets(t(s, dir, "documents")), JaccardThreshold))
+        .orderBy("doc_id")
+    }),
+
+    // Real IVF pipeline: exact-decimal centroids per cell → broadcast →
+    // nearest-centroid assignment by codegen'd dot product.
+    "q47_ann_ivf_assign" -> ((s, dir) => {
+      val units = Similarity.unitVectors(
+        t(s, dir, "embeddings"), Seq("vec_id" -> "id", "label" -> "cell"))
+      val cents = Similarity.exactCentroids(units, "cell", "unit")
+      Similarity.assignCells(units, cents)
+        .select(col("id"), col("assigned_cell").cast("long").as("assigned_cell"),
+                // engines' double→decimal casts differ in the last ulp of
+                // the centroid dims; 6dp is far above that noise floor
+                round(col("cell_sim"), 6).as("cell_sim"))
+        .orderBy("id")
+    }),
+
     // Multimodal decode + feature stage end-to-end (rows-only: the
     // mapPartitions codec stage is not SQL-expressible): payload → decode
     // stub → resize → mean feature magnitude per channel count.
@@ -181,16 +204,21 @@ object Ext {
                      ELSE CAST([] AS VARCHAR[]) END)) AS shingle FROM toks),
        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)"""
 
-  private val jaccardSql =
-    s"""WITH $shingleCte,
+  private val pairsCte =
+    s"""$shingleCte,
         inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                  GROUP BY 1, 2)
-        SELECT a_id, b_id,
-               CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
-        FROM inter JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
-        WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= $JaccardThreshold
-        ORDER BY a_id, b_id"""
+                  GROUP BY 1, 2),
+        pairs AS (SELECT a_id, b_id,
+                         CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+                  FROM inter JOIN sizes sa ON a_id = sa.doc_id
+                             JOIN sizes sb ON b_id = sb.doc_id
+                  WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE)
+                        >= $JaccardThreshold)"""
+
+  private val jaccardSql =
+    s"""WITH $pairsCte
+        SELECT a_id, b_id, jaccard FROM pairs ORDER BY a_id, b_id"""
 
   /** Ordered-fold double dot product — bitwise-identical to Spark's
     * aggregate(zip_with(...)) left fold. */
@@ -308,6 +336,38 @@ object Ext {
             FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
           WHERE sim >= $CosineDupThreshold
           ORDER BY a_id, b_id""",
+
+    "q48_dup_clusters" ->
+      s"""WITH RECURSIVE $pairsCte,
+          edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+                    UNION ALL SELECT b_id, a_id FROM pairs),
+          reach(id, lab) AS (
+            SELECT DISTINCT s, s FROM edges
+            UNION
+            SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.id)
+          SELECT id AS doc_id, MIN(lab) AS cluster_id
+          FROM reach GROUP BY id ORDER BY doc_id""",
+
+    "q47_ann_ivf_assign" ->
+      s"""WITH $unitCte,
+          flat AS (SELECT label AS cell, generate_subscripts(u, 1) AS pos,
+                          unnest(u) AS val FROM e),
+          cdim AS (SELECT cell, pos,
+                          CAST(SUM(CAST(val AS DECIMAL(28,16))) AS DOUBLE)
+                            / CAST(COUNT(*) AS DOUBLE) AS cv
+                   FROM flat GROUP BY 1, 2),
+          cents AS (SELECT cell, list(cv ORDER BY pos) AS centroid
+                    FROM cdim GROUP BY cell),
+          sims AS (SELECT e.vec_id AS id, c.cell,
+                          ${foldDot("e.u", "c.centroid")} AS sim
+                   FROM e CROSS JOIN cents c)
+          SELECT id, CAST(assigned_cell AS BIGINT) AS assigned_cell,
+                 ROUND(cell_sim, 6) AS cell_sim
+          FROM (SELECT id, cell AS assigned_cell, sim AS cell_sim,
+                       ROW_NUMBER() OVER (PARTITION BY id
+                                          ORDER BY sim DESC, cell ASC) AS rn
+                FROM sims)
+          WHERE rn = 1 ORDER BY id""",
 
     "q41_multimodal_meta" ->
       """SELECT doc_id,

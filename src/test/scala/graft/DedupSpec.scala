@@ -47,6 +47,21 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // distinct doc stays out
   }
 
+  test("clusters: connected components collapse transitively-linked dups") {
+    // 1-2, 2-4 chain (1-4 also direct) + isolated pair 7-8
+    val pairs = Seq((1L, 2L), (2L, 4L), (1L, 4L), (7L, 8L)).toDF("a_id", "b_id")
+    val out = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 4L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("clusters: chain needing multiple propagation rounds converges") {
+    val chain = (1L to 9L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("a_id", "b_id")
+    val out = Dedup.clusters(chain).collect().map(r => r.getLong(1)).distinct
+    assert(out.toSeq == Seq(1L)) // one component, min id 1
+  }
+
   test("shingles: docs under n tokens produce empty sets, not errors") {
     val sets = Dedup.shingleSets(corpus)
     assert(sets.filter(col("doc_id") === 5L).select(size(col("shingles")))
