@@ -7,6 +7,10 @@ import org.apache.spark.sql.Row
 
 import graft.operators.Merge
 
+/** Typed rows for the stateful-processing surface. */
+case class UserEvent(user_id: Long, event_type: String, value: Double)
+case class UserTotal(user_id: Long, events: Long, value_sum: Double)
+
 /** Streaming layer (SURVEY.md §2.9): the reference is a scheduled
   * micro-batch incremental pipeline with persisted watermarks; its
   * semantics map 1:1 onto Structured Streaming:
@@ -60,6 +64,42 @@ object EventsStream {
            sum(col("value")).as("value_sum"))
       .select(col("s.start").as("session_start"), col("s.end").as("session_end"),
               col("user_id"), col("events"), col("value_sum"))
+
+  /** T5 EXT: arbitrary stateful processing — per-user running counters
+    * kept in the state store across micro-batches, evicted after an idle
+    * timeout. This is the mapGroupsWithState surface the reference's
+    * in-memory dicts would need at scale (state is partitioned by key and
+    * checkpointed; nothing lives on the driver). */
+  def runningUserTotals(events: org.apache.spark.sql.Dataset[UserEvent],
+                        idleTimeoutMs: Long = 0L)
+      : org.apache.spark.sql.Dataset[UserTotal] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import events.sparkSession.implicits._
+    // idleTimeoutMs > 0 bounds state at the cost of a continuously-running
+    // micro-batch loop (timeout checks need clock-driven batches); 0 keeps
+    // state forever and lets processAllAvailable quiesce — use the
+    // watermark-window aggregations when state must be bounded by time.
+    val timeoutConf =
+      if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserTotal, UserTotal](timeoutConf) {
+        (user: Long, batch: Iterator[UserEvent], state: GroupState[UserTotal]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val prev = state.getOption.getOrElse(UserTotal(user, 0L, 0.0))
+            val evs = batch.toSeq
+            val next = UserTotal(user, prev.events + evs.size,
+                                 prev.value_sum + evs.map(_.value).sum)
+            state.update(next)
+            if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+            next
+          }
+      }
+  }
 
   /** T4: idempotent snapshot merge as a foreachBatch sink — each
     * micro-batch runs the K1 upsert against the parquet snapshot and

@@ -49,6 +49,24 @@ object StreamDemo {
     val avgW = resized.agg(avg(col("width"))).head().getDouble(0)
     println(f"[streamdemo] avg fake-decoded width: $avgW%.1f px")
 
+    // Stateful processing: per-user running totals via mapGroupsWithState
+    // over the same file backlog.
+    import spark.implicits._
+    val evStream = spark.readStream.schema(schema).parquet(s"$work/in/*")
+      .select(col("user_id"), col("event_type"), col("value"))
+      .as[graft.streaming.UserEvent]
+    val q2 = EventsStream.runningUserTotals(evStream)
+      .writeStream.format("memory").queryName("user_totals")
+      .outputMode("update")
+      .option("checkpointLocation", s"$work/ckpt2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    val users = spark.table("user_totals").select("user_id").distinct().count()
+    val evTotal = spark.table("user_totals").agg(sum(col("events"))).head().getLong(0)
+    println(s"[streamdemo] stateful totals: $users users, $evTotal events counted " +
+      s"(source has ${events.count()})")
+
     // IVF cell build over embeddings: typed Aggregator centroids.
     val emb = Tables.load(spark, sfDir, "embeddings")
     val units = graft.operators.Similarity.unitVectors(

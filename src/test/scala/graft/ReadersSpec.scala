@@ -27,6 +27,16 @@ class ReadersSpec extends SparkSpec {
     assert(sd.toInstant.toString == "2025-04-03T00:00:00Z")
   }
 
+  test("S6/S11 epss: identical results from the gzipped wire format") {
+    val plain = Readers.epss(spark, res("epss_scores.csv"))
+      .orderBy("id").collect().toSeq
+    val gz = Readers.epss(spark, res("epss_scores.csv.gz"))
+      .orderBy("id").collect().toSeq
+    assert(plain == gz)
+    val (mv, _) = Readers.epssMetadata(spark, res("epss_scores.csv.gz"))
+    assert(mv == "v2023.03.01")
+  }
+
   test("S6 epss: malformed metadata line aborts (epss_handler.py:97-99)") {
     intercept[IllegalArgumentException] {
       Readers.epssMetadata(spark, res("epss_malformed.csv"))

@@ -65,6 +65,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("T5 EXT: mapGroupsWithState keeps per-user totals across micro-batches") {
+    import graft.streaming.{UserEvent, UserTotal}
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[UserEvent]
+    val q = EventsStream.runningUserTotals(mem.toDS())
+      .writeStream.format("memory").queryName("totals")
+      .outputMode("update").start()
+    try {
+      mem.addData(UserEvent(1, "click", 1.0), UserEvent(1, "click", 2.0),
+                  UserEvent(2, "view", 5.0))
+      q.processAllAvailable()
+      mem.addData(UserEvent(1, "click", 4.0)) // state must carry over
+      q.processAllAvailable()
+      val latest = spark.table("totals")
+        .groupBy($"user_id")
+        .agg(max(struct($"events", $"value_sum")).as("s"))
+        .select($"user_id", $"s.events", $"s.value_sum")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(latest == Set((1L, 3L, 7.0), (2L, 1L, 5.0)))
+    } finally q.stop()
+  }
+
   test("T3/T4: AvailableNow drains a file backlog through the idempotent merge sink") {
     val work = java.nio.file.Files.createTempDirectory("stream").toString
     val srcDir = s"$work/in"; val snap = s"$work/snapshot"; val ckpt = s"$work/ckpt"
