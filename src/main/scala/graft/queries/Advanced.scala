@@ -24,7 +24,6 @@ object Advanced {
     "q43_sessionize" -> ((s, dir) => {
       import s.implicits._
       val byUser = Window.partitionBy($"user_id").orderBy($"ts".asc)
-      val sess = Window.partitionBy($"user_id", $"session_id")
       t(s, dir, "events")
         .withColumn("prev_ts", lag($"ts", 1).over(byUser))
         .withColumn("new_session",

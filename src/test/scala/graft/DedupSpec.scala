@@ -62,6 +62,30 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq(1L)) // one component, min id 1
   }
 
+  test("LSH recall: generated corpus with graded overlap matches exact answer") {
+    // 40 base docs of 60 words; dups share a prefix of graded length so
+    // pair similarities span ~0.55..1.0 around the 0.8 threshold.
+    val vocab = (0 until 300).map(i => s"w$i")
+    val rnd = new scala.util.Random(7)
+    val bases = (0 until 40).map { d =>
+      (d.toLong, Seq.fill(60)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val dups = (0 until 40).map { d =>
+      val keep = 20 + d // graded overlap: 20..59 of 60 words
+      val words = bases(d)._2.split(" ").take(keep) ++
+        Seq.fill(60 - keep)(vocab(rnd.nextInt(vocab.size)))
+      (1000L + d, words.mkString(" "))
+    }
+    val corpus = (bases ++ dups).toDF("doc_id", "text")
+    val exact = Dedup.jaccardPairs(Dedup.shingleSets(corpus), 0.8)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashDupPairs(corpus, 0.8)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "generated corpus should contain pairs above threshold")
+    assert(lsh == exact,
+      s"LSH missed ${exact -- lsh} / invented ${lsh -- exact}")
+  }
+
   test("shingles: docs under n tokens produce empty sets, not errors") {
     val sets = Dedup.shingleSets(corpus)
     assert(sets.filter(col("doc_id") === 5L).select(size(col("shingles")))

@@ -59,6 +59,15 @@ class PipelineSpec extends SparkSpec {
     assert(!one.isNullAt(0))
   }
 
+  test("K5: JSON dump round-trips the snapshot (id + priority survive)") {
+    val out = java.nio.file.Files.createTempDirectory("json").toString + "/dump"
+    val snap = CvePipeline.buildSnapshot(spark, landing, now = t0)
+    snap.select("id", "priority").write.json(out)
+    val back = spark.read.json(out)
+    assert(back.count() == snap.count())
+    assert(back.columns.sorted.toSeq == Seq("id", "priority"))
+  }
+
   test("incremental re-merge preserves created_at ($setOnInsert)") {
     val t1 = lit("2025-05-01 00:00:00").cast("timestamp")
     val snap = CvePipeline.buildSnapshot(spark, landing, now = t0)
