@@ -128,6 +128,28 @@ object Similarity {
       .select(col("id"), col("c_cell").as("assigned_cell"), col("sim").as("cell_sim"))
   }
 
+  /** Lloyd refinement of IVF centroids: assign → re-average, `iters`
+    * times. Pure DataFrame loop — each round is one broadcast join plus
+    * one groupBy, with lineage truncated per round so the plan doesn't
+    * grow. Centroids stay tiny (cells × dims) and are the only thing
+    * collected into the broadcast; the corpus never moves. */
+  def kmeansRefine(units: DataFrame, initial: DataFrame, iters: Int): DataFrame = {
+    var cents = initial.localCheckpoint()
+    (1 to iters).foreach { _ =>
+      val assigned = assignCells(units, cents)
+      cents = units.join(assigned, "id")
+        .groupBy(col("assigned_cell").as("cell"))
+        .agg(VectorAggregates.vectorMean(col("unit")).as("centroid"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** Mean within-cell similarity — the k-means objective (higher is
+    * tighter for unit vectors). */
+  def clusteringObjective(units: DataFrame, cents: DataFrame): Double =
+    assignCells(units, cents).agg(avg(col("cell_sim"))).head().getDouble(0)
+
   /** All-pairs variant (no blocking) — exact but O(n²); test scale only. */
   def dupPairs(corpus: DataFrame, threshold: Double,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

@@ -150,6 +150,20 @@ object Ext {
         .orderBy("doc_id")
     }),
 
+    // Apply the dedup decision: keep the min doc of each near-dup
+    // cluster plus all singleton docs — the corpus a training pipeline
+    // actually emits. Anti join against the removal set.
+    "q49_dedup_apply" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val removed = Dedup.clusters(
+          Dedup.jaccardPairs(Dedup.shingleSets(docs), JaccardThreshold))
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id"))
+      docs.join(removed, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // Real IVF pipeline: exact-decimal centroids per cell → broadcast →
     // nearest-centroid assignment by codegen'd dot product.
     "q47_ann_ivf_assign" -> ((s, dir) => {
@@ -347,6 +361,20 @@ object Ext {
             SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.id)
           SELECT id AS doc_id, MIN(lab) AS cluster_id
           FROM reach GROUP BY id ORDER BY doc_id""",
+
+    "q49_dedup_apply" ->
+      s"""WITH RECURSIVE $pairsCte,
+          edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+                    UNION ALL SELECT b_id, a_id FROM pairs),
+          reach(id, lab) AS (
+            SELECT DISTINCT s, s FROM edges
+            UNION
+            SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.id),
+          removed AS (SELECT id FROM (SELECT id, MIN(lab) AS m FROM reach GROUP BY id)
+                      WHERE id <> m)
+          SELECT doc_id, lang, n_chars FROM documents
+          WHERE doc_id NOT IN (SELECT id FROM removed)
+          ORDER BY doc_id""",
 
     "q47_ann_ivf_assign" ->
       s"""WITH $unitCte,

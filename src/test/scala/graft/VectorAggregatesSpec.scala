@@ -25,6 +25,20 @@ class VectorAggregatesSpec extends SparkSpec {
     assert(out.map(_.getSeq[Double](1)).toSeq == out8.map(_.getSeq[Double](1)).toSeq)
   }
 
+  test("k-means refine improves (or preserves) the clustering objective") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val units = Similarity.unitVectors(e, Seq("vec_id" -> "id", "label" -> "label"))
+      .persist()
+    val init = VectorAggregates.centroids(units, "label", "unit")
+      .withColumnRenamed("cell", "cell0").withColumnRenamed("centroid", "c0")
+      .select(col("cell0").as("cell"), col("c0").as("centroid"))
+    val before = Similarity.clusteringObjective(units, init)
+    val refined = Similarity.kmeansRefine(units, init, iters = 2)
+    val after = Similarity.clusteringObjective(units, refined)
+    assert(refined.count() <= 10 && refined.count() > 0)
+    assert(after >= before - 1e-9, s"objective degraded: $before -> $after")
+  }
+
   test("IVF build: per-cell centroids over real embeddings") {
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val units = Similarity.unitVectors(e, Seq("vec_id" -> "id", "label" -> "label"))
