@@ -1,0 +1,54 @@
+package graft
+
+import java.io.{File, FileOutputStream}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import graft.sources.{Landing, Readers}
+
+class LandingSpec extends SparkSpec {
+
+  private def makeZip(path: String, entries: (String, String)*): Unit = {
+    val zos = new ZipOutputStream(new FileOutputStream(path))
+    try entries.foreach { case (name, content) =>
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    } finally zos.close()
+  }
+
+  test("S11: cvelistV5-style zip extracts and reads end-to-end (S3)") {
+    val work = java.nio.file.Files.createTempDirectory("zip").toString
+    val rec = (id: String) =>
+      s"""{"cveMetadata": {"cveId": "$id", "state": "PUBLISHED"},
+          "containers": {"cna": {"title": "t-$id"}}}"""
+    makeZip(s"$work/cvelistV5.zip",
+      "cves/2024/0xxx/CVE-2024-0001.json" -> rec("CVE-2024-0001"),
+      "cves/2025/0xxx/CVE-2025-0100.json" -> rec("CVE-2025-0100"),
+      "cves/deltaLog.json" -> "[]")
+    val files = Landing.extractZip(s"$work/cvelistV5.zip", s"$work/tree")
+    assert(files.size == 3)
+    val df = Readers.cveOrg(spark, s"$work/tree")
+    val ids = df.select("id").collect().map(_.getString(0)).sorted
+    assert(ids.toSeq == Seq("CVE-2024-0001", "CVE-2025-0100")) // deltaLog skipped
+  }
+
+  test("S11: single-member invariant (handlers/utils.py:113-118)") {
+    val work = java.nio.file.Files.createTempDirectory("zip1").toString
+    makeZip(s"$work/one.zip", "cwec_latest.xml" -> "<x/>")
+    val f = Landing.extractSingleMemberZip(s"$work/one.zip", s"$work/out")
+    assert(new File(f).getName == "cwec_latest.xml")
+    makeZip(s"$work/two.zip", "a.xml" -> "<x/>", "b.xml" -> "<y/>")
+    intercept[IllegalArgumentException] {
+      Landing.extractSingleMemberZip(s"$work/two.zip", s"$work/out2")
+    }
+  }
+
+  test("S11: zip-slip entries are rejected") {
+    val work = java.nio.file.Files.createTempDirectory("zipslip").toString
+    makeZip(s"$work/evil.zip", "../escape.txt" -> "nope")
+    intercept[IllegalArgumentException] {
+      Landing.extractZip(s"$work/evil.zip", s"$work/out")
+    }
+    assert(!new File(s"$work/escape.txt").exists)
+  }
+}
