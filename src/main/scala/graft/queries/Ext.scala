@@ -96,6 +96,30 @@ object Ext {
         .orderBy("doc_id")
     }),
 
+    // TF-IDF top-5 terms per document. Ranking uses only integers
+    // (tf desc, doc_freq asc, term) so engine ulp differences in ln()
+    // cannot flip ranks; the score itself is rounded to 6dp.
+    "q50_tfidf_topterms" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val tf = docs
+        .select(col("doc_id"), explode(TA.wordTokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("doc_freq").asc, col("term").asc)
+      tf.join(dfreq, "term").crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          round(col("tf").cast("double") *
+                log(col("n_docs").cast("double") / col("doc_freq").cast("double")), 6))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("doc_id"), col("term"), col("tf"), col("doc_freq"),
+                col("rank"), col("tfidf"))
+        .orderBy("doc_id", "rank")
+    }),
+
     // Rolling-hash document fingerprint (ordered fold — oracle mirrors
     // with list_reduce).
     "q37_fingerprint" -> ((s, dir) => {
@@ -310,6 +334,21 @@ object Ext {
                 CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens,
                 CAST(length(text) AS BIGINT) AS chars
          FROM documents ORDER BY doc_id""",
+
+    "q50_tfidf_topterms" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+                      FROM documents),
+          tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+          dfreq AS (SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY 1),
+          n AS (SELECT COUNT(*) AS n_docs FROM documents),
+          scored AS (SELECT t.doc_id, t.term, t.tf, d.doc_freq,
+                            ROUND(CAST(t.tf AS DOUBLE) *
+                                  ln(CAST(n_docs AS DOUBLE) / CAST(d.doc_freq AS DOUBLE)), 6) AS tfidf,
+                            ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                               ORDER BY t.tf DESC, d.doc_freq ASC, t.term ASC) AS rk
+                     FROM tf t JOIN dfreq d USING (term) CROSS JOIN n)
+          SELECT doc_id, term, tf, doc_freq, CAST(rk AS BIGINT) AS rank, tfidf
+          FROM scored WHERE rk <= 5 ORDER BY doc_id, rank""",
 
     "q37_fingerprint" ->
       """SELECT doc_id,
