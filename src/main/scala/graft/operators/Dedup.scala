@@ -55,23 +55,35 @@ object Dedup {
   /** Exploded (doc_id, shingle) pairs, with the shingle string collapsed
     * to its xxhash64 — set-identical modulo 2^-64 collisions, and the
     * downstream self-joins compare 8-byte keys instead of ~20-char
-    * strings. Persisted: every consumer (sizes, both join sides,
-    * signatures) reuses one computation instead of re-tokenizing. */
-  private def exploded(shingleSets: DataFrame): DataFrame =
+    * strings. NOT persisted here: consumers that scan it more than once
+    * (both join sides, signatures) manage the persist lifecycle
+    * explicitly — see [[withPersisted]] — so long-lived sessions don't
+    * accumulate orphaned cache entries. */
+  def explodedShingles(shingleSets: DataFrame): DataFrame =
     shingleSets
       .select(col("doc_id"), explode(col("shingles")).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("shingle"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-  /** Exact pairwise n-gram Jaccard ≥ threshold via shingle equi-join.
+  /** Persist `sh`, build + eagerly materialize `f(sh)` (localCheckpoint
+    * truncates lineage and pins the — small — result), then release the
+    * cache. Every multi-scan dedup entry point funnels through this so a
+    * long-lived session (bench loop, notebook) never leaks cached
+    * shingle relations. */
+  private def withPersisted(sh: DataFrame)(f: DataFrame => DataFrame): DataFrame = {
+    val p = sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try f(p).localCheckpoint() // eager: runs while p is cached
+    finally p.unpersist()
+  }
+
+  /** Exact pairwise n-gram Jaccard ≥ threshold via shingle equi-join,
+    * from a pre-exploded (ideally persisted) shingle relation.
     * Set sizes ride along on the exploded rows (window count over doc_id)
     * so no post-aggregation joins are needed — the pair aggregate carries
     * (na, nb) as grouping constants. `maxShingleDf` drops shingles
     * occurring in more than that many docs (skew guard; 0 disables —
     * used for oracle parity at test scale). */
-  def jaccardPairs(shingleSets: DataFrame, threshold: Double,
-                   maxShingleDf: Long = 0L): DataFrame = {
-    val sh0 = exploded(shingleSets)
+  def jaccardPairsFrom(sh0: DataFrame, threshold: Double,
+                       maxShingleDf: Long = 0L): DataFrame = {
     val sh =
       if (maxShingleDf <= 0) sh0
       else {
@@ -94,10 +106,18 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Exact Jaccard pairs, self-managed: persists the exploded shingles for
+    * the duration of the (eagerly materialized) computation, then releases
+    * them. The result is small (pairs ≥ threshold) and lineage-truncated. */
+  def jaccardPairs(shingleSets: DataFrame, threshold: Double,
+                   maxShingleDf: Long = 0L): DataFrame =
+    withPersisted(explodedShingles(shingleSets))(
+      jaccardPairsFrom(_, threshold, maxShingleDf))
+
   /** MinHash signatures: sig[j] = min over shingles of xxhash64(j, shingle).
     * One shuffle (groupBy doc_id); 64 partial-aggregated mins. */
   def minhashSignatures(shingleSets: DataFrame, numHashes: Int = 64): DataFrame =
-    signaturesFromExploded(exploded(shingleSets), numHashes)
+    signaturesFromExploded(explodedShingles(shingleSets), numHashes)
 
   private def signaturesFromExploded(sh: DataFrame, numHashes: Int): DataFrame =
     sh.groupBy("doc_id")
@@ -105,9 +125,14 @@ object Dedup {
         min(xxhash64(lit(j), col("shingle")))): _*).as("sig"))
 
   /** LSH candidate pairs: equal (band, bucket) → (a_id < b_id), distinct.
-    * bands*rowsPerBand must equal the signature length. */
+    * `sigLen` is the length of the `sig` arrays; bands*rowsPerBand must
+    * fit inside it (checked — under ANSI mode an out-of-range element_at
+    * would otherwise surface as an opaque runtime error from deep inside
+    * the plan). */
   def lshCandidates(signatures: DataFrame, bands: Int = 16,
-                    rowsPerBand: Int = 4): DataFrame = {
+                    rowsPerBand: Int = 4, sigLen: Int = 64): DataFrame = {
+    require(bands > 0 && rowsPerBand > 0 && bands * rowsPerBand <= sigLen,
+      s"bands*rowsPerBand (${bands * rowsPerBand}) must fit the signature length ($sigLen)")
     val bandStructs = (0 until bands).map { b =>
       val slice = (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1))
       struct(lit(b).as("band"), xxhash64(lit(b) +: slice: _*).as("bkey"))
@@ -122,15 +147,16 @@ object Dedup {
       .distinct()
   }
 
-  /** MinHash+LSH near-dup pairs, exact-Jaccard-verified on candidates only.
+  /** MinHash+LSH near-dup pairs from a pre-exploded (ideally persisted)
+    * shingle relation, exact-Jaccard-verified on candidates only.
     * This is the 100 TB path: the shingle join runs restricted to the
     * candidate set, never all-pairs. */
-  def minhashDupPairs(docs: DataFrame, threshold: Double,
-                      idCol: String = "doc_id", textCol: String = "text",
-                      n: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    val sets = shingleSets(docs, idCol, textCol, n)
-    val sh = exploded(sets)
-    val cand = lshCandidates(signaturesFromExploded(sh, numHashes), bands, numHashes / bands)
+  def minhashPairsFrom(sh: DataFrame, threshold: Double,
+                       numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    val cand = lshCandidates(signaturesFromExploded(sh, numHashes),
+      bands, numHashes / bands, sigLen = numHashes)
     val shN = sh.withColumn("n",
       count(lit(1)).over(Window.partitionBy(col("doc_id"))))
     val inter = cand
@@ -145,6 +171,15 @@ object Dedup {
          (col("na") + col("nb") - col("i")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** MinHash+LSH near-dup pairs, self-managed persist lifecycle: the
+    * exploded shingles (reused by signatures AND both verify-join sides)
+    * are cached only for the duration of the eager computation. */
+  def minhashDupPairs(docs: DataFrame, threshold: Double,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      n: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame =
+    withPersisted(explodedShingles(shingleSets(docs, idCol, textCol, n)))(
+      minhashPairsFrom(_, threshold, numHashes, bands))
 
   /** Connected components over near-dup pairs → cluster id = min doc_id
     * reachable (the "which copy do we keep" step after pair finding).
@@ -163,15 +198,19 @@ object Dedup {
     while (changed > 0) {
       val prop = edges.join(labels, edges("src") === labels("id"))
         .groupBy(col("dst").as("pid")).agg(min(col("label")).as("plabel"))
+      // Convergence detection rides along as a flag on the propagation
+      // result itself: the eager localCheckpoint materializes it once, and
+      // the changed-count is a scan of those checkpointed blocks — no
+      // second labels-vs-labels join per round.
       val next = labels.join(prop, labels("id") === prop("pid"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("plabel"), col("label"))).as("label"),
+          (coalesce(col("plabel"), col("label")) < col("label")).as("_changed"))
         .localCheckpoint()
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") =!= col("o.label")).count()
-      labels = next
+      changed = next.filter(col("_changed")).count()
+      labels = next.drop("_changed")
     }
+    edges.unpersist() // labels is checkpointed — edges no longer needed
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 

@@ -167,20 +167,24 @@ object Ext {
 
     // Dup-cluster resolution: connected components over the verified
     // near-dup pairs (iterative min-label propagation; oracle = recursive
-    // CTE reachability).
+    // CTE reachability). Edges come from the LSH candidate path — the
+    // 100 TB shape, and oracle-proven equal to the exact all-pairs answer
+    // at this threshold (q32 hash-matches q31); the oracle still derives
+    // pairs exactly, so any LSH recall miss would fail the hash compare.
     "q48_dup_clusters" -> ((s, dir) => {
       Dedup.clusters(
-        Dedup.jaccardPairs(Dedup.shingleSets(t(s, dir, "documents")), JaccardThreshold))
+        Dedup.minhashDupPairs(t(s, dir, "documents"), JaccardThreshold))
         .orderBy("doc_id")
     }),
 
     // Apply the dedup decision: keep the min doc of each near-dup
     // cluster plus all singleton docs — the corpus a training pipeline
-    // actually emits. Anti join against the removal set.
+    // actually emits. Anti join against the removal set; edges via LSH
+    // (see q48 — exact-equivalence is oracle-enforced).
     "q49_dedup_apply" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val removed = Dedup.clusters(
-          Dedup.jaccardPairs(Dedup.shingleSets(docs), JaccardThreshold))
+          Dedup.minhashDupPairs(docs, JaccardThreshold))
         .filter(col("doc_id") =!= col("cluster_id"))
         .select(col("doc_id"))
       docs.join(removed, Seq("doc_id"), "left_anti")
