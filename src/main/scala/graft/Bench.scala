@@ -19,18 +19,32 @@ object Bench {
     // query doesn't pay one-time init costs.
     Tables.load(spark, sfDir, "region").write.format("noop").mode("overwrite").save()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val (results, failed) = run(spark, sfDir, SparkEntry.queries)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+
+  /** Materialize every query through the noop sink, timing each. A dead
+    * query lands in the returned `failed` list so it is visible in the
+    * emitted JSON, not just on stderr — otherwise it would report a
+    * (tiny) wall time and the round would look green. */
+  def run(spark: SparkSession, sfDir: String,
+          queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame])
+      : (Seq[(String, Double)], Seq[String]) = {
+    val failed = scala.collection.mutable.ListBuffer[String]()
+    val results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    (results, failed.toSeq)
   }
 }

@@ -42,6 +42,10 @@ object CveJob {
               snapshotPath: String, statusPath: String,
               now: Timestamp): Unit = {
     val nowCol = lit(now.toString).cast("timestamp")
+    // Heal a crash that happened mid-swap on a previous tick — otherwise
+    // the missing snapshot would silently flip this tick into a from-
+    // scratch rebuild and lose created_at history.
+    SnapshotIO.recover(spark.sparkContext.hadoopConfiguration, snapshotPath)
     val snapDir = new java.io.File(snapshotPath)
     val hasSnapshot = snapDir.exists && snapDir.listFiles != null &&
       snapDir.listFiles.nonEmpty
@@ -49,21 +53,18 @@ object CveJob {
       if (!hasSnapshot) {
         CvePipeline.buildSnapshot(spark, landing, now = nowCol)
       } else {
+        // ALL landed sources refresh on every tick, exactly as in the init
+        // build (the reference's update job re-runs every enabled handler;
+        // main.py:64-98) — multi-row sources collapse to one row per id
+        // first, same as buildSnapshot.
         val snapshot = spark.read.parquet(snapshotPath).drop("priority")
-        val merged = Seq(
-          landing.epss.map(p => graft.sources.Readers.epss(spark, p)),
-          landing.kev.map(p => graft.sources.Readers.kev(spark, p)),
-          landing.nvd.map(p => graft.sources.Readers.nvd(spark, p))
-        ).flatten.foldLeft(snapshot)((s, d) => Merge.upsert(s, d, "id", nowCol))
+        val merged = CvePipeline.deltas(spark, landing)
+          .foldLeft(snapshot)((s, d) => Merge.upsert(s, d, "id", nowCol))
         CvePipeline.prioritize(merged)
       }
     val tmp = snapshotPath + "_tmp"
     result.write.mode("overwrite").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(snapshotPath)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    SnapshotIO.swap(spark.sparkContext.hadoopConfiguration, tmp, snapshotPath)
     Watermarks.upsert(spark, statusPath, JobSource, now)
   }
 

@@ -35,7 +35,7 @@ object CvePipeline {
   /** Collapse a multi-row source to one row per id: lossless array or
     * reference-fidelity last-writer-wins (source file order stands in for
     * bulk_write order via a deterministic sort surrogate). */
-  private def collapse(df: DataFrame, sourceCol: String, fidelity: Boolean): DataFrame =
+  def collapse(df: DataFrame, sourceCol: String, fidelity: Boolean): DataFrame =
     if (fidelity)
       Merge.lastWriterWins(
         df.withColumn("_pos", monotonically_increasing_id()), "id", col("_pos"))
@@ -43,21 +43,27 @@ object CvePipeline {
     else
       Merge.lossless(df, "id", sourceCol)
 
+  /** Every landed source as a one-row-per-id delta, in the reference's
+    * merge order (main.py:64-98). Shared by the init build AND the update
+    * tick so no source can be silently dropped from one path. */
+  def deltas(spark: SparkSession, landing: Landing,
+             fidelity: Boolean = false): Seq[DataFrame] = Seq(
+    landing.nvd.map(p => Readers.nvd(spark, p)),
+    landing.exploitDb.map(p => collapse(Readers.exploitDb(spark, p), "exploitdb", fidelity)),
+    landing.metasploit.map(p => collapse(Readers.metasploit(spark, p), "metasploit", fidelity)),
+    landing.epss.map(p => Readers.epss(spark, p)),
+    landing.kev.map(p => Readers.kev(spark, p)),
+    landing.debian.map(p => collapse(Readers.debian(spark, p), "debian", fidelity)),
+    landing.cveOrgDir.map(p => Readers.cveOrg(spark, p)),
+    landing.redhat.map(p => Readers.redhat(spark, p))
+  ).flatten
+
   /** Build the unified snapshot from landed files. `now` is injectable so
     * golden tests are deterministic (F13 timestamps). */
   def buildSnapshot(spark: SparkSession, landing: Landing,
                     fidelity: Boolean = false,
                     now: Column = current_timestamp()): DataFrame = {
-    val deltas: Seq[DataFrame] = Seq(
-      landing.nvd.map(p => Readers.nvd(spark, p)),
-      landing.exploitDb.map(p => collapse(Readers.exploitDb(spark, p), "exploitdb", fidelity)),
-      landing.metasploit.map(p => collapse(Readers.metasploit(spark, p), "metasploit", fidelity)),
-      landing.epss.map(p => Readers.epss(spark, p)),
-      landing.kev.map(p => Readers.kev(spark, p)),
-      landing.debian.map(p => collapse(Readers.debian(spark, p), "debian", fidelity)),
-      landing.cveOrgDir.map(p => Readers.cveOrg(spark, p)),
-      landing.redhat.map(p => Readers.redhat(spark, p))
-    ).flatten
+    val deltas = this.deltas(spark, landing, fidelity)
     require(deltas.nonEmpty, "at least one landed source required")
     val empty = Merge.init(
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

@@ -70,14 +70,16 @@ object Merge {
   /** J2 lossless mode: collapse multi-row sources to one array column per
     * key (sorted for determinism) — no data loss, single shuffle.
     * collect_list order is shuffle-dependent, so we impose a total order;
-    * structs containing maps aren't natively orderable, hence the JSON
-    * comparator. */
+    * structs containing maps aren't natively orderable, hence a JSON sort
+    * key — computed ONCE per element before collection, not inside the
+    * comparator (which runs O(n log n) times per group). */
   def lossless(delta: DataFrame, key: String, valueCol: String): DataFrame = {
+    val keyed = delta.select(col(key),
+      struct(to_json(struct(col(valueCol))).as("k"), col(valueCol).as("v")).as("_kv"))
     val cmp = (l: Column, r: Column) =>
-      when(to_json(struct(l)) < to_json(struct(r)), lit(-1))
-        .when(to_json(struct(l)) > to_json(struct(r)), lit(1))
-        .otherwise(lit(0))
-    delta.groupBy(col(key))
-      .agg(array_sort(collect_list(col(valueCol)), cmp).as(valueCol))
+      when(l("k") < r("k"), lit(-1)).when(l("k") > r("k"), lit(1)).otherwise(lit(0))
+    keyed.groupBy(col(key))
+      .agg(transform(array_sort(collect_list(col("_kv")), cmp),
+        e => e("v")).as(valueCol))
   }
 }

@@ -4,6 +4,15 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+/** Decode output row. Top-level (not nested/private) on purpose: the
+  * Dataset encoder's generated Java resolves the accessors with Janino,
+  * which cannot see a `private` nested class — the whole decode projection
+  * would silently fall back to interpreted mode (observed in the r1 bench
+  * log as repeated CodeGenerator compile errors). */
+case class Decoded(
+    media_id: Long, width: Int, height: Int, channels: Int,
+    feature: Array[Float])
+
 /** Multimodal columns: image/audio/video as opaque `binary` payloads with
   * typed metadata, plus decode / feature-extract / resize / frame-sample
   * stages.
@@ -36,10 +45,6 @@ object Multimodal {
     df.withColumn("byte_len", length(payload).cast("long"))
       .withColumn("digest", sha2(payload, 256))
       .withColumn("magic_hex", substring(hex(payload), 1, 8))
-
-  private case class Decoded(
-      media_id: Long, width: Int, height: Int, channels: Int,
-      feature: Array[Float])
 
   /** Decode + feature-extract stage: mapPartitions with a per-partition
     * "codec" (stubbed). Output schema: media_id, width, height, channels,

@@ -19,6 +19,7 @@ import graft.sources.Schemas
 object Watermarks {
 
   def read(spark: SparkSession, path: String): DataFrame = {
+    graft.SnapshotIO.recover(spark.sparkContext.hadoopConfiguration, path)
     val dir = new java.io.File(path)
     if (dir.exists && dir.listFiles != null && dir.listFiles.nonEmpty)
       spark.read.schema(Schemas.updateStatus).parquet(path)
@@ -27,10 +28,13 @@ object Watermarks {
         Schemas.updateStatus)
   }
 
-  /** Last successful run for a source (main.py:217; nvd_handler.py:139). */
+  /** Last successful run for a source (main.py:217; nvd_handler.py:139).
+    * flatMap(Option(_)): a persisted null stamp must yield None, not
+    * Some(null) — callers compare .getTime on the value. */
   def lastUpdated(spark: SparkSession, path: String, source: String): Option[Timestamp] =
     read(spark, path).filter(col("data_source") === source)
-      .select("last_updated").collect().headOption.map(_.getTimestamp(0))
+      .select("last_updated").collect().headOption
+      .flatMap(r => Option(r.getTimestamp(0)))
 
   /** Upstream publication stamp (P11 freshness short-circuit input). */
   def sourceLastUpdate(spark: SparkSession, path: String,
@@ -56,11 +60,7 @@ object Watermarks {
     // Write to a temp dir then swap: the source of the read is the target.
     val tmp = path + "_tmp"
     df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    graft.SnapshotIO.swap(spark.sparkContext.hadoopConfiguration, tmp, path)
   }
 
   /** T3: catch-up window start — last success, else now minus the

@@ -115,6 +115,7 @@ object EventsStream {
         val collapsed = Merge.lastWriterWins(
           batch.withColumn("_pos", monotonically_increasing_id()), key,
           col("_pos")).drop("_pos")
+        graft.SnapshotIO.recover(spark.sparkContext.hadoopConfiguration, snapshotPath)
         val snapDir = new java.io.File(snapshotPath)
         val snapshot =
           if (snapDir.exists && snapDir.listFiles != null && snapDir.listFiles.nonEmpty)
@@ -123,11 +124,7 @@ object EventsStream {
         val merged = Merge.upsert(snapshot, collapsed, key)
         val tmp = snapshotPath + "_tmp"
         merged.write.mode("overwrite").parquet(tmp)
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        val dst = new org.apache.hadoop.fs.Path(snapshotPath)
-        fs.delete(dst, true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+        graft.SnapshotIO.swap(spark.sparkContext.hadoopConfiguration, tmp, snapshotPath)
         ()
       }
 
