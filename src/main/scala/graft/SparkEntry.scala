@@ -39,12 +39,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
     graft.queries.Ext.queries ++
-    graft.queries.Advanced.queries
+    graft.queries.Advanced.queries ++
+    graft.queries.Domain.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
     graft.queries.Ext.oracle ++
-    graft.queries.Advanced.oracle
+    graft.queries.Advanced.oracle ++
+    graft.queries.Domain.oracle
 }
