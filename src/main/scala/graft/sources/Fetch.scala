@@ -1,0 +1,106 @@
+package graft.sources
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** One fetched page: which page, how many attempts it took, the raw body.
+  * Top-level case class so the Dataset encoder stays codegen-compatible. */
+case class FetchedPage(page: Long, attempts: Int, body: String)
+
+/** S1/S2 distributed fetch skeleton (SURVEY §2.1): the reference's
+  * paginated-HTTP ingestion (datasources/nvd_handler.py:90-120, threaded
+  * variant `nvd_handler copy.py:64-107,150-170`) re-expressed as a Spark
+  * job — `spark.range(numPages)` spread over N partitions, each partition
+  * pulling its pages through a per-partition rolling-window rate limiter
+  * with bounded retry/backoff.
+  *
+  * The transport is an injected `Long => String` (page → body): the
+  * sandbox has zero egress, so specs drive it with a simulated flaky
+  * source, and production swaps in an HTTP client without touching the
+  * distribution/throttle/retry logic — which is the part that matters on a
+  * cluster: the cluster-wide request rate is `perPartition × partitions`,
+  * so callers size `numPartitions = globalBudget / perPartitionRate`, and
+  * a retry burns budget inside its own partition's window only.
+  *
+  * Defaults mirror the reference (configuration.ini.template:19-25;
+  * nvd_handler.py:44-49): 2000 results/page, 3 attempts, 30 s retry
+  * delay, 50 requests / 30 s rolling window.
+  */
+object Fetch {
+
+  /** Thrown by a transport for a retryable failure (403/503 in the
+    * reference's loop, `nvd_handler copy.py:72-82`). Anything else
+    * propagates immediately and fails the task. */
+  class TransientFetchException(msg: String) extends RuntimeException(msg)
+
+  case class Policy(
+      resultsPerPage: Int = 2000,
+      retryLimit: Int = 3,       // total attempts (retry_limit)
+      retryDelayMs: Long = 30000L,
+      requestsPerWindow: Int = 50,
+      windowMs: Long = 30000L)
+
+  /** ceil(totalResults / perPage) — A3 paging math (nvd_handler
+    * `copy.py:156-158`); also oracle-gated as q27. */
+  def numPages(totalResults: Long, resultsPerPage: Int): Long =
+    (totalResults + resultsPerPage - 1) / resultsPerPage
+
+  /** Rolling-window rate limiter: at most `maxRequests` acquisitions per
+    * trailing `windowMs`. One instance per partition (constructed inside
+    * mapPartitions — never serialized, never shared across executors).
+    * `clock`/`sleeper` injectable for deterministic specs. */
+  final class RateLimiter(maxRequests: Int, windowMs: Long,
+                          clock: () => Long = () => System.currentTimeMillis(),
+                          sleeper: Long => Unit = Thread.sleep) {
+    private val stamps = scala.collection.mutable.Queue.empty[Long]
+    def acquire(): Unit = {
+      var now = clock()
+      def evict(): Unit =
+        while (stamps.nonEmpty && now - stamps.head >= windowMs) stamps.dequeue()
+      evict()
+      while (stamps.size >= maxRequests) {
+        sleeper(windowMs - (now - stamps.head))
+        now = clock(); evict()
+      }
+      stamps.enqueue(now)
+    }
+  }
+
+  /** One page with the reference's bounded retry loop: sleep
+    * `retryDelayMs` after a transient failure, give up after
+    * `retryLimit` attempts. */
+  def fetchWithRetry(transport: Long => String, page: Long, policy: Policy,
+                     sleeper: Long => Unit = Thread.sleep): FetchedPage = {
+    var attempt = 0
+    var result: FetchedPage = null
+    while (result == null) {
+      attempt += 1
+      try result = FetchedPage(page, attempt, transport(page))
+      catch {
+        case e: TransientFetchException =>
+          if (attempt >= policy.retryLimit) throw e
+          sleeper(policy.retryDelayMs)
+      }
+    }
+    result
+  }
+
+  /** The distributed fetch: one output row per page, pages spread over
+    * `numPartitions` tasks, each task throttled independently. The
+    * limiter and any transport session state live per-partition (the
+    * mapPartitions body is the "open the client once" site — same shape
+    * as the multimodal codec stub). */
+  def fetchPages(spark: SparkSession, totalResults: Long, policy: Policy,
+                 numPartitions: Int,
+                 transport: Long => String): Dataset[FetchedPage] = {
+    import spark.implicits._
+    val pages = numPages(totalResults, policy.resultsPerPage)
+    spark.range(0L, pages, 1L, numPartitions).as[Long]
+      .mapPartitions { it =>
+        val limiter = new RateLimiter(policy.requestsPerWindow, policy.windowMs)
+        it.map { page =>
+          limiter.acquire()
+          fetchWithRetry(transport, page, policy)
+        }
+      }
+  }
+}
