@@ -14,7 +14,8 @@ import org.apache.spark.sql.functions._
   * is what an ACID table format would do behind MERGE INTO; without one
   * offline we rewrite the parquet snapshot, which at 100 TB you'd bound by
   * partitioning the snapshot on a stable key range and rewriting only
-  * partitions containing delta keys.
+  * partitions containing delta keys — implemented as
+  * [[PartitionedSnapshot.mergeDelta]].
   *
   * Semantics (fidelity to handlers/mongodb_handler.py:141-191):
   *  - column present in delta row → overwrites snapshot value ($set);

@@ -1,0 +1,99 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The bounded-MERGE shape for a 100 TB snapshot (SURVEY K1 scale note;
+  * Merge.scala header): partition the snapshot on a stable hash-bucket of
+  * the key, and on each tick rewrite ONLY the partitions that contain
+  * delta keys — every other partition's files are untouched bytes.
+  *
+  * This is what a table format's MERGE INTO does behind the scenes
+  * (rewrite matching files, keep the rest); on plain parquet we get the
+  * same bound via dynamic partition overwrite:
+  *
+  *  - bucket = pmod(xxhash64(key), n) — deterministic, uniform, stable
+  *    across ticks, so a key always lands in the same partition;
+  *  - the delta's touched buckets are a tiny control-plane collect
+  *    (≤ n values);
+  *  - the snapshot read is pruned to touched partitions (partition
+  *    pruning on the directory column — untouched data is never read);
+  *  - the write uses partitionOverwriteMode=dynamic, which replaces only
+  *    the partition directories present in the written data.
+  *
+  * Cost per tick: O(|delta| + |touched partitions|), not O(|snapshot|) —
+  * with n sized so a partition is a few GB, a small delta rewrites a few
+  * GB instead of 100 TB.
+  */
+object PartitionedSnapshot {
+  val BucketCol = "id_bucket"
+  private val MetaFile = "_graft_buckets"
+
+  def bucketOf(key: Column, numBuckets: Int): Column =
+    pmod(xxhash64(key), lit(numBuckets.toLong))
+
+  private def fs(spark: SparkSession) =
+    FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
+  /** Bucket count is layout state, so it lives WITH the layout: a sidecar
+    * file, not a parameter the caller must keep consistent forever. */
+  private def writeMeta(spark: SparkSession, path: String, n: Int): Unit = {
+    val out = fs(spark).create(new Path(path, MetaFile), true)
+    try out.write(n.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  def numBuckets(spark: SparkSession, path: String): Int = {
+    val in = fs(spark).open(new Path(path, MetaFile))
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+    finally in.close()
+  }
+
+  /** Read the whole snapshot. Partitions can disagree on schema after a
+    * widening delta (only touched partitions gain the new columns), so
+    * every read goes through mergeSchema — absent columns surface as
+    * null, exactly the full-merge semantics. At 100 TB the union schema
+    * would live in a metastore/table format instead of being inferred
+    * from footers. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
+  /** Write the initial bucketed snapshot (df must be Merge.init'ed). */
+  def init(df: DataFrame, path: String, key: String = "id",
+           buckets: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    df.withColumn(BucketCol, bucketOf(col(key), buckets))
+      .write.partitionBy(BucketCol).mode("overwrite").parquet(path)
+    writeMeta(spark, path, buckets)
+    spark.read.parquet(path)
+  }
+
+  /** Merge `delta` into the snapshot at `path`, rewriting only the
+    * partitions its keys hash into. Returns the touched bucket ids. */
+  def mergeDelta(spark: SparkSession, path: String, delta: DataFrame,
+                 key: String = "id",
+                 now: Column = current_timestamp()): Seq[Long] = {
+    val n = numBuckets(spark, path)
+    val deltaB = delta.withColumn(BucketCol, bucketOf(col(key), n))
+    // Control-plane: which partitions does this delta touch? ≤ n values.
+    val touched = deltaB.select(BucketCol).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    if (touched.nonEmpty) {
+      // Partition-pruned read: only touched directories are scanned.
+      val snapTouched = read(spark, path)
+        .filter(col(BucketCol).isin(touched: _*))
+        .drop(BucketCol)
+      val merged = Merge.upsert(snapTouched, deltaB.drop(BucketCol), key, now)
+        .withColumn(BucketCol, bucketOf(col(key), n))
+      // Dynamic overwrite: replaces exactly the partition dirs present in
+      // `merged` (= the touched set — bucketOf is deterministic), leaves
+      // every other directory's files untouched on disk.
+      merged.write.partitionBy(BucketCol).mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(path)
+    }
+    touched
+  }
+}
