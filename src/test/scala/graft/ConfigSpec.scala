@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Config surface (handlers/config_handler.py): INI parse, env override,
+  * boolean semantics, fetch-policy derivation. Driver-side — no Spark. */
+class ConfigSpec extends AnyFunSuite {
+
+  private val ini = """
+    |[cvemate]
+    |loglevel: info
+    |save_data: False
+    |scheduler: 6
+    |timezone: UTC
+    |
+    |# comment
+    |; also a comment
+    |[mongodb]
+    |Host: 127.0.0.1
+    |Port = 27017
+    |Prefix: cvemate_
+    |
+    |[nvd]
+    |retry_limit: 3
+    |retry_delay: 30
+    |apikey:
+    |public_rate_limit: 5
+    |apikey_rate_limit: 50
+    |rolling_window: 30
+    |results_per_page:2000
+    |
+    |[redhat]
+    |retry_delay: 10
+    |apikey: sekrit
+    |""".stripMargin
+
+  private def conf(env: Map[String, String] = Map.empty) =
+    Config.parse(ini, env.get)
+
+  test("keys lowercase, both separators, comments skipped, empty value = absent") {
+    val c = conf()
+    assert(c.get("mongodb", "host").contains("127.0.0.1"))
+    assert(c.get("mongodb", "Port").contains("27017")) // '=' separator; key ci
+    assert(c.get("nvd", "results_per_page").contains("2000")) // no space after ':'
+    assert(c.get("nvd", "apikey").isEmpty) // empty value ≡ unset (template ships blank)
+    assert(c.get("nope", "x").isEmpty)
+  }
+
+  test("env override wins over file, reference MONGODB_* pattern") {
+    val c = conf(Map("MONGODB_HOST" -> "db.prod"))
+    assert(c.getWithEnv("mongodb", "host", "MONGODB").contains("db.prod"))
+    assert(c.getWithEnv("mongodb", "port", "MONGODB").contains("27017"))
+  }
+
+  test("boolean semantics: configparser tokens; invalid throws; missing defaults") {
+    val c = conf()
+    assert(!c.getBoolean("cvemate", "save_data"))
+    assert(c.getBoolean("missing", "flag", default = true))
+    intercept[IllegalArgumentException] {
+      Config.parse("[s]\nflag: maybe").getBoolean("s", "flag")
+    }
+  }
+
+  test("scheduler interval and fetch policy; apikey selects the keyed rate tier") {
+    val c = conf()
+    assert(c.schedulerIntervalHours() == 6)
+    val nvd = c.fetchPolicy("nvd")
+    assert(nvd == graft.sources.Fetch.Policy(2000, 3, 30000L, 5, 30000L)) // blank key → public tier
+    val rh = c.fetchPolicy("redhat")
+    assert(rh.retryDelayMs == 10000L) // redhat_handler.py:41-47 shorter delay
+    assert(rh.requestsPerWindow == 50) // keyed tier
+  }
+}
