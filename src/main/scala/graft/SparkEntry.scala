@@ -40,7 +40,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++
     graft.queries.Ext.queries ++
     graft.queries.Advanced.queries ++
-    graft.queries.Domain.queries
+    graft.queries.Domain.queries ++
+    graft.queries.Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -48,5 +49,6 @@ object SparkEntry {
     graft.queries.Relational.oracle ++
     graft.queries.Ext.oracle ++
     graft.queries.Advanced.oracle ++
-    graft.queries.Domain.oracle
+    graft.queries.Domain.oracle ++
+    graft.queries.Curation.oracle
 }

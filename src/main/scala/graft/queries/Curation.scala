@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, TextAnalysis => TA}
+
+/** Training-data curation beyond dedup: the operations a 100 TB pretraining
+  * pipeline runs between "raw crawl" and "tokenizer input", each with a
+  * DuckDB oracle.
+  *
+  *  - q54 decontamination: drop corpus docs that share n-gram shingles with
+  *    a held-out benchmark set (the standard test-set-overlap guard);
+  *  - q55 stratified sampling / domain mixing: deterministic per-stratum
+  *    keep-rates (hash-mod, not rand() — reproducible across reruns);
+  *  - q56 quality-percentile curation: keep the top deciles per source;
+  *  - q57 deterministic shuffle + sequence packing: multiplicative-hash
+  *    order, sharded greedy packing into fixed token budgets.
+  */
+object Curation {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String) = Tables.load(s, dir, name)
+
+  /** Corpus docs sharing ≥ this many shingles with the benchmark are
+    * flagged contaminated. */
+  val ContaminationHits = 3L
+  /** Token budget per packed training sequence (q57). */
+  val PackBudget = 2048L
+  /** Packing shards — at scale this is the parallelism unit: packing is a
+    * per-shard running sum, embarrassingly parallel across shards. */
+  val PackShards = 8L
+
+  val queries: Map[String, Q] = Map(
+    // Decontamination. Benchmark = every 20th doc (stands in for an eval
+    // set). Scale shape: the benchmark's distinct shingles are tiny vs the
+    // corpus and broadcast — the 100 TB corpus side NEVER shuffles for the
+    // probe; only the per-doc hit count shuffles on doc_id. Shingles ride
+    // as xxhash64 (8-byte join keys; q31/q32 precedent: hashed-shingle
+    // counts hash-match the string-shingle oracle).
+    "q54_decontaminate" -> ((s, dir) => {
+      val sh = Dedup.explodedShingles(
+        Dedup.shingleSets(t(s, dir, "documents")))
+      val bench = sh.filter(col("doc_id") % 20 === 0)
+        .select("shingle").distinct()
+      sh.filter(col("doc_id") % 20 =!= 0)
+        .join(broadcast(bench), "shingle")
+        // shingles are distinct per doc, so count(1) = distinct shared
+        .groupBy("doc_id").agg(count(lit(1)).as("bench_hits"))
+        .filter(col("bench_hits") >= ContaminationHits)
+        .orderBy("doc_id")
+    }),
+
+    // Stratified sampling to target domain mix: keep 50% of en, 25% of
+    // es, 10% of everything else — decided by doc_id mod, so the sample
+    // is deterministic, resumable, and identical on every executor.
+    // Narrow until the final small agg; no shuffle of the kept rows.
+    "q55_stratified_sample" -> ((s, dir) => {
+      val rate = when(col("lang") === "en", 50L)
+        .when(col("lang") === "es", 25L).otherwise(10L)
+      t(s, dir, "documents")
+        .withColumn("rate", rate)
+        .filter(pmod(col("doc_id"), lit(100L)) < col("rate"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("kept"),
+             sum(col("n_chars")).as("kept_chars"))
+        .orderBy("lang")
+    }),
+
+    // Quality-percentile curation: decile docs per source by length (the
+    // stand-in quality score), keep the top 3 deciles. One shuffle on
+    // source for the window; ties broken by doc_id for a total order.
+    "q56_quality_percentile" -> ((s, dir) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      t(s, dir, "documents")
+        .withColumn("decile", ntile(10).over(w))
+        .filter(col("decile") <= 3)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("kept"),
+             min(col("n_chars")).as("cutoff_chars"))
+        .orderBy("source")
+    }),
+
+    // Deterministic pre-training shuffle + sequence packing: order by a
+    // multiplicative hash (Knuth constant; at 100 TB use xxhash64 — kept
+    // SQL-expressible here so the oracle can mirror it), shard by the
+    // hash, then greedily pack docs into PackBudget-token sequences via a
+    // per-shard running token sum. Per-shard windows are the scale story:
+    // packing parallelizes over shards, no global ordering bottleneck.
+    "q57_sequence_pack" -> ((s, dir) => {
+      val h = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), size(TA.wsTokens(col("text"))).cast("long").as("n_toks"))
+        .withColumn("h", h)
+        .withColumn("shard", pmod(col("h"), lit(PackShards)))
+      val w = Window.partitionBy(col("shard")).orderBy(col("h").asc, col("doc_id").asc)
+      d.withColumn("cum", sum(col("n_toks")).over(w))
+        // bin by the sequence's starting token offset → greedy packing
+        .withColumn("seq_id", expr(s"(cum - n_toks) div $PackBudget"))
+        .groupBy(col("shard"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("toks"))
+        .orderBy("shard", "seq_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q54_decontaminate" ->
+      s"""WITH ${Ext.shingleCte},
+          bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0)
+          SELECT sh.doc_id AS doc_id, COUNT(*) AS bench_hits
+          FROM sh JOIN bench ON sh.shingle = bench.shingle
+          WHERE sh.doc_id % 20 <> 0
+          GROUP BY sh.doc_id HAVING COUNT(*) >= $ContaminationHits
+          ORDER BY doc_id""",
+
+    "q55_stratified_sample" ->
+      """SELECT lang, COUNT(*) AS kept, SUM(n_chars) AS kept_chars
+         FROM (SELECT *, CASE WHEN lang = 'en' THEN 50
+                              WHEN lang = 'es' THEN 25 ELSE 10 END AS rate
+               FROM documents)
+         WHERE doc_id % 100 < rate
+         GROUP BY lang ORDER BY lang""",
+
+    "q56_quality_percentile" ->
+      """SELECT source, COUNT(*) AS kept, MIN(n_chars) AS cutoff_chars
+         FROM (SELECT *, NTILE(10) OVER (PARTITION BY source
+                                         ORDER BY n_chars DESC, doc_id ASC) AS decile
+               FROM documents)
+         WHERE decile <= 3
+         GROUP BY source ORDER BY source""",
+
+    "q57_sequence_pack" ->
+      s"""WITH d AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_toks,
+                   (doc_id * 2654435761) % 4294967296 AS h
+            FROM documents),
+          sharded AS (SELECT *, h % $PackShards AS shard FROM d),
+          packed AS (
+            SELECT shard,
+                   SUM(n_toks) OVER (PARTITION BY shard ORDER BY h ASC, doc_id ASC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cum,
+                   n_toks
+            FROM sharded)
+          SELECT shard, (cum - n_toks) // $PackBudget AS seq_id,
+                 COUNT(*) AS n_docs, SUM(n_toks) AS toks
+          FROM packed GROUP BY 1, 2 ORDER BY shard, seq_id"""
+  )
+}

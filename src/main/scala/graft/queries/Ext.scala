@@ -237,7 +237,7 @@ object Ext {
 
   /** Shared shingle CTE: trigram shingles over lowercased whitespace
     * tokens, distinct per doc — mirrors Dedup.shingleSets exactly. */
-  private val shingleCte =
+  private[queries] val shingleCte =
     """toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tokens FROM documents),
        sh AS (SELECT doc_id, unnest(list_distinct(
                 CASE WHEN len(tokens) >= 3
