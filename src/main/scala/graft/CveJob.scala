@@ -58,8 +58,8 @@ object CveJob {
         // main.py:64-98) — multi-row sources collapse to one row per id
         // first, same as buildSnapshot.
         val snapshot = spark.read.parquet(snapshotPath).drop("priority")
-        val merged = CvePipeline.deltas(spark, landing)
-          .foldLeft(snapshot)((s, d) => Merge.upsert(s, d, "id", nowCol))
+        val merged = Merge.upsertMany(snapshot,
+          CvePipeline.deltas(spark, landing), "id", nowCol)
         CvePipeline.prioritize(merged)
       }
     val tmp = snapshotPath + "_tmp"

@@ -71,8 +71,10 @@ object CvePipeline {
           org.apache.spark.sql.types.StructField("id",
             org.apache.spark.sql.types.StringType, nullable = false)))),
       now)
-    val merged = deltas.foldLeft(empty)((snap, d) => Merge.upsert(snap, d, "id", now))
-    prioritize(merged)
+    // One shuffle for the whole N-source merge (union + keyed agg), not
+    // N chained full-outer joins — Merge.upsertMany is property-tested
+    // equal to the fold.
+    prioritize(Merge.upsertMany(empty, deltas, "id", now))
   }
 
   /** §3.3: the prioritization scan as a narrow projection. */

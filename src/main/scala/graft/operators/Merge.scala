@@ -60,6 +60,80 @@ object Merge {
     joined.select(outCols: _*)
   }
 
+  /** N-way upsert in ONE shuffle: semantically identical to
+    * `deltas.foldLeft(snapshot)(upsert(_, _, key, now))` but executed as
+    * union-all + a single per-key aggregation instead of N chained
+    * full-outer joins.
+    *
+    * Why: a full-outer join's output key is `coalesce(left, right)`, which
+    * invalidates the join's partitioning — so the fold re-shuffles the
+    * (growing) intermediate before EVERY join: N sources cost ~2N
+    * exchanges of snapshot-sized data. Here each source is tagged with its
+    * arrival index, conformed to the union schema, unioned (no shuffle),
+    * and collapsed with one hash aggregation on the key: per column the
+    * latest-arriving non-null value wins — exactly the fold's "delta
+    * wins" coalesce — via a coalesce over `first(value where idx = j,
+    * ignoreNulls)` for the frames owning the column, in reverse arrival
+    * order. `first` here is deterministic, not order-dependent: (key,
+    * idx) is unique since each source carries one row per key, so each
+    * branch has at most one candidate; and unlike max(struct(idx, value))
+    * it needs no orderability, so map-bearing struct columns work.
+    * Bookkeeping follows upsert:
+    * created_at survives from the snapshot (else now), updated_at is now
+    * iff any delta touched the key. Shuffle volume: one exchange of the
+    * union, partial-aggregated map-side.
+    */
+  def upsertMany(snapshot: DataFrame, deltas: Seq[DataFrame],
+                 key: String = "id", now: Column = current_timestamp()): DataFrame = {
+    require(snapshot.columns.contains(CreatedAt) && snapshot.columns.contains(UpdatedAt),
+      s"snapshot must be Merge.init'ed (missing $CreatedAt/$UpdatedAt)")
+    deltas.foreach(d => require(
+      !d.columns.contains(CreatedAt) && !d.columns.contains(UpdatedAt),
+      "delta must not carry bookkeeping columns"))
+    val frames = snapshot +: deltas
+    // Union schema: every non-key data column, typed from the first frame
+    // that carries it (fold-upsert likewise assumes shared names share
+    // types — it coalesces them into one column), plus which frames own it.
+    val dataCols: Seq[(String, org.apache.spark.sql.types.DataType, Seq[Int])] = {
+      val seen = scala.collection.mutable.LinkedHashMap
+        .empty[String, (org.apache.spark.sql.types.DataType, List[Int])]
+      frames.zipWithIndex.foreach { case (df, idx) =>
+        df.schema.fields.foreach { f =>
+          if (f.name != key && f.name != CreatedAt && f.name != UpdatedAt) {
+            val (tpe, owners) = seen.getOrElse(f.name, (f.dataType, Nil))
+            seen += f.name -> (tpe, owners :+ idx)
+          }
+        }
+      }
+      seen.toSeq.map { case (c, (tpe, owners)) => (c, tpe, owners) }
+    }
+    val tagged = frames.zipWithIndex.map { case (df, idx) =>
+      val cols = col(key) +: lit(idx).as("_idx") +:
+        dataCols.map { case (c, tpe, _) =>
+          if (df.columns.contains(c)) col(c).as(c) else lit(null).cast(tpe).as(c)
+        } :+
+        (if (idx == 0) col(CreatedAt) else lit(null).cast("timestamp")).as(CreatedAt) :+
+        (if (idx == 0) col(UpdatedAt) else lit(null).cast("timestamp")).as(UpdatedAt)
+      df.select(cols: _*)
+    }
+    val unioned = tagged.reduce(_.unionByName(_))
+    val aggs =
+      dataCols.map { case (c, _, owners) =>
+        coalesce(owners.sorted.reverse.map(j =>
+          first(when(col("_idx") === j, col(c)), ignoreNulls = true)): _*).as(c)
+      } :+
+      coalesce(first(when(col("_idx") === 0, col(CreatedAt)), ignoreNulls = true), now)
+        .as(CreatedAt) :+
+      when(max(col("_idx")) > 0, now)
+        .otherwise(first(when(col("_idx") === 0, col(UpdatedAt)), ignoreNulls = true))
+        .as(UpdatedAt)
+    unioned.groupBy(col(key))
+      .agg(aggs.head, aggs.tail: _*)
+      // fold-upsert column order: key, sorted data cols, stamps
+      .select(col(key) +: dataCols.map(_._1).sorted.map(col) :+
+              col(CreatedAt) :+ col(UpdatedAt): _*)
+  }
+
   /** J2 fidelity mode: the reference's ordered bulk_write makes the LAST
     * record with a given key win. Deterministic tie-break on `ord` desc. */
   def lastWriterWins(delta: DataFrame, key: String, ord: Column): DataFrame = {

@@ -99,6 +99,39 @@ object Domain {
         .orderBy("id")
     }),
 
+    // The same pipeline through Merge.upsertMany — the one-shuffle N-way
+    // merge (union + keyed agg) that replaces the chain of full-outer
+    // joins at scale. MUST produce q52's exact answer (same oracle SQL):
+    // the fused plan is an optimization, not a semantics change.
+    "q58_cve_pipeline_fused" -> ((s, dir) => {
+      import s.implicits._
+      val t0 = lit(T0).cast("timestamp")
+      val t1 = lit(T1).cast("timestamp")
+      val nvd = t(s, dir, "orders")
+        .groupBy($"o_custkey".as("id"))
+        .agg(max(when($"o_orderpriority" === "1-URGENT", $"o_totalprice"))
+               .as("urgent_max"),
+             max($"o_totalprice").as("any_max"))
+      val eps = t(s, dir, "events")
+        .groupBy($"user_id".as("id"))
+        .agg((davg($"value", 6) / 500).as("epss"))
+      val kev = t(s, dir, "events")
+        .filter($"event_type" === "error")
+        .select($"user_id".as("id")).distinct()
+        .withColumn("kev_flag", lit(true))
+      val snap0 = Merge.init(
+        t(s, dir, "customer").select($"c_custkey".as("id"), $"c_name".as("name")),
+        now = t0)
+      val merged = Merge.upsertMany(snap0, Seq(nvd, eps, kev), "id", now = t1)
+      merged
+        .withColumn("cvss",
+          coalesce($"urgent_max", $"any_max", lit(0.0)) / 50000)
+        .select($"id", $"name", $"cvss", $"epss", $"kev_flag",
+                Prioritizer.priority($"kev_flag", $"cvss", $"epss").as("priority"),
+                $"created_at", $"updated_at")
+        .orderBy("id")
+    }),
+
     // S12 relational analog: newest record wins — TakeOrderedAndProject
     // (per-partition top-1 + driver merge of 1-row candidates), never a
     // global sort.
@@ -114,6 +147,46 @@ object Domain {
   private val cweValuesSql = CweCatalog
     .map { case (t, id, c) => s"('$t', '$id', '$c')" }.mkString(",\n    ")
 
+  /** Shared by q52 and q58 — the fused merge is plan-level only; the
+    * answer (and so the oracle) is identical. */
+  private val pipelineSql =
+    s"""WITH nvd AS (
+          SELECT o_custkey AS id,
+                 MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END)
+                   AS urgent_max,
+                 MAX(o_totalprice) AS any_max
+          FROM orders GROUP BY 1),
+        eps AS (
+          SELECT user_id AS id, ${davgSql("value", 6)} / 500 AS epss
+          FROM events GROUP BY 1),
+        kev AS (
+          SELECT DISTINCT user_id AS id, TRUE AS kev_flag
+          FROM events WHERE event_type = 'error'),
+        snap AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+        merged AS (
+          SELECT COALESCE(snap.id, nvd.id, eps.id, kev.id) AS id,
+                 snap.name AS name,
+                 COALESCE(nvd.urgent_max, nvd.any_max, 0.0) / 50000 AS cvss,
+                 eps.epss AS epss, kev.kev_flag AS kev_flag,
+                 CASE WHEN snap.id IS NOT NULL THEN TIMESTAMP '$T0'
+                      ELSE TIMESTAMP '$T1' END AS created_at,
+                 CASE WHEN nvd.id IS NOT NULL OR eps.id IS NOT NULL
+                           OR kev.id IS NOT NULL
+                      THEN TIMESTAMP '$T1'
+                      ELSE TIMESTAMP '$T0' END AS updated_at
+          FROM snap
+          FULL JOIN nvd ON snap.id = nvd.id
+          FULL JOIN eps ON COALESCE(snap.id, nvd.id) = eps.id
+          FULL JOIN kev ON COALESCE(snap.id, nvd.id, eps.id) = kev.id)
+        SELECT id, name, cvss, epss, kev_flag,
+               CASE WHEN kev_flag IS NOT NULL THEN 1
+                    WHEN cvss >= 6.0 AND COALESCE(epss, 0) >= 0.2 THEN 1
+                    WHEN cvss >= 6.0 THEN 2
+                    WHEN COALESCE(epss, 0) >= 0.2 THEN 3
+                    ELSE 4 END AS priority,
+               created_at, updated_at
+        FROM merged ORDER BY id"""
+
   val oracle: Map[String, String] = Map(
     "q51_cwe_xref" ->
       s"""WITH cwe(term, cwe_id, category) AS (VALUES
@@ -126,43 +199,8 @@ object Domain {
           FROM refs JOIN cwe ON refs.term = cwe.term
           GROUP BY cwe.cwe_id, cwe.category ORDER BY cwe_id""",
 
-    "q52_cve_pipeline" ->
-      s"""WITH nvd AS (
-            SELECT o_custkey AS id,
-                   MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END)
-                     AS urgent_max,
-                   MAX(o_totalprice) AS any_max
-            FROM orders GROUP BY 1),
-          eps AS (
-            SELECT user_id AS id, ${davgSql("value", 6)} / 500 AS epss
-            FROM events GROUP BY 1),
-          kev AS (
-            SELECT DISTINCT user_id AS id, TRUE AS kev_flag
-            FROM events WHERE event_type = 'error'),
-          snap AS (SELECT c_custkey AS id, c_name AS name FROM customer),
-          merged AS (
-            SELECT COALESCE(snap.id, nvd.id, eps.id, kev.id) AS id,
-                   snap.name AS name,
-                   COALESCE(nvd.urgent_max, nvd.any_max, 0.0) / 50000 AS cvss,
-                   eps.epss AS epss, kev.kev_flag AS kev_flag,
-                   CASE WHEN snap.id IS NOT NULL THEN TIMESTAMP '$T0'
-                        ELSE TIMESTAMP '$T1' END AS created_at,
-                   CASE WHEN nvd.id IS NOT NULL OR eps.id IS NOT NULL
-                             OR kev.id IS NOT NULL
-                        THEN TIMESTAMP '$T1'
-                        ELSE TIMESTAMP '$T0' END AS updated_at
-            FROM snap
-            FULL JOIN nvd ON snap.id = nvd.id
-            FULL JOIN eps ON COALESCE(snap.id, nvd.id) = eps.id
-            FULL JOIN kev ON COALESCE(snap.id, nvd.id, eps.id) = kev.id)
-          SELECT id, name, cvss, epss, kev_flag,
-                 CASE WHEN kev_flag IS NOT NULL THEN 1
-                      WHEN cvss >= 6.0 AND COALESCE(epss, 0) >= 0.2 THEN 1
-                      WHEN cvss >= 6.0 THEN 2
-                      WHEN COALESCE(epss, 0) >= 0.2 THEN 3
-                      ELSE 4 END AS priority,
-                 created_at, updated_at
-          FROM merged ORDER BY id""",
+    "q52_cve_pipeline" -> pipelineSql,
+    "q58_cve_pipeline_fused" -> pipelineSql,
 
     "q53_latest_commit" ->
       """SELECT event_id, ts, user_id FROM events

@@ -48,6 +48,35 @@ class MergePropsSpec extends SparkSpec {
     }
   }
 
+  test("property: upsertMany == foldLeft(upsert), in one shuffle") {
+    // Three sources: one shares a column with the snapshot (override
+    // path), one shares with another delta (latest-wins path), one is
+    // disjoint — plus random key overlap. Equality must hold exactly.
+    samples(Gen.zip(deltaGen, deltaGen, deltaGen), 6).foreach { case (a, b, c) =>
+      val snap = Merge.init(
+        a.take(5).toDF("id", "epss"), t0) // snapshot already has epss
+      val da = a.toDF("id", "epss")
+      val db = b.toDF("id", "score")
+      val dc = c.toDF("id", "score") // same column as db: later delta wins
+      val deltas = Seq(da, db, dc)
+      val folded = deltas.foldLeft(snap)(Merge.upsert(_, _, "id", t1))
+      val fused = Merge.upsertMany(snap, deltas, "id", t1)
+      assert(fused.columns.toSeq == folded.columns.toSeq)
+      assert(fused.orderBy("id").collect().toSeq ==
+             folded.orderBy("id").collect().toSeq,
+             s"fused != folded for $a / $b / $c")
+    }
+    // The scale claim: ONE exchange for the whole N-way merge (the fold
+    // pays one per join, on a growing intermediate).
+    val snap = Merge.init(Seq(("k1", 0.5)).toDF("id", "epss"), t0)
+    val fused = Merge.upsertMany(snap,
+      Seq(Seq(("k1", 0.9)).toDF("id", "epss"),
+          Seq(("k2", 1.0)).toDF("id", "score")), "id", t1)
+    // (string count: AQE wraps the plan, hiding exchanges from collect)
+    val plan = fused.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("property: watermark only moves forward under monotone upserts") {
     val dir = java.nio.file.Files.createTempDirectory("wmprop").toString + "/s"
     val times = (1 to 5).map(i => java.sql.Timestamp.valueOf(s"2025-01-0$i 00:00:00"))
