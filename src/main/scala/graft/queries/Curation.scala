@@ -84,6 +84,29 @@ object Curation {
         .orderBy("source")
     }),
 
+    // Exact distributed order statistics: p50/p90/p99 of doc length per
+    // source, computed from rank positions (nearest-rank definition, so
+    // both engines share the EXACT definition — approx sketches like
+    // percentile_approx are engine-specific). One shuffle on source for
+    // the window; the rank filter keeps only ≤3 rows per group.
+    // At 100 TB: same shape — rank positions come from a per-group sort,
+    // never a global one, and groups are independent.
+    "q59_exact_quantiles" -> ((s, dir) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").asc, col("doc_id").asc)
+      val ranked = t(s, dir, "documents")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+      // nearest-rank: smallest rn with rn >= ceil(p * n)
+      def pick(p: Double, as: String) =
+        max(when(col("rn") === least(greatest(ceil(lit(p) * col("n")), lit(1L)), col("n")),
+                 col("n_chars"))).as(as)
+      ranked.groupBy(col("source"))
+        .agg(pick(0.5, "p50"), pick(0.9, "p90"), pick(0.99, "p99"),
+             max(col("n")).as("n_docs"))
+        .orderBy("source")
+    }),
+
     // Deterministic pre-training shuffle + sequence packing: order by a
     // multiplicative hash (Knuth constant; at 100 TB use xxhash64 — kept
     // SQL-expressible here so the oracle can mirror it), shard by the
@@ -131,6 +154,23 @@ object Curation {
                FROM documents)
          WHERE decile <= 3
          GROUP BY source ORDER BY source""",
+
+    "q59_exact_quantiles" ->
+      """WITH ranked AS (
+           SELECT source, n_chars,
+                  ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY n_chars ASC, doc_id ASC) AS rn,
+                  COUNT(*) OVER (PARTITION BY source) AS n
+           FROM documents)
+         SELECT source,
+                MAX(CASE WHEN rn = LEAST(GREATEST(CAST(CEIL(0.5 * n) AS BIGINT), 1), n)
+                         THEN n_chars END) AS p50,
+                MAX(CASE WHEN rn = LEAST(GREATEST(CAST(CEIL(0.9 * n) AS BIGINT), 1), n)
+                         THEN n_chars END) AS p90,
+                MAX(CASE WHEN rn = LEAST(GREATEST(CAST(CEIL(0.99 * n) AS BIGINT), 1), n)
+                         THEN n_chars END) AS p99,
+                MAX(n) AS n_docs
+         FROM ranked GROUP BY source ORDER BY source""",
 
     "q57_sequence_pack" ->
       s"""WITH d AS (

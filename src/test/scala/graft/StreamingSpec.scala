@@ -87,6 +87,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("EXT: streaming dedup drops re-observed digests within the horizon, state evicts after") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val deduped = EventsStream.dedupWithinHorizon(
+      mem.toDF().withColumn("digest", md5($"event_type".cast("binary"))),
+      Seq("digest"), horizon = "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Ev(ts("2024-01-01T10:00:00Z"), 1, "click", 1.0),
+        Ev(ts("2024-01-01T10:05:00Z"), 2, "click", 2.0), // dup digest, in horizon
+        Ev(ts("2024-01-01T10:10:00Z"), 3, "view", 3.0))
+      q.processAllAvailable()
+      mem.addData(Ev(ts("2024-01-01T10:20:00Z"), 4, "click", 4.0)) // still in horizon
+      q.processAllAvailable()
+      // advance the watermark beyond first-seen + horizon → state evicted
+      mem.addData(Ev(ts("2024-01-01T14:00:00Z"), 5, "ping", 0.0))
+      q.processAllAvailable()
+      mem.addData(Ev(ts("2024-01-01T14:10:00Z"), 6, "click", 6.0)) // re-emits
+      q.processAllAvailable()
+      val users = spark.table("dedup").select("user_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(users == Set(1L, 3L, 5L, 6L)) // 2 and 4 dropped as dups
+    } finally q.stop()
+  }
+
   test("T3/T4: AvailableNow drains a file backlog through the idempotent merge sink") {
     val work = java.nio.file.Files.createTempDirectory("stream").toString
     val srcDir = s"$work/in"; val snap = s"$work/snapshot"; val ckpt = s"$work/ckpt"
