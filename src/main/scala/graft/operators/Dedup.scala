@@ -23,6 +23,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Default document-frequency cap for the exact-Jaccard shingle join: a
+    * shingle in more docs than this is a stop-shingle that contributes
+    * O(df²) join rows while carrying no similarity signal. The cap bounds
+    * the worst key's fan-out; candidates lost to it would have needed
+    * ≥ threshold of their shingles ultra-common, which near-dup pairs by
+    * construction don't. */
+  val DefaultMaxShingleDf = 10000L
+
   /** Distinct word n-gram shingles per document.
     *
     * IMPORTANT: `tokens` must be a materialized column (a bound attribute),
@@ -80,10 +88,12 @@ object Dedup {
     * Set sizes ride along on the exploded rows (window count over doc_id)
     * so no post-aggregation joins are needed — the pair aggregate carries
     * (na, nb) as grouping constants. `maxShingleDf` drops shingles
-    * occurring in more than that many docs (skew guard; 0 disables —
-    * used for oracle parity at test scale). */
+    * occurring in more than that many docs — the skew guard that stops a
+    * stop-shingle from making the self-join quadratic on one key. ON by
+    * default ([[DefaultMaxShingleDf]]); pass 0 to disable explicitly
+    * (ground-truth/oracle-parity runs only — never at scale). */
   def jaccardPairsFrom(sh0: DataFrame, threshold: Double,
-                       maxShingleDf: Long = 0L): DataFrame = {
+                       maxShingleDf: Long = DefaultMaxShingleDf): DataFrame = {
     val sh =
       if (maxShingleDf <= 0) sh0
       else {
@@ -110,7 +120,7 @@ object Dedup {
     * the duration of the (eagerly materialized) computation, then releases
     * them. The result is small (pairs ≥ threshold) and lineage-truncated. */
   def jaccardPairs(shingleSets: DataFrame, threshold: Double,
-                   maxShingleDf: Long = 0L): DataFrame =
+                   maxShingleDf: Long = DefaultMaxShingleDf): DataFrame =
     withPersisted(explodedShingles(shingleSets))(
       jaccardPairsFrom(_, threshold, maxShingleDf))
 

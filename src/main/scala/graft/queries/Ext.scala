@@ -28,7 +28,11 @@ object Ext {
 
     // Exact n-gram Jaccard near-dup pairs (ground truth for LSH).
     "q31_dedup_jaccard" -> ((s, dir) => {
-      Dedup.jaccardPairs(Dedup.shingleSets(t(s, dir, "documents")), JaccardThreshold)
+      // maxShingleDf = 0: this is the labeled ground-truth variant; the
+      // oracle computes the same unguarded all-pairs answer. Every other
+      // entry point keeps the default df cap on.
+      Dedup.jaccardPairs(Dedup.shingleSets(t(s, dir, "documents")), JaccardThreshold,
+        maxShingleDf = 0L)
         .orderBy("a_id", "b_id")
     }),
 
