@@ -210,6 +210,27 @@ object Ext {
         .orderBy("id")
     }),
 
+    // Coreset / diversity sampling over embeddings: after IVF assignment,
+    // keep the k most-central vectors per cell — the centroid-stratified
+    // sample a curation pipeline feeds to expensive downstream scoring.
+    // Same scale shape as q47 (broadcast centroids, corpus stationary)
+    // plus one window shuffle on the cell id.
+    "q60_coreset_sample" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val units = Similarity.unitVectors(
+        t(s, dir, "embeddings"), Seq("vec_id" -> "id", "label" -> "cell"))
+      val cents = Similarity.exactCentroids(units, "cell", "unit")
+      val w = Window.partitionBy(col("assigned_cell"))
+        .orderBy(col("cell_sim").desc, col("id").asc)
+      Similarity.assignCells(units, cents)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("id"), col("assigned_cell").cast("long").as("assigned_cell"),
+                col("rk").cast("long").as("rk"),
+                round(col("cell_sim"), 6).as("cell_sim"))
+        .orderBy("assigned_cell", "rk")
+    }),
+
     // Multimodal decode + feature stage end-to-end (rows-only: the
     // mapPartitions codec stage is not SQL-expressible): payload → decode
     // stub → resize → mean feature magnitude per channel count.
@@ -422,6 +443,33 @@ object Ext {
           SELECT doc_id, lang, n_chars FROM documents
           WHERE doc_id NOT IN (SELECT id FROM removed)
           ORDER BY doc_id""",
+
+    "q60_coreset_sample" ->
+      s"""WITH $unitCte,
+          flat AS (SELECT label AS cell, generate_subscripts(u, 1) AS pos,
+                          unnest(u) AS val FROM e),
+          cdim AS (SELECT cell, pos,
+                          CAST(SUM(CAST(val AS DECIMAL(28,16))) AS DOUBLE)
+                            / CAST(COUNT(*) AS DOUBLE) AS cv
+                   FROM flat GROUP BY 1, 2),
+          cents AS (SELECT cell, list(cv ORDER BY pos) AS centroid
+                    FROM cdim GROUP BY cell),
+          sims AS (SELECT e.vec_id AS id, c.cell,
+                          ${foldDot("e.u", "c.centroid")} AS sim
+                   FROM e CROSS JOIN cents c),
+          assigned AS (
+            SELECT id, cell AS assigned_cell, sim AS cell_sim
+            FROM (SELECT id, cell, sim,
+                         ROW_NUMBER() OVER (PARTITION BY id
+                                            ORDER BY sim DESC, cell ASC) AS rn
+                  FROM sims)
+            WHERE rn = 1)
+          SELECT id, CAST(assigned_cell AS BIGINT) AS assigned_cell,
+                 CAST(rk AS BIGINT) AS rk, ROUND(cell_sim, 6) AS cell_sim
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY assigned_cell
+                                             ORDER BY cell_sim DESC, id ASC) AS rk
+                FROM assigned)
+          WHERE rk <= 3 ORDER BY assigned_cell, rk""",
 
     "q47_ann_ivf_assign" ->
       s"""WITH $unitCte,
