@@ -64,73 +64,22 @@ object Domain {
         .orderBy("cwe_id")
     }),
 
-    // §3.1+§3.3 end-to-end: init snapshot at T0, fold three source upserts
-    // at T1 (nvd-like scores with a genuinely-nullable v3.1 branch,
-    // epss-like rate, kev-like flag), then the F17 coalesce ladder and F18
-    // priority ladder. Each upsert is one shuffle on id (AQE broadcasts
-    // the small deltas); the ladders are narrow codegen'd projections.
-    "q52_cve_pipeline" -> ((s, dir) => {
-      import s.implicits._
-      val t0 = lit(T0).cast("timestamp")
-      val t1 = lit(T1).cast("timestamp")
-      val nvd = t(s, dir, "orders")
-        .groupBy($"o_custkey".as("id"))
-        .agg(max(when($"o_orderpriority" === "1-URGENT", $"o_totalprice"))
-               .as("urgent_max"),
-             max($"o_totalprice").as("any_max"))
-      val eps = t(s, dir, "events")
-        .groupBy($"user_id".as("id"))
-        .agg((davg($"value", 6) / 500).as("epss"))
-      val kev = t(s, dir, "events")
-        .filter($"event_type" === "error")
-        .select($"user_id".as("id")).distinct()
-        .withColumn("kev_flag", lit(true))
-      val snap0 = Merge.init(
-        t(s, dir, "customer").select($"c_custkey".as("id"), $"c_name".as("name")),
-        now = t0)
-      val merged = Seq(nvd, eps, kev)
-        .foldLeft(snap0)((snap, d) => Merge.upsert(snap, d, "id", now = t1))
-      merged
-        .withColumn("cvss",
-          coalesce($"urgent_max", $"any_max", lit(0.0)) / 50000)
-        .select($"id", $"name", $"cvss", $"epss", $"kev_flag",
-                Prioritizer.priority($"kev_flag", $"cvss", $"epss").as("priority"),
-                $"created_at", $"updated_at")
-        .orderBy("id")
-    }),
+    // §3.1+§3.3 end-to-end: init snapshot at T0, three source upserts at
+    // T1 (nvd-like scores with a genuinely-nullable v3.1 branch, epss-like
+    // rate, kev-like flag), then the F17 coalesce ladder and F18 priority
+    // ladder. This variant merges via the fold of full-outer joins (one
+    // shuffle per source; AQE broadcasts the small deltas).
+    "q52_cve_pipeline" -> ((s, dir) =>
+      pipeline(s, dir)((snap0, deltas, t1) =>
+        deltas.foldLeft(snap0)((snap, d) => Merge.upsert(snap, d, "id", now = t1)))),
 
     // The same pipeline through Merge.upsertMany — the one-shuffle N-way
     // merge (union + keyed agg) that replaces the chain of full-outer
     // joins at scale. MUST produce q52's exact answer (same oracle SQL):
     // the fused plan is an optimization, not a semantics change.
-    "q58_cve_pipeline_fused" -> ((s, dir) => {
-      import s.implicits._
-      val t0 = lit(T0).cast("timestamp")
-      val t1 = lit(T1).cast("timestamp")
-      val nvd = t(s, dir, "orders")
-        .groupBy($"o_custkey".as("id"))
-        .agg(max(when($"o_orderpriority" === "1-URGENT", $"o_totalprice"))
-               .as("urgent_max"),
-             max($"o_totalprice").as("any_max"))
-      val eps = t(s, dir, "events")
-        .groupBy($"user_id".as("id"))
-        .agg((davg($"value", 6) / 500).as("epss"))
-      val kev = t(s, dir, "events")
-        .filter($"event_type" === "error")
-        .select($"user_id".as("id")).distinct()
-        .withColumn("kev_flag", lit(true))
-      val snap0 = Merge.init(
-        t(s, dir, "customer").select($"c_custkey".as("id"), $"c_name".as("name")),
-        now = t0)
-      val merged = Merge.upsertMany(snap0, Seq(nvd, eps, kev), "id", now = t1)
-      merged
-        .withColumn("cvss",
-          coalesce($"urgent_max", $"any_max", lit(0.0)) / 50000)
-        .select($"id", $"name", $"cvss", $"epss", $"kev_flag",
-                Prioritizer.priority($"kev_flag", $"cvss", $"epss").as("priority"),
-                $"created_at", $"updated_at")
-        .orderBy("id")
-    }),
+    "q58_cve_pipeline_fused" -> ((s, dir) =>
+      pipeline(s, dir)((snap0, deltas, t1) =>
+        Merge.upsertMany(snap0, deltas, "id", now = t1))),
 
     // S12 relational analog: newest record wins — TakeOrderedAndProject
     // (per-partition top-1 + driver merge of 1-row candidates), never a
@@ -143,6 +92,39 @@ object Domain {
         .limit(1)
     })
   )
+
+  /** Shared construction for q52/q58: the same snapshot + source deltas
+    * and the same scoring tail, parameterized ONLY by the merge strategy —
+    * so the two catalog entries can differ in nothing but the plan. */
+  private def pipeline(s: SparkSession, dir: String)(
+      merge: (DataFrame, Seq[DataFrame], org.apache.spark.sql.Column) => DataFrame)
+      : DataFrame = {
+    import s.implicits._
+    val t0 = lit(T0).cast("timestamp")
+    val t1 = lit(T1).cast("timestamp")
+    val nvd = t(s, dir, "orders")
+      .groupBy($"o_custkey".as("id"))
+      .agg(max(when($"o_orderpriority" === "1-URGENT", $"o_totalprice"))
+             .as("urgent_max"),
+           max($"o_totalprice").as("any_max"))
+    val eps = t(s, dir, "events")
+      .groupBy($"user_id".as("id"))
+      .agg((davg($"value", 6) / 500).as("epss"))
+    val kev = t(s, dir, "events")
+      .filter($"event_type" === "error")
+      .select($"user_id".as("id")).distinct()
+      .withColumn("kev_flag", lit(true))
+    val snap0 = Merge.init(
+      t(s, dir, "customer").select($"c_custkey".as("id"), $"c_name".as("name")),
+      now = t0)
+    merge(snap0, Seq(nvd, eps, kev), t1)
+      .withColumn("cvss",
+        coalesce($"urgent_max", $"any_max", lit(0.0)) / 50000)
+      .select($"id", $"name", $"cvss", $"epss", $"kev_flag",
+              Prioritizer.priority($"kev_flag", $"cvss", $"epss").as("priority"),
+              $"created_at", $"updated_at")
+      .orderBy("id")
+  }
 
   private val cweValuesSql = CweCatalog
     .map { case (t, id, c) => s"('$t', '$id', '$c')" }.mkString(",\n    ")
