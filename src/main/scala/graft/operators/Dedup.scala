@@ -139,17 +139,26 @@ object Dedup {
     * fit inside it (checked — under ANSI mode an out-of-range element_at
     * would otherwise surface as an opaque runtime error from deep inside
     * the plan). */
-  def lshCandidates(signatures: DataFrame, bands: Int = 16,
-                    rowsPerBand: Int = 4, sigLen: Int = 64): DataFrame = {
+  /** (doc_id, band, bkey) rows — the LSH band index of a signature set.
+    * At 100 TB this is what you PERSIST (bucketed on (band, bkey)): new
+    * data probes it with a co-partitioned equi-join instead of re-hashing
+    * the corpus. */
+  def bandKeys(signatures: DataFrame, bands: Int, rowsPerBand: Int,
+               sigLen: Int): DataFrame = {
     require(bands > 0 && rowsPerBand > 0 && bands * rowsPerBand <= sigLen,
       s"bands*rowsPerBand (${bands * rowsPerBand}) must fit the signature length ($sigLen)")
     val bandStructs = (0 until bands).map { b =>
       val slice = (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1))
       struct(lit(b).as("band"), xxhash64(lit(b) +: slice: _*).as("bkey"))
     }
-    val bd = signatures
+    signatures
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+  }
+
+  def lshCandidates(signatures: DataFrame, bands: Int = 16,
+                    rowsPerBand: Int = 4, sigLen: Int = 64): DataFrame = {
+    val bd = bandKeys(signatures, bands, rowsPerBand, sigLen)
     bd.as("x").join(bd.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -161,12 +170,10 @@ object Dedup {
     * shingle relation, exact-Jaccard-verified on candidates only.
     * This is the 100 TB path: the shingle join runs restricted to the
     * candidate set, never all-pairs. */
-  def minhashPairsFrom(sh: DataFrame, threshold: Double,
-                       numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    require(bands > 0 && numHashes % bands == 0,
-      s"numHashes ($numHashes) must be divisible by bands ($bands)")
-    val cand = lshCandidates(signaturesFromExploded(sh, numHashes),
-      bands, numHashes / bands, sigLen = numHashes)
+  /** Exact-Jaccard verification of candidate (a_id, b_id) pairs against an
+    * exploded shingle relation: intersection via a candidate-restricted
+    * shingle join, set sizes via a window count — never all-pairs. */
+  def verifyPairs(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
     val shN = sh.withColumn("n",
       count(lit(1)).over(Window.partitionBy(col("doc_id"))))
     val inter = cand
@@ -180,6 +187,50 @@ object Dedup {
         (col("i").cast("double") /
          (col("na") + col("nb") - col("i")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  def minhashPairsFrom(sh: DataFrame, threshold: Double,
+                       numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    val cand = lshCandidates(signaturesFromExploded(sh, numHashes),
+      bands, numHashes / bands, sigLen = numHashes)
+    verifyPairs(cand, sh, threshold)
+  }
+
+  /** Incremental near-dup detection: a delta of new documents against an
+    * existing corpus, WITHOUT re-hashing the corpus. Candidates =
+    * (delta bands ⋈ corpus band index) ∪ (delta-internal LSH pairs);
+    * verification joins shingles restricted to those candidates. Returns
+    * exactly the pairs of the full recompute that touch ≥1 delta doc
+    * (same hash family ⇒ identical banding ⇒ identical candidates —
+    * asserted in DedupSpec).
+    *
+    * 100 TB shape: corpus shingles + band index are persisted tables (the
+    * index bucketed on (band, bkey)); a daily delta probes them with
+    * co-partitioned equi-joins costing O(delta + matches). Nothing
+    * re-reads the corpus beyond the matched buckets/doc groups. */
+  def minhashPairsIncremental(corpusSh: DataFrame, deltaSh: DataFrame,
+                              threshold: Double, numHashes: Int = 64,
+                              bands: Int = 16): DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    val rows = numHashes / bands
+    val sigD = signaturesFromExploded(deltaSh, numHashes)
+    val bd = bandKeys(sigD, bands, rows, numHashes)
+    val bc = bandKeys(signaturesFromExploded(corpusSh, numHashes),
+      bands, rows, numHashes) // in practice: the persisted band index
+    val crossCand = bd.as("x").join(bc.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+        col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("a_id"),
+              greatest(col("x.doc_id"), col("y.doc_id")).as("b_id"))
+    val deltaCand = bd.as("x").join(bd.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+    val cand = crossCand.union(deltaCand).distinct()
+    verifyPairs(cand, corpusSh.union(deltaSh), threshold)
   }
 
   /** MinHash+LSH near-dup pairs, self-managed persist lifecycle: the

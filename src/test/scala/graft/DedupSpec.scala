@@ -14,6 +14,22 @@ class DedupSpec extends SparkSpec {
     (5L, "tiny doc") // < 3 tokens -> no shingles
   ).toDF("doc_id", "text")
 
+  test("incremental minhash == full recompute restricted to delta-touching pairs") {
+    // Split the sf0.001 documents table: every 5th doc arrives as a delta.
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val corpusSh = Dedup.explodedShingles(
+      Dedup.shingleSets(docs.filter($"doc_id" % 5 =!= 0)))
+    val deltaSh = Dedup.explodedShingles(
+      Dedup.shingleSets(docs.filter($"doc_id" % 5 === 0)))
+    val incr = Dedup.minhashPairsIncremental(corpusSh, deltaSh, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Dedup.minhashDupPairs(docs, 0.8)
+      .filter($"a_id" % 5 === 0 || $"b_id" % 5 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(incr.nonEmpty) // the split must actually exercise cross pairs
+    assert(incr == full)
+  }
+
   test("exact dedup groups identical texts") {
     val g = Dedup.exactGroups(corpus)
     assert(g.count() == 4)
