@@ -150,6 +150,106 @@ object Similarity {
   def clusteringObjective(units: DataFrame, cents: DataFrame): Double =
     assignCells(units, cents).agg(avg(col("cell_sim"))).head().getDouble(0)
 
+  /** Product-quantization codebook training: per subspace, k-means over
+    * the subvectors — Lloyd's algorithm made fully deterministic so the
+    * DuckDB oracle can mirror every step bit-for-bit:
+    *  - init: the subvectors of the k lowest ids, code = rank by id;
+    *  - assign: nearest code by dot product (tie → code asc) — fold-dot
+    *    doubles are bit-identical across engines;
+    *  - update: exact-decimal per-dimension means (order-independent);
+    *    codes that lose all members keep their previous centroid.
+    * At 100 TB codebooks are trained on a bounded sample (standard PQ
+    * practice) — training cost is independent of corpus size; encode and
+    * query are the corpus-scale paths. Output: (sub, code, code_vec). */
+  def pqTrain(units: DataFrame, m: Int, subLen: Int,
+              k: Int = 16, iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val subs = subVectors(units, m, subLen, Seq("id"))
+    val initIds = broadcast(units.select(col("id")).orderBy(col("id")).limit(k))
+    var books = subs.join(initIds, "id")
+      .withColumn("code",
+        (row_number().over(Window.partitionBy(col("sub")).orderBy(col("id"))) - 1))
+      .select(col("sub"), col("code"), col("sv").as("code_vec"))
+      .localCheckpoint()
+    (1 to iters).foreach { _ =>
+      val w = Window.partitionBy(col("id"), col("sub"))
+        .orderBy(col("s").desc, col("code").asc)
+      val assigned = subs.join(broadcast(books), "sub")
+        .select(col("id"), col("sub"), col("code"),
+                dot(col("sv"), col("code_vec")).as("s"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("sub"), col("code"))
+      val means = subs.join(assigned, Seq("id", "sub"))
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg((sum(col("v").cast(DecimalType(28, 16))).cast("double") /
+              count(lit(1)).cast("double")).as("cv"))
+        .groupBy(col("sub"), col("code"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+                       s => s.getField("cv")).as("new_vec"))
+      books = books.join(means, Seq("sub", "code"), "left")
+        .select(col("sub"), col("code"),
+                coalesce(col("new_vec"), col("code_vec")).as("code_vec"))
+        .localCheckpoint() // truncate lineage per Lloyd round
+    }
+    books
+  }
+
+  /** (carry..., sub, sv): each `unit` vector exploded into its m
+    * subvectors of `subLen` dims. */
+  private def subVectors(units: DataFrame, m: Int, subLen: Int,
+                         carry: Seq[String]): DataFrame =
+    units.select(carry.map(col) :+ explode(array((0 until m).map(s =>
+        struct(lit(s).as("sub"),
+               slice(col("unit"), s * subLen + 1, subLen).as("sv"))): _*)).as("x"): _*)
+      .select(carry.map(col) :+ col("x.sub").as("sub") :+ col("x.sv").as("sv"): _*)
+
+  /** Encode: per (vector, subspace), the code of the nearest codebook
+    * entry by dot product (tie → code asc). Codebooks broadcast; the
+    * corpus never shuffles. Output: (id, sub, code) — at scale this is
+    * the m-byte-per-vector representation that replaces d floats. */
+  def pqEncode(units: DataFrame, codebooks: DataFrame,
+               m: Int, subLen: Int): DataFrame = {
+    val w = Window.partitionBy(col("id"), col("sub"))
+      .orderBy(col("s").desc, col("code").asc)
+    subVectors(units, m, subLen, Seq("id"))
+      .join(broadcast(codebooks), "sub")
+      .select(col("id"), col("sub"), col("code"), dot(col("sv"), col("code_vec")).as("s"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("sub"), col("code"))
+  }
+
+  /** PQ-ADC approximate top-k: per query, a lookup table of
+    * dot(query subvector, codebook entry); a candidate's approximate
+    * similarity is the sum of its m LUT entries (exact-decimal sum so
+    * the ranking is aggregation-order-independent in every engine). The
+    * LUT is query-side tiny (m × codes) and broadcast; the corpus side
+    * touches only the stored codes — this is PQ's 100 TB story: the scan
+    * reads m small ints per vector, never the raw floats. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 4, subLen: Int = 16, numCodes: Int = 16, trainIters: Int = 2,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cu = unitVectors(corpus, Seq(idCol -> "id"), vecCol, "unit")
+    val books = pqTrain(cu, m, subLen, numCodes, trainIters)
+    val codes = pqEncode(cu, books, m, subLen)
+    val qu = unitVectors(queries, Seq(idCol -> "id"), vecCol, "unit")
+    val lut = subVectors(qu, m, subLen, Seq("id"))
+      .join(broadcast(books), "sub")
+      .select(col("id").as("query_id"), col("sub"), col("code"),
+              dot(col("sv"), col("code_vec")).as("l"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_sim").desc, col("cand_id").asc)
+    codes.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("id").as("cand_id"))
+      .agg(sum(col("l").cast(DecimalType(28, 16))).cast("double").as("approx_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** All-pairs variant (no blocking) — exact but O(n²); test scale only. */
   def dupPairs(corpus: DataFrame, threshold: Double,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

@@ -210,6 +210,19 @@ object Ext {
         .orderBy("id")
     }),
 
+    // PQ-ADC approximate top-k — the third ANN tier: vectors stored as
+    // m=4 one-byte codes instead of 64 floats; query similarity = sum of
+    // per-subspace LUT entries (exact-decimal sum, order-independent).
+    // Codebooks from deterministic cell centroids so the oracle mirrors
+    // the whole construction.
+    "q61_ann_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.pqTopK(e, e.filter(col("vec_id") % 100 === 0), k = 5)
+        .select(col("query_id"), col("cand_id"), col("rank"),
+                round(col("approx_sim"), 6).as("approx_sim"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Coreset / diversity sampling over embeddings: after IVF assignment,
     // keep the k most-central vectors per cell — the centroid-stratified
     // sample a curation pipeline feeds to expensive downstream scoring.
@@ -300,6 +313,31 @@ object Ext {
     s"""ev AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
         e AS (SELECT vec_id, label, list_transform(v, x -> x / n) AS u
               FROM (SELECT vec_id, label, v, ${foldNorm("v")} AS n FROM ev))"""
+
+  /** One unrolled Lloyd round over the PQ subvectors: assign each (vec,
+    * sub) to its nearest code in `prev` (fold-dot, tie → code asc), then
+    * exact-decimal per-dimension means; codes with no members keep their
+    * previous centroid. Mirrors Similarity.pqTrain's loop body exactly. */
+  private def lloydRoundSql(i: Int, prev: String): String =
+    s"""a$i AS (
+          SELECT vec_id, sub, code FROM (
+            SELECT s.vec_id, s.sub, b.code,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+                                      ORDER BY ${foldDot("s.sv", "b.code_vec")} DESC,
+                                               b.code ASC) AS rn
+            FROM subs s JOIN $prev b ON s.sub = b.sub)
+          WHERE rn = 1),
+        f$i AS (SELECT a.sub, a.code, generate_subscripts(s.sv, 1) AS pos,
+                       unnest(s.sv) AS val
+                FROM subs s JOIN a$i a ON s.vec_id = a.vec_id AND s.sub = a.sub),
+        d$i AS (SELECT sub, code, pos,
+                       CAST(SUM(CAST(val AS DECIMAL(28,16))) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE) AS cv
+                FROM f$i GROUP BY 1, 2, 3),
+        n$i AS (SELECT sub, code, list(cv ORDER BY pos) AS new_vec
+                FROM d$i GROUP BY 1, 2),
+        b$i AS (SELECT b.sub, b.code, COALESCE(n.new_vec, b.code_vec) AS code_vec
+                FROM $prev b LEFT JOIN n$i n ON b.sub = n.sub AND b.code = n.code)"""
 
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -443,6 +481,46 @@ object Ext {
           SELECT doc_id, lang, n_chars FROM documents
           WHERE doc_id NOT IN (SELECT id FROM removed)
           ORDER BY doc_id""",
+
+    "q61_ann_pq" ->
+      s"""WITH $unitCte,
+          subs AS (
+            SELECT vec_id, sub, u[sub*16+1 : sub*16+16] AS sv
+            FROM e, (SELECT unnest(range(0, 4)) AS sub)),
+          b0 AS (
+            SELECT sub, ROW_NUMBER() OVER (PARTITION BY sub ORDER BY vec_id) - 1
+                     AS code, sv AS code_vec
+            FROM subs
+            WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16)),
+          ${lloydRoundSql(1, "b0")},
+          ${lloydRoundSql(2, "b1")},
+          books AS (SELECT * FROM b2),
+          codes AS (
+            SELECT vec_id AS cand_id, sub, code FROM (
+              SELECT s.vec_id, s.sub, b.code,
+                     ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+                                        ORDER BY ${foldDot("s.sv", "b.code_vec")} DESC,
+                                                 b.code ASC) AS rn
+              FROM subs s JOIN books b ON s.sub = b.sub)
+            WHERE rn = 1),
+          lut AS (
+            SELECT q.vec_id AS query_id, b.sub, b.code,
+                   ${foldDot("q.sv", "b.code_vec")} AS l
+            FROM (SELECT * FROM subs WHERE vec_id % 100 = 0) q
+            JOIN books b ON q.sub = b.sub),
+          adc AS (
+            SELECT lut.query_id, c.cand_id,
+                   CAST(SUM(CAST(lut.l AS DECIMAL(28,16))) AS DOUBLE) AS approx_sim
+            FROM codes c JOIN lut ON c.sub = lut.sub AND c.code = lut.code
+            WHERE c.cand_id <> lut.query_id
+            GROUP BY 1, 2)
+          SELECT query_id, cand_id, CAST(rank AS BIGINT) AS rank,
+                 ROUND(approx_sim, 6) AS approx_sim
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY approx_sim DESC, cand_id ASC)
+                            AS rank
+                FROM adc)
+          WHERE rank <= 5 ORDER BY query_id, rank""",
 
     "q60_coreset_sample" ->
       s"""WITH $unitCte,
