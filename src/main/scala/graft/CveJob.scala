@@ -46,9 +46,11 @@ object CveJob {
     // the missing snapshot would silently flip this tick into a from-
     // scratch rebuild and lose created_at history.
     SnapshotIO.recover(spark.sparkContext.hadoopConfiguration, snapshotPath)
-    val snapDir = new java.io.File(snapshotPath)
-    val hasSnapshot = snapDir.exists && snapDir.listFiles != null &&
-      snapDir.listFiles.nonEmpty
+    // Probe through the same FileSystem as the swap — a java.io.File
+    // check would always be false on a non-local defaultFS and silently
+    // rebuild from scratch every tick.
+    val hasSnapshot =
+      SnapshotIO.nonEmpty(spark.sparkContext.hadoopConfiguration, snapshotPath)
     val result =
       if (!hasSnapshot) {
         CvePipeline.buildSnapshot(spark, landing, now = nowCol)

@@ -28,6 +28,11 @@ object SnapshotIO {
     val fs = FileSystem.get(conf)
     val d = new Path(dst)
     val bak = bakPath(dst)
+    // Self-enforcing: if a previous swap crashed between its renames, the
+    // backup holds the only copy — restore it BEFORE deleting anything,
+    // so crash-safety doesn't depend on every caller remembering a
+    // recover() preamble.
+    recover(conf, dst)
     fs.delete(bak, true)
     if (fs.exists(d)) {
       if (!fs.rename(d, bak))
@@ -47,5 +52,28 @@ object SnapshotIO {
     val d = new Path(dst)
     val bak = bakPath(dst)
     if (!fs.exists(d) && fs.exists(bak)) fs.rename(bak, d) else false
+  }
+
+  /** Heal every child of `parent` left in the crashed state (some
+    * `X_bak` whose `X` is gone) — the per-partition analog of [[recover]]
+    * for layouts that swap many directories (PartitionedSnapshot). */
+  def recoverAll(conf: Configuration, parent: String): Int = {
+    val fs = FileSystem.get(conf)
+    val p = new Path(parent)
+    if (!fs.exists(p)) return 0
+    fs.listStatus(p).toSeq
+      .map(_.getPath.getName)
+      .filter(_.endsWith("_bak"))
+      .count(name => recover(conf, new Path(p, name.stripSuffix("_bak")).toString))
+  }
+
+  /** Existence probe through the SAME FileSystem as swap/recover — a
+    * java.io.File check silently disagrees with a non-local
+    * fs.defaultFS and would flip callers into from-scratch rebuild
+    * paths. Non-empty = exists with at least one child. */
+  def nonEmpty(conf: Configuration, dir: String): Boolean = {
+    val fs = FileSystem.get(conf)
+    val p = new Path(dir)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
   }
 }

@@ -77,7 +77,7 @@ object Dedup {
     * cache. Every multi-scan dedup entry point funnels through this so a
     * long-lived session (bench loop, notebook) never leaks cached
     * shingle relations. */
-  private def withPersisted(sh: DataFrame)(f: DataFrame => DataFrame): DataFrame = {
+  def withPersisted(sh: DataFrame)(f: DataFrame => DataFrame): DataFrame = {
     val p = sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try f(p).localCheckpoint() // eager: runs while p is cached
     finally p.unpersist()
@@ -134,15 +134,13 @@ object Dedup {
       .agg(array((0 until numHashes).map(j =>
         min(xxhash64(lit(j), col("shingle")))): _*).as("sig"))
 
-  /** LSH candidate pairs: equal (band, bucket) → (a_id < b_id), distinct.
+  /** (doc_id, band, bkey) rows — the LSH band index of a signature set.
     * `sigLen` is the length of the `sig` arrays; bands*rowsPerBand must
     * fit inside it (checked — under ANSI mode an out-of-range element_at
     * would otherwise surface as an opaque runtime error from deep inside
-    * the plan). */
-  /** (doc_id, band, bkey) rows — the LSH band index of a signature set.
-    * At 100 TB this is what you PERSIST (bucketed on (band, bkey)): new
-    * data probes it with a co-partitioned equi-join instead of re-hashing
-    * the corpus. */
+    * the plan). At 100 TB this is what you PERSIST (bucketed on
+    * (band, bkey)): new data probes it with a co-partitioned equi-join
+    * instead of re-hashing the corpus. */
   def bandKeys(signatures: DataFrame, bands: Int, rowsPerBand: Int,
                sigLen: Int): DataFrame = {
     require(bands > 0 && rowsPerBand > 0 && bands * rowsPerBand <= sigLen,
@@ -156,8 +154,12 @@ object Dedup {
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
   }
 
+  /** LSH candidate pairs: equal (band, bucket) → (a_id < b_id), distinct.
+    * `sigLen` has no default on purpose: it must match the actual
+    * signature length (a wrong guess would either throw the fit check or
+    * silently band over a prefix). */
   def lshCandidates(signatures: DataFrame, bands: Int = 16,
-                    rowsPerBand: Int = 4, sigLen: Int = 64): DataFrame = {
+                    rowsPerBand: Int = 4, sigLen: Int): DataFrame = {
     val bd = bandKeys(signatures, bands, rowsPerBand, sigLen)
     bd.as("x").join(bd.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
@@ -166,16 +168,18 @@ object Dedup {
       .distinct()
   }
 
-  /** MinHash+LSH near-dup pairs from a pre-exploded (ideally persisted)
-    * shingle relation, exact-Jaccard-verified on candidates only.
-    * This is the 100 TB path: the shingle join runs restricted to the
-    * candidate set, never all-pairs. */
   /** Exact-Jaccard verification of candidate (a_id, b_id) pairs against an
-    * exploded shingle relation: intersection via a candidate-restricted
-    * shingle join, set sizes via a window count — never all-pairs. */
+    * exploded shingle relation. The shingle relation is FIRST semi-joined
+    * down to docs that appear in some candidate — the window set-size
+    * count then runs over candidate docs only, so verification cost is
+    * O(candidate docs' shingles), not O(|sh|) (a daily 0.1% delta must
+    * not re-shuffle 100% of the corpus shingles just to count set
+    * sizes). */
   def verifyPairs(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
-    val shN = sh.withColumn("n",
-      count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    val candIds = cand.select(col("a_id").as("doc_id"))
+      .union(cand.select(col("b_id").as("doc_id"))).distinct()
+    val shN = sh.join(candIds, Seq("doc_id"), "left_semi")
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
     val inter = cand
       .join(shN.as("a"), col("a_id") === col("a.doc_id"))
       .join(shN.as("b"), col("b_id") === col("b.doc_id") &&

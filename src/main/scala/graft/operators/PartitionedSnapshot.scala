@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   *
   * This is what a table format's MERGE INTO does behind the scenes
   * (rewrite matching files, keep the rest); on plain parquet we get the
-  * same bound via dynamic partition overwrite:
+  * same bound via staged writes + per-bucket crash-safe swaps:
   *
   *  - bucket = pmod(xxhash64(key), n) — deterministic, uniform, stable
   *    across ticks, so a key always lands in the same partition;
@@ -21,8 +21,9 @@ import org.apache.spark.sql.functions._
   *    (≤ n values);
   *  - the snapshot read is pruned to touched partitions (partition
   *    pruning on the directory column — untouched data is never read);
-  *  - the write uses partitionOverwriteMode=dynamic, which replaces only
-  *    the partition directories present in the written data.
+  *  - the rewritten buckets are staged and then swapped into place one
+  *    directory at a time via SnapshotIO (backup-then-rename), so no
+  *    crash point loses a bucket.
   *
   * Cost per tick: O(|delta| + |touched partitions|), not O(|snapshot|) —
   * with n sized so a partition is a few GB, a small delta rewrites a few
@@ -57,8 +58,13 @@ object PartitionedSnapshot {
     * null, exactly the full-merge semantics. At 100 TB the union schema
     * would live in a metastore/table format instead of being inferred
     * from footers. */
-  def read(spark: SparkSession, path: String): DataFrame =
+  def read(spark: SparkSession, path: String): DataFrame = {
+    // Heal any bucket left mid-swap by a crashed mergeDelta first — a
+    // bucket sitting at its backup name would otherwise silently vanish
+    // from the scan.
+    graft.SnapshotIO.recoverAll(spark.sparkContext.hadoopConfiguration, path)
     spark.read.option("mergeSchema", "true").parquet(path)
+  }
 
   /** Write the initial bucketed snapshot (df must be Merge.init'ed). */
   def init(df: DataFrame, path: String, key: String = "id",
@@ -87,12 +93,24 @@ object PartitionedSnapshot {
         .drop(BucketCol)
       val merged = Merge.upsert(snapTouched, deltaB.drop(BucketCol), key, now)
         .withColumn(BucketCol, bucketOf(col(key), n))
-      // Dynamic overwrite: replaces exactly the partition dirs present in
-      // `merged` (= the touched set — bucketOf is deterministic), leaves
-      // every other directory's files untouched on disk.
-      merged.write.partitionBy(BucketCol).mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .parquet(path)
+      // Write the touched buckets to a staging dir, then move each into
+      // place with the crash-safe backup-then-rename swap — dynamic
+      // partition overwrite would delete-then-replace and a crash at
+      // commit could destroy a bucket. A crash mid-loop leaves each
+      // bucket either fully-old or fully-new (never partial/lost);
+      // because the upsert is idempotent (T4), re-running the same tick
+      // converges the mixed state. At 100 TB a table format's atomic
+      // multi-file commit replaces this.
+      val conf = spark.sparkContext.hadoopConfiguration
+      val staging = path + "_delta_tmp"
+      val hfs = fs(spark)
+      hfs.delete(new Path(staging), true)
+      merged.write.partitionBy(BucketCol).mode("overwrite").parquet(staging)
+      touched.foreach { b =>
+        graft.SnapshotIO.swap(conf,
+          s"$staging/$BucketCol=$b", s"$path/$BucketCol=$b")
+      }
+      hfs.delete(new Path(staging), true)
     }
     touched
   }

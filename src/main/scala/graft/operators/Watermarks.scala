@@ -20,8 +20,7 @@ object Watermarks {
 
   def read(spark: SparkSession, path: String): DataFrame = {
     graft.SnapshotIO.recover(spark.sparkContext.hadoopConfiguration, path)
-    val dir = new java.io.File(path)
-    if (dir.exists && dir.listFiles != null && dir.listFiles.nonEmpty)
+    if (graft.SnapshotIO.nonEmpty(spark.sparkContext.hadoopConfiguration, path))
       spark.read.schema(Schemas.updateStatus).parquet(path)
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

@@ -41,16 +41,19 @@ object Curation {
     // as xxhash64 (8-byte join keys; q31/q32 precedent: hashed-shingle
     // counts hash-match the string-shingle oracle).
     "q54_decontaminate" -> ((s, dir) => {
-      val sh = Dedup.explodedShingles(
-        Dedup.shingleSets(t(s, dir, "documents")))
-      val bench = sh.filter(col("doc_id") % 20 === 0)
-        .select("shingle").distinct()
-      sh.filter(col("doc_id") % 20 =!= 0)
-        .join(broadcast(bench), "shingle")
-        // shingles are distinct per doc, so count(1) = distinct shared
-        .groupBy("doc_id").agg(count(lit(1)).as("bench_hits"))
-        .filter(col("bench_hits") >= ContaminationHits)
-        .orderBy("doc_id")
+      // withPersisted: both join sides scan the exploded shingles, so
+      // cache them for the (eagerly materialized) computation instead of
+      // tokenizing + hashing the corpus twice.
+      Dedup.withPersisted(
+        Dedup.explodedShingles(Dedup.shingleSets(t(s, dir, "documents")))) { sh =>
+        val bench = sh.filter(col("doc_id") % 20 === 0)
+          .select("shingle").distinct()
+        sh.filter(col("doc_id") % 20 =!= 0)
+          .join(broadcast(bench), "shingle")
+          // shingles are distinct per doc, so count(1) = distinct shared
+          .groupBy("doc_id").agg(count(lit(1)).as("bench_hits"))
+          .filter(col("bench_hits") >= ContaminationHits)
+      }.orderBy("doc_id") // sort outside the checkpointed frame
     }),
 
     // Stratified sampling to target domain mix: keep 50% of en, 25% of

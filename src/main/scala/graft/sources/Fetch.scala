@@ -51,6 +51,11 @@ object Fetch {
   final class RateLimiter(maxRequests: Int, windowMs: Long,
                           clock: () => Long = () => System.currentTimeMillis(),
                           sleeper: Long => Unit = Thread.sleep) {
+    // Reachable straight from config ([nvd] public_rate_limit: 0) — fail
+    // with a message at construction, not a NoSuchElementException from
+    // inside an executor task.
+    require(maxRequests > 0, s"rate limit must be positive, got $maxRequests")
+    require(windowMs > 0, s"rate window must be positive, got $windowMs")
     private val stamps = scala.collection.mutable.Queue.empty[Long]
     def acquire(): Unit = {
       var now = clock()

@@ -129,9 +129,9 @@ object EventsStream {
           batch.withColumn("_pos", monotonically_increasing_id()), key,
           col("_pos")).drop("_pos")
         graft.SnapshotIO.recover(spark.sparkContext.hadoopConfiguration, snapshotPath)
-        val snapDir = new java.io.File(snapshotPath)
         val snapshot =
-          if (snapDir.exists && snapDir.listFiles != null && snapDir.listFiles.nonEmpty)
+          if (graft.SnapshotIO.nonEmpty(spark.sparkContext.hadoopConfiguration,
+                                        snapshotPath))
             spark.read.parquet(snapshotPath)
           else Merge.init(collapsed.limit(0))
         val merged = Merge.upsert(snapshot, collapsed, key)

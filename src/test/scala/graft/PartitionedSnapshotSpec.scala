@@ -71,6 +71,30 @@ class PartitionedSnapshotSpec extends SparkSpec {
     assert(u.getTimestamp(0).toString.startsWith("2025-01-01"))
   }
 
+  test("a bucket left mid-swap by a crash is healed before the next read") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("psnap3").toString
+    val path = s"$work/snap"
+    PartitionedSnapshot.init(
+      Merge.init(spark.range(0, 100).select($"id", lit("x").as("v")), t0),
+      path, "id", buckets = 4)
+    val n0 = PartitionedSnapshot.read(spark, path).count()
+    // Simulate mergeDelta crashing between its backup and final rename:
+    // one bucket exists only under its backup name.
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val bucket = s"$path/${PartitionedSnapshot.BucketCol}=1"
+    fs.rename(new org.apache.hadoop.fs.Path(bucket),
+      new org.apache.hadoop.fs.Path(bucket + "_bak"))
+    assert(PartitionedSnapshot.read(spark, path).count() == n0) // healed, nothing lost
+    // and a subsequent delta merge over the healed layout stays exact
+    val touched = PartitionedSnapshot.mergeDelta(spark, path,
+      Seq((1L, "y")).toDF("id", "v"), "id", t1)
+    assert(touched.nonEmpty)
+    val got = PartitionedSnapshot.read(spark, path)
+    assert(got.count() == 100)
+    assert(got.filter($"id" === 1).select("v").head().getString(0) == "y")
+  }
+
   test("bucket count survives as layout metadata; empty delta is a no-op") {
     import spark.implicits._
     val work = Files.createTempDirectory("psnap2").toString
