@@ -175,7 +175,11 @@ object Dedup {
     * O(candidate docs' shingles), not O(|sh|) (a daily 0.1% delta must
     * not re-shuffle 100% of the corpus shingles just to count set
     * sizes). */
-  def verifyPairs(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+  def verifyPairs(cand0: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    // The candidate set is consumed twice (doc-id restriction + the
+    // verify join) and is small; materialize it once — otherwise the
+    // whole upstream candidate generation (banding joins) runs twice.
+    val cand = cand0.localCheckpoint()
     val candIds = cand.select(col("a_id").as("doc_id"))
       .union(cand.select(col("b_id").as("doc_id"))).distinct()
     val shN = sh.join(candIds, Seq("doc_id"), "left_semi")
