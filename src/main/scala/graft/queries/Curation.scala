@@ -87,6 +87,28 @@ object Curation {
         .orderBy("source")
     }),
 
+    // Repetition detection — the standard "degenerate text" quality
+    // filter: fraction of duplicated 3-grams per doc. Narrow per-row
+    // transform (tokens materialized once; HOF sub-expressions re-evaluate
+    // per element otherwise), no shuffle until the final tiny sort.
+    "q62_repetition" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), TA.wsTokens(lower(col("text"))).as("toks"))
+      val grams = d.select(col("doc_id"),
+        when(size(col("toks")) >= 3,
+          transform(sequence(lit(1), size(col("toks")) - 2),
+            i => concat_ws(" ", slice(col("toks"), i, lit(3)))))
+          .otherwise(array().cast("array<string>")).as("grams"))
+      grams.select(col("doc_id"),
+          size(col("grams")).cast("long").as("total_grams"),
+          size(array_distinct(col("grams"))).cast("long").as("distinct_grams"))
+        .withColumn("rep_ratio",
+          when(col("total_grams") > 0,
+            round(lit(1.0) - col("distinct_grams").cast("double") /
+              col("total_grams").cast("double"), 6)))
+        .orderBy("doc_id")
+    }),
+
     // Exact distributed order statistics: p50/p90/p99 of doc length per
     // source, computed from rank positions (nearest-rank definition, so
     // both engines share the EXACT definition — approx sketches like
@@ -157,6 +179,25 @@ object Curation {
                FROM documents)
          WHERE decile <= 3
          GROUP BY source ORDER BY source""",
+
+    "q62_repetition" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tokens
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+                  CASE WHEN len(tokens) >= 3
+                       THEN list_transform(range(1, len(tokens)-1),
+                              i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))
+                       ELSE CAST([] AS VARCHAR[]) END AS grams
+           FROM toks)
+         SELECT doc_id,
+                CAST(len(grams) AS BIGINT) AS total_grams,
+                CAST(len(list_distinct(grams)) AS BIGINT) AS distinct_grams,
+                CASE WHEN len(grams) > 0
+                     THEN ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                                  / len(grams), 6) END AS rep_ratio
+         FROM g ORDER BY doc_id""",
 
     "q59_exact_quantiles" ->
       """WITH ranked AS (
