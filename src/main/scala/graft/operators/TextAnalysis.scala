@@ -51,6 +51,24 @@ object TextAnalysis {
       .when(fr > 0, "fr")
       .otherwise("unknown")
 
+  /** All character trigrams of the (lowercased) text — the n-gram
+    * alternative to token profiles for language ID. Guarded: Spark's
+    * sequence(start, stop) DESCENDS when stop < start, so short texts
+    * must short-circuit to an empty array. */
+  def charTrigrams(text: Column): Column = {
+    val t = lower(text)
+    when(length(t) >= 3,
+      transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  // Tiny per-language character-trigram profiles (with spaces — the
+  // strongest character-level language signal). Shared with the oracle.
+  val triEn = Seq("the", "he ", " th", "ing", "and", " an", "ion", " of")
+  val triEs = Seq(" de", "de ", " la", "la ", "os ", "ent", " el", "ue ")
+  val triDe = Seq("der", "ie ", " di", "ein", "ich", "sch", "und", " un")
+  val triFr = Seq(" le", "les", "ent", " et", "que", " qu", "ais", "eur")
+
   /** Polynomial rolling-hash fingerprint over token first-bytes:
     * fold(0; h = (h*131 + ascii(tok)) mod 1e9+7). Deterministic and
     * order-sensitive (a permutation-resistant content id would use

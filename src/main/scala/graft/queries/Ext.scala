@@ -90,6 +90,25 @@ object Ext {
         .orderBy("doc_id")
     }),
 
+    // Language ID, n-gram variant: character-trigram profile hits
+    // (spaces included — the strongest char-level signal). Same argmax
+    // ladder as q35; narrow per-row transform, trigrams materialized
+    // once.
+    "q63_langid_ngram" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), TA.charTrigrams(col("text")).as("tris"))
+      val tris = col("tris")
+      d.select(
+          col("doc_id"),
+          TA.hitCount(tris, TA.triEn).as("en_hits"),
+          TA.hitCount(tris, TA.triEs).as("es_hits"),
+          TA.hitCount(tris, TA.triDe).as("de_hits"),
+          TA.hitCount(tris, TA.triFr).as("fr_hits"))
+        .withColumn("lang_pred",
+          TA.langGuess(col("en_hits"), col("es_hits"), col("de_hits"), col("fr_hits")))
+        .orderBy("doc_id")
+    }),
+
     // Token counting: whitespace and BPE-ish pre-tokenizer.
     "q36_token_counts" -> ((s, dir) => {
       t(s, dir, "documents").select(
@@ -371,6 +390,32 @@ object Ext {
                    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
                      list_transform(tokens, t -> CAST(length(t) AS BIGINT))), (a,b) -> a+b) AS DOUBLE)
                    / CAST(len(tokens) AS DOUBLE) END AS avg_tok_len
+          FROM toks ORDER BY doc_id""",
+
+    "q63_langid_ngram" ->
+      s"""WITH toks AS (
+            SELECT doc_id,
+                   CASE WHEN length(lower(text)) >= 3
+                        THEN list_transform(range(1, length(lower(text))-1),
+                               i -> substr(lower(text), i, 3))
+                        ELSE CAST([] AS VARCHAR[]) END AS tokens
+            FROM documents)
+          SELECT doc_id,
+                 ${hitSql(TA.triEn)} AS en_hits,
+                 ${hitSql(TA.triEs)} AS es_hits,
+                 ${hitSql(TA.triDe)} AS de_hits,
+                 ${hitSql(TA.triFr)} AS fr_hits,
+                 CASE WHEN ${hitSql(TA.triEn)} >= ${hitSql(TA.triEs)}
+                       AND ${hitSql(TA.triEn)} >= ${hitSql(TA.triDe)}
+                       AND ${hitSql(TA.triEn)} >= ${hitSql(TA.triFr)}
+                       AND ${hitSql(TA.triEn)} > 0 THEN 'en'
+                      WHEN ${hitSql(TA.triEs)} >= ${hitSql(TA.triDe)}
+                       AND ${hitSql(TA.triEs)} >= ${hitSql(TA.triFr)}
+                       AND ${hitSql(TA.triEs)} > 0 THEN 'es'
+                      WHEN ${hitSql(TA.triDe)} >= ${hitSql(TA.triFr)}
+                       AND ${hitSql(TA.triDe)} > 0 THEN 'de'
+                      WHEN ${hitSql(TA.triFr)} > 0 THEN 'fr'
+                      ELSE 'unknown' END AS lang_pred
           FROM toks ORDER BY doc_id""",
 
     "q35_langid" ->
