@@ -51,16 +51,25 @@ object TextAnalysis {
       .when(fr > 0, "fr")
       .otherwise("unknown")
 
-  /** All character trigrams of the (lowercased) text — the n-gram
-    * alternative to token profiles for language ID. Guarded: Spark's
-    * sequence(start, stop) DESCENDS when stop < start, so short texts
-    * must short-circuit to an empty array. */
-  def charTrigrams(text: Column): Column = {
-    val t = lower(text)
-    when(length(t) >= 3,
-      transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
+  /** Single-character array of `text` — feed to [[charTrigrams]].
+    * The slice bounds the split output to exactly length(text) elements
+    * (regex-split trailing-empty behavior varies). */
+  def charArray(text: Column): Column =
+    slice(split(text, ""), lit(1), length(text))
+
+  /** All character trigrams over a MATERIALIZED char-array column
+    * ([[charArray]] in its own projection first — see [[Dedup.shingles]]
+    * for the HOF re-eval pitfall). Windows come from array slices, not
+    * `substr`: substring-at-position on a UTF8 string is O(position)
+    * (codepoint scan from the start), which makes windowed substr
+    * quadratic per row — measured 5× slower on 300-char docs. Guarded:
+    * Spark's sequence(start, stop) DESCENDS when stop < start, so short
+    * texts must short-circuit to an empty array. */
+  def charTrigrams(chars: Column): Column =
+    when(size(chars) >= 3,
+      transform(sequence(lit(1), size(chars) - 2),
+        i => concat_ws("", slice(chars, i, lit(3)))))
       .otherwise(array().cast("array<string>"))
-  }
 
   // Tiny per-language character-trigram profiles (with spaces — the
   // strongest character-level language signal). Shared with the oracle.

@@ -96,7 +96,12 @@ object Ext {
     // once.
     "q63_langid_ngram" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-        .select(col("doc_id"), TA.charTrigrams(col("text")).as("tris"))
+        // Each stage materializes before the next consumes it inside a
+        // lambda (HOF re-eval pitfall), and trigrams slice a char ARRAY —
+        // windowed substr on a string is quadratic (O(pos) UTF8 scans).
+        .select(col("doc_id"), lower(col("text")).as("lt"))
+        .select(col("doc_id"), TA.charArray(col("lt")).as("chars"))
+        .select(col("doc_id"), TA.charTrigrams(col("chars")).as("tris"))
       val tris = col("tris")
       d.select(
           col("doc_id"),
