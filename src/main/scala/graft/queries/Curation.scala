@@ -165,7 +165,10 @@ object Curation {
           ORDER BY doc_id""",
 
     "q55_stratified_sample" ->
-      """SELECT lang, COUNT(*) AS kept, SUM(n_chars) AS kept_chars
+      // CAST the integer SUM: DuckDB promotes SUM(BIGINT) to HUGEINT, and
+      // the driver-side pandas fetch renders HUGEINT as float (5000000.0),
+      // which hash-mismatches Spark's long even though values are equal.
+      """SELECT lang, COUNT(*) AS kept, CAST(SUM(n_chars) AS BIGINT) AS kept_chars
          FROM (SELECT *, CASE WHEN lang = 'en' THEN 50
                               WHEN lang = 'es' THEN 25 ELSE 10 END AS rate
                FROM documents)
@@ -225,13 +228,13 @@ object Curation {
           sharded AS (SELECT *, h % $PackShards AS shard FROM d),
           packed AS (
             SELECT shard,
-                   SUM(n_toks) OVER (PARTITION BY shard ORDER BY h ASC, doc_id ASC
-                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     AS cum,
+                   CAST(SUM(n_toks) OVER (PARTITION BY shard ORDER BY h ASC, doc_id ASC
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum,
                    n_toks
             FROM sharded)
           SELECT shard, (cum - n_toks) // $PackBudget AS seq_id,
-                 COUNT(*) AS n_docs, SUM(n_toks) AS toks
+                 COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS toks
           FROM packed GROUP BY 1, 2 ORDER BY shard, seq_id"""
   )
 }
