@@ -54,4 +54,50 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getLong(0) == 3)
     assert(r.getLong(1) == 12) // "Hi," + "there!" + "Ok?" = 3+6+3
   }
+
+  // TrigramHitsSpec (referenced from TextAnalysis.trigramHits): the
+  // replace-based substring count must equal the positional-trigram count
+  // for every profile, on adversarial fixtures and random text over the
+  // profiles' own alphabet (back-to-back pattern repeats, pattern-dense
+  // strings, empties, sub-trigram strings, multi-byte UTF8).
+  test("trigramHits == positional charTrigrams count for all profiles") {
+    val rnd = new scala.util.Random(63)
+    val alphabet = (TA.triEn ++ TA.triEs ++ TA.triDe ++ TA.triFr)
+      .flatten.distinct :+ 'é'
+    val randoms = Seq.tabulate(40) { i =>
+      (0 until rnd.nextInt(200)).map(_ => alphabet(rnd.nextInt(alphabet.size)))
+        .mkString + (if (i % 3 == 0) "thethe the  de de der und" else "")
+    }
+    val crafted = Seq("", "th", "thethethe", " de de  la la ", "ententent",
+                      "inginging", "ééé the é", "  ", "und" * 50)
+    val df = (randoms ++ crafted).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("id", "text")
+      .select(col("id"), lower(col("text")).as("lt"))
+    val withBoth = df
+      .select(col("id"), col("lt"), TA.charArray(col("lt")).as("chars"))
+      .select(col("id"), col("lt"), TA.charTrigrams(col("chars")).as("tris"))
+      .select(col("id"),
+        TA.trigramHits(col("lt"), TA.triEn).as("fast_en"),
+        TA.hitCount(col("tris"), TA.triEn).as("slow_en"),
+        TA.trigramHits(col("lt"), TA.triEs).as("fast_es"),
+        TA.hitCount(col("tris"), TA.triEs).as("slow_es"),
+        TA.trigramHits(col("lt"), TA.triDe).as("fast_de"),
+        TA.hitCount(col("tris"), TA.triDe).as("slow_de"),
+        TA.trigramHits(col("lt"), TA.triFr).as("fast_fr"),
+        TA.hitCount(col("tris"), TA.triFr).as("slow_fr"))
+    val bad = withBoth.filter(
+      col("fast_en") =!= col("slow_en") || col("fast_es") =!= col("slow_es") ||
+      col("fast_de") =!= col("slow_de") || col("fast_fr") =!= col("slow_fr"))
+      .collect()
+    assert(bad.isEmpty, bad.take(3).mkString("\n"))
+  }
+
+  test("trigramHits rejects self-overlapping profiles") {
+    intercept[IllegalArgumentException] {
+      TA.trigramHits(col("x"), Seq("aba")) // period 2: "ababa" overlaps
+    }
+    intercept[IllegalArgumentException] {
+      TA.trigramHits(col("x"), Seq("aaa")) // period 1
+    }
+  }
 }
