@@ -99,6 +99,26 @@ object TextAnalysis {
     }.reduce(_ + _) / lit(3)).cast("long")
   }
 
+  // PII scrubbing — the pre-training redaction pass. Patterns are kept in
+  // the portable regex subset (no backrefs, no lookaround) so the Java
+  // regex engine (Spark) and RE2 (DuckDB oracle) match identically.
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val urlRe = "https?://[A-Za-z0-9./_%-]+"
+  val phoneRe = "\\+?[0-9]{1,3}[ -][0-9]{3}[ -][0-9]{4}"
+
+  /** Count of matches of `re` in `text`. */
+  def matchCount(text: Column, re: String): Column =
+    size(regexp_extract_all(text, lit(re), lit(0))).cast("long")
+
+  /** Redact emails, then URLs, then phones (order matters only in that a
+    * placeholder must not re-match a later pattern — these don't).
+    * Per-row narrow transform: at 100 TB this is a map-only stage. */
+  def scrubPii(text: Column): Column = {
+    val e = regexp_replace(text, emailRe, "<EMAIL>")
+    val u = regexp_replace(e, urlRe, "<URL>")
+    regexp_replace(u, phoneRe, "<PHONE>")
+  }
+
   /** Polynomial rolling-hash fingerprint over token first-bytes:
     * fold(0; h = (h*131 + ascii(tok)) mod 1e9+7). Deterministic and
     * order-sensitive (a permutation-resistant content id would use

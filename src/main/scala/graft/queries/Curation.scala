@@ -32,6 +32,12 @@ object Curation {
   /** Packing shards — at scale this is the parallelism unit: packing is a
     * per-shard running sum, embarrassingly parallel across shards. */
   val PackShards = 8L
+  /** Chunking window / overlap in tokens (q65). */
+  val ChunkTokens = 64L
+  val ChunkOverlap = 16L
+  val ChunkStride: Long = ChunkTokens - ChunkOverlap
+  /** Tokens with corpus frequency ≤ this count as "rare" (q66). */
+  val RareMax = 2L
 
   val queries: Map[String, Q] = Map(
     // Decontamination. Benchmark = every 20th doc (stands in for an eval
@@ -132,6 +138,83 @@ object Curation {
         .orderBy("source")
     }),
 
+    // Sliding-window document chunking — the context-window prep step:
+    // split each doc into ChunkTokens-token windows advancing by
+    // ChunkStride (so consecutive chunks share ChunkOverlap tokens); the
+    // last chunk is short. Tokens materialize once per doc in their own
+    // projection BEFORE the generate consumes them (HOF re-eval pitfall);
+    // the explode multiplies rows ~n/stride with no shuffle — a map-side
+    // stage at 100 TB. md5 of each chunk proves content equality.
+    "q65_chunk_docs" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), TA.wsTokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+      d.select(col("doc_id"), col("toks"), col("n"),
+          explode(sequence(lit(0L),
+            when(col("n") <= ChunkTokens, 0L)
+              .otherwise((col("n") - ChunkTokens + ChunkStride - 1L) / lit(ChunkStride))
+              .cast("long"))).as("chunk_id"))
+        .withColumn("start", col("chunk_id") * ChunkStride)
+        .withColumn("chunk_toks", least(lit(ChunkTokens), col("n") - col("start")))
+        .select(col("doc_id"), col("chunk_id"), col("chunk_toks"),
+          md5(concat_ws(" ",
+            slice(col("toks"), (col("start") + 1L).cast("int"),
+                  col("chunk_toks").cast("int")))).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // Unigram corpus-frequency quality scoring — the exact-arithmetic
+    // stand-in for unigram-LM log-prob (ln() is not cross-engine
+    // bit-stable; integer counts and one correctly-rounded IEEE division
+    // are). Shape at 100 TB: vocab is corpus-derived but vocab-sized
+    // (≪ corpus); it broadcasts to score the exploded token stream, the
+    // only shuffles are the two hash aggs (vocab build + per-doc fold).
+    "q66_unigram_quality" -> ((s, dir) => {
+      // The exploded token stream feeds BOTH the vocab build and the
+      // scoring join — persist it (reuse pitfall: a frame referenced
+      // twice re-executes its upstream; Dedup.withPersisted releases the
+      // cache after eager materialization).
+      Dedup.withPersisted(
+        t(s, dir, "documents")
+          .select(col("doc_id"), explode(TA.wordTokens(col("text"))).as("tok"))) { tk =>
+        val vocab = tk.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        tk.join(broadcast(vocab), "tok")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_toks"),
+               sum(col("cnt")).as("cnt_sum"),
+               sum(when(col("cnt") <= RareMax, 1L).otherwise(0L)).as("rare_hits"))
+          .withColumn("mean_cnt",
+            col("cnt_sum").cast("double") / col("n_toks").cast("double"))
+          .withColumn("rare_ratio",
+            col("rare_hits").cast("double") / col("n_toks").cast("double"))
+      }.orderBy("doc_id")
+    }),
+
+    // PII scrub / redaction: count and mask emails, URLs and phone
+    // numbers. The synthetic corpus has no PII, so the query first
+    // appends a deterministic contact line derived from doc_id (same
+    // expression on the oracle side) — the scrub then has real matches
+    // to find. Counts + md5 of the masked text prove the masking is
+    // byte-identical across engines. Narrow map-only stage at 100 TB.
+    "q64_pii_scrub" -> ((s, dir) => {
+      val contact = concat(
+        col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or https://ex.org/p/"), col("doc_id").cast("string"),
+        when(pmod(col("doc_id"), lit(3L)) === 0L,
+          concat(lit(" call +1 555-"),
+                 lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")))
+          .otherwise(lit("")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), contact.as("pii_text"))
+        .select(col("doc_id"),
+          TA.matchCount(col("pii_text"), TA.emailRe).as("n_emails"),
+          TA.matchCount(col("pii_text"), TA.urlRe).as("n_urls"),
+          TA.matchCount(col("pii_text"), TA.phoneRe).as("n_phones"),
+          md5(TA.scrubPii(col("pii_text"))).as("masked_md5"),
+          length(TA.scrubPii(col("pii_text"))).cast("long").as("masked_len"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic pre-training shuffle + sequence packing: order by a
     // multiplicative hash (Knuth constant; at 100 TB use xxhash64 — kept
     // SQL-expressible here so the oracle can mirror it), shard by the
@@ -218,6 +301,60 @@ object Curation {
                          THEN n_chars END) AS p99,
                 MAX(n) AS n_docs
          FROM ranked GROUP BY source ORDER BY source""",
+
+    "q65_chunk_docs" ->
+      s"""WITH toks AS (
+            SELECT doc_id, regexp_extract_all(text, '\\S+') AS tokens,
+                   CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n
+            FROM documents),
+          c AS (
+            SELECT doc_id, tokens, n,
+                   UNNEST(range(0, CASE WHEN n <= $ChunkTokens THEN 1
+                                        ELSE (n - $ChunkTokens + ${ChunkStride - 1}) // $ChunkStride + 1
+                                   END)) AS chunk_id
+            FROM toks)
+          SELECT doc_id, chunk_id,
+                 LEAST($ChunkTokens, n - chunk_id * $ChunkStride) AS chunk_toks,
+                 md5(array_to_string(list_slice(tokens,
+                       chunk_id * $ChunkStride + 1,
+                       chunk_id * $ChunkStride + LEAST($ChunkTokens, n - chunk_id * $ChunkStride)),
+                     ' ')) AS chunk_md5
+          FROM c ORDER BY doc_id, chunk_id""",
+
+    "q66_unigram_quality" ->
+      s"""WITH tk AS (
+            SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+            FROM documents),
+          vocab AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok)
+          SELECT doc_id, COUNT(*) AS n_toks,
+                 CAST(SUM(cnt) AS BIGINT) AS cnt_sum,
+                 CAST(SUM(CASE WHEN cnt <= $RareMax THEN 1 ELSE 0 END) AS BIGINT) AS rare_hits,
+                 CAST(CAST(SUM(cnt) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_cnt,
+                 CAST(CAST(SUM(CASE WHEN cnt <= $RareMax THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS rare_ratio
+          FROM tk JOIN vocab USING (tok)
+          GROUP BY doc_id ORDER BY doc_id""",
+
+    "q64_pii_scrub" -> {
+      val masked = s"regexp_replace(regexp_replace(regexp_replace(pii_text, " +
+        s"'${TA.emailRe}', '<EMAIL>', 'g'), '${TA.urlRe}', '<URL>', 'g'), " +
+        s"'${TA.phoneRe}', '<PHONE>', 'g')"
+      s"""WITH pii AS (
+            SELECT doc_id,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+                   '@example.com or https://ex.org/p/' || CAST(doc_id AS VARCHAR) ||
+                   CASE WHEN doc_id % 3 = 0
+                        THEN ' call +1 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        ELSE '' END AS pii_text
+            FROM documents)
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(pii_text, '${TA.emailRe}')) AS BIGINT) AS n_emails,
+                 CAST(len(regexp_extract_all(pii_text, '${TA.urlRe}')) AS BIGINT) AS n_urls,
+                 CAST(len(regexp_extract_all(pii_text, '${TA.phoneRe}')) AS BIGINT) AS n_phones,
+                 md5($masked) AS masked_md5,
+                 CAST(length($masked) AS BIGINT) AS masked_len
+          FROM pii ORDER BY doc_id"""
+    },
 
     "q57_sequence_pack" ->
       s"""WITH d AS (

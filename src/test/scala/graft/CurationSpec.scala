@@ -72,4 +72,49 @@ class CurationSpec extends SparkSpec {
     // greedy bound: a bin never exceeds budget + one overflowing doc
     out.foreach(r => assert(r.getLong(3) <= Curation.PackBudget + maxDoc))
   }
+
+  test("q65: chunk layout — full windows then one short tail per doc") {
+    val out = Curation.queries("q65_chunk_docs")(spark, dir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(1))).toMap
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(graft.operators.TextAnalysis.wsTokens(col("text"))).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docs.foreach { case (id, n) =>
+      val chunks = out(id)
+      val m = chunks.length.toLong
+      val expectM =
+        if (n <= Curation.ChunkTokens) 1L
+        else (n - Curation.ChunkTokens + Curation.ChunkStride - 1) / Curation.ChunkStride + 1
+      assert(m == expectM, s"doc $id: $m chunks, expected $expectM")
+      chunks.init.foreach(c => assert(c.getLong(2) == Curation.ChunkTokens))
+      assert(chunks.last.getLong(2) == n - (m - 1) * Curation.ChunkStride)
+    }
+  }
+
+  test("q66: scoring join preserves the token stream; ratios in range") {
+    import spark.implicits._
+    val out = Curation.queries("q66_unigram_quality")(spark, dir)
+    val total = Tables.load(spark, dir, "documents")
+      .select(size(graft.operators.TextAnalysis.wordTokens($"text")).cast("long").as("n"))
+      .agg(sum($"n")).head().getLong(0)
+    assert(out.agg(sum($"n_toks")).head().getLong(0) == total)
+    assert(out.filter($"mean_cnt" < 1.0 || $"rare_ratio" < 0.0 || $"rare_ratio" > 1.0)
+      .isEmpty)
+  }
+
+  test("pii scrub: masks emails, urls, phones; leaves clean text alone") {
+    import spark.implicits._
+    val TA = graft.operators.TextAnalysis
+    val out = Seq(
+      "mail a.b+c@ex-site.org now",
+      "see https://ex.org/p/1_2%3 and http://plain.io/x",
+      "call +1 555-0123 or 44 555 9999",
+      "nothing to hide here")
+      .toDF("text").select(TA.scrubPii($"text").as("m")).as[String].collect()
+    assert(out(0) == "mail <EMAIL> now")
+    assert(out(1) == "see <URL> and <URL>")
+    assert(out(2) == "call <PHONE> or <PHONE>")
+    assert(out(3) == "nothing to hide here")
+  }
 }
