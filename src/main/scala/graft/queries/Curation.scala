@@ -138,6 +138,30 @@ object Curation {
         .orderBy("source")
     }),
 
+    // Bloom-filter decontamination — q54's semantics with the 100 TB
+    // probe shape: the benchmark shingles are folded into a 16 KiB Bloom
+    // bitset (mergeable aggregate, bitwise-OR shuffle of fixed-size
+    // buffers), the corpus shingle stream is pruned map-side by the
+    // bit-test probe BEFORE anything shuffles, and only the surviving
+    // candidates hit the exact verify join — so false positives are
+    // removed and the result is exactly q54's (same oracle). At 100 TB
+    // the broadcast exact-shingle set of q54 stops fitting; the bloom
+    // prefilter + candidate-only verify is what replaces it.
+    "q67_bloom_decontaminate" -> ((s, dir) => {
+      import graft.operators.Bloom
+      Dedup.withPersisted(
+        Dedup.explodedShingles(Dedup.shingleSets(t(s, dir, "documents")))) { sh =>
+        val bench = sh.filter(col("doc_id") % 20 === 0)
+          .select("shingle").distinct()
+        val bits = Bloom.build(bench, "shingle")
+        sh.filter(col("doc_id") % 20 =!= 0)
+          .filter(Bloom.mightContain(bits, col("shingle")))
+          .join(broadcast(bench), "shingle")
+          .groupBy("doc_id").agg(count(lit(1)).as("bench_hits"))
+          .filter(col("bench_hits") >= ContaminationHits)
+      }.orderBy("doc_id")
+    }),
+
     // Sliding-window document chunking — the context-window prep step:
     // split each doc into ChunkTokens-token windows advancing by
     // ChunkStride (so consecutive chunks share ChunkOverlap tokens); the
@@ -301,6 +325,17 @@ object Curation {
                          THEN n_chars END) AS p99,
                 MAX(n) AS n_docs
          FROM ranked GROUP BY source ORDER BY source""",
+
+    // Same result set as q54 — the bloom prefilter must be invisible in
+    // the output (false positives verified away, no false negatives).
+    "q67_bloom_decontaminate" ->
+      s"""WITH ${Ext.shingleCte},
+          bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0)
+          SELECT sh.doc_id AS doc_id, COUNT(*) AS bench_hits
+          FROM sh JOIN bench ON sh.shingle = bench.shingle
+          WHERE sh.doc_id % 20 <> 0
+          GROUP BY sh.doc_id HAVING COUNT(*) >= $ContaminationHits
+          ORDER BY doc_id""",
 
     "q65_chunk_docs" ->
       s"""WITH toks AS (
