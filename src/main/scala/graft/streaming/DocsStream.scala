@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{TextAnalysis => TA}
+
+/** Streaming curation: the q54–q67 batch curation stages re-expressed as a
+  * continuously-running ingest pipeline. Every transform here is a narrow
+  * map or a watermark-bounded stateful op, so the same code runs in batch
+  * (backfills, tests) and as a readStream → writeStream job — the
+  * unified-API property the batch catalog relies on.
+  *
+  * Shape at 100 TB/day: curation is map-only (scales with input
+  * partitions, no shuffle); the only state is the within-horizon dedup,
+  * bounded by the watermark (one digest per distinct doc inside the
+  * horizon — see [[EventsStream.dedupWithinHorizon]]).
+  */
+object DocsStream {
+
+  /** Curation gates (tuned for the synthetic corpus; at scale these come
+    * from config). */
+  val MinTokens = 5L
+  val MaxTokens = 100000L
+  val MaxRepRatio = 0.95
+  val KeepLangs = Seq("en", "es", "de", "fr")
+
+  /** Quality + policy curation over documents-shaped rows (doc_id, text,
+    * lang, source[, ts]): content digest, token accounting, 3-gram
+    * repetition ratio, language/length/repetition gates, PII scrub.
+    * Stateless and narrow — usable under any output mode. */
+  def curate(docs: DataFrame): DataFrame = {
+    val toked = docs
+      // digest BEFORE scrubbing: identity is the raw content
+      .withColumn("digest", md5(col("text")))
+      // tokens materialize once in their own projection (HOF re-eval
+      // pitfall: lambda consumers re-evaluate inline array exprs)
+      .withColumn("toks", TA.wsTokens(lower(col("text"))))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+    val grams = toked.withColumn("grams",
+      when(size(col("toks")) >= 3,
+        transform(sequence(lit(1), size(col("toks")) - 2),
+          i => concat_ws(" ", slice(col("toks"), i, lit(3)))))
+        .otherwise(array().cast("array<string>")))
+    grams
+      .withColumn("rep_ratio",
+        when(size(col("grams")) > 0,
+          lit(1.0) - size(array_distinct(col("grams"))).cast("double") /
+            size(col("grams")).cast("double"))
+          .otherwise(lit(0.0)))
+      .filter(col("n_toks").between(MinTokens, MaxTokens))
+      .filter(col("lang").isin(KeepLangs: _*))
+      .filter(col("rep_ratio") <= MaxRepRatio)
+      .withColumn("text", TA.scrubPii(col("text")))
+      .drop("toks", "grams")
+  }
+
+  /** Full streaming pipeline: within-horizon exact dedup on the content
+    * digest, then the curation gates. `docs` must carry an event-time
+    * `ts` column. Dedup runs FIRST so duplicate payloads don't pay the
+    * curation cost. */
+  def pipeline(docs: DataFrame, horizon: String = "2 hours"): DataFrame =
+    curate(
+      EventsStream.dedupWithinHorizon(
+        docs.withColumn("digest", md5(col("text"))), Seq("digest"),
+        tsCol = "ts", horizon = horizon)
+        .drop("digest"))
+}

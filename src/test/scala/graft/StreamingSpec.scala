@@ -10,6 +10,7 @@ import org.apache.spark.sql.streaming.Trigger
 import graft.streaming.EventsStream
 
 case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+case class RawDoc(ts: Timestamp, doc_id: Long, text: String, lang: String, source: String)
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -144,5 +145,38 @@ class StreamingSpec extends SparkSpec {
     // T4: created_at preserved across the re-merge
     assert(after2.filter($"id" === "CVE-1")
       .select("created_at").head().getTimestamp(0) == created1)
+  }
+
+  test("streaming curation: dedups by content, gates quality, scrubs PII") {
+    import graft.streaming.DocsStream
+    implicit val sc = spark.sqlContext
+    val good = "the quick brown fox jumps over the lazy dog again and again"
+    val mem = MemoryStream[RawDoc]
+    val q = DocsStream.pipeline(mem.toDF())
+      .writeStream.format("memory").queryName("curated")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        RawDoc(ts("2024-01-01T10:00:00Z"), 1, good, "en", "s"),
+        RawDoc(ts("2024-01-01T10:01:00Z"), 2, good, "en", "s"),       // dup payload
+        RawDoc(ts("2024-01-01T10:02:00Z"), 3, "too short", "en", "s"), // < MinTokens
+        RawDoc(ts("2024-01-01T10:03:00Z"), 4, good + " x", "zh", "s"), // lang gate
+        RawDoc(ts("2024-01-01T10:04:00Z"), 5, ("spam ham " * 40).trim, "en", "s"), // repetition
+        RawDoc(ts("2024-01-01T10:05:00Z"), 6,
+               "mail me at a@b.io or call +1 555-0000 about the brown fox", "en", "s"))
+      q.processAllAvailable()
+      val rows = spark.table("curated").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+      assert(rows.keySet == Set(1L, 6L), s"kept ${rows.keySet}")
+      assert(rows(6L) == "mail me at <EMAIL> or call <PHONE> about the brown fox")
+      // batch/stream parity: the same transform on the same survivors
+      val batch = DocsStream.curate(
+        Seq((1L, good, "en", "s"),
+            (6L, "mail me at a@b.io or call +1 555-0000 about the brown fox", "en", "s"))
+          .toDF("doc_id", "text", "lang", "source"))
+        .select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(batch == rows)
+    } finally q.stop()
   }
 }
