@@ -322,4 +322,77 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  // ---- Winnowing fingerprints (MOSS-style; Schleimer/Wilkerson/Aiken,
+  // "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03)
+
+  /** Winnowing window (in grams) and gram width (in tokens). */
+  val WinnowWindow = 4
+  val WinnowGram = 3
+  /** Modulus/base of the portable polynomial hash (mirrors q37's
+    * rollingFingerprint — SQL-expressible on the oracle side, unlike
+    * xxhash64). */
+  val WinnowP = 1000000007L
+  val WinnowB = 131L
+
+  /** (doc_id, fp) winnowing fingerprints: per-token char-polynomial
+    * hashes, combined into gram hashes, then the distinct minima of each
+    * sliding window of [[WinnowWindow]] grams. Guarantees: any shared
+    * token run of length ≥ window+gram-1 yields ≥ 1 shared fingerprint
+    * (the winnowing coverage property), while keeping ~2/(w+1) of the
+    * gram density. All narrow per-row HOF work — the only wide op is the
+    * caller's join. */
+  def winnowFingerprints(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val toked = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.wordTokens(col(textCol)).as("toks"))
+    // per-token polynomial hash over its chars (tokens are a bound
+    // attribute — HOF re-eval pitfall)
+    val tokh = toked.select(col("doc_id"),
+      transform(col("toks"), t =>
+        aggregate(
+          transform(slice(split(t, ""), lit(1), length(t)),
+                    c => ascii(c).cast("long")),
+          lit(0L), (a, c) => (a * WinnowB + c) % WinnowP)).as("tokh"))
+      .withColumn("n", size(col("tokh")))
+    // gram hash = base-B combination of WinnowGram consecutive token
+    // hashes (values stay < ~2^38, no ANSI overflow)
+    val gramh = tokh.select(col("doc_id"),
+      when(col("n") >= WinnowGram,
+        transform(sequence(lit(1), col("n") - (WinnowGram - 1)), i =>
+          ((element_at(col("tokh"), i) * WinnowB +
+            element_at(col("tokh"), i + 1)) % WinnowP * WinnowB +
+            element_at(col("tokh"), i + 2)) % WinnowP))
+        .otherwise(array().cast("array<long>")).as("hashes"))
+      .withColumn("nh", size(col("hashes")))
+    gramh.select(col("doc_id"),
+        explode(
+          when(col("nh") >= WinnowWindow,
+            array_distinct(transform(
+              sequence(lit(1), col("nh") - (WinnowWindow - 1)),
+              i => array_min(slice(col("hashes"), i, lit(WinnowWindow))))))
+          .when(col("nh") > 0, array(array_min(col("hashes"))))
+          .otherwise(array().cast("array<long>"))).as("fp"))
+      .distinct()
+  }
+
+  /** Near-dup pairs sharing ≥ `minShared` winnowing fingerprints.
+    * `maxFpDf` drops fingerprints present in more than that many docs —
+    * the same skew guard as [[jaccardPairsFrom]]'s: minima of a small
+    * vocabulary concentrate on few gram values, and one ultra-common
+    * fingerprint would otherwise make the self-join quadratic on its
+    * key. Callers pass a persisted fp relation (both join sides scan it). */
+  def winnowDupPairs(fps: DataFrame, minShared: Long = 2L,
+                     maxFpDf: Long = 10L): DataFrame = {
+    val rare = fps
+      .withColumn("df", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .filter(col("df") <= maxFpDf)
+      .select("doc_id", "fp")
+    rare.as("a").join(rare.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
 }

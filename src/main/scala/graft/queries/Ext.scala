@@ -50,6 +50,17 @@ object Ext {
         .orderBy("a_id", "b_id")
     }),
 
+    // Winnowing fingerprint near-dup pairs (MOSS-style): portable
+    // polynomial gram hashes → sliding-window minima → pairs sharing
+    // ≥ 2 rare fingerprints. The df cap (winnowDupPairs) is load-bearing:
+    // window minima concentrate on few gram values, and the oracle
+    // mirrors the cap (QUALIFY on the fingerprint's doc frequency).
+    "q68_winnow_pairs" -> ((s, dir) => {
+      Dedup.withPersisted(Dedup.winnowFingerprints(t(s, dir, "documents"))) {
+        fps => Dedup.winnowDupPairs(fps)
+      }.orderBy("doc_a", "doc_b")
+    }),
+
     // Quality signals: token counts, stopword ratio, punctuation, length.
     // Tokens materialize in their own projection: the tokenizer regexp
     // would otherwise re-run once per consuming expression (and per lambda
@@ -376,6 +387,47 @@ object Ext {
 
     // LSH must land on the exact answer (verified candidates).
     "q32_dedup_minhash_lsh" -> jaccardSql,
+
+    "q68_winnow_pairs" -> {
+      import graft.operators.Dedup.{WinnowB => B, WinnowP => P, WinnowGram => G,
+                                    WinnowWindow => W}
+      s"""WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+            FROM documents),
+          th AS (
+            SELECT doc_id,
+                   list_transform(toks, t ->
+                     list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                         list_transform(string_split(t, ''),
+                                        c -> CAST(ascii(c) AS BIGINT))),
+                       (a, c) -> (a * $B + c) % $P)) AS tokh,
+                   CAST(len(toks) AS BIGINT) AS n
+            FROM toks),
+          gh AS (
+            SELECT doc_id,
+                   CASE WHEN n >= $G THEN
+                     list_transform(range(1, n - ${G - 2}), i ->
+                       ((tokh[i] * $B + tokh[i+1]) % $P * $B + tokh[i+2]) % $P)
+                   ELSE CAST([] AS BIGINT[]) END AS hashes,
+                   CASE WHEN n >= $G THEN n - ${G - 1} ELSE 0 END AS nh
+            FROM th),
+          fps AS (
+            SELECT DISTINCT doc_id, UNNEST(list_distinct(
+                     CASE WHEN nh >= $W THEN
+                       list_transform(range(1, nh - ${W - 2}), i ->
+                         list_min(list_slice(hashes, i, i + ${W - 1})))
+                     WHEN nh > 0 THEN [list_min(hashes)]
+                     ELSE CAST([] AS BIGINT[]) END)) AS fp
+            FROM gh),
+          rare AS (
+            SELECT doc_id, fp FROM fps
+            QUALIFY COUNT(*) OVER (PARTITION BY fp) <= 10)
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fps
+          FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2
+          ORDER BY doc_a, doc_b"""
+    },
 
     "q34_text_quality" ->
       s"""WITH toks AS (

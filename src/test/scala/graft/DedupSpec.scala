@@ -107,4 +107,30 @@ class DedupSpec extends SparkSpec {
     assert(sets.filter(col("doc_id") === 5L).select(size(col("shingles")))
       .head().getInt(0) == 0)
   }
+
+  test("winnowing: shared runs ≥ window+gram-1 tokens share a fingerprint") {
+    import spark.implicits._
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"one two three $run four five six"),
+      (2L, s"seven eight nine ten $run eleven"),
+      (3L, "completely different words about other topics entirely here now"),
+      (4L, "tiny doc"), // < gram tokens → no fingerprints, no crash
+      (5L, "alpha beta gamma") // exactly one gram → single-window minimum
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // coverage guarantee: the 10-token shared run must yield ≥1 shared fp
+    assert((fps(1L) & fps(2L)).nonEmpty)
+    assert((fps.getOrElse(3L, Set.empty[Long]) & fps(1L)).isEmpty)
+    assert(!fps.contains(4L))
+    assert(fps(5L).size == 1)
+    // pair extraction: the planted 10-token run pairs 1-2, and doc 5's
+    // single gram ("alpha beta gamma" = the run's head) legitimately
+    // pairs it with both; doc 3 pairs with nothing
+    val pairs = Dedup.winnowDupPairs(
+        Dedup.winnowFingerprints(docs), minShared = 1L)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 5L), (2L, 5L)))
+  }
 }
