@@ -38,6 +38,8 @@ object Curation {
   val ChunkStride: Long = ChunkTokens - ChunkOverlap
   /** Tokens with corpus frequency ≤ this count as "rare" (q66). */
   val RareMax = 2L
+  /** Total sampled-doc budget for temperature-weighted mixing (q69). */
+  val MixBudget = 300L
 
   val queries: Map[String, Q] = Map(
     // Decontamination. Benchmark = every 20th doc (stands in for an eval
@@ -135,6 +137,37 @@ object Curation {
       ranked.groupBy(col("source"))
         .agg(pick(0.5, "p50"), pick(0.9, "p90"), pick(0.99, "p99"),
              max(col("n")).as("n_docs"))
+        .orderBy("source")
+    }),
+
+    // Temperature-weighted domain mixing — the pretraining source-mix
+    // rebalance (upsample small domains, downsample big ones): per-source
+    // quotas ∝ count^(1/2), then the first quota-many docs per source in
+    // deterministic hash order. Everything stays in integer space so both
+    // engines agree exactly: weight = floor(sqrt(count)) (IEEE sqrt is
+    // correctly rounded and perfect squares are exact, so floor is
+    // stable), quota = budget * weight // Σweights. Two tiny aggs + one
+    // per-source window; the corpus never shuffles more than once.
+    "q69_domain_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val weights = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("w", floor(sqrt(col("cnt"))).cast("long"))
+      // control-plane scalar (one tiny agg); integer div — a double
+      // quotient's floor can flip at an ulp boundary, `div` cannot
+      val totalW = weights.agg(sum(col("w"))).head.getLong(0)
+      val quotas = weights
+        .withColumn("quota", expr(s"(w * $MixBudget) div $totalW"))
+        .select("source", "cnt", "quota")
+      val w = Window.partitionBy(col("source"))
+        .orderBy(xxhash64(col("doc_id")).asc, col("doc_id").asc)
+      docs.withColumn("rn", row_number().over(w))
+        .join(broadcast(quotas), "source")
+        .filter(col("rn") <= col("quota"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("sampled"),
+             max(col("cnt")).as("pool"),
+             max(col("quota")).as("quota"))
         .orderBy("source")
     }),
 
@@ -325,6 +358,21 @@ object Curation {
                          THEN n_chars END) AS p99,
                 MAX(n) AS n_docs
          FROM ranked GROUP BY source ORDER BY source""",
+
+    // The output is order-insensitive (per-source counts), so the oracle
+    // verifies the quota arithmetic and that the window sampling yields
+    // exactly min(quota, pool) rows — without needing xxhash64 row order.
+    "q69_domain_mix" ->
+      s"""WITH wts AS (
+            SELECT source, COUNT(*) AS cnt,
+                   CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS w
+            FROM documents GROUP BY source),
+          tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM wts)
+          SELECT source,
+                 LEAST((w * $MixBudget) // tw, cnt) AS sampled,
+                 cnt AS pool,
+                 (w * $MixBudget) // tw AS quota
+          FROM wts, tot ORDER BY source""",
 
     // Same result set as q54 — the bloom prefilter must be invisible in
     // the output (false positives verified away, no false negatives).
