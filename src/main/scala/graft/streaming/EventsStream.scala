@@ -114,6 +114,25 @@ object EventsStream {
     docs.withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark(dedupCols)
 
+  /** EXT: stream-stream interval join — enrich an event stream with the
+    * latest facts from a second stream, matched on key within an
+    * event-time window ([ts - lookback, ts]). Both sides carry
+    * watermarks AND the join condition bounds event time, which is what
+    * lets Spark evict join state: each side buffers only rows inside
+    * watermark + lookback, so state stays bounded at any input rate —
+    * the property that makes this viable on unbounded 100 TB/day
+    * streams. */
+  def intervalJoin(events: DataFrame, facts: DataFrame,
+                   key: String = "user_id",
+                   lookback: String = "1 hour",
+                   lateness: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", lateness).as("l")
+      .join(
+        facts.withWatermark("fact_ts", lateness).as("r"),
+        expr(s"l.$key = r.$key AND " +
+             s"r.fact_ts BETWEEN l.ts - INTERVAL $lookback AND l.ts"))
+      .drop(col(s"r.$key"))
+
   /** T4: idempotent snapshot merge as a foreachBatch sink — each
     * micro-batch runs the K1 upsert against the parquet snapshot and
     * rewrites it (what MERGE INTO does on an ACID table). Re-delivery of

@@ -11,6 +11,7 @@ import graft.streaming.EventsStream
 
 case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
 case class RawDoc(ts: Timestamp, doc_id: Long, text: String, lang: String, source: String)
+case class Fact(fact_ts: Timestamp, user_id: Long, tag: String)
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -145,6 +146,32 @@ class StreamingSpec extends SparkSpec {
     // T4: created_at preserved across the re-merge
     assert(after2.filter($"id" === "CVE-1")
       .select("created_at").head().getTimestamp(0) == created1)
+  }
+
+  test("stream-stream interval join matches facts within the lookback only") {
+    implicit val sc = spark.sqlContext
+    val ev = MemoryStream[Ev]
+    val facts = MemoryStream[Fact]
+    val joined = EventsStream.intervalJoin(ev.toDF(), facts.toDF())
+      .select($"user_id", $"event_type", $"tag", $"ts", $"fact_ts")
+    val q = joined.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      facts.addData(
+        Fact(ts("2024-01-01T09:30:00Z"), 1, "inside"),   // 30m before event
+        Fact(ts("2024-01-01T08:30:00Z"), 1, "too_old"),  // 90m before event
+        Fact(ts("2024-01-01T10:30:00Z"), 1, "future"),   // after the event
+        Fact(ts("2024-01-01T09:45:00Z"), 2, "other_user"))
+      ev.addData(Ev(ts("2024-01-01T10:00:00Z"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // advance both watermarks so results flush in append mode
+      ev.addData(Ev(ts("2024-01-01T15:00:00Z"), 9, "x", 0.0))
+      facts.addData(Fact(ts("2024-01-01T15:00:00Z"), 9, "x"))
+      q.processAllAvailable()
+      val tags = spark.table("enriched").filter($"user_id" === 1)
+        .select("tag").collect().map(_.getString(0)).toSet
+      assert(tags == Set("inside"), s"got $tags")
+    } finally q.stop()
   }
 
   test("streaming curation: dedups by content, gates quality, scrubs PII") {
