@@ -235,7 +235,11 @@ object Curation {
         t(s, dir, "documents")
           .select(col("doc_id"), explode(TA.wordTokens(col("text"))).as("tok"))) { tk =>
         val vocab = tk.groupBy("tok").agg(count(lit(1)).as("cnt"))
-        tk.join(broadcast(vocab), "tok")
+        // No broadcast hint: a corpus-derived vocab is small here (AQE
+        // sees the runtime size and broadcasts) but at 100 TB it can be
+        // 100M+ tokens — forcing broadcast would be wrong; letting AQE
+        // decide degrades gracefully to a shuffle join on tok.
+        tk.join(vocab, "tok")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_toks"),
                sum(col("cnt")).as("cnt_sum"),
