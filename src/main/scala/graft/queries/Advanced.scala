@@ -19,6 +19,30 @@ object Advanced {
   private def t(s: SparkSession, dir: String, name: String) = Tables.load(s, dir, name)
 
   val queries: Map[String, Q] = Map(
+    // Windowed anomaly detection over the event stream: flag hours whose
+    // count spikes > 3σ above the trailing 24-observed-hours baseline.
+    // The 3σ test is algebraically rearranged into INTEGER arithmetic —
+    // (W·x − Σ)² > 9·(W·Σx² − Σ²) with W = 24 — so there is no stddev/
+    // sqrt to drift by ulps between engines. One shuffle (event_type
+    // window); per-group trailing frames, no global sort of the stream.
+    "q71_anomaly_hours" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"event_type").orderBy($"hour")
+        .rowsBetween(-24, -1)
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("wn", count(lit(1)).over(w))
+        .withColumn("wsum", sum($"cnt").over(w))
+        .withColumn("wsumsq", sum($"cnt" * $"cnt").over(w))
+        .filter($"wn" === 24) // full baseline only
+        .filter($"cnt" * 24 > $"wsum") // spike, not dip
+        .filter(($"cnt" * 24 - $"wsum") * ($"cnt" * 24 - $"wsum") >
+                ($"wsumsq" * 24 - $"wsum" * $"wsum") * 9)
+        .select($"event_type", $"hour", $"cnt", $"wsum".as("baseline_sum"))
+        .orderBy("event_type", "hour")
+    }),
+
     // T5 batch analog of session_window: gap-based sessionization via
     // lag + cumulative sum — one shuffle on user_id, no state store.
     "q43_sessionize" -> ((s, dir) => {
@@ -80,6 +104,25 @@ object Advanced {
   )
 
   val oracle: Map[String, String] = Map(
+    "q71_anomaly_hours" ->
+      """WITH hourly AS (
+           SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS cnt
+           FROM events GROUP BY 1, 2),
+         stats AS (
+           SELECT event_type, hour, cnt,
+                  COUNT(*) OVER w AS wn,
+                  CAST(SUM(cnt) OVER w AS BIGINT) AS wsum,
+                  CAST(SUM(cnt * cnt) OVER w AS BIGINT) AS wsumsq
+           FROM hourly
+           WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                        ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+         SELECT event_type, hour, cnt, wsum AS baseline_sum
+         FROM stats
+         WHERE wn = 24 AND cnt * 24 > wsum
+           AND (cnt * 24 - wsum) * (cnt * 24 - wsum) >
+               (wsumsq * 24 - wsum * wsum) * 9
+         ORDER BY event_type, hour""",
+
     "q43_sessionize" ->
       s"""WITH marked AS (
             SELECT user_id, ts, value,

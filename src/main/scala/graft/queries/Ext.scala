@@ -50,6 +50,17 @@ object Ext {
         .orderBy("a_id", "b_id")
     }),
 
+    // Column profiling (data-quality scan): every metric for every
+    // column in ONE wide aggregate, pivoted to a row per column.
+    "q70_profile" -> ((s, dir) => {
+      graft.operators.Profiling.profile(
+        t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority"),
+        numeric = Set("o_orderkey", "o_custkey", "o_totalprice"))
+        .orderBy("col_name")
+    }),
+
     // Winnowing fingerprint near-dup pairs (MOSS-style): portable
     // polynomial gram hashes → sliding-window minima → pairs sharing
     // ≥ 2 rare fingerprints. The df cap (winnowDupPairs) is load-bearing:
@@ -387,6 +398,25 @@ object Ext {
 
     // LSH must land on the exact answer (verified candidates).
     "q32_dedup_minhash_lsh" -> jaccardSql,
+
+    "q70_profile" -> {
+      def row(c: String, numeric: Boolean) = {
+        val minNum = if (numeric) s"CAST(MIN($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+        val maxNum = if (numeric) s"CAST(MAX($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+        val minStr = if (numeric) "CAST(NULL AS VARCHAR)" else s"CAST(MIN($c) AS VARCHAR)"
+        val maxStr = if (numeric) "CAST(NULL AS VARCHAR)" else s"CAST(MAX($c) AS VARCHAR)"
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+                   COUNT($c) AS nonnull, COUNT(*) - COUNT($c) AS nulls,
+                   CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+                   $minNum AS min_num, $maxNum AS max_num,
+                   $minStr AS min_str, $maxStr AS max_str
+            FROM orders"""
+      }
+      Seq(row("o_orderkey", true), row("o_custkey", true),
+          row("o_orderstatus", false), row("o_totalprice", true),
+          row("o_orderpriority", false))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
 
     "q68_winnow_pairs" -> {
       import graft.operators.Dedup.{WinnowB => B, WinnowP => P, WinnowGram => G,
