@@ -38,23 +38,31 @@ object TrainingExport {
     * (shard, rows, content_hash). */
   def exportJsonl(docs: DataFrame, path: String, numShards: Int,
                   key: String = "doc_id"): Seq[(Long, Long, Long)] = {
+    require(!docs.columns.exists(Set(ShardCol, "_h", "line")),
+      s"input must not already contain ${Set(ShardCol, "_h", "line")} columns")
     val spark = docs.sparkSession
     val assigned = assignShards(docs, numShards, key)
+    // The serialized lines feed BOTH the shard write and the manifest agg
+    // (reuse pitfall: an unpersisted frame re-executes its upstream per
+    // consumer — here that would serialize every row to JSON twice).
     val lines = assigned
       .withColumn("line", to_json(struct(docs.columns.map(col): _*)))
-    lines
-      .repartition(numShards, col(ShardCol))
-      .sortWithinPartitions(col("_h"), col(key))
-      .select(col(ShardCol), col("line"))
-      .write.partitionBy(ShardCol).mode("overwrite").text(path)
-    // Manifest: per-shard row count + order-insensitive content digest.
-    val manifest = lines
-      .groupBy(col(ShardCol))
-      .agg(count(lit(1)).as("rows"), contentHash(col("line")))
-      .orderBy(ShardCol)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-    writeManifest(spark, path, manifest)
-    manifest
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      lines
+        .repartition(numShards, col(ShardCol))
+        .sortWithinPartitions(col("_h"), col(key))
+        .select(col(ShardCol), col("line"))
+        .write.partitionBy(ShardCol).mode("overwrite").text(path)
+      // Manifest: per-shard row count + order-insensitive content digest.
+      val manifest = lines
+        .groupBy(col(ShardCol))
+        .agg(count(lit(1)).as("rows"), contentHash(col("line")))
+        .orderBy(ShardCol)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      writeManifest(spark, path, manifest)
+      manifest
+    } finally lines.unpersist()
   }
 
   /** Order-insensitive content digest: Σ (xxhash64(line) mod P) mod P,
