@@ -49,9 +49,15 @@ object TrainingExport {
       .withColumn("line", to_json(struct(docs.columns.map(col): _*)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // The sort LEADS with the partition column: FileFormatWriter
+      // requires partition-column ordering and would otherwise insert a
+      // second sort on shard whose spill-merge does not preserve the
+      // (_h, key) order of equal shard keys — silently breaking the
+      // byte-identical-re-export guarantee under memory pressure. One
+      // sort, order guaranteed by construction.
       lines
         .repartition(numShards, col(ShardCol))
-        .sortWithinPartitions(col("_h"), col(key))
+        .sortWithinPartitions(col(ShardCol), col("_h"), col(key))
         .select(col(ShardCol), col("line"))
         .write.partitionBy(ShardCol).mode("overwrite").text(path)
       // Manifest: per-shard row count + order-insensitive content digest.

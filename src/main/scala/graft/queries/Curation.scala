@@ -150,24 +150,33 @@ object Curation {
     // per-source window; the corpus never shuffles more than once.
     "q69_domain_mix" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // weights is one row per source but feeds two consumers (the
+      // totalW scalar and the quota join) — localCheckpoint computes the
+      // corpus agg once instead of re-scanning per consumer.
       val weights = docs.groupBy(col("source"))
         .agg(count(lit(1)).as("cnt"))
         .withColumn("w", floor(sqrt(col("cnt"))).cast("long"))
-      // control-plane scalar (one tiny agg); integer div — a double
-      // quotient's floor can flip at an ulp boundary, `div` cannot
+        .localCheckpoint()
+      // control-plane scalar; integer div — a double quotient's floor
+      // can flip at an ulp boundary, `div` cannot
       val totalW = weights.agg(sum(col("w"))).head.getLong(0)
       val quotas = weights
         .withColumn("quota", expr(s"(w * $MixBudget) div $totalW"))
         .select("source", "cnt", "quota")
       val w = Window.partitionBy(col("source"))
         .orderBy(xxhash64(col("doc_id")).asc, col("doc_id").asc)
-      docs.withColumn("rn", row_number().over(w))
-        .join(broadcast(quotas), "source")
+      val sampled = docs.withColumn("rn", row_number().over(w))
+        .join(broadcast(quotas.select("source", "quota")), "source")
         .filter(col("rn") <= col("quota"))
         .groupBy(col("source"))
-        .agg(count(lit(1)).as("sampled"),
-             max(col("cnt")).as("pool"),
-             max(col("quota")).as("quota"))
+        .agg(count(lit(1)).as("sampled"))
+      // Build the report FROM quotas so a zero-quota source still
+      // appears with sampled=0 (the oracle emits every source; deriving
+      // the output from the filtered rows would silently drop it).
+      quotas.join(sampled, Seq("source"), "left")
+        .select(col("source"),
+                coalesce(col("sampled"), lit(0L)).as("sampled"),
+                col("cnt").as("pool"), col("quota"))
         .orderBy("source")
     }),
 

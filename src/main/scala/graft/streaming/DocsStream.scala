@@ -31,8 +31,12 @@ object DocsStream {
     * Stateless and narrow — usable under any output mode. */
   def curate(docs: DataFrame): DataFrame = {
     val toked = docs
-      // digest BEFORE scrubbing: identity is the raw content
-      .withColumn("digest", md5(col("text")))
+      // digest BEFORE scrubbing: identity is the raw content; reuse an
+      // existing digest column (pipeline() already computed it for the
+      // dedup) rather than hashing every surviving row a second time
+      .withColumn("digest",
+        if (docs.columns.contains("digest")) col("digest")
+        else md5(col("text")))
       // tokens materialize once in their own projection (HOF re-eval
       // pitfall: lambda consumers re-evaluate inline array exprs)
       .withColumn("toks", TA.wsTokens(lower(col("text"))))
@@ -60,9 +64,10 @@ object DocsStream {
     * `ts` column. Dedup runs FIRST so duplicate payloads don't pay the
     * curation cost. */
   def pipeline(docs: DataFrame, horizon: String = "2 hours"): DataFrame =
+    // digest is kept through the dedup so curate() reuses it instead of
+    // re-hashing every surviving row
     curate(
       EventsStream.dedupWithinHorizon(
         docs.withColumn("digest", md5(col("text"))), Seq("digest"),
-        tsCol = "ts", horizon = horizon)
-        .drop("digest"))
+        tsCol = "ts", horizon = horizon))
 }

@@ -36,18 +36,22 @@ def main(sf_dir, out_dir):
     ok = fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            duck = con.execute(sql)
-            dcols = [d[0] for d in duck.description]
             # Flag type promotions the driver's pandas fetch renders
             # differently than Spark (DuckDB SUM(BIGINT) -> HUGEINT, which
             # pandas turns into float64 "5000000.0"). fetchall() hides
-            # this (HUGEINT -> Python int), so check the declared types.
-            hug = [d[0] for d in duck.description if "HUGEINT" in str(d[1])]
+            # this (HUGEINT -> Python int), and cursor.description only
+            # reports the generic 'NUMBER' typecode — the relation API's
+            # .types is the probe that actually resolves HUGEINT.
+            rel = con.sql(sql)
+            hug = [c for c, t in zip(rel.columns, rel.types)
+                   if "HUGEINT" in str(t)]
             if hug:
                 print(f"FAIL {name}: HUGEINT cols {hug} — cast to BIGINT "
                       f"in the oracle SQL (driver pandas fetch -> float)")
                 fail += 1
                 continue
+            duck = con.execute(sql)
+            dcols = [d[0] for d in duck.description]
             drows = duck.fetchall()
             spark = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
