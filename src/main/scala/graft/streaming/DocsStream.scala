@@ -70,4 +70,15 @@ object DocsStream {
       EventsStream.dedupWithinHorizon(
         docs.withColumn("digest", md5(col("text"))), Seq("digest"),
         tsCol = "ts", horizon = horizon))
+
+  /** Sink side of the streaming pipeline: upsert each curated micro-batch
+    * into a parquet snapshot keyed on the content digest. The watermark
+    * dedup bounds state WITHIN the horizon; the keyed sink makes
+    * re-observations BEYOND it (and re-delivered batches after a crash)
+    * idempotent — together: exactly-once curated output from at-least-
+    * once input. Same crash-safe swap as the CVE merge sink. */
+  def curatedSink(curated: org.apache.spark.sql.DataFrame, snapshotPath: String,
+                  checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    EventsStream.mergeSink(curated.withColumn("id", col("digest")),
+                           snapshotPath, "id", checkpoint)
 }

@@ -174,6 +174,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curated sink: file backlog drains to a deduped snapshot; re-delivery converges") {
+    import graft.streaming.DocsStream
+    val work = java.nio.file.Files.createTempDirectory("docstream").toString
+    val src = s"$work/in"; val snap = s"$work/curated"; val ckpt = s"$work/ckpt"
+    val good = "the quick brown fox jumps over the lazy dog again and again"
+    val b1 = Seq(
+      (ts("2024-01-01T10:00:00Z"), 1L, good, "en", "s"),
+      (ts("2024-01-01T10:01:00Z"), 2L, good, "en", "s"), // in-horizon dup
+      (ts("2024-01-01T10:02:00Z"), 3L, "too short", "en", "s"))
+      .toDF("ts", "doc_id", "text", "lang", "source")
+    b1.write.parquet(s"$src/b1")
+    val schema = spark.read.parquet(s"$src/b1").schema
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(s"$src/*")
+      val q = EventsStream.runAvailableNow(
+        DocsStream.curatedSink(DocsStream.pipeline(stream), snap, ckpt))
+      q.awaitTermination()
+    }
+    run()
+    val after1 = spark.read.parquet(snap)
+    assert(after1.count() == 1) // dup collapsed, short doc gated
+    // a later file re-delivers the same payload (beyond any horizon) plus
+    // one new doc — the keyed sink keeps the snapshot at one row per
+    // distinct content
+    Seq((ts("2024-01-03T09:00:00Z"), 7L, good, "en", "s"),
+        (ts("2024-01-03T09:01:00Z"), 8L, good + " brand new tail", "en", "s"))
+      .toDF("ts", "doc_id", "text", "lang", "source")
+      .write.parquet(s"$src/b2")
+    run()
+    val after2 = spark.read.parquet(snap)
+    assert(after2.count() == 2, s"got ${after2.count()}")
+  }
+
   test("streaming curation: dedups by content, gates quality, scrubs PII") {
     import graft.streaming.DocsStream
     implicit val sc = spark.sqlContext
