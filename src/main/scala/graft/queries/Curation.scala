@@ -40,6 +40,8 @@ object Curation {
   val RareMax = 2L
   /** Total sampled-doc budget for temperature-weighted mixing (q69). */
   val MixBudget = 300L
+  /** Fixed-point scale for bigram probability ratios (q72). */
+  val BigramScale = 1000000000L
 
   val queries: Map[String, Q] = Map(
     // Decontamination. Benchmark = every 20th doc (stands in for an eval
@@ -260,6 +262,45 @@ object Curation {
       }.orderBy("doc_id")
     }),
 
+    // Bigram conditional-probability LM scoring — one step up from q66's
+    // unigram frequencies: score = mean over a doc's bigrams of
+    // P(w2|w1) = corpus_count(w1 w2) / corpus_count(w1 as bigram head).
+    // The ratios stay in INTEGER space (scaled floor division by 1e9) —
+    // double→decimal casts are NOT cross-engine stable (Spark rounds the
+    // shortest string repr, DuckDB the binary expansion; they disagree at
+    // the 17th digit), but integer div is. One exact-int IEEE division at
+    // the end is correctly rounded and deterministic. Shape: bigram
+    // counts shuffle on (w1,w2); head counts are vocab-sized and
+    // AQE-broadcast; the per-doc fold is one hash agg.
+    "q72_bigram_quality" -> ((s, dir) => {
+      val toked = t(s, dir, "documents")
+        .select(col("doc_id"), TA.wordTokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")))
+      val bg = toked
+        .select(col("doc_id"),
+          explode(when(col("n") >= 2,
+            transform(sequence(lit(1), col("n") - 1), i =>
+              struct(element_at(col("toks"), i).as("w1"),
+                     element_at(col("toks"), i + 1).as("w2"))))
+            .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      Dedup.withPersisted(bg) { bgp =>
+        val cBg = bgp.groupBy("w1", "w2").agg(count(lit(1)).as("c_bg"))
+        val cHead = bgp.groupBy("w1").agg(count(lit(1)).as("c_head"))
+        bgp.join(cBg, Seq("w1", "w2")).join(cHead, Seq("w1"))
+          // scaled integer ratio; sums stay < 2^53 up to ~9M bigrams —
+          // beyond that, sum in DECIMAL(38,0) instead
+          .withColumn("p9", expr(s"(c_bg * $BigramScale) div c_head"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+               sum(col("p9")).as("p9_sum"))
+          .withColumn("mean_p",
+            col("p9_sum").cast("double") /
+              (col("n_bigrams") * BigramScale).cast("double"))
+          .drop("p9_sum")
+      }.orderBy("doc_id")
+    }),
+
     // PII scrub / redaction: count and mask emails, URLs and phone
     // numbers. The synthetic corpus has no PII, so the query first
     // appends a deterministic contact line derived from doc_id (same
@@ -430,6 +471,25 @@ object Curation {
                    / CAST(COUNT(*) AS DOUBLE) AS rare_ratio
           FROM tk JOIN vocab USING (tok)
           GROUP BY doc_id ORDER BY doc_id""",
+
+    "q72_bigram_quality" ->
+      s"""WITH toked AS (
+           SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+                  len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n
+           FROM documents),
+         bg AS (
+           SELECT doc_id, UNNEST(CASE WHEN n >= 2
+                    THEN list_transform(range(1, n), i ->
+                           {'w1': toks[i], 'w2': toks[i+1]})
+                    ELSE [] END, recursive := true)
+           FROM toked),
+         c_bg AS (SELECT w1, w2, COUNT(*) AS c_bg FROM bg GROUP BY 1, 2),
+         c_head AS (SELECT w1, COUNT(*) AS c_head FROM bg GROUP BY 1)
+         SELECT doc_id, COUNT(*) AS n_bigrams,
+                CAST(CAST(SUM((c_bg * $BigramScale) // c_head) AS BIGINT) AS DOUBLE)
+                  / CAST(COUNT(*) * $BigramScale AS DOUBLE) AS mean_p
+         FROM bg JOIN c_bg USING (w1, w2) JOIN c_head USING (w1)
+         GROUP BY doc_id ORDER BY doc_id""",
 
     "q64_pii_scrub" -> {
       val masked = s"regexp_replace(regexp_replace(regexp_replace(pii_text, " +

@@ -103,6 +103,17 @@ class CurationSpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("q72: bigram scores in (0,1]; bigram totals conserved") {
+    import spark.implicits._
+    val out = Curation.queries("q72_bigram_quality")(spark, dir)
+    assert(out.filter($"mean_p" <= 0.0 || $"mean_p" > 1.0).isEmpty)
+    val total = Tables.load(spark, dir, "documents")
+      .select(greatest(size(graft.operators.TextAnalysis.wordTokens($"text")) - 1,
+                       lit(0)).cast("long").as("n"))
+      .agg(sum($"n")).head().getLong(0)
+    assert(out.agg(sum($"n_bigrams")).head().getLong(0) == total)
+  }
+
   test("pii scrub: masks emails, urls, phones; leaves clean text alone") {
     import spark.implicits._
     val TA = graft.operators.TextAnalysis
