@@ -287,10 +287,15 @@ object Curation {
       Dedup.withPersisted(bg) { bgp =>
         val cBg = bgp.groupBy("w1", "w2").agg(count(lit(1)).as("c_bg"))
         val cHead = bgp.groupBy("w1").agg(count(lit(1)).as("c_head"))
-        bgp.join(cBg, Seq("w1", "w2")).join(cHead, Seq("w1"))
+        // join the (small) aggregates first so the scaled ratio computes
+        // once per DISTINCT bigram; the occurrence relation then takes
+        // one join instead of two
+        val probs = cBg.join(cHead, Seq("w1"))
           // scaled integer ratio; sums stay < 2^53 up to ~9M bigrams —
           // beyond that, sum in DECIMAL(38,0) instead
           .withColumn("p9", expr(s"(c_bg * $BigramScale) div c_head"))
+          .select("w1", "w2", "p9")
+        bgp.join(probs, Seq("w1", "w2"))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_bigrams"),
                sum(col("p9")).as("p9_sum"))

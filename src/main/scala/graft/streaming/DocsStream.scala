@@ -79,6 +79,5 @@ object DocsStream {
     * once input. Same crash-safe swap as the CVE merge sink. */
   def curatedSink(curated: org.apache.spark.sql.DataFrame, snapshotPath: String,
                   checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    EventsStream.mergeSink(curated.withColumn("id", col("digest")),
-                           snapshotPath, "id", checkpoint)
+    EventsStream.mergeSink(curated, snapshotPath, "digest", checkpoint)
 }

@@ -195,16 +195,36 @@ class StreamingSpec extends SparkSpec {
     run()
     val after1 = spark.read.parquet(snap)
     assert(after1.count() == 1) // dup collapsed, short doc gated
-    // a later file re-delivers the same payload (beyond any horizon) plus
-    // one new doc — the keyed sink keeps the snapshot at one row per
-    // distinct content
-    Seq((ts("2024-01-03T09:00:00Z"), 7L, good, "en", "s"),
-        (ts("2024-01-03T09:01:00Z"), 8L, good + " brand new tail", "en", "s"))
+    val created1 = after1.select("created_at").head().getTimestamp(0)
+
+    // advance the event-time watermark past the digest state's expiry
+    // (10:00 + 2h horizon) so the Jan-1 digest is EVICTED from dedup
+    // state — without this tick, a later re-delivery is dropped upstream
+    // and the keyed sink's idempotency is never actually exercised
+    Seq((ts("2024-01-02T12:00:00Z"), 5L,
+         "an unrelated watermark advancing document with plenty of tokens",
+         "en", "s"))
       .toDF("ts", "doc_id", "text", "lang", "source")
       .write.parquet(s"$src/b2")
     run()
-    val after2 = spark.read.parquet(snap)
-    assert(after2.count() == 2, s"got ${after2.count()}")
+    assert(spark.read.parquet(snap).count() == 2)
+
+    // re-deliver the same payload beyond the horizon plus one new doc:
+    // dedup state no longer holds the digest, so the duplicate REACHES
+    // the sink and must converge via the keyed upsert, not append
+    Seq((ts("2024-01-03T09:00:00Z"), 7L, good, "en", "s"),
+        (ts("2024-01-03T09:01:00Z"), 8L, good + " brand new tail", "en", "s"))
+      .toDF("ts", "doc_id", "text", "lang", "source")
+      .write.parquet(s"$src/b3")
+    run()
+    val after3 = spark.read.parquet(snap)
+    assert(after3.count() == 3, s"got ${after3.count()}")
+    val goodRow = after3.filter($"doc_id".isin(1L, 7L))
+    assert(goodRow.count() == 1) // one row per distinct content
+    // the upsert actually hit the row: created_at preserved, updated_at new
+    val r = goodRow.select("created_at", "updated_at").head()
+    assert(r.getTimestamp(0) == created1)
+    assert(r.getTimestamp(1).after(r.getTimestamp(0)))
   }
 
   test("streaming curation: dedups by content, gates quality, scrubs PII") {
