@@ -252,11 +252,53 @@ object Dedup {
 
   /** Connected components over near-dup pairs → cluster id = min doc_id
     * reachable (the "which copy do we keep" step after pair finding).
-    * Iterative min-label propagation with lineage truncation per round
-    * (localCheckpoint) — the standard Spark shape for iterative graph
-    * algorithms; rounds = graph diameter, and near-dup components are
-    * tiny/star-shaped so this converges in 2-3 rounds at any scale. */
-  def clusters(pairs: DataFrame): DataFrame = {
+    *
+    * Size-adaptive, like a broadcast threshold: the verified near-dup
+    * edge set is orders of magnitude smaller than the corpus, and when
+    * it fits comfortably on the driver (≤ `driverEdgeThreshold` edges,
+    * probed with a bounded limit+collect — never a full count of an
+    * over-threshold set) a path-compressed union-find computes the
+    * components in one pass with zero extra Spark jobs. Beyond the
+    * threshold it falls back to iterative min-label propagation with
+    * lineage truncation per round (localCheckpoint) — the standard Spark
+    * shape for iterative graph algorithms; rounds = graph diameter, and
+    * near-dup components are tiny/star-shaped so this converges in 2-3
+    * rounds at any scale. ClustersSpec proves the two paths identical. */
+  def clusters(pairs: DataFrame, driverEdgeThreshold: Int = 1000000): DataFrame = {
+    if (driverEdgeThreshold > 0) {
+      val probe = pairs
+        .select(col("a_id").cast("long"), col("b_id").cast("long"))
+        .limit(driverEdgeThreshold + 1).collect()
+      if (probe.length <= driverEdgeThreshold)
+        return driverClusters(pairs.sparkSession, probe)
+    }
+    distributedClusters(pairs)
+  }
+
+  /** Driver-side union-find: roots are always the component minimum
+    * (larger root re-parented under smaller), so labels match the
+    * distributed propagation exactly. */
+  private def driverClusters(spark: org.apache.spark.sql.SparkSession,
+                             edges: Array[org.apache.spark.sql.Row]): DataFrame = {
+    import spark.implicits._
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { e =>
+      val (a, b) = (e.getLong(0), e.getLong(1))
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    parent.keys.toSeq.map(id => (id, find(id))).toDF("doc_id", "cluster_id")
+  }
+
+  private def distributedClusters(pairs: DataFrame): DataFrame = {
     val fwd = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
