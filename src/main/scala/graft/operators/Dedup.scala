@@ -116,6 +116,42 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Containment pairs: |A∩B| / min(|A|,|B|) ≥ threshold — catches
+    * partial duplication (one doc quoting most of a smaller one) that
+    * symmetric Jaccard misses when sizes differ (containment ≥ jaccard
+    * always). Same skeleton and skew guard as [[jaccardPairsFrom]]; the
+    * df cap is inert below `maxShingleDf` docs-per-shingle, which is why
+    * the uncapped oracle matches at test scale while the guard still
+    * protects the 100 TB run. */
+  def containmentPairsFrom(sh0: DataFrame, threshold: Double,
+                           maxShingleDf: Long = DefaultMaxShingleDf): DataFrame = {
+    val sh =
+      if (maxShingleDf <= 0) sh0
+      else {
+        val df = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxShingleDf).select("shingle")
+        sh0.join(df, "shingle")
+      }
+    val shN = sh.withColumn("n",
+      count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    shN.as("a")
+      .join(shN.as("b"), col("a.shingle") === col("b.shingle") &&
+                         col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+               col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("i"))
+      .select(col("a_id"), col("b_id"),
+        (col("i").cast("double") /
+         least(col("na"), col("nb")).cast("double")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
+  /** Containment pairs, self-managed persist lifecycle. */
+  def containmentPairs(shingleSets: DataFrame, threshold: Double,
+                       maxShingleDf: Long = DefaultMaxShingleDf): DataFrame =
+    withPersisted(explodedShingles(shingleSets))(
+      containmentPairsFrom(_, threshold, maxShingleDf))
+
   /** Exact Jaccard pairs, self-managed: persists the exploded shingles for
     * the duration of the (eagerly materialized) computation, then releases
     * them. The result is small (pairs ≥ threshold) and lineage-truncated. */

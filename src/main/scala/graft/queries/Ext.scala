@@ -17,6 +17,7 @@ object Ext {
   private def t(s: SparkSession, dir: String, name: String) = Tables.load(s, dir, name)
 
   private val JaccardThreshold = 0.8
+  private val ContainmentThreshold = 0.9
   private val CosineDupThreshold = 0.4
 
   val queries: Map[String, Q] = Map(
@@ -59,6 +60,15 @@ object Ext {
             "o_orderpriority"),
         numeric = Set("o_orderkey", "o_custkey", "o_totalprice"))
         .orderBy("col_name")
+    }),
+
+    // Containment near-dup pairs: |A∩B|/min — partial-duplicate
+    // detection (quoting/subsumption) that symmetric Jaccard misses when
+    // doc sizes differ.
+    "q73_containment" -> ((s, dir) => {
+      Dedup.containmentPairs(Dedup.shingleSets(t(s, dir, "documents")),
+          ContainmentThreshold)
+        .orderBy("a_id", "b_id")
     }),
 
     // Winnowing fingerprint near-dup pairs (MOSS-style): portable
@@ -398,6 +408,19 @@ object Ext {
 
     // LSH must land on the exact answer (verified candidates).
     "q32_dedup_minhash_lsh" -> jaccardSql,
+
+    "q73_containment" ->
+      s"""WITH $shingleCte,
+          inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+                    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+          SELECT a_id, b_id,
+                 CAST(i AS DOUBLE) / CAST(LEAST(sa.n, sb.n) AS DOUBLE) AS containment
+          FROM inter JOIN sizes sa ON a_id = sa.doc_id
+                     JOIN sizes sb ON b_id = sb.doc_id
+          WHERE CAST(i AS DOUBLE) / CAST(LEAST(sa.n, sb.n) AS DOUBLE)
+                >= $ContainmentThreshold
+          ORDER BY a_id, b_id""",
 
     "q70_profile" -> {
       def row(c: String, numeric: Boolean) = {

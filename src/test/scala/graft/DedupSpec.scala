@@ -108,6 +108,18 @@ class DedupSpec extends SparkSpec {
       .head().getInt(0) == 0)
   }
 
+  test("containment catches a small doc quoted inside a big one; jaccard misses it") {
+    import spark.implicits._
+    val small = "alpha beta gamma delta epsilon zeta eta theta"
+    val filler = (1 to 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, small), (2L, s"$filler $small")).toDF("doc_id", "text")
+    val sets = Dedup.shingleSets(docs)
+    val cont = Dedup.containmentPairs(sets, 0.9).collect()
+    assert(cont.length == 1 && cont.head.getDouble(2) == 1.0)
+    val jac = Dedup.jaccardPairs(sets, 0.8).collect()
+    assert(jac.isEmpty) // |A|=6 shingles inside |B|=66+ → jaccard ≈ 0.09
+  }
+
   test("winnowing: shared runs ≥ window+gram-1 tokens share a fingerprint") {
     import spark.implicits._
     val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
