@@ -91,4 +91,33 @@ object Multimodal {
       .withColumn("frame_ms",
         explode(sequence(lit(0L), col("meta.duration_ms") - 1, lit(everyMs))))
       .select(col("media_id"), col("frame_ms"))
+
+  /** Batched model-inference shape over decoded features: rows stream
+    * through `grouped(batchSize)` so a real model gets ONE forward call
+    * per batch (the amortization that makes GPU/accelerator inference
+    * viable at 100 TB), while per-row results stay independent of batch
+    * boundaries — MultimodalSpec asserts batchSize/partitioning
+    * invariance. The "model" is a deterministic stub (weighted feature
+    * sum); swapping in a real one changes only the scoreBatch body and
+    * keeps the open-once-per-partition, batch-iterator shape. */
+  def batchScoreStub(decoded: DataFrame, batchSize: Int = 64): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive: $batchSize")
+    val spark = decoded.sparkSession
+    import spark.implicits._
+    def scoreBatch(batch: Seq[(Long, Array[Float])]): Seq[(Long, Float)] =
+      // real impl: one model.forward(batch) here
+      batch.map { case (id, f) =>
+        var s = 0.0f
+        var i = 0
+        while (i < f.length) { s += f(i) * (i + 1); i += 1 }
+        (id, s)
+      }
+    decoded.select(col("media_id"), col("feature"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        // A real implementation loads the model ONCE here per partition.
+        rows.grouped(batchSize).flatMap(scoreBatch)
+      }
+      .toDF("media_id", "score")
+  }
 }

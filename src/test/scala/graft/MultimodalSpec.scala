@@ -60,4 +60,15 @@ class MultimodalSpec extends SparkSpec {
     val idx = frames.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
     assert(idx.toSeq == Seq((3L, 0L), (3L, 1000L), (3L, 2000L)))
   }
+
+  test("batched scoring: results independent of batch size and partitioning") {
+    val decoded = Multimodal.decodeStub(media)
+    def scores(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getFloat(1)).toMap
+    val one = scores(Multimodal.batchScoreStub(decoded, batchSize = 1))
+    val big = scores(Multimodal.batchScoreStub(decoded, batchSize = 64))
+    val rep = scores(Multimodal.batchScoreStub(decoded.repartition(7), batchSize = 2))
+    assert(one == big && one == rep)
+    assert(one.nonEmpty && one.values.forall(s => !s.isNaN))
+  }
 }
