@@ -361,17 +361,38 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Portable ~61-bit token hash: two char-polynomial folds (distinct
+    * base/modulus) packed as h1·2³¹ + h2 — SQL-expressible on the oracle
+    * side, unlike xxhash64. Weaker mixing than xxhash64, so it's the
+    * ORACLE-PARITY hash (q74); production SimHash keeps xxhash64. */
+  def portableTokenHash(tok: Column): Column = {
+    def fold(b: Long, p: Long): Column =
+      aggregate(
+        transform(slice(split(tok, ""), lit(1), length(tok)),
+                  c => ascii(c).cast("long")),
+        lit(0L), (a, c) => (a * b + c) % p)
+    fold(131L, 1000000007L) * lit(1L << 31) + fold(137L, 998244353L)
+  }
+
   /** 64-bit SimHash per document from unigram token hashes weighted by
-    * term frequency. Two shuffles (token count, doc reassembly). */
+    * term frequency. Two shuffles (token count, doc reassembly).
+    * `tokHash` defaults to xxhash64 (the scale path); pass
+    * [[portableTokenHash]] for the oracle-mirrored variant. */
   def simhash(docs: DataFrame, idCol: String = "doc_id",
-              textCol: String = "text"): DataFrame = {
+              textCol: String = "text",
+              tokHash: Column => Column = xxhash64(_)): DataFrame = {
     val tf = docs
       .select(col(idCol).as("doc_id"),
               explode(TextAnalysis.wordTokens(col(textCol))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("w"))
-    val h = xxhash64(col("tok"))
+      // h materializes once per (doc, tok) in the agg's result projection
+      // — the 64 bit-sum expressions below must reference the ATTRIBUTE,
+      // not the hash expression: HOFs are CodegenFallback (interpreted),
+      // and an inlined hash would be re-evaluated 64× per row (the
+      // portable fold would make that ~100× slower end-to-end)
+      .select(col("doc_id"), col("w"), tokHash(col("tok")).as("h"))
     val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, col("w"))
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, col("w"))
             .otherwise(-col("w"))).as(s"b$j")
     }
     val sums = tf.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)

@@ -62,6 +62,18 @@ object Ext {
         .orderBy("col_name")
     }),
 
+    // SimHash with the PORTABLE token hash — oracle-verifies the entire
+    // SimHash pipeline (tf weighting, bit sums, sign assembly, 16-bit
+    // banding, popcount Hamming) that q33's xxhash64 variant can't.
+    // Production stays on xxhash64 (q33); this is the parity twin.
+    "q74_simhash_portable" -> ((s, dir) => {
+      Dedup.simhashDupPairs(
+        Dedup.simhash(t(s, dir, "documents"),
+                      tokHash = Dedup.portableTokenHash),
+        maxHamming = 3)
+        .orderBy("a_id", "b_id")
+    }),
+
     // Containment near-dup pairs: |A∩B|/min — partial-duplicate
     // detection (quoting/subsumption) that symmetric Jaccard misses when
     // doc sizes differ.
@@ -408,6 +420,44 @@ object Ext {
 
     // LSH must land on the exact answer (verified candidates).
     "q32_dedup_minhash_lsh" -> jaccardSql,
+
+    "q74_simhash_portable" -> {
+      def fold(b: Long, p: Long) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
+            (a, c) -> (a * $b + c) % $p)"""
+      // bits 61-63 of the packed portable hash are structurally 0 (h1 <
+      // 2^30 so h1·2^31 + h2 < 2^61), so the oracle sums bits 0..60; the
+      // Spark side's bit-61..63 sums are always negative and set nothing.
+      val bitSums = (0 until 61).map(j =>
+        s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN w ELSE -w END) AS b$j").mkString(",\n")
+      val sigExpr = (0 until 61).map(j =>
+        s"CASE WHEN b$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+        .mkString(" + ")
+      s"""WITH tf AS (
+            SELECT doc_id, tok, COUNT(*) AS w
+            FROM (SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+                  FROM documents)
+            GROUP BY doc_id, tok),
+          th AS (
+            SELECT doc_id, w,
+                   ${fold(131L, 1000000007L)} * CAST(${1L << 31} AS BIGINT)
+                     + ${fold(137L, 998244353L)} AS h
+            FROM tf),
+          bits AS (SELECT doc_id, $bitSums FROM th GROUP BY doc_id),
+          sig AS (SELECT doc_id, $sigExpr AS simhash FROM bits),
+          banded AS (
+            SELECT doc_id, simhash, band,
+                   (simhash >> (band * 16)) & 65535 AS bval
+            FROM sig, (SELECT UNNEST(range(0, 4)) AS band) b),
+          cand AS (
+            SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+                   CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+            FROM banded x JOIN banded y
+              ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id)
+          SELECT a_id, b_id, hamming FROM cand
+          WHERE hamming <= 3 ORDER BY a_id, b_id"""
+    },
 
     "q73_containment" ->
       s"""WITH $shingleCte,
