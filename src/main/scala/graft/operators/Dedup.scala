@@ -92,39 +92,11 @@ object Dedup {
     * stop-shingle from making the self-join quadratic on one key. ON by
     * default ([[DefaultMaxShingleDf]]); pass 0 to disable explicitly
     * (ground-truth/oracle-parity runs only — never at scale). */
-  def jaccardPairsFrom(sh0: DataFrame, threshold: Double,
-                       maxShingleDf: Long = DefaultMaxShingleDf): DataFrame = {
-    val sh =
-      if (maxShingleDf <= 0) sh0
-      else {
-        val df = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxShingleDf).select("shingle")
-        sh0.join(df, "shingle")
-      }
-    val shN = sh.withColumn("n",
-      count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-    val inter = shN.as("a")
-      .join(shN.as("b"), col("a.shingle") === col("b.shingle") &&
-                         col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-               col("a.n").as("na"), col("b.n").as("nb"))
-      .agg(count(lit(1)).as("i"))
-    inter
-      .select(col("a_id"), col("b_id"),
-        (col("i").cast("double") /
-         (col("na") + col("nb") - col("i")).cast("double")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-  }
-
-  /** Containment pairs: |A∩B| / min(|A|,|B|) ≥ threshold — catches
-    * partial duplication (one doc quoting most of a smaller one) that
-    * symmetric Jaccard misses when sizes differ (containment ≥ jaccard
-    * always). Same skeleton and skew guard as [[jaccardPairsFrom]]; the
-    * df cap is inert below `maxShingleDf` docs-per-shingle, which is why
-    * the uncapped oracle matches at test scale while the guard still
-    * protects the 100 TB run. */
-  def containmentPairsFrom(sh0: DataFrame, threshold: Double,
-                           maxShingleDf: Long = DefaultMaxShingleDf): DataFrame = {
+  /** Shared pair-statistics skeleton for the exact set-overlap measures:
+    * df-cap skew guard → per-doc set sizes (window count riding on the
+    * exploded rows) → shingle equi-self-join → (a_id, b_id, na, nb, i).
+    * Jaccard and containment differ only in the ratio applied on top. */
+  private def pairStatsFrom(sh0: DataFrame, maxShingleDf: Long): DataFrame = {
     val sh =
       if (maxShingleDf <= 0) sh0
       else {
@@ -140,11 +112,29 @@ object Dedup {
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
                col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("i"))
+  }
+
+  def jaccardPairsFrom(sh0: DataFrame, threshold: Double,
+                       maxShingleDf: Long = DefaultMaxShingleDf): DataFrame =
+    pairStatsFrom(sh0, maxShingleDf)
+      .select(col("a_id"), col("b_id"),
+        (col("i").cast("double") /
+         (col("na") + col("nb") - col("i")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
+  /** Containment pairs: |A∩B| / min(|A|,|B|) ≥ threshold — catches
+    * partial duplication (one doc quoting most of a smaller one) that
+    * symmetric Jaccard misses when sizes differ (containment ≥ jaccard
+    * always). Same skeleton and skew guard as [[jaccardPairsFrom]];
+    * like there, pass maxShingleDf = 0 only for ground-truth/
+    * oracle-parity runs — never at scale. */
+  def containmentPairsFrom(sh0: DataFrame, threshold: Double,
+                           maxShingleDf: Long = DefaultMaxShingleDf): DataFrame =
+    pairStatsFrom(sh0, maxShingleDf)
       .select(col("a_id"), col("b_id"),
         (col("i").cast("double") /
          least(col("na"), col("nb")).cast("double")).as("containment"))
       .filter(col("containment") >= threshold)
-  }
 
   /** Containment pairs, self-managed persist lifecycle. */
   def containmentPairs(shingleSets: DataFrame, threshold: Double,
@@ -301,14 +291,30 @@ object Dedup {
     * near-dup components are tiny/star-shaped so this converges in 2-3
     * rounds at any scale. ClustersSpec proves the two paths identical. */
   def clusters(pairs: DataFrame, driverEdgeThreshold: Int = 1000000): DataFrame = {
-    if (driverEdgeThreshold > 0) {
-      val probe = pairs
-        .select(col("a_id").cast("long"), col("b_id").cast("long"))
-        .limit(driverEdgeThreshold + 1).collect()
-      if (probe.length <= driverEdgeThreshold)
-        return driverClusters(pairs.sparkSession, probe)
-    }
-    distributedClusters(pairs)
+    // Fast path only for LongType ids: the union-find works on longs, and
+    // taking it for other id types would change the output schema (or
+    // throw on a cast under ANSI) — those keep the original
+    // any-orderable-type contract of the distributed loop.
+    val longIds = pairs.schema("a_id").dataType == org.apache.spark.sql.types.LongType &&
+      pairs.schema("b_id").dataType == org.apache.spark.sql.types.LongType
+    if (driverEdgeThreshold > 0 && longIds) {
+      // Persist across probe + (possible) fallback: the limit+collect
+      // would otherwise execute the full pairs pipeline once for the
+      // probe and AGAIN in distributedClusters (reuse pitfall) exactly
+      // when the edge set is big.
+      val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val probe = p.select(col("a_id"), col("b_id"))
+          .limit(driverEdgeThreshold + 1).collect()
+        if (probe.length <= driverEdgeThreshold)
+          driverClusters(p.sparkSession, probe)
+        else
+          // safe to unpersist after: the loop persists its own edges
+          // relation (materialized while p is cached) and every round's
+          // labels are localCheckpoint'ed
+          distributedClusters(p)
+      } finally p.unpersist()
+    } else distributedClusters(pairs)
   }
 
   /** Driver-side union-find: roots are always the component minimum

@@ -78,8 +78,11 @@ object Ext {
     // detection (quoting/subsumption) that symmetric Jaccard misses when
     // doc sizes differ.
     "q73_containment" -> ((s, dir) => {
+      // maxShingleDf = 0: oracle-parity ground truth, like q31 — the
+      // oracle is uncapped, and a capped Spark side would silently
+      // diverge at whatever SF first produces an over-cap shingle.
       Dedup.containmentPairs(Dedup.shingleSets(t(s, dir, "documents")),
-          ContainmentThreshold)
+          ContainmentThreshold, maxShingleDf = 0L)
         .orderBy("a_id", "b_id")
     }),
 

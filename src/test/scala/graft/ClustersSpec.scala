@@ -26,12 +26,23 @@ class ClustersSpec extends SparkSpec {
   }
 
   test("threshold boundary: over-threshold edge sets take the distributed path") {
-    val edges = (1L to 50L).map(i => (i, i + 1)).toDF("a_id", "b_id")
-    // threshold smaller than the edge count → distributed; results equal
+    // short chain: exercises the fallback branch without paying ~50
+    // propagation rounds of a long chain
+    val edges = (1L to 12L).map(i => (i, i + 1)).toDF("a_id", "b_id")
     val fast = labelsOf(Dedup.clusters(edges))
-    val forced = labelsOf(Dedup.clusters(edges, driverEdgeThreshold = 10))
+    val forced = labelsOf(Dedup.clusters(edges, driverEdgeThreshold = 5))
     assert(fast == forced)
-    assert(forced.values.toSet == Set(1L)) // one 51-node chain component
+    assert(forced.values.toSet == Set(1L)) // one 13-node chain component
+  }
+
+  test("non-long ids keep the distributed path and its schema contract") {
+    import org.apache.spark.sql.functions.col
+    val edges = Seq(("d2", "d1"), ("d2", "d3")).toDF("a_id", "b_id")
+    val out = Dedup.clusters(edges) // must NOT take the long fast path
+    assert(out.schema("cluster_id").dataType ==
+           org.apache.spark.sql.types.StringType)
+    val labels = out.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(labels == Map("d1" -> "d1", "d2" -> "d1", "d3" -> "d1"))
   }
 
   test("random graphs: both paths agree") {
