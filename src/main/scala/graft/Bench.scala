@@ -19,7 +19,12 @@ object Bench {
     // query doesn't pay one-time init costs.
     Tables.load(spark, sfDir, "region").write.format("noop").mode("overwrite").save()
 
-    val (results, failed) = run(spark, sfDir, SparkEntry.queries)
+    // Optional args = query-name prefixes, for iterating on a subset
+    // locally (the driver passes none and benches everything).
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (k, _) => args.exists(k.startsWith) }
+    val (results, failed) = run(spark, sfDir, selected)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")

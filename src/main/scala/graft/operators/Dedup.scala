@@ -304,8 +304,14 @@ object Dedup {
       // when the edge set is big.
       val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
+        // Typed collect: (Long, Long) tuples are @specialized, so the
+        // probe holds 16 bytes/edge + tuple header instead of a
+        // GenericRow of boxed longs (~10×) — the probe is a bounded heap
+        // cost even when the edge set turns out over-threshold and the
+        // array is discarded.
+        import p.sparkSession.implicits._
         val probe = p.select(col("a_id"), col("b_id"))
-          .limit(driverEdgeThreshold + 1).collect()
+          .limit(driverEdgeThreshold + 1).as[(Long, Long)].collect()
         if (probe.length <= driverEdgeThreshold)
           driverClusters(p.sparkSession, probe)
         else
@@ -321,7 +327,7 @@ object Dedup {
     * (larger root re-parented under smaller), so labels match the
     * distributed propagation exactly. */
   private def driverClusters(spark: org.apache.spark.sql.SparkSession,
-                             edges: Array[org.apache.spark.sql.Row]): DataFrame = {
+                             edges: Array[(Long, Long)]): DataFrame = {
     import spark.implicits._
     val parent = scala.collection.mutable.LongMap.empty[Long]
     def find(x: Long): Long = {
@@ -331,8 +337,7 @@ object Dedup {
       while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    edges.foreach { e =>
-      val (a, b) = (e.getLong(0), e.getLong(1))
+    edges.foreach { case (a, b) =>
       parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
       val (ra, rb) = (find(a), find(b))
       if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
@@ -370,13 +375,13 @@ object Dedup {
   /** Portable ~61-bit token hash: two char-polynomial folds (distinct
     * base/modulus) packed as h1·2³¹ + h2 — SQL-expressible on the oracle
     * side, unlike xxhash64. Weaker mixing than xxhash64, so it's the
-    * ORACLE-PARITY hash (q74); production SimHash keeps xxhash64. */
+    * ORACLE-PARITY hash (q74); production SimHash keeps xxhash64.
+    * Computed by the codegen'd [[graft.expressions.PolyHash]] (one JVM
+    * loop per token; the equivalent HOF fold walks an interpreted tree
+    * per CHARACTER and measured ~2× slower end-to-end on q74). */
   def portableTokenHash(tok: Column): Column = {
     def fold(b: Long, p: Long): Column =
-      aggregate(
-        transform(slice(split(tok, ""), lit(1), length(tok)),
-                  c => ascii(c).cast("long")),
-        lit(0L), (a, c) => (a * b + c) % p)
+      call_function("graft_polyhash", tok, lit(b), lit(p))
     fold(131L, 1000000007L) * lit(1L << 31) + fold(137L, 998244353L)
   }
 
@@ -452,13 +457,13 @@ object Dedup {
     val toked = docs.select(col(idCol).as("doc_id"),
       TextAnalysis.wordTokens(col(textCol)).as("toks"))
     // per-token polynomial hash over its chars (tokens are a bound
-    // attribute — HOF re-eval pitfall)
+    // attribute — HOF re-eval pitfall). The per-element expression is
+    // the codegen'd PolyHash: inside a transform lambda everything
+    // evaluates interpreted, so the win is one compiled eval per TOKEN
+    // instead of an interpreted split/slice/lambda tree per CHARACTER.
     val tokh = toked.select(col("doc_id"),
       transform(col("toks"), t =>
-        aggregate(
-          transform(slice(split(t, ""), lit(1), length(t)),
-                    c => ascii(c).cast("long")),
-          lit(0L), (a, c) => (a * WinnowB + c) % WinnowP)).as("tokh"))
+        call_function("graft_polyhash", t, lit(WinnowB), lit(WinnowP))).as("tokh"))
       .withColumn("n", size(col("tokh")))
     // gram hash = base-B combination of WinnowGram consecutive token
     // hashes (values stay < ~2^38, no ANSI overflow)

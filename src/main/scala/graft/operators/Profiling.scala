@@ -24,23 +24,42 @@ object Profiling {
     * (col idx, typed value) pairs dedup map-side into a (idx, value)
     * aggregate, then collapse to per-idx counts — two small shuffles
     * instead of the multi-countDistinct Expand (which multiplies every
-    * row by #distinct-aggs before its shuffle). Values stay TYPED
-    * (numeric vs string struct fields) so NaN/-0.0 normalization matches
-    * what countDistinct/COUNT(DISTINCT) do — a string cast would not. */
+    * row by #distinct-aggs before its shuffle). Values stay TYPED:
+    * integral columns melt into a LONG field (a double cast would
+    * collapse distinct BIGINTs above 2^53 and undercount vs the exact
+    * COUNT(DISTINCT) this routine promises), fractional ones into a
+    * DOUBLE field (preserving the NaN/-0.0 normalization that
+    * countDistinct applies — a string cast would not), and everything
+    * else into a canonical string. */
   private def distinctCounts(df: DataFrame, cols: Seq[String],
-                             numeric: Set[String]): DataFrame =
+                             numeric: Set[String]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val integral = df.schema.fields.collect {
+      case f if Set[DataType](ByteType, ShortType, IntegerType, LongType)(f.dataType) =>
+        f.name
+    }.toSet
+    // Decimals are exact too (finer than double resolution): their string
+    // render is canonical per (precision, scale), so the string field
+    // preserves distinctness; only true IEEE floats take the double path.
+    val fractional = df.schema.fields.collect {
+      case f if f.dataType == FloatType || f.dataType == DoubleType => f.name
+    }.toSet
     df.select(explode(array(cols.zipWithIndex.map { case (c, i) =>
         struct(
           lit(i).as("idx"),
-          (if (numeric(c)) col(c).cast("double") else lit(null).cast("double"))
-            .as("vd"),
-          (if (numeric(c)) lit(null).cast("string") else col(c).cast("string"))
-            .as("vs"))
+          (if (numeric(c) && integral(c)) col(c).cast("long")
+           else lit(null).cast("long")).as("vl"),
+          (if (numeric(c) && fractional(c)) col(c).cast("double")
+           else lit(null).cast("double")).as("vd"),
+          (if (numeric(c) && (integral(c) || fractional(c))) lit(null).cast("string")
+           else col(c).cast("string")).as("vs"))
       }: _*)).as("m"))
-      .select(col("m.idx").as("idx"), col("m.vd").as("vd"), col("m.vs").as("vs"))
-      .filter(col("vd").isNotNull || col("vs").isNotNull)
+      .select(col("m.idx").as("idx"), col("m.vl").as("vl"),
+              col("m.vd").as("vd"), col("m.vs").as("vs"))
+      .filter(col("vl").isNotNull || col("vd").isNotNull || col("vs").isNotNull)
       .distinct() // (idx, value) — partial agg dedups map-side
       .groupBy("idx").agg(count(lit(1)).as("n_distinct"))
+  }
 
   /** Per-column profile: (col_name, n_rows, nonnull, nulls, n_distinct,
     * min_num, max_num, min_str, max_str). `numeric` marks columns whose

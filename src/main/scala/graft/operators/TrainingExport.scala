@@ -86,8 +86,13 @@ object TrainingExport {
     val json = m.map { case (s, r, h) =>
       s"""{"shard":$s,"rows":$r,"content_hash":$h}"""
     }.mkString("[\n", ",\n", "\n]")
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(new Path(path, ManifestFile), true)
+    // Resolve the filesystem OF `path`, not the cluster default FS —
+    // FileSystem.get(conf) would try to write _manifest.json to hdfs://
+    // (or throw "Wrong FS") when exporting to s3a:// etc., while the
+    // shard data (per-path writer) lands correctly.
+    val manifestPath = new Path(path, ManifestFile)
+    val fs = manifestPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(manifestPath, true)
     try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 

@@ -114,9 +114,13 @@ object EventsStream {
     docs.withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark(dedupCols)
 
-  /** EXT: stream-stream interval join — enrich an event stream with the
-    * latest facts from a second stream, matched on key within an
-    * event-time window ([ts - lookback, ts]). Both sides carry
+  /** EXT: stream-stream interval join — pair each event with ALL facts
+    * from a second stream that share its key and fall inside the
+    * event-time window [ts - lookback, ts]. Fan-out is one output row
+    * per matching fact; with the default inner join, events with no
+    * matching fact are dropped (pass `joinType = "leftOuter"` to emit
+    * them once with null fact columns — Spark emits the null row when
+    * the watermark closes the event's window). Both sides carry
     * watermarks AND the join condition bounds event time, which is what
     * lets Spark evict join state: each side buffers only rows inside
     * watermark + lookback, so state stays bounded at any input rate —
@@ -125,12 +129,14 @@ object EventsStream {
   def intervalJoin(events: DataFrame, facts: DataFrame,
                    key: String = "user_id",
                    lookback: String = "1 hour",
-                   lateness: String = "2 hours"): DataFrame =
+                   lateness: String = "2 hours",
+                   joinType: String = "inner"): DataFrame =
     events.withWatermark("ts", lateness).as("l")
       .join(
         facts.withWatermark("fact_ts", lateness).as("r"),
         expr(s"l.$key = r.$key AND " +
-             s"r.fact_ts BETWEEN l.ts - INTERVAL $lookback AND l.ts"))
+             s"r.fact_ts BETWEEN l.ts - INTERVAL $lookback AND l.ts"),
+        joinType)
       .drop(col(s"r.$key"))
 
   /** T4: idempotent snapshot merge as a foreachBatch sink — each

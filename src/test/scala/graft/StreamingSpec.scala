@@ -174,6 +174,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("interval join leftOuter emits unmatched events with null fact columns") {
+    implicit val sc = spark.sqlContext
+    val ev = MemoryStream[Ev]
+    val facts = MemoryStream[Fact]
+    val joined = EventsStream.intervalJoin(ev.toDF(), facts.toDF(),
+        joinType = "leftOuter")
+      .select($"user_id", $"event_type", $"tag", $"ts", $"fact_ts")
+    val q = joined.writeStream.format("memory").queryName("enriched_outer")
+      .outputMode("append").start()
+    try {
+      facts.addData(Fact(ts("2024-01-01T09:30:00Z"), 1, "inside"))
+      ev.addData(
+        Ev(ts("2024-01-01T10:00:00Z"), 1, "click", 1.0),
+        Ev(ts("2024-01-01T10:00:00Z"), 7, "orphan", 1.0)) // no fact for user 7
+      q.processAllAvailable()
+      // the null row for the orphan only flushes once the watermark closes
+      // its window — push both watermarks well past it
+      ev.addData(Ev(ts("2024-01-02T15:00:00Z"), 9, "x", 0.0))
+      facts.addData(Fact(ts("2024-01-02T15:00:00Z"), 9, "x"))
+      q.processAllAvailable()
+      ev.addData(Ev(ts("2024-01-03T15:00:00Z"), 9, "y", 0.0))
+      facts.addData(Fact(ts("2024-01-03T15:00:00Z"), 9, "y"))
+      q.processAllAvailable()
+      val rows = spark.table("enriched_outer")
+        .select($"user_id", $"event_type", $"tag").collect()
+      val u1 = rows.filter(_.getLong(0) == 1L).map(_.getString(2)).toSet
+      assert(u1 == Set("inside"), s"got $u1")
+      val u7 = rows.filter(_.getLong(0) == 7L)
+      assert(u7.length == 1 && u7.head.isNullAt(2),
+        s"orphan event should surface once with null tag, got ${u7.toSeq}")
+    } finally q.stop()
+  }
+
   test("curated sink: file backlog drains to a deduped snapshot; re-delivery converges") {
     import graft.streaming.DocsStream
     val work = java.nio.file.Files.createTempDirectory("docstream").toString

@@ -18,6 +18,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getInt(2) == 9)      // It ' s | 4 2 | tokens , | right ?
   }
 
+  test("graft_polyhash is bit-identical to the interpreted HOF char fold") {
+    val rnd = new scala.util.Random(42)
+    val samples = Seq("", "a", "tok3n", "the quick brown fox", "0" * 200) ++
+      (1 to 50).map(_ => rnd.alphanumeric.take(1 + rnd.nextInt(30)).mkString.toLowerCase)
+    def hofFold(t: org.apache.spark.sql.Column, b: Long, p: Long) =
+      aggregate(
+        transform(slice(split(t, ""), lit(1), length(t)),
+                  c => ascii(c).cast("long")),
+        lit(0L), (a, c) => (a * b + c) % p)
+    for ((b, p) <- Seq((131L, 1000000007L), (137L, 998244353L))) {
+      val bad = samples.toDF("s")
+        .select(col("s"),
+          call_function("graft_polyhash", col("s"), lit(b), lit(p)).as("x"),
+          hofFold(col("s"), b, p).as("y"))
+        .filter(col("x") =!= col("y")).collect()
+      assert(bad.isEmpty, s"base=$b mod=$p: ${bad.mkString(", ")}")
+    }
+    // and inside a transform lambda (the winnowing call shape)
+    val arr = Seq((Seq("alpha", "beta", "gamma42"))).toDF("toks")
+      .select(
+        transform(col("toks"),
+          t => call_function("graft_polyhash", t, lit(131L), lit(1000000007L))).as("x"),
+        transform(col("toks"), t => hofFold(t, 131L, 1000000007L)).as("y"))
+      .head()
+    assert(arr.getSeq[Long](0) == arr.getSeq[Long](1))
+  }
+
   test("language guess: stopword profiles pick the dominant language") {
     val df = Seq(
       ("en", "the cat and the dog sat in the house that is old"),
