@@ -259,4 +259,60 @@ object Similarity {
               dot(col("a.u"), col("b.u")).as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  /** Deterministic signed-random-projection hyperplanes: integer weights
+    * in [-1000, 1000] from an LCG over the flattened (plane, dim) index —
+    * reproducible across runs and expressible in plain SQL, so the whole
+    * SRP pipeline can be oracle-mirrored (unlike a rand()-seeded matrix).
+    * Integer weights lose nothing: only the SIGN of the projection is
+    * used, which is scale-invariant. */
+  def srpPlanes(numPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until numPlanes).map { j =>
+      (0 until dim).map { d =>
+        val x = (1103515245L * (j.toLong * dim + d) + 12345L) % 2147483648L
+        (x % 2001L - 1000L).toDouble
+      }
+    }
+
+  /** SRP-LSH near-dup pairs over an embedding column — the
+    * centroid-free scale path for cosine dedup (complements the
+    * IVF-cell blocking of [[cellDupPairs]], which needs a trained
+    * quantizer): `bands` bucket keys per vector, each packing
+    * `rowsPerBand` projection sign bits; vectors sharing any band bucket
+    * become candidates; candidates are verified exactly.
+    *
+    * 100 TB shape: sign bits are a map-only pass over broadcast-literal
+    * hyperplanes (the corpus never shuffles to be keyed); candidates
+    * come from `bands` equi-joins on uniform 2^rowsPerBand-ary keys
+    * (collision probability for unrelated vectors ~2^-rowsPerBand per
+    * band — tune rowsPerBand ~ log2(n/target_bucket)); only candidate
+    * pairs pay the exact dot product. P[two vectors at cosine θ share a
+    * band] = (1 - acos(θ)/π)^rowsPerBand. */
+  def srpDupPairs(corpus: DataFrame, threshold: Double,
+                  bands: Int = 8, rowsPerBand: Int = 6, dim: Int = 64,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val planes = srpPlanes(bands * rowsPerBand, dim)
+    val u = unitVectors(corpus, Seq(idCol -> "id"), vecCol, "u")
+    Dedup.withPersisted(u) { uu =>
+      val bandCols = (0 until bands).map { b =>
+        (0 until rowsPerBand).map { i =>
+          when(dot(col("u"), typedLit(planes(b * rowsPerBand + i))) >= 0,
+               lit(1L << i)).otherwise(lit(0L))
+        }.reduce(_ + _).as(s"_band$b")
+      }
+      val keys = uu.select(col("id") +: bandCols: _*)
+        .select(col("id"), posexplode(array((0 until bands).map(b => col(s"_band$b")): _*))
+          .as(Seq("band", "bkey")))
+      val cand = keys.as("a").join(keys.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.id") < col("b.id"))
+        .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+        .distinct()
+      cand
+        .join(uu.select(col("id").as("a_id"), col("u").as("ua")), "a_id")
+        .join(uu.select(col("id").as("b_id"), col("u").as("ub")), "b_id")
+        .select(col("a_id"), col("b_id"), dot(col("ua"), col("ub")).as("sim"))
+        .filter(col("sim") >= threshold)
+    }
+  }
 }

@@ -226,6 +226,16 @@ object Ext {
         .orderBy("a_id", "b_id")
     }),
 
+    // Embedding-cosine near-dup pairs via signed-random-projection LSH:
+    // the centroid-free scale path (no trained quantizer, unlike q40's
+    // cell blocking). Hyperplanes are a deterministic integer LCG, so the
+    // oracle mirrors the ENTIRE pipeline — sign bits, band packing,
+    // candidate join, exact verify — not just the final answer.
+    "q75_srp_dups" -> ((s, dir) => {
+      Similarity.srpDupPairs(t(s, dir, "embeddings"), CosineDupThreshold)
+        .orderBy("a_id", "b_id")
+    }),
+
     // Multimodal plumbing: opaque binary payload + typed metadata
     // (byte length, digest, magic prefix) — the decode stage itself is
     // exercised in MultimodalSpec with a deterministic stub.
@@ -663,6 +673,33 @@ object Ext {
             FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
           WHERE sim >= $CosineDupThreshold
           ORDER BY a_id, b_id""",
+
+    // Full SQL mirror of the SRP pipeline: same LCG plane weights, same
+    // ordered dot fold (bit-identical IEEE sums → identical sign bits),
+    // same band packing and candidate join — any divergence in ANY stage
+    // fails the hash compare, not just a recall miss.
+    "q75_srp_dups" ->
+      s"""WITH $unitCte,
+          planes AS (
+            SELECT j, list_transform(range(0, 64), d ->
+                     CAST((1103515245 * (j*64 + d) + 12345) % 2147483648
+                          % 2001 - 1000 AS DOUBLE)) AS w
+            FROM (SELECT unnest(range(0, 48)) AS j)),
+          bits AS (
+            SELECT e.vec_id AS id, CAST(p.j // 6 AS INT) AS band,
+                   CASE WHEN ${foldDot("e.u", "p.w")} >= 0.0
+                        THEN CAST(2 ** (p.j % 6) AS BIGINT) ELSE 0 END AS bit
+            FROM e CROSS JOIN planes p),
+          bkeys AS (SELECT id, band, CAST(SUM(bit) AS BIGINT) AS bkey
+                    FROM bits GROUP BY id, band),
+          cand AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id
+                   FROM bkeys a JOIN bkeys b
+                     ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id)
+          SELECT a_id, b_id, sim FROM (
+            SELECT c.a_id, c.b_id, ${foldDot("ua.u", "ub.u")} AS sim
+            FROM cand c JOIN e ua ON ua.vec_id = c.a_id
+                        JOIN e ub ON ub.vec_id = c.b_id)
+          WHERE sim >= $CosineDupThreshold ORDER BY a_id, b_id""",
 
     "q48_dup_clusters" ->
       s"""WITH RECURSIVE $pairsCte,

@@ -45,6 +45,41 @@ class SimilaritySpec extends SparkSpec {
     assert(both.filter(col("native") =!= col("fold")).count() == 0)
   }
 
+  test("SRP near-dup pairs: exact subset with near-perfect recall on planted dups") {
+    // 40 well-separated base vectors + a planted near-identical twin for
+    // the first 10 (cosine ≥ 0.999): SRP must report ONLY true pairs
+    // (sims verified exactly, so precision is structural) and, at this
+    // similarity, find every planted twin — deterministic planes make
+    // this a fixed outcome, not a flaky probabilistic bound.
+    val dim = 64
+    def base(i: Int): Array[Float] = {
+      val a = Array.fill(dim)(0.0f)
+      // orthogonal-ish: two disjoint hot coordinates per vector
+      a(i % dim) = 1.0f; a((i * 7 + 13) % dim) = 0.5f
+      a
+    }
+    val planted = (0 until 10).map { i =>
+      val t = base(i).clone(); t((i * 3 + 29) % dim) += 0.02f
+      (100L + i, t)
+    }
+    val rows = (0 until 40).map(i => (i.toLong, base(i))) ++ planted
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.srpDupPairs(df, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0 until 10).map(i => (i.toLong, 100L + i)).toSet.subsetOf(got))
+    // nothing below threshold sneaks in: verify stage is exact
+    val sims = Similarity.srpDupPairs(df, threshold = 0.99)
+      .collect().map(_.getAs[Double]("sim"))
+    sims.foreach(s => assert(s >= 0.99))
+  }
+
+  test("SRP planes are deterministic integers in [-1000, 1000]") {
+    val p1 = Similarity.srpPlanes(48, 64)
+    val p2 = Similarity.srpPlanes(48, 64)
+    assert(p1 == p2)
+    assert(p1.flatten.forall(w => w >= -1000 && w <= 1000 && w == w.floor))
+  }
+
   test("unit vectors have norm 1 (fold math sanity)") {
     val u = Similarity.unitVectors(vecs, Seq("vec_id" -> "id"))
     val norms = u.select(Similarity.norm(col("unit")).as("n")).collect().map(_.getDouble(0))

@@ -28,11 +28,14 @@ def canon(rows, cols):
     return sorted(c for c in cols), out
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, prefixes=()):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if prefixes:
+        oracle = {k: v for k, v in oracle.items()
+                  if any(k.startswith(p) for p in prefixes)}
     ok = fail = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -84,4 +87,4 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], tuple(sys.argv[3:])))
