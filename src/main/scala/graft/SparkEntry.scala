@@ -41,7 +41,8 @@ object SparkEntry {
     graft.queries.Ext.queries ++
     graft.queries.Advanced.queries ++
     graft.queries.Domain.queries ++
-    graft.queries.Curation.queries
+    graft.queries.Curation.queries ++
+    graft.queries.SearchQ.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -50,5 +51,6 @@ object SparkEntry {
     graft.queries.Ext.oracle ++
     graft.queries.Advanced.oracle ++
     graft.queries.Domain.oracle ++
-    graft.queries.Curation.oracle
+    graft.queries.Curation.oracle ++
+    graft.queries.SearchQ.oracle
 }

@@ -84,6 +84,63 @@ object Advanced {
         .orderBy("event_id")
     }),
 
+    // Funnel analysis: per-user ordered-stage progression (first view →
+    // first click after it → first purchase after that). Three chained
+    // full-partition window aggregates over ONE user_id shuffle — no
+    // self-joins, no per-stage passes over the event log. Null stage
+    // timestamps mean the user never reached that stage.
+    "q78_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id")
+      t(s, dir, "events")
+        .filter($"event_type".isin("view", "click", "purchase"))
+        .select($"user_id", $"event_type", $"ts")
+        .withColumn("v_ts",
+          min(when($"event_type" === "view", $"ts")).over(byUser))
+        .withColumn("c_ts",
+          min(when($"event_type" === "click" && $"ts" > $"v_ts", $"ts")).over(byUser))
+        .withColumn("p_ts",
+          min(when($"event_type" === "purchase" && $"ts" > $"c_ts", $"ts")).over(byUser))
+        .groupBy($"user_id")
+        .agg(min($"v_ts").as("v_ts"), min($"c_ts").as("c_ts"),
+             min($"p_ts").as("p_ts"))
+        .orderBy("user_id")
+    }),
+
+    // Time-range sliding window: per event, this user's activity over the
+    // trailing hour — a RANGE frame on integer epoch-micros (identical
+    // frame semantics in any engine, no interval-arithmetic divergence).
+    // Money sums in integer cents: ROUND(value*100) is one IEEE multiply
+    // + one deterministic round, and BIGINT sums are order-independent.
+    "q79_time_window" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"tsu")
+        .rangeBetween(-3600L * 1000000L, 0L)
+      t(s, dir, "events")
+        .select($"event_id", $"user_id", unix_micros($"ts").as("tsu"),
+                round($"value" * 100.0).cast("long").as("cents"))
+        .withColumn("cnt_1h", count(lit(1)).over(w))
+        .withColumn("cents_1h", sum($"cents").over(w))
+        .select($"event_id", $"user_id", $"cnt_1h", $"cents_1h")
+        .orderBy("event_id")
+    }),
+
+    // Equi-width histogram of order totals: bucket id from one IEEE
+    // divide + floor (no width_bucket engine-semantics to match), counts
+    // and exact bucket bounds. The profiling complement to q70 — shape of
+    // a distribution, not just min/max.
+    "q80_histogram" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .select(floor($"o_totalprice" / 50000.0).cast("long").as("bucket"),
+                $"o_totalprice")
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("cnt"),
+             min($"o_totalprice").as("lo"),
+             max($"o_totalprice").as("hi"))
+        .orderBy("bucket")
+    }),
+
     // EXT range join: band lookup on a value interval. The band table is
     // tiny and broadcast → a broadcast nested-loop the executor evaluates
     // per row; no shuffle of the fact side.
@@ -143,6 +200,36 @@ object Advanced {
                    AS duration_s
           FROM sessioned GROUP BY user_id, session_id
           ORDER BY user_id, session_id""",
+
+    "q78_funnel" ->
+      """WITH f AS (SELECT user_id, event_type, ts FROM events
+                    WHERE event_type IN ('view', 'click', 'purchase')),
+         w1 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts END)
+                            OVER (PARTITION BY user_id) AS v_ts FROM f),
+         w2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > v_ts
+                                   THEN ts END)
+                            OVER (PARTITION BY user_id) AS c_ts FROM w1),
+         w3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > c_ts
+                                   THEN ts END)
+                            OVER (PARTITION BY user_id) AS p_ts FROM w2)
+         SELECT user_id, MIN(v_ts) AS v_ts, MIN(c_ts) AS c_ts, MIN(p_ts) AS p_ts
+         FROM w3 GROUP BY user_id ORDER BY user_id""",
+
+    "q79_time_window" ->
+      """SELECT event_id, user_id,
+                COUNT(*) OVER w AS cnt_1h,
+                CAST(SUM(cents) OVER w AS BIGINT) AS cents_1h
+         FROM (SELECT event_id, user_id, epoch_us(ts) AS tsu,
+                      CAST(ROUND(value * 100.0) AS BIGINT) AS cents
+               FROM events)
+         WINDOW w AS (PARTITION BY user_id ORDER BY tsu
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+
+    "q80_histogram" ->
+      """SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+                COUNT(*) AS cnt, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+         FROM orders GROUP BY 1 ORDER BY bucket""",
 
     "q44_asof_join" ->
       """SELECT event_id, user_id, asof_orderkey, asof_totalprice FROM (
