@@ -34,7 +34,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Filter the oracle dump by the SAME prefixes as the query run, so a
+    // tools/check.py pass over a subset dump doesn't report spurious
+    // missing-parquet failures for queries that were intentionally
+    // skipped.
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => prefixes.isEmpty || prefixes.exists(k.startsWith) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Explicit failure record: a query that died has no parquet dir, which

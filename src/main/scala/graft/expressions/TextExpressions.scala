@@ -3,7 +3,7 @@ package graft.expressions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst polynomial string hash: fold over the string's Unicode
@@ -33,11 +33,19 @@ case class PolyHash(str: Expression, base: Expression, mod: Expression)
   override def second: Expression = base
   override def third: Expression = mod
 
+  // Any integral type is accepted for base/mod and widened to long in
+  // eval/codegen, so a SQL call with INT literals —
+  // graft_polyhash(s, 131, 1000000007) — analyzes without explicit
+  // BIGINT casts. (ImplicitCastInputTypes would be the idiomatic spelling
+  // but AbstractDataType is private[sql] — unreachable from an extension
+  // package.)
+  private val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
+
   override def checkInputDataTypes(): TypeCheckResult =
-    if (str.dataType == StringType && base.dataType == LongType &&
-        mod.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    if (str.dataType == StringType && integral(base.dataType) &&
+        integral(mod.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"graft_polyhash requires (STRING, BIGINT, BIGINT), got " +
+      s"graft_polyhash requires (STRING, integral, integral), got " +
       s"(${str.dataType.simpleString}, ${base.dataType.simpleString}, " +
       s"${mod.dataType.simpleString})")
 
@@ -46,8 +54,10 @@ case class PolyHash(str: Expression, base: Expression, mod: Expression)
 
   override protected def nullSafeEval(s: Any, b: Any, m: Any): Any = {
     val st = s.asInstanceOf[UTF8String].toString
-    val bb = b.asInstanceOf[Long]
-    val mm = m.asInstanceOf[Long]
+    val bb = b.asInstanceOf[Number].longValue
+    val mm = m.asInstanceOf[Number].longValue
+    if (mm <= 0L) throw new IllegalArgumentException(
+      s"graft_polyhash: mod must be positive, got $mm")
     var acc = 0L
     var i = 0
     while (i < st.length) {
@@ -65,6 +75,8 @@ case class PolyHash(str: Expression, base: Expression, mod: Expression)
       val i = ctx.freshName("i")
       val cp = ctx.freshName("cp")
       s"""
+         |if ($m <= 0L) throw new IllegalArgumentException(
+         |  "graft_polyhash: mod must be positive, got " + $m);
          |java.lang.String $st = $s.toString();
          |long $acc = 0L;
          |int $i = 0;

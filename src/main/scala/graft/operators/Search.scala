@@ -25,27 +25,54 @@ object Search {
                 explode(TextAnalysis.wordTokens(col(textCol))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
 
-  /** Inverted index: one row per term with its document frequency and a
-    * canonical posting string `"doc:tf doc:tf ..."` ordered by doc id.
+  /** Max postings materialized in one index row. Bounds the size of every
+    * collect_list aggregation buffer and every output cell: without it, a
+    * stop term's single row would concatenate the doc-id list of the
+    * whole corpus — a multi-GB cell built in one aggregation buffer at
+    * 100 TB. */
+  val DefaultMaxPostingsPerShard = 128L
+
+  /** Inverted index, SHARDED: one row per (term, shard) with the term's
+    * total document frequency, the shard's population, and a canonical
+    * posting string `"doc:tf doc:tf ..."` ordered by doc id. Shards are
+    * deterministic and contiguous in doc-id order — shard s holds ranks
+    * [s·maxPerShard, (s+1)·maxPerShard) of the term's postings — so a
+    * reader streams a term's full list by scanning its shards in order,
+    * and EVERY row holds ≤ `maxPerShard` postings (exact bound, not
+    * probabilistic).
     *
     * Postings are emitted as a canonical STRING rather than an
     * array<struct> so the row stays a scalar for any downstream engine
-    * (and the oracle compare); the list form is `sort_array` on the
-    * collected structs one select earlier if a consumer wants it typed.
-    * One term-keyed shuffle; posting lists build via collect_list whose
-    * order is then canonicalized by the sort — no assumption on
-    * aggregation order survives into the output. */
+    * (and the oracle compare).
+    *
+    * Scale shape: one term-keyed window pass assigns ranks (sort-based
+    * and spill-safe — a stop term costs one partition's external sort,
+    * never an unbounded in-memory buffer), then the (term, shard) groupBy
+    * builds bounded posting rows; a stop term's list construction spreads
+    * over df/maxPerShard reducers instead of one. */
   def invertedIndex(docs: DataFrame, idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame =
-    termFreqs(docs, idCol, textCol)
-      .groupBy("term")
-      .agg(count(lit(1)).as("doc_freq"),
+                    textCol: String = "text",
+                    maxPerShard: Long = DefaultMaxPostingsPerShard): DataFrame = {
+    require(maxPerShard > 0, "invertedIndex: maxPerShard must be positive")
+    val byTerm = Window.partitionBy(col("term"))
+    val ranked = termFreqs(docs, idCol, textCol)
+      .withColumn("doc_freq", count(lit(1)).over(byTerm))
+      .withColumn("rn", row_number().over(byTerm.orderBy(col("doc_id"))))
+      // exact double division then truncate: rn ≤ df < 2^52 so the
+      // quotient is exact; floor keeps it an integer division mirror
+      .withColumn("shard", floor((col("rn") - 1) / lit(maxPerShard)).cast("long"))
+    ranked
+      .groupBy(col("term"), col("shard"), col("doc_freq"))
+      .agg(count(lit(1)).as("shard_size"),
            array_join(
              transform(
                sort_array(collect_list(struct(col("doc_id"), col("tf")))),
                e => concat(e("doc_id").cast("string"), lit(":"),
                            e("tf").cast("string"))),
              " ").as("postings"))
+      .select(col("term"), col("shard"), col("doc_freq"),
+              col("shard_size"), col("postings"))
+  }
 
   /** Okapi BM25 scores for a fixed bag of query `terms`, top-`k` docs.
     *
@@ -65,8 +92,13 @@ object Search {
            k1: Double = 1.2, b: Double = 0.75,
            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(terms.nonEmpty, "bm25 of zero query terms")
-    val toks = docs.select(col(idCol).as("doc_id"),
-                           TextAnalysis.wordTokens(col(textCol)).as("toks"))
+    val toks0 = docs.select(col(idCol).as("doc_id"),
+                            TextAnalysis.wordTokens(col(textCol)).as("toks"))
+    // The tokenized relation feeds three consumers (lengths/stats, term
+    // freqs, and lens again on the scored join) — persist it for the
+    // duration so the corpus-wide regexp tokenization runs ONCE, not per
+    // consumer (the multi-consumer re-execution pitfall).
+    Dedup.withPersisted(toks0) { toks =>
     val lens = toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
     // corpus stats: exact integer sums, one double division at the end
     val stats = broadcast(
@@ -96,8 +128,12 @@ object Search {
     // only the k survivors.
     val top = pivoted.withColumn("score", round(total, 6))
       .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+    // CAUTION: unpartitioned Window = one partition — safe ONLY because
+    // it runs over the ≤ k rows that survived the limit above. Never
+    // lift this rank assignment above the limit.
     val w = Window.orderBy(col("score").desc, col("doc_id").asc)
     top.withColumn("rank", row_number().over(w).cast("long"))
       .select(col("rank"), col("doc_id"), col("score"))
+    }
   }
 }

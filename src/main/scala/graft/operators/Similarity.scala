@@ -288,11 +288,29 @@ object Similarity {
     * band — tune rowsPerBand ~ log2(n/target_bucket)); only candidate
     * pairs pay the exact dot product. P[two vectors at cosine θ share a
     * band] = (1 - acos(θ)/π)^rowsPerBand. */
+  /** Default population cap for one SRP (band, bkey) bucket. A bucket is
+    * only useful when it is selective; one holding more than this many
+    * vectors (a degenerate embedding mass sharing a sign pattern — e.g.
+    * near-zero vectors) would contribute O(pop²) join rows on a single
+    * key while carrying no discrimination. Same role as
+    * [[Dedup.DefaultMaxShingleDf]]. */
+  val DefaultMaxSrpBucket = 100L
+
   def srpDupPairs(corpus: DataFrame, threshold: Double,
                   bands: Int = 8, rowsPerBand: Int = 6, dim: Int = 64,
-                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  maxBucket: Long = DefaultMaxSrpBucket): DataFrame = {
     val planes = srpPlanes(bands * rowsPerBand, dim)
-    val u = unitVectors(corpus, Seq(idCol -> "id"), vecCol, "u")
+    val u0 = unitVectors(corpus, Seq(idCol -> "id"), vecCol, "u")
+    // Fail LOUDLY on a dim mismatch: zip_with pads the shorter array with
+    // nulls, so a wrong `dim` would silently zero projection sign bits
+    // and degrade recall with no error (precision survives only because
+    // candidates are exactly verified).
+    val u = u0.select(col("id"),
+      when(size(col("u")) === dim, col("u"))
+        .otherwise(raise_error(concat(
+          lit(s"srpDupPairs: embedding dim mismatch — expected $dim, got "),
+          size(col("u")).cast("string")))).as("u"))
     Dedup.withPersisted(u) { uu =>
       val bandCols = (0 until bands).map { b =>
         (0 until rowsPerBand).map { i =>
@@ -300,9 +318,24 @@ object Similarity {
                lit(1L << i)).otherwise(lit(0L))
         }.reduce(_ + _).as(s"_band$b")
       }
-      val keys = uu.select(col("id") +: bandCols: _*)
+      val keys0 = uu.select(col("id") +: bandCols: _*)
         .select(col("id"), posexplode(array((0 until bands).map(b => col(s"_band$b")): _*))
           .as(Seq("band", "bkey")))
+      // Bucket-population guard (skew kill, mirrors jaccardPairsFrom's df
+      // cap): drop over-populated buckets before the self-join. Pairs
+      // lost here still surface through any of their other bands unless
+      // degenerate in ALL of them — by which point they weren't
+      // LSH-discriminable at all. Materialized eagerly (inside the
+      // persisted-u scope): the self-join consumes it twice and the 48
+      // plane dots + population window must not run per side.
+      val keys =
+        (if (maxBucket <= 0) keys0
+         else keys0
+           .withColumn("_pop", count(lit(1))
+             .over(Window.partitionBy(col("band"), col("bkey"))))
+           .filter(col("_pop") <= maxBucket)
+           .select("id", "band", "bkey")
+        ).localCheckpoint()
       val cand = keys.as("a").join(keys.as("b"),
           col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.id") < col("b.id"))

@@ -676,8 +676,10 @@ object Ext {
 
     // Full SQL mirror of the SRP pipeline: same LCG plane weights, same
     // ordered dot fold (bit-identical IEEE sums → identical sign bits),
-    // same band packing and candidate join — any divergence in ANY stage
-    // fails the hash compare, not just a recall miss.
+    // same band packing, bucket-population cap, and candidate join — any
+    // divergence in ANY stage fails the hash compare, not just a recall
+    // miss. The QUALIFY mirrors srpDupPairs' maxBucket guard (same
+    // constant, referenced so it cannot drift).
     "q75_srp_dups" ->
       s"""WITH $unitCte,
           planes AS (
@@ -691,7 +693,9 @@ object Ext {
                         THEN CAST(2 ** (p.j % 6) AS BIGINT) ELSE 0 END AS bit
             FROM e CROSS JOIN planes p),
           bkeys AS (SELECT id, band, CAST(SUM(bit) AS BIGINT) AS bkey
-                    FROM bits GROUP BY id, band),
+                    FROM bits GROUP BY id, band
+                    QUALIFY COUNT(*) OVER (PARTITION BY band, bkey)
+                            <= ${Similarity.DefaultMaxSrpBucket}),
           cand AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id
                    FROM bkeys a JOIN bkeys b
                      ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id)

@@ -22,11 +22,13 @@ object SearchQ {
   private val TopK = 20
 
   val queries: Map[String, Q] = Map(
-    // Inverted index: term → doc_freq + canonical "doc:tf" posting string
-    // ordered by doc id. One term-keyed shuffle; collect_list order is
-    // canonicalized by sort_array before any output depends on it.
+    // Sharded inverted index: (term, shard) → doc_freq, shard_size +
+    // canonical "doc:tf" posting string, ≤ maxPerShard postings per row
+    // (exact bound — no stop-term row ever concatenates the corpus).
+    // collect_list order is canonicalized by sort_array before any
+    // output depends on it.
     "q76_inverted_index" -> ((s, dir) => {
-      Search.invertedIndex(t(s, dir, "documents")).orderBy("term")
+      Search.invertedIndex(t(s, dir, "documents")).orderBy("term", "shard")
     }),
 
     // Okapi BM25 top-20 for a fixed query-term bag. Per-term partials
@@ -44,14 +46,27 @@ object SearchQ {
                FROM documents)"""
 
   val oracle: Map[String, String] = Map(
+    // Mirrors Search.invertedIndex's rank-contiguous sharding: same
+    // window rank, same integer division by the same (referenced)
+    // constant — shard boundaries cannot drift between engines.
     "q76_inverted_index" ->
       s"""WITH $tokCte,
           tf AS (SELECT doc_id, term, COUNT(*) AS tf
                  FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
-                 GROUP BY 1, 2)
-          SELECT term, COUNT(*) AS doc_freq,
+                 GROUP BY 1, 2),
+          ranked AS (SELECT doc_id, term, tf,
+                            CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT)
+                              AS doc_freq,
+                            ROW_NUMBER() OVER (PARTITION BY term
+                                               ORDER BY doc_id) AS rn
+                     FROM tf)
+          SELECT term, CAST((rn - 1) // ${Search.DefaultMaxPostingsPerShard}
+                            AS BIGINT) AS shard,
+                 doc_freq, CAST(COUNT(*) AS BIGINT) AS shard_size,
                  string_agg(doc_id || ':' || tf, ' ' ORDER BY doc_id) AS postings
-          FROM tf GROUP BY term ORDER BY term""",
+          FROM ranked
+          GROUP BY term, shard, doc_freq
+          ORDER BY term, shard""",
 
     // Expression-tree mirror of Search.bm25: identical operand order for
     // every +, /, * and the single ln — IEEE ops on identical inputs are
