@@ -201,7 +201,25 @@ object Dedup {
     * O(candidate docs' shingles), not O(|sh|) (a daily 0.1% delta must
     * not re-shuffle 100% of the corpus shingles just to count set
     * sizes). */
-  def verifyPairs(cand0: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+  def verifyPairs(cand0: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
+    verifyStats(cand0, sh)
+      .select(col("a_id"), col("b_id"),
+        (col("i").cast("double") /
+         (col("na") + col("nb") - col("i")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
+  /** Exact-containment verification of candidate pairs — same stats
+    * skeleton as [[verifyPairs]], ratio |A∩B| / min(|A|,|B|). */
+  def verifyContainmentPairs(cand0: DataFrame, sh: DataFrame,
+                             threshold: Double): DataFrame =
+    verifyStats(cand0, sh)
+      .select(col("a_id"), col("b_id"),
+        (col("i").cast("double") /
+         least(col("na"), col("nb")).cast("double")).as("containment"))
+      .filter(col("containment") >= threshold)
+
+  /** (a_id, b_id, na, nb, i) overlap statistics for candidate pairs. */
+  private def verifyStats(cand0: DataFrame, sh: DataFrame): DataFrame = {
     // The candidate set is consumed twice (doc-id restriction + the
     // verify join) and is small; materialize it once — otherwise the
     // whole upstream candidate generation (banding joins) runs twice.
@@ -210,17 +228,12 @@ object Dedup {
       .union(cand.select(col("b_id").as("doc_id"))).distinct()
     val shN = sh.join(candIds, Seq("doc_id"), "left_semi")
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-    val inter = cand
+    cand
       .join(shN.as("a"), col("a_id") === col("a.doc_id"))
       .join(shN.as("b"), col("b_id") === col("b.doc_id") &&
                          col("a.shingle") === col("b.shingle"))
       .groupBy(col("a_id"), col("b_id"), col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("i"))
-    inter
-      .select(col("a_id"), col("b_id"),
-        (col("i").cast("double") /
-         (col("na") + col("nb") - col("i")).cast("double")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
   }
 
   def minhashPairsFrom(sh: DataFrame, threshold: Double,
@@ -275,6 +288,28 @@ object Dedup {
                       n: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame =
     withPersisted(explodedShingles(shingleSets(docs, idCol, textCol, n)))(
       minhashPairsFrom(_, threshold, numHashes, bands))
+
+  /** Containment near-dup pairs through the SCALE path: MinHash+LSH
+    * candidate generation, then exact containment verification — the
+    * capped twin of the uncapped all-pairs [[containmentPairs]] ground
+    * truth, exactly as [[minhashDupPairs]] twins [[jaccardPairs]].
+    * Caveat vs Jaccard: LSH collision probability tracks JACCARD, so a
+    * pair with high containment but low Jaccard (a tiny doc quoted
+    * inside a huge one) may not collide in any band; at thresholds where
+    * containment-dups are also Jaccard-dups (the near-dup regime) the
+    * answers coincide — oracle-enforced by q83 against the exact
+    * all-pairs answer. */
+  def containmentDupPairs(docs: DataFrame, threshold: Double,
+                          idCol: String = "doc_id", textCol: String = "text",
+                          n: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    withPersisted(explodedShingles(shingleSets(docs, idCol, textCol, n))) { sh =>
+      val cand = lshCandidates(signaturesFromExploded(sh, numHashes),
+        bands, numHashes / bands, sigLen = numHashes)
+      verifyContainmentPairs(cand, sh, threshold)
+    }
+  }
 
   /** Connected components over near-dup pairs → cluster id = min doc_id
     * reachable (the "which copy do we keep" step after pair finding).

@@ -61,11 +61,13 @@ object Profiling {
       .groupBy("idx").agg(count(lit(1)).as("n_distinct"))
   }
 
-  /** Per-column profile: (col_name, n_rows, nonnull, nulls, n_distinct,
-    * min_num, max_num, min_str, max_str). `numeric` marks columns whose
-    * range should be reported numerically; others report string ranges. */
-  def profile(df: DataFrame, cols: Seq[String], numeric: Set[String]): DataFrame = {
-    require(cols.nonEmpty, "profile of zero columns")
+  /** The shared ONE-wide-aggregate skeleton: every metric for every
+    * column in a single agg row, pivoted to (idx, col_name, metrics...).
+    * `extra` appends additional per-column agg expressions (named
+    * `${c}__<suffix>`) that the pivot picks up via `pick`. */
+  private def pivotedMetrics(df: DataFrame, cols: Seq[String], numeric: Set[String],
+                             extra: String => Seq[Column],
+                             pick: String => Seq[Column]): DataFrame = {
     def metrics(c: String): Seq[Column] = Seq(
       count(col(c)).as(s"${c}__nonnull"),
       (if (numeric(c)) min(col(c)).cast("double") else lit(null).cast("double"))
@@ -75,26 +77,53 @@ object Profiling {
       (if (numeric(c)) lit(null).cast("string") else min(col(c)).cast("string"))
         .as(s"${c}__min_str"),
       (if (numeric(c)) lit(null).cast("string") else max(col(c)).cast("string"))
-        .as(s"${c}__max_str"))
+        .as(s"${c}__max_str")) ++ extra(c)
     val aggCols = count(lit(1)).as("__rows") +: cols.flatMap(metrics)
     val row = df.agg(aggCols.head, aggCols.tail: _*)
-    // pivot the single row into one row per column, then join in the
-    // melted distinct counts (a #cols-row broadcast join)
-    val pivoted = row.select(explode(array(cols.zipWithIndex.map { case (c, i) =>
-        struct(
+    row.select(explode(array(cols.zipWithIndex.map { case (c, i) =>
+        struct(Seq(
           lit(i).as("idx"),
           lit(c).as("col_name"),
           col("__rows").as("n_rows"),
           col(s"${c}__nonnull").as("nonnull"),
-          (col("__rows") - col(s"${c}__nonnull")).as("nulls"),
+          (col("__rows") - col(s"${c}__nonnull")).as("nulls")) ++ pick(c) ++ Seq(
           col(s"${c}__min_num").as("min_num"),
           col(s"${c}__max_num").as("max_num"),
           col(s"${c}__min_str").as("min_str"),
-          col(s"${c}__max_str").as("max_str"))
+          col(s"${c}__max_str").as("max_str")): _*)
       }: _*)).as("p"))
       .select("p.*")
-    pivoted.join(broadcast(distinctCounts(df, cols, numeric)), Seq("idx"), "left")
+  }
+
+  /** Per-column profile: (col_name, n_rows, nonnull, nulls, n_distinct,
+    * min_num, max_num, min_str, max_str). `numeric` marks columns whose
+    * range should be reported numerically; others report string ranges. */
+  def profile(df: DataFrame, cols: Seq[String], numeric: Set[String]): DataFrame = {
+    require(cols.nonEmpty, "profile of zero columns")
+    // exact distinct counts come from the melted pass, joined back in
+    // (a #cols-row broadcast join)
+    pivotedMetrics(df, cols, numeric, _ => Nil, _ => Nil)
+      .join(broadcast(distinctCounts(df, cols, numeric)), Seq("idx"), "left")
       .withColumn("n_distinct", coalesce(col("n_distinct"), lit(0L)))
+      .select("col_name", "n_rows", "nonnull", "nulls", "n_distinct",
+              "min_num", "max_num", "min_str", "max_str")
+  }
+
+  /** [[profile]] with APPROXIMATE cardinalities: `approx_count_distinct`
+    * (HyperLogLog++, default rsd 5%) computed inside the same single wide
+    * aggregate as every other metric — ONE scan, no melted distinct pass
+    * at all. This is the wide-table 100 TB variant the exact profiler's
+    * scale note promises: cost is O(cols) fixed-size HLL sketches per
+    * partition, merged map-side, independent of column cardinality.
+    * Same output shape as [[profile]] so consumers can switch freely;
+    * ProfilingSpec asserts the relative error bound against the exact
+    * counts. */
+  def profileApprox(df: DataFrame, cols: Seq[String], numeric: Set[String],
+                    rsd: Double = 0.05): DataFrame = {
+    require(cols.nonEmpty, "profile of zero columns")
+    pivotedMetrics(df, cols, numeric,
+        c => Seq(approx_count_distinct(col(c), rsd).as(s"${c}__nd")),
+        c => Seq(col(s"${c}__nd").as("n_distinct")))
       .select("col_name", "n_rows", "nonnull", "nulls", "n_distinct",
               "min_num", "max_num", "min_str", "max_str")
   }

@@ -62,6 +62,20 @@ object Ext {
         .orderBy("col_name")
     }),
 
+    // Column profiling with HLL cardinalities (rows-only like q42: the
+    // sketch estimate is engine-specific) — the wide-table variant:
+    // every metric INCLUDING n_distinct in one aggregate pass, no melted
+    // distinct scan. ProfilingSpec gates the estimate against the exact
+    // counts at the sketch's error bound.
+    "q84_profile_hll" -> ((s, dir) => {
+      graft.operators.Profiling.profileApprox(
+        t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority"),
+        numeric = Set("o_orderkey", "o_custkey", "o_totalprice"))
+        .orderBy("col_name")
+    }),
+
     // SimHash with the PORTABLE token hash — oracle-verifies the entire
     // SimHash pipeline (tf weighting, bit sums, sign assembly, 16-bit
     // banding, popcount Hamming) that q33's xxhash64 variant can't.
@@ -233,6 +247,77 @@ object Ext {
     // candidate join, exact verify — not just the final answer.
     "q75_srp_dups" -> ((s, dir) => {
       Similarity.srpDupPairs(t(s, dir, "embeddings"), CosineDupThreshold)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Incremental near-dup dedup: a delta (doc_id % 10 = 0) against the
+    // standing corpus (the rest), WITHOUT re-hashing the corpus — delta
+    // bands probe the corpus band index, delta-internal pairs come from
+    // delta-only banding, verification restricted to candidate docs.
+    // Oracle = the full exact recompute restricted to pairs touching the
+    // delta, so both the candidate recall AND the O(delta) restriction
+    // are hash-gated. Closes the last spec-only first-class operator.
+    "q81_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpusSh = Dedup.explodedShingles(
+        Dedup.shingleSets(docs.filter(col("doc_id") % 10 =!= 0)))
+      val deltaSh = Dedup.explodedShingles(
+        Dedup.shingleSets(docs.filter(col("doc_id") % 10 === 0)))
+      Dedup.withPersisted(corpusSh) { c =>
+        Dedup.withPersisted(deltaSh) { d =>
+          Dedup.minhashPairsIncremental(c, d, JaccardThreshold)
+        }
+      }.orderBy("a_id", "b_id")
+    }),
+
+    // ANN recall@k — the tuning dial for the approximate tiers: hit
+    // counts of IVF top-3 (q39), PQ-ADC top-5 (q61) and SRP-LSH pairs
+    // (q75, sampled to vec_id % 10 = 0 so the exact pair ground truth
+    // stays quadratic-in-a-sample) against brute-force truth (q38's
+    // machinery). Integer set arithmetic only — both engines derive the
+    // same rankings (oracle-proven by q38/q39/q61/q75), so counts match
+    // exactly. NOTE on this fixture the reported recalls are LOW and
+    // that is the correct answer: the synthetic `label` column is not a
+    // geometric quantizer (a query's global top-3 virtually never shares
+    // its label — verified by inspection), and at cosine 0.4 an SRP band
+    // collides with p≈(1-acos(.4)/π)^6≈6% per band. The dial exists
+    // precisely to expose that — a real deployment reads this row and
+    // switches IVF to kmeansRefine cells or raises bands/rowsPerBand.
+    "q82_ann_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 100 === 0)
+      // one brute-force pass serves both truth sets (top-3 ⊂ top-5)
+      val brute5 = Similarity.bruteForceTopK(e, q, k = 5)
+        .select("query_id", "cand_id", "rank").localCheckpoint()
+      val truth3 = brute5.filter(col("rank") <= 3).drop("rank")
+      val truth5 = brute5.drop("rank")
+      val ivf = Similarity.cellTopK(e, q, k = 3).select("query_id", "cand_id")
+      val pq = Similarity.pqTopK(e, q, k = 5).select("query_id", "cand_id")
+      val srpSub = Similarity.srpDupPairs(e, CosineDupThreshold)
+        .filter(col("a_id") % 10 === 0 && col("b_id") % 10 === 0)
+        .select("a_id", "b_id")
+      val exactSub = Similarity.dupPairs(e.filter(col("vec_id") % 10 === 0),
+          CosineDupThreshold)
+        .select("a_id", "b_id")
+      def counted(name: String, hits: org.apache.spark.sql.DataFrame,
+                  truth: org.apache.spark.sql.DataFrame) =
+        hits.agg(count(lit(1)).as("hits"))
+          .crossJoin(truth.agg(count(lit(1)).as("truth_cnt")))
+          .select(lit(name).as("method"), col("hits"), col("truth_cnt"))
+      counted("ivf", ivf.join(truth3, Seq("query_id", "cand_id"), "left_semi"), truth3)
+        .union(counted("pq",
+          pq.join(truth5, Seq("query_id", "cand_id"), "left_semi"), truth5))
+        .union(counted("srp",
+          srpSub.join(exactSub, Seq("a_id", "b_id"), "left_semi"), exactSub))
+        .orderBy("method")
+    }),
+
+    // Containment through the scale path: LSH candidates + exact
+    // containment verify — the capped twin of q73's uncapped all-pairs
+    // ground truth, exactly as q32 twins q31. The oracle is the EXACT
+    // answer, so any LSH recall miss at this threshold fails the hash.
+    "q83_containment_lsh" -> ((s, dir) => {
+      Dedup.containmentDupPairs(t(s, dir, "documents"), ContainmentThreshold)
         .orderBy("a_id", "b_id")
     }),
 
@@ -704,6 +789,136 @@ object Ext {
             FROM cand c JOIN e ua ON ua.vec_id = c.a_id
                         JOIN e ub ON ub.vec_id = c.b_id)
           WHERE sim >= $CosineDupThreshold ORDER BY a_id, b_id""",
+
+    // Full exact recompute restricted to pairs touching the delta
+    // (doc_id % 10 = 0) — what minhashPairsIncremental must reproduce
+    // without re-hashing the corpus.
+    "q81_incremental_dedup" ->
+      s"""WITH $pairsCte
+          SELECT a_id, b_id, jaccard FROM pairs
+          WHERE a_id % 10 = 0 OR b_id % 10 = 0
+          ORDER BY a_id, b_id""",
+
+    // The LSH-candidates + exact-containment-verify construction is NOT
+    // mirrored here — the oracle is the uncapped exact answer (q73's),
+    // so candidate recall itself is hash-gated.
+    "q83_containment_lsh" ->
+      s"""WITH $shingleCte,
+          inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+                    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+          SELECT a_id, b_id,
+                 CAST(i AS DOUBLE) / CAST(LEAST(sa.n, sb.n) AS DOUBLE) AS containment
+          FROM inter JOIN sizes sa ON a_id = sa.doc_id
+                     JOIN sizes sb ON b_id = sb.doc_id
+          WHERE CAST(i AS DOUBLE) / CAST(LEAST(sa.n, sb.n) AS DOUBLE)
+                >= $ContainmentThreshold
+          ORDER BY a_id, b_id""",
+
+    // ANN recall: every approximate tier's candidate set re-derived with
+    // the SAME mirrored constructions as q38/q39/q61/q75, intersected
+    // with brute-force truth in plain integer set arithmetic.
+    "q82_ann_recall" ->
+      s"""WITH $unitCte,
+          q AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+          bsims AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                           ${foldDot("q.u", "c.u")} AS sim
+                    FROM q JOIN e c ON c.vec_id <> q.vec_id),
+          brute AS (SELECT query_id, cand_id, rk FROM (
+                      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, cand_id ASC) AS rk
+                      FROM bsims)
+                    WHERE rk <= 5),
+          truth3 AS (SELECT query_id, cand_id FROM brute WHERE rk <= 3),
+          truth5 AS (SELECT query_id, cand_id FROM brute),
+          isims AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                           ${foldDot("q.u", "c.u")} AS sim
+                    FROM q JOIN e c ON c.label = q.label AND c.vec_id <> q.vec_id),
+          ivf AS (SELECT query_id, cand_id FROM (
+                    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, cand_id ASC) AS rk
+                    FROM isims)
+                  WHERE rk <= 3),
+          subs AS (
+            SELECT vec_id, sub, u[sub*16+1 : sub*16+16] AS sv
+            FROM e, (SELECT unnest(range(0, 4)) AS sub)),
+          b0 AS (
+            SELECT sub, ROW_NUMBER() OVER (PARTITION BY sub ORDER BY vec_id) - 1
+                     AS code, sv AS code_vec
+            FROM subs
+            WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16)),
+          ${lloydRoundSql(1, "b0")},
+          ${lloydRoundSql(2, "b1")},
+          books AS (SELECT * FROM b2),
+          codes AS (
+            SELECT vec_id AS cand_id, sub, code FROM (
+              SELECT s.vec_id, s.sub, b.code,
+                     ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+                                        ORDER BY ${foldDot("s.sv", "b.code_vec")} DESC,
+                                                 b.code ASC) AS rn
+              FROM subs s JOIN books b ON s.sub = b.sub)
+            WHERE rn = 1),
+          lut AS (
+            SELECT q.vec_id AS query_id, b.sub, b.code,
+                   ${foldDot("q.sv", "b.code_vec")} AS l
+            FROM (SELECT * FROM subs WHERE vec_id % 100 = 0) q
+            JOIN books b ON q.sub = b.sub),
+          adc AS (
+            SELECT lut.query_id, c.cand_id,
+                   CAST(SUM(CAST(lut.l AS DECIMAL(28,16))) AS DOUBLE) AS approx_sim
+            FROM codes c JOIN lut ON c.sub = lut.sub AND c.code = lut.code
+            WHERE c.cand_id <> lut.query_id
+            GROUP BY 1, 2),
+          pq AS (SELECT query_id, cand_id FROM (
+                   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY approx_sim DESC, cand_id ASC) AS rank
+                   FROM adc)
+                 WHERE rank <= 5),
+          planes AS (
+            SELECT j, list_transform(range(0, 64), d ->
+                     CAST((1103515245 * (j*64 + d) + 12345) % 2147483648
+                          % 2001 - 1000 AS DOUBLE)) AS w
+            FROM (SELECT unnest(range(0, 48)) AS j)),
+          sbits AS (
+            SELECT e.vec_id AS id, CAST(p.j // 6 AS INT) AS band,
+                   CASE WHEN ${foldDot("e.u", "p.w")} >= 0.0
+                        THEN CAST(2 ** (p.j % 6) AS BIGINT) ELSE 0 END AS bit
+            FROM e CROSS JOIN planes p),
+          bkeys AS (SELECT id, band, CAST(SUM(bit) AS BIGINT) AS bkey
+                    FROM sbits GROUP BY id, band
+                    QUALIFY COUNT(*) OVER (PARTITION BY band, bkey)
+                            <= ${Similarity.DefaultMaxSrpBucket}),
+          scand AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id
+                    FROM bkeys a JOIN bkeys b
+                      ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
+          srp AS (SELECT a_id, b_id FROM (
+                    SELECT c.a_id, c.b_id, ${foldDot("ua.u", "ub.u")} AS sim
+                    FROM scand c JOIN e ua ON ua.vec_id = c.a_id
+                                JOIN e ub ON ub.vec_id = c.b_id)
+                  WHERE sim >= $CosineDupThreshold
+                    AND a_id % 10 = 0 AND b_id % 10 = 0),
+          esub AS (SELECT a_id, b_id FROM (
+                     SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                            ${foldDot("a.u", "b.u")} AS sim
+                     FROM e a JOIN e b
+                       ON a.vec_id < b.vec_id
+                      AND a.vec_id % 10 = 0 AND b.vec_id % 10 = 0)
+                   WHERE sim >= $CosineDupThreshold)
+          SELECT 'ivf' AS method,
+                 CAST((SELECT COUNT(*) FROM ivf i JOIN truth3 t
+                       USING (query_id, cand_id)) AS BIGINT) AS hits,
+                 CAST((SELECT COUNT(*) FROM truth3) AS BIGINT) AS truth_cnt
+          UNION ALL
+          SELECT 'pq',
+                 CAST((SELECT COUNT(*) FROM pq p JOIN truth5 t
+                       USING (query_id, cand_id)) AS BIGINT),
+                 CAST((SELECT COUNT(*) FROM truth5) AS BIGINT)
+          UNION ALL
+          SELECT 'srp',
+                 CAST((SELECT COUNT(*) FROM srp s JOIN esub x
+                       USING (a_id, b_id)) AS BIGINT),
+                 CAST((SELECT COUNT(*) FROM esub) AS BIGINT)
+          ORDER BY method""",
 
     "q48_dup_clusters" ->
       s"""WITH RECURSIVE $pairsCte,

@@ -120,6 +120,17 @@ class DedupSpec extends SparkSpec {
     assert(jac.isEmpty) // |A|=6 shingles inside |B|=66+ → jaccard ≈ 0.09
   }
 
+  test("containment via LSH candidates matches the exact all-pairs answer") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(
+      Dedup.containmentPairs(Dedup.shingleSets(docs), 0.9, maxShingleDf = 0L))
+    val viaLsh = pairSet(Dedup.containmentDupPairs(docs, 0.9))
+    assert(viaLsh == exact)
+  }
+
   test("winnowing: shared runs ≥ window+gram-1 tokens share a fingerprint") {
     import spark.implicits._
     val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"

@@ -27,4 +27,28 @@ class ProfilingSpec extends SparkSpec {
     assert(str.isNullAt(5) && str.isNullAt(6))
     assert(str.getString(7) == "a" && str.getString(8) == "b")
   }
+
+  test("profileApprox: same shape, HLL cardinality within the error bound") {
+    val df = spark.range(0, 5000).selectExpr(
+      "id AS k", "CAST(id % 137 AS STRING) AS s", "CAST(id % 7 AS DOUBLE) AS d")
+    val cols = Seq("k", "s", "d")
+    val exact = Profiling.profile(df, cols, numeric = Set("k", "d"))
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    val approx = Profiling.profileApprox(df, cols, numeric = Set("k", "d"),
+        rsd = 0.05)
+      .collect().map(r => r.getString(0) -> r).toMap
+    cols.foreach { c =>
+      val a = approx(c).getLong(4).toDouble
+      val x = exact(c).toDouble
+      // HLL++ rsd 5%: allow 3 sigma
+      assert(math.abs(a - x) / x <= 0.15,
+        s"$c: approx $a vs exact $x out of bound")
+    }
+    // every non-cardinality metric is identical to the exact profile
+    val exactRows = Profiling.profile(df, cols, numeric = Set("k", "d"))
+      .drop("n_distinct").collect().map(_.toSeq).toSet
+    val approxRows = Profiling.profileApprox(df, cols, numeric = Set("k", "d"))
+      .drop("n_distinct").collect().map(_.toSeq).toSet
+    assert(exactRows == approxRows)
+  }
 }

@@ -85,4 +85,26 @@ class SimilaritySpec extends SparkSpec {
     val norms = u.select(Similarity.norm(col("unit")).as("n")).collect().map(_.getDouble(0))
     norms.foreach(n => assert(math.abs(n - 1.0) < 1e-12))
   }
+
+  test("srpDupPairs fails loudly on an embedding dim mismatch") {
+    // vecs are dim 3; the default dim=64 must raise, not silently zero
+    // sign bits via zip_with null-padding
+    val ex = intercept[Exception] {
+      Similarity.srpDupPairs(vecs, threshold = 0.5).collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) ""
+      else Option(t.getMessage).getOrElse("") + msgs(t.getCause)
+    assert(msgs(ex).contains("dim mismatch"))
+  }
+
+  test("srpDupPairs bucket guard drops degenerate over-populated buckets") {
+    import spark.implicits._
+    // 10 identical vectors: every (band, bkey) bucket holds all 10
+    val dup = (1L to 10L).map(i => (i, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    val guarded = Similarity.srpDupPairs(dup, 0.9, dim = 8, maxBucket = 5L).count()
+    assert(guarded == 0L) // every bucket over cap -> no candidates
+    val unguarded = Similarity.srpDupPairs(dup, 0.9, dim = 8, maxBucket = 0L).count()
+    assert(unguarded == 45L) // guard off: all C(10,2) pairs verify
+  }
 }
