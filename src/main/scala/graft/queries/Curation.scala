@@ -350,6 +350,19 @@ object Curation {
         .groupBy(col("shard"), col("seq_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("toks"))
         .orderBy("shard", "seq_id")
+    }),
+
+    // Streaming curation, batch-replay oracle: run the REAL streaming
+    // path (file source → watermark dedup → curation gates → keyed
+    // idempotent snapshot sink, AvailableNow trigger) and compare its
+    // snapshot against the batch curation SQL of the same input — the
+    // unified-API claim, hash-gated instead of spec-only. Output keyed
+    // on the content digest (the snapshot's key; deterministic columns
+    // only — bookkeeping timestamps dropped).
+    "q85_stream_curate" -> ((s, dir) => {
+      graft.streaming.DocsStream.replayDocuments(s, dir)
+        .select(col("digest"), col("n_toks"), col("rep_ratio"), col("text"))
+        .orderBy("digest")
     })
   )
 
@@ -533,6 +546,45 @@ object Curation {
             FROM sharded)
           SELECT shard, (cum - n_toks) // $PackBudget AS seq_id,
                  COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS toks
-          FROM packed GROUP BY 1, 2 ORDER BY shard, seq_id"""
+          FROM packed GROUP BY 1, 2 ORDER BY shard, seq_id""",
+
+    // Batch mirror of the streaming curation pipeline (q85): same digest,
+    // token accounting, 3-gram repetition ratio, gates and PII scrub as
+    // DocsStream.curate — constants referenced from DocsStream so engine
+    // and oracle cannot drift. DISTINCT plays the role of the stream's
+    // digest-keyed dedup+upsert (exact dups collapse to one row).
+    "q85_stream_curate" -> {
+      import graft.streaming.DocsStream.{KeepLangs, MaxRepRatio, MaxTokens, MinTokens}
+      val langs = KeepLangs.map(l => s"'$l'").mkString(", ")
+      val scrub = s"regexp_replace(regexp_replace(regexp_replace(text, " +
+        s"'${TA.emailRe}', '<EMAIL>', 'g'), '${TA.urlRe}', '<URL>', 'g'), " +
+        s"'${TA.phoneRe}', '<PHONE>', 'g')"
+      s"""WITH toks AS (
+            SELECT md5(text) AS digest, lang, text,
+                   regexp_extract_all(lower(text), '\\S+') AS tk
+            FROM documents),
+          grams AS (
+            SELECT *, CASE WHEN len(tk) >= 3
+                           THEN list_transform(range(1, len(tk)-1),
+                                  i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))
+                           ELSE CAST([] AS VARCHAR[]) END AS g
+            FROM toks),
+          scored AS (
+            SELECT digest, lang,
+                   CAST(len(tk) AS BIGINT) AS n_toks,
+                   CASE WHEN len(g) > 0
+                        THEN CAST(1.0 AS DOUBLE)
+                             - CAST(len(list_distinct(g)) AS DOUBLE)
+                               / CAST(len(g) AS DOUBLE)
+                        ELSE CAST(0.0 AS DOUBLE) END AS rep_ratio,
+                   $scrub AS text
+            FROM grams)
+          SELECT DISTINCT digest, n_toks, rep_ratio, text
+          FROM scored
+          WHERE n_toks BETWEEN $MinTokens AND $MaxTokens
+            AND lang IN ($langs)
+            AND rep_ratio <= $MaxRepRatio
+          ORDER BY digest"""
+    }
   )
 }

@@ -80,4 +80,42 @@ object DocsStream {
   def curatedSink(curated: org.apache.spark.sql.DataFrame, snapshotPath: String,
                   checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     EventsStream.mergeSink(curated, snapshotPath, "digest", checkpoint)
+
+  /** Batch-replay harness: drive the FULL streaming path (file source →
+    * watermark dedup → curation → keyed snapshot sink) over a bounded
+    * documents table with an AvailableNow trigger, then return the
+    * resulting snapshot as a batch DataFrame. Event time is synthesized
+    * deterministically from doc_id (1 s apart). This is what turns the
+    * streaming pipeline into an oracle-checkable catalog entry (q85):
+    * the snapshot's deterministic columns must equal the batch curation
+    * of the same input. Work dirs live under a fresh temp directory,
+    * removed on JVM exit. */
+  def replayDocuments(spark: org.apache.spark.sql.SparkSession,
+                      dir: String, horizon: String = "2 hours"): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    val work = java.nio.file.Files.createTempDirectory("graft_docs_replay_")
+    scala.sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(work.toFile)
+    }
+    val snap = s"$work/snapshot"
+    val ckpt = s"$work/ckpt"
+    // the file stream source requires a DIRECTORY; link (or copy) the
+    // table file into a fresh input dir instead of mutating the fixture
+    val in = java.nio.file.Files.createDirectory(work.resolve("in"))
+    val target = java.nio.file.Paths.get(path)
+    try java.nio.file.Files.createSymbolicLink(in.resolve("documents.parquet"), target)
+    catch { case _: Exception =>
+      java.nio.file.Files.copy(target, in.resolve("documents.parquet")); ()
+    }
+    val stream = spark.readStream.schema(schema).parquet(in.toString)
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
+    val q = EventsStream.runAvailableNow(
+      curatedSink(pipeline(stream, horizon), snap, ckpt))
+    q.awaitTermination()
+    spark.read.parquet(snap)
+  }
 }
