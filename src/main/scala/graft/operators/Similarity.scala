@@ -250,6 +250,40 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF+PQ composition — the standard large-scale ANN layout (an
+    * IVFADC index): the coarse partition (here the `cell` column; in a
+    * trained deployment, [[assignCells]] over [[kmeansRefine]]
+    * centroids) restricts candidates to the query's cell, and PQ-ADC
+    * ranks within the cell from the m-byte codes. At 100 TB the scan
+    * per query touches one cell's (cell key, m small ints) rows — never
+    * raw floats, never other cells; the LUT stays query-side tiny and
+    * broadcast. Determinism matches [[pqTopK]] (exact-decimal LUT sums,
+    * id tie-break). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                m: Int = 4, subLen: Int = 16, numCodes: Int = 16,
+                trainIters: Int = 2, idCol: String = "vec_id",
+                vecCol: String = "embedding", cellCol: String = "label"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cu = unitVectors(corpus, Seq(idCol -> "id", cellCol -> "cell"), vecCol, "unit")
+    val books = pqTrain(cu, m, subLen, numCodes, trainIters)
+    val codes = pqEncode(cu, books, m, subLen)
+      .join(cu.select(col("id"), col("cell")), "id")
+    val qu = unitVectors(queries, Seq(idCol -> "id", cellCol -> "cell"), vecCol, "unit")
+    val lut = subVectors(qu, m, subLen, Seq("id", "cell"))
+      .join(broadcast(books), "sub")
+      .select(col("id").as("query_id"), col("cell").as("q_cell"),
+              col("sub"), col("code"), dot(col("sv"), col("code_vec")).as("l"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_sim").desc, col("cand_id").asc)
+    codes.join(broadcast(lut),
+        codes("sub") === lut("sub") && codes("code") === lut("code") &&
+        codes("cell") === lut("q_cell") && codes("id") =!= lut("query_id"))
+      .groupBy(col("query_id"), col("id").as("cand_id"))
+      .agg(sum(col("l").cast(DecimalType(28, 16))).cast("double").as("approx_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** All-pairs variant (no blocking) — exact but O(n²); test scale only. */
   def dupPairs(corpus: DataFrame, threshold: Double,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

@@ -388,6 +388,18 @@ object Ext {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF+PQ composed (IVFADC): coarse cell restriction + PQ-ADC ranking
+    // from m-byte codes — the standard billion-scale ANN index layout.
+    // Per query the scan touches ONE cell's code rows; scoring reads m
+    // small ints per candidate, never raw floats.
+    "q86_ann_ivfpq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") % 100 === 0), k = 3)
+        .select(col("query_id"), col("cand_id"), col("rank"),
+                round(col("approx_sim"), 6).as("approx_sim"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Coreset / diversity sampling over embeddings: after IVF assignment,
     // keep the k most-central vectors per cell — the centroid-stratified
     // sample a curation pipeline feeds to expensive downstream scoring.
@@ -984,6 +996,49 @@ object Ext {
                             AS rank
                 FROM adc)
           WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // q61's construction with the coarse-cell restriction folded into the
+    // ADC join — label carried through subs/codes/lut.
+    "q86_ann_ivfpq" ->
+      s"""WITH $unitCte,
+          subs AS (
+            SELECT vec_id, label, sub, u[sub*16+1 : sub*16+16] AS sv
+            FROM e, (SELECT unnest(range(0, 4)) AS sub)),
+          b0 AS (
+            SELECT sub, ROW_NUMBER() OVER (PARTITION BY sub ORDER BY vec_id) - 1
+                     AS code, sv AS code_vec
+            FROM subs
+            WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16)),
+          ${lloydRoundSql(1, "b0")},
+          ${lloydRoundSql(2, "b1")},
+          books AS (SELECT * FROM b2),
+          codes AS (
+            SELECT vec_id AS cand_id, label, sub, code FROM (
+              SELECT s.vec_id, s.label, s.sub, b.code,
+                     ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+                                        ORDER BY ${foldDot("s.sv", "b.code_vec")} DESC,
+                                                 b.code ASC) AS rn
+              FROM subs s JOIN books b ON s.sub = b.sub)
+            WHERE rn = 1),
+          lut AS (
+            SELECT q.vec_id AS query_id, q.label AS q_cell, b.sub, b.code,
+                   ${foldDot("q.sv", "b.code_vec")} AS l
+            FROM (SELECT * FROM subs WHERE vec_id % 100 = 0) q
+            JOIN books b ON q.sub = b.sub),
+          adc AS (
+            SELECT lut.query_id, c.cand_id,
+                   CAST(SUM(CAST(lut.l AS DECIMAL(28,16))) AS DOUBLE) AS approx_sim
+            FROM codes c JOIN lut ON c.sub = lut.sub AND c.code = lut.code
+                                 AND c.label = lut.q_cell
+            WHERE c.cand_id <> lut.query_id
+            GROUP BY 1, 2)
+          SELECT query_id, cand_id, CAST(rank AS BIGINT) AS rank,
+                 ROUND(approx_sim, 6) AS approx_sim
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY approx_sim DESC, cand_id ASC)
+                            AS rank
+                FROM adc)
+          WHERE rank <= 3 ORDER BY query_id, rank""",
 
     "q60_coreset_sample" ->
       s"""WITH $unitCte,

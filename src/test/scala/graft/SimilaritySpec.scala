@@ -86,6 +86,15 @@ class SimilaritySpec extends SparkSpec {
     norms.foreach(n => assert(math.abs(n - 1.0) < 1e-12))
   }
 
+  test("ivfPqTopK restricts candidates to the query's cell") {
+    val out = Similarity.ivfPqTopK(vecs, vecs.filter($"vec_id" === 1L), k = 3,
+        m = 1, subLen = 3, numCodes = 2, trainIters = 1)
+      .collect()
+    assert(out.nonEmpty)
+    val cands = out.map(_.getAs[Long]("cand_id")).toSet
+    assert(cands.subsetOf(Set(2L, 5L))) // label-0 cell only, self excluded
+  }
+
   test("srpDupPairs fails loudly on an embedding dim mismatch") {
     // vecs are dim 3; the default dim=64 must raise, not silently zero
     // sign bits via zip_with null-padding
