@@ -359,8 +359,25 @@ object Curation {
     // unified-API claim, hash-gated instead of spec-only. Output keyed
     // on the content digest (the snapshot's key; deterministic columns
     // only — bookkeeping timestamps dropped).
+    //
+    // The comparison is restricted to digests whose duplicate group is
+    // GATE-UNIFORM (every copy's lang passes, or none does): the stream
+    // dedups BEFORE the lang gate — deliberately, so duplicates never
+    // pay curation — which makes the decision for a lang-heterogeneous
+    // duplicate group depend on which copy arrived first. That is real,
+    // documented pipeline behavior, not an oracle target (at sf0.1 two
+    // duplicate groups mix a kept and a gated lang). Text-derived gates
+    // (length, repetition) are digest-uniform by construction.
     "q85_stream_curate" -> ((s, dir) => {
-      graft.streaming.DocsStream.replayDocuments(s, dir)
+      import graft.streaming.DocsStream
+      val uniform = t(s, dir, "documents")
+        .groupBy(md5(col("text")).as("digest"))
+        .agg(min(when(col("lang").isin(DocsStream.KeepLangs: _*), 1)
+          .otherwise(0)).as("all_keep"))
+        .filter(col("all_keep") === 1)
+        .select("digest")
+      DocsStream.replayDocuments(s, dir)
+        .join(uniform, Seq("digest"), "left_semi")
         .select(col("digest"), col("n_toks"), col("rep_ratio"), col("text"))
         .orderBy("digest")
     })
@@ -584,6 +601,9 @@ object Curation {
           WHERE n_toks BETWEEN $MinTokens AND $MaxTokens
             AND lang IN ($langs)
             AND rep_ratio <= $MaxRepRatio
+            AND digest IN (SELECT digest FROM toks GROUP BY digest
+                           HAVING COUNT(*) = COUNT(CASE WHEN lang IN ($langs)
+                                                        THEN 1 END))
           ORDER BY digest"""
     }
   )
