@@ -24,6 +24,15 @@ class ScaleSpec extends SparkSpec {
     n
   }
 
+  test("inverted index: shard grouping adds NO shuffle beyond the term one") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    // expected exchanges: (1) the doc/term tf aggregation, (2) the term
+    // window partitioning; the (term, shard, doc_freq) collect_list
+    // grouping must reuse HashPartitioning(term) — a third exchange here
+    // means the sharding broke the plan
+    assert(countShuffles(graft.operators.Search.invertedIndex(docs)) == 2)
+  }
+
   test("K6: joining two tables bucketed on the key needs zero shuffles") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
