@@ -145,6 +145,26 @@ object Similarity {
     cents
   }
 
+  /** [[kmeansRefine]] with EXACT-DECIMAL centroid updates: every Lloyd
+    * round is assign → [[exactCentroids]], so the entire training loop is
+    * aggregation-order-independent and oracle-mirrorable (q87), the same
+    * property [[pqTrain]] has. The production loop keeps the one-pass
+    * double-buffer [[VectorAggregates.vectorMean]] (faster, same fixed
+    * point); this is its deterministic twin, and the two are
+    * spec-compared. Cells that lose all members drop out (both engines
+    * alike). */
+  def kmeansRefineExact(units: DataFrame, initial: DataFrame, iters: Int): DataFrame = {
+    var cents = initial.localCheckpoint()
+    (1 to iters).foreach { _ =>
+      val assigned = assignCells(units, cents)
+      cents = exactCentroids(
+        units.join(assigned, "id")
+          .select(col("assigned_cell").as("cell"), col("unit")),
+        "cell", "unit").localCheckpoint()
+    }
+    cents
+  }
+
   /** Mean within-cell similarity — the k-means objective (higher is
     * tighter for unit vectors). */
   def clusteringObjective(units: DataFrame, cents: DataFrame): Double =

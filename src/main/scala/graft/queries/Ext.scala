@@ -388,6 +388,23 @@ object Ext {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF BUILD with Lloyd refinement, end-to-end oracle-proven: init
+    // centroids from the label partition, ONE exact-decimal Lloyd round
+    // (assign → decimal means — order-independent, so even TRAINING is
+    // mirrored, like q61's PQ), then the refined assignment. The
+    // production loop (kmeansRefine) keeps one-pass double buffers; this
+    // is its deterministic twin and closes the last spec-only ANN stage.
+    "q87_kmeans_refine" -> ((s, dir) => {
+      val units = Similarity.unitVectors(
+        t(s, dir, "embeddings"), Seq("vec_id" -> "id", "label" -> "cell"))
+      val init = Similarity.exactCentroids(units, "cell", "unit")
+      val cents = Similarity.kmeansRefineExact(units, init, iters = 1)
+      Similarity.assignCells(units, cents)
+        .select(col("id"), col("assigned_cell").cast("long").as("assigned_cell"),
+                round(col("cell_sim"), 6).as("cell_sim"))
+        .orderBy("id")
+    }),
+
     // IVF+PQ composed (IVFADC): coarse cell restriction + PQ-ADC ranking
     // from m-byte codes — the standard billion-scale ANN index layout.
     // Per query the scan touches ONE cell's code rows; scoring reads m
@@ -996,6 +1013,46 @@ object Ext {
                             AS rank
                 FROM adc)
           WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // Full Lloyd-round mirror: init centroids from label cells (q47's
+    // construction), assignment rank by the same ordered dot fold, exact-
+    // decimal second-round means, refined assignment.
+    "q87_kmeans_refine" ->
+      s"""WITH $unitCte,
+          flat AS (SELECT label AS cell, generate_subscripts(u, 1) AS pos,
+                          unnest(u) AS val FROM e),
+          cdim AS (SELECT cell, pos,
+                          CAST(SUM(CAST(val AS DECIMAL(28,16))) AS DOUBLE)
+                            / CAST(COUNT(*) AS DOUBLE) AS cv
+                   FROM flat GROUP BY 1, 2),
+          cents0 AS (SELECT cell, list(cv ORDER BY pos) AS centroid
+                     FROM cdim GROUP BY cell),
+          a0 AS (SELECT id, cell AS acell
+                 FROM (SELECT e.vec_id AS id, c.cell,
+                              ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY ${foldDot("e.u", "c.centroid")} DESC,
+                                         c.cell ASC) AS rn
+                       FROM e CROSS JOIN cents0 c)
+                 WHERE rn = 1),
+          flat1 AS (SELECT a0.acell AS cell, generate_subscripts(e.u, 1) AS pos,
+                           unnest(e.u) AS val
+                    FROM e JOIN a0 ON e.vec_id = a0.id),
+          cdim1 AS (SELECT cell, pos,
+                           CAST(SUM(CAST(val AS DECIMAL(28,16))) AS DOUBLE)
+                             / CAST(COUNT(*) AS DOUBLE) AS cv
+                    FROM flat1 GROUP BY 1, 2),
+          cents1 AS (SELECT cell, list(cv ORDER BY pos) AS centroid
+                     FROM cdim1 GROUP BY cell),
+          sims1 AS (SELECT e.vec_id AS id, c.cell,
+                           ${foldDot("e.u", "c.centroid")} AS sim
+                    FROM e CROSS JOIN cents1 c)
+          SELECT id, CAST(assigned_cell AS BIGINT) AS assigned_cell,
+                 ROUND(cell_sim, 6) AS cell_sim
+          FROM (SELECT id, cell AS assigned_cell, sim AS cell_sim,
+                       ROW_NUMBER() OVER (PARTITION BY id
+                                          ORDER BY sim DESC, cell ASC) AS rn
+                FROM sims1)
+          WHERE rn = 1 ORDER BY id""",
 
     // q61's construction with the coarse-cell restriction folded into the
     // ADC join — label carried through subs/codes/lut.

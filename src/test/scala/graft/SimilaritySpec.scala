@@ -86,6 +86,21 @@ class SimilaritySpec extends SparkSpec {
     norms.foreach(n => assert(math.abs(n - 1.0) < 1e-12))
   }
 
+  test("kmeansRefineExact and kmeansRefine produce the same assignment") {
+    val units = Similarity.unitVectors(
+      Tables.load(spark, "/root/testdata/sf0.001", "embeddings"),
+      Seq("vec_id" -> "id", "label" -> "cell"))
+    val init = Similarity.exactCentroids(units, "cell", "unit")
+    def assigns(c: org.apache.spark.sql.DataFrame) =
+      Similarity.assignCells(units, c).select("id", "assigned_cell")
+        .collect().map(r => (r.getLong(0), r.get(1))).toMap
+    // decimal-exact and double-buffer centroids agree on where every
+    // vector lands (same Lloyd fixed point; ulp noise far below any
+    // assignment margin on this fixture)
+    assert(assigns(Similarity.kmeansRefineExact(units, init, 1)) ==
+           assigns(Similarity.kmeansRefine(units, init, 1)))
+  }
+
   test("ivfPqTopK restricts candidates to the query's cell") {
     val out = Similarity.ivfPqTopK(vecs, vecs.filter($"vec_id" === 1L), k = 3,
         m = 1, subLen = 3, numCodes = 2, trainIters = 1)
