@@ -33,6 +33,32 @@ class ScaleSpec extends SparkSpec {
     assert(countShuffles(graft.operators.Search.invertedIndex(docs)) == 2)
   }
 
+  test("persisted LSH band index: a delta probe costs one delta-side shuffle only") {
+    import graft.operators.Dedup
+    spark.sql("DROP TABLE IF EXISTS band_idx")
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    def bandsOf(d: org.apache.spark.sql.DataFrame) =
+      Dedup.bandKeys(
+        Dedup.minhashSignatures(Dedup.shingleSets(d)), 16, 4, sigLen = 64)
+    // corpus band index persisted bucketed on the probe key — the 100 TB
+    // layout the incremental-dedup scaladoc promises
+    bandsOf(docs.filter($"doc_id" % 10 =!= 0))
+      .write.bucketBy(8, "band", "bkey").sortBy("band", "bkey")
+      .saveAsTable("band_idx")
+    val idx = spark.table("band_idx")
+    // localCheckpoint stands in for "the delta's band keys, computed":
+    // only the probe's own exchanges should be counted
+    val delta = bandsOf(docs.filter($"doc_id" % 10 === 0)).localCheckpoint()
+      .repartition(8, col("band"), col("bkey"))
+    val probe = delta.as("x").join(idx.as("y"),
+      col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+      col("x.doc_id") =!= col("y.doc_id"))
+    // the index side reads pre-bucketed — only the (small) delta shuffles
+    assert(countShuffles(probe) == 1)
+    assert(probe.count() > 0) // fixture has cross corpus/delta dups
+    spark.sql("DROP TABLE IF EXISTS band_idx")
+  }
+
   test("K6: joining two tables bucketed on the key needs zero shuffles") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
