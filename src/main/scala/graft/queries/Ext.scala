@@ -388,6 +388,33 @@ object Ext {
         .orderBy("query_id", "rank")
     }),
 
+    // The recall dial CLOSING THE LOOP on q82: q82 reports IVF recall
+    // 0/15 because this fixture's `label` is not geometric; q88 re-runs
+    // the same measurement with cells from the oracle-gated k-means
+    // build (q87) — the fix a real deployment applies after reading
+    // q82's row. Same integer set arithmetic; recall must improve
+    // because Lloyd cells are Voronoi regions of the actual geometry.
+    "q88_ann_recall_refined" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val units = Similarity.unitVectors(e, Seq("vec_id" -> "id", "label" -> "cell"))
+      val init = Similarity.exactCentroids(units, "cell", "unit")
+      val cents = Similarity.kmeansRefineExact(units, init, iters = 1)
+      // both reused frames are small; materialize once (reuse pitfall)
+      val refined = Similarity.assignCells(units, cents)
+        .select(col("id").as("vec_id"), col("assigned_cell").as("label"))
+        .join(e.drop("label"), "vec_id")
+        .localCheckpoint()
+      val q = refined.filter(col("vec_id") % 100 === 0)
+      val truth3 = Similarity.bruteForceTopK(e, e.filter(col("vec_id") % 100 === 0), k = 3)
+        .select("query_id", "cand_id")
+        .localCheckpoint()
+      val ivf = Similarity.cellTopK(refined, q, k = 3).select("query_id", "cand_id")
+      ivf.join(truth3, Seq("query_id", "cand_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(truth3.agg(count(lit(1)).as("truth_cnt")))
+        .select(lit("ivf_kmeans").as("method"), col("hits"), col("truth_cnt"))
+    }),
+
     // IVF BUILD with Lloyd refinement, end-to-end oracle-proven: init
     // centroids from the label partition, ONE exact-decimal Lloyd round
     // (assign → decimal means — order-independent, so even TRAINING is
@@ -532,6 +559,39 @@ object Ext {
                 FROM d$i GROUP BY 1, 2),
         b$i AS (SELECT b.sub, b.code, COALESCE(n.new_vec, b.code_vec) AS code_vec
                 FROM $prev b LEFT JOIN n$i n ON b.sub = n.sub AND b.code = n.code)"""
+
+  /** One exact-decimal Lloyd round over full vectors, label-cell init —
+    * mirrors Similarity.kmeansRefineExact(units, exactCentroids, 1).
+    * Emits CTEs cents0/a0/cents1/sims1; consumers rank sims1. Shared by
+    * q87 (refined assignment) and q88 (recall with refined cells). */
+  private val kmeansRefineCtes: String =
+    s"""flat AS (SELECT label AS cell, generate_subscripts(u, 1) AS pos,
+                        unnest(u) AS val FROM e),
+        cdim AS (SELECT cell, pos,
+                        CAST(SUM(CAST(val AS DECIMAL(28,16))) AS DOUBLE)
+                          / CAST(COUNT(*) AS DOUBLE) AS cv
+                 FROM flat GROUP BY 1, 2),
+        cents0 AS (SELECT cell, list(cv ORDER BY pos) AS centroid
+                   FROM cdim GROUP BY cell),
+        a0 AS (SELECT id, cell AS acell
+               FROM (SELECT e.vec_id AS id, c.cell,
+                            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY ${foldDot("e.u", "c.centroid")} DESC,
+                                       c.cell ASC) AS rn
+                     FROM e CROSS JOIN cents0 c)
+               WHERE rn = 1),
+        flat1 AS (SELECT a0.acell AS cell, generate_subscripts(e.u, 1) AS pos,
+                         unnest(e.u) AS val
+                  FROM e JOIN a0 ON e.vec_id = a0.id),
+        cdim1 AS (SELECT cell, pos,
+                         CAST(SUM(CAST(val AS DECIMAL(28,16))) AS DOUBLE)
+                           / CAST(COUNT(*) AS DOUBLE) AS cv
+                  FROM flat1 GROUP BY 1, 2),
+        cents1 AS (SELECT cell, list(cv ORDER BY pos) AS centroid
+                   FROM cdim1 GROUP BY cell),
+        sims1 AS (SELECT e.vec_id AS id, c.cell,
+                         ${foldDot("e.u", "c.centroid")} AS sim
+                  FROM e CROSS JOIN cents1 c)"""
 
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -1019,33 +1079,7 @@ object Ext {
     // decimal second-round means, refined assignment.
     "q87_kmeans_refine" ->
       s"""WITH $unitCte,
-          flat AS (SELECT label AS cell, generate_subscripts(u, 1) AS pos,
-                          unnest(u) AS val FROM e),
-          cdim AS (SELECT cell, pos,
-                          CAST(SUM(CAST(val AS DECIMAL(28,16))) AS DOUBLE)
-                            / CAST(COUNT(*) AS DOUBLE) AS cv
-                   FROM flat GROUP BY 1, 2),
-          cents0 AS (SELECT cell, list(cv ORDER BY pos) AS centroid
-                     FROM cdim GROUP BY cell),
-          a0 AS (SELECT id, cell AS acell
-                 FROM (SELECT e.vec_id AS id, c.cell,
-                              ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                                ORDER BY ${foldDot("e.u", "c.centroid")} DESC,
-                                         c.cell ASC) AS rn
-                       FROM e CROSS JOIN cents0 c)
-                 WHERE rn = 1),
-          flat1 AS (SELECT a0.acell AS cell, generate_subscripts(e.u, 1) AS pos,
-                           unnest(e.u) AS val
-                    FROM e JOIN a0 ON e.vec_id = a0.id),
-          cdim1 AS (SELECT cell, pos,
-                           CAST(SUM(CAST(val AS DECIMAL(28,16))) AS DOUBLE)
-                             / CAST(COUNT(*) AS DOUBLE) AS cv
-                    FROM flat1 GROUP BY 1, 2),
-          cents1 AS (SELECT cell, list(cv ORDER BY pos) AS centroid
-                     FROM cdim1 GROUP BY cell),
-          sims1 AS (SELECT e.vec_id AS id, c.cell,
-                           ${foldDot("e.u", "c.centroid")} AS sim
-                    FROM e CROSS JOIN cents1 c)
+          $kmeansRefineCtes
           SELECT id, CAST(assigned_cell AS BIGINT) AS assigned_cell,
                  ROUND(cell_sim, 6) AS cell_sim
           FROM (SELECT id, cell AS assigned_cell, sim AS cell_sim,
@@ -1053,6 +1087,43 @@ object Ext {
                                           ORDER BY sim DESC, cell ASC) AS rn
                 FROM sims1)
           WHERE rn = 1 ORDER BY id""",
+
+    // q87's refined cells driving the q82 recall measurement: the
+    // "after the fix" row of the tuning dial.
+    "q88_ann_recall_refined" ->
+      s"""WITH $unitCte,
+          $kmeansRefineCtes,
+          a1 AS (SELECT id, cell AS acell FROM (
+                   SELECT id, cell, sim,
+                          ROW_NUMBER() OVER (PARTITION BY id
+                                             ORDER BY sim DESC, cell ASC) AS rn
+                   FROM sims1)
+                 WHERE rn = 1),
+          r AS (SELECT e.vec_id, a1.acell AS label, e.u
+                FROM e JOIN a1 ON e.vec_id = a1.id),
+          rq AS (SELECT * FROM r WHERE vec_id % 100 = 0),
+          bsims AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                           ${foldDot("q.u", "c.u")} AS sim
+                    FROM (SELECT * FROM e WHERE vec_id % 100 = 0) q
+                    JOIN e c ON c.vec_id <> q.vec_id),
+          truth3 AS (SELECT query_id, cand_id FROM (
+                       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, cand_id ASC) AS rk
+                       FROM bsims)
+                     WHERE rk <= 3),
+          isims AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                           ${foldDot("q.u", "c.u")} AS sim
+                    FROM rq q JOIN r c ON c.label = q.label
+                                      AND c.vec_id <> q.vec_id),
+          ivf AS (SELECT query_id, cand_id FROM (
+                    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, cand_id ASC) AS rk
+                    FROM isims)
+                  WHERE rk <= 3)
+          SELECT 'ivf_kmeans' AS method,
+                 CAST((SELECT COUNT(*) FROM ivf i JOIN truth3 t
+                       USING (query_id, cand_id)) AS BIGINT) AS hits,
+                 CAST((SELECT COUNT(*) FROM truth3) AS BIGINT) AS truth_cnt""",
 
     // q61's construction with the coarse-cell restriction folded into the
     // ADC join — label carried through subs/codes/lut.
