@@ -81,6 +81,39 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Multi-probe IVF top-k: each query searches its `nprobe` nearest
+    * cells (by centroid similarity, cell-id tie-break) instead of one —
+    * the standard IVF recall/cost knob: recall rises with nprobe while
+    * cost stays nprobe/cells of a full scan. The probe list (queries ×
+    * nprobe rows, each carrying the unit query vector) is broadcast; the
+    * corpus stays stationary and is scanned only in the probed cells —
+    * same 100 TB shape as [[cellTopK]]. A candidate lives in exactly one
+    * cell, so no post-join dedup is needed. */
+  def cellTopKMultiProbe(corpus: DataFrame, queries: DataFrame,
+                         centroids: DataFrame, k: Int, nprobe: Int,
+                         idCol: String = "vec_id", vecCol: String = "embedding",
+                         cellCol: String = "label"): DataFrame = {
+    require(nprobe > 0, "cellTopKMultiProbe: nprobe must be positive")
+    val qu = unitVectors(queries, Seq(idCol -> "query_id"), vecCol, "qu")
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("psim").desc, col("c_cell").asc)
+    val probes = qu.crossJoin(broadcast(
+        centroids.select(col("cell").as("c_cell"), col("centroid"))))
+      .select(col("query_id"), col("qu"), col("c_cell"),
+              dot(col("qu"), col("centroid")).as("psim"))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qu"), col("c_cell"))
+    val cu = unitVectors(corpus, Seq(idCol -> "cand_id", cellCol -> "cc"), vecCol, "cu")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id").asc)
+    cu.join(broadcast(probes),
+        col("cc") === col("c_cell") && col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"), dot(col("qu"), col("cu")).as("sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Near-dup pairs (a<b) with cosine ≥ threshold, blocked by a cell
     * column: the scale pattern for embedding dedup — pairs are only
     * generated within a cell (IVF bucket / LSH band), turning O(n²) into

@@ -415,6 +415,32 @@ object Ext {
         .select(lit("ivf_kmeans").as("method"), col("hits"), col("truth_cnt"))
     }),
 
+    // The dial's third reading: multi-probe IVF (nprobe=2) over the same
+    // refined cells — the standard recall/cost knob. Progression on this
+    // fixture: raw labels 0/15 (q82) → refined single-probe 7/15 (q88)
+    // → refined nprobe=2 here; cost stays nprobe/cells of a full scan.
+    "q89_ann_recall_multiprobe" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val units = Similarity.unitVectors(e, Seq("vec_id" -> "id", "label" -> "cell"))
+      val init = Similarity.exactCentroids(units, "cell", "unit")
+      val cents = Similarity.kmeansRefineExact(units, init, iters = 1)
+        .localCheckpoint()
+      val refined = Similarity.assignCells(units, cents)
+        .select(col("id").as("vec_id"), col("assigned_cell").as("label"))
+        .join(e.drop("label"), "vec_id")
+        .localCheckpoint()
+      val q = refined.filter(col("vec_id") % 100 === 0)
+      val truth3 = Similarity.bruteForceTopK(e, e.filter(col("vec_id") % 100 === 0), k = 3)
+        .select("query_id", "cand_id")
+        .localCheckpoint()
+      val mp = Similarity.cellTopKMultiProbe(refined, q, cents, k = 3, nprobe = 2)
+        .select("query_id", "cand_id")
+      mp.join(truth3, Seq("query_id", "cand_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(truth3.agg(count(lit(1)).as("truth_cnt")))
+        .select(lit("ivf_kmeans_np2").as("method"), col("hits"), col("truth_cnt"))
+    }),
+
     // IVF BUILD with Lloyd refinement, end-to-end oracle-proven: init
     // centroids from the label partition, ONE exact-decimal Lloyd round
     // (assign → decimal means — order-independent, so even TRAINING is
@@ -1122,6 +1148,50 @@ object Ext {
                   WHERE rk <= 3)
           SELECT 'ivf_kmeans' AS method,
                  CAST((SELECT COUNT(*) FROM ivf i JOIN truth3 t
+                       USING (query_id, cand_id)) AS BIGINT) AS hits,
+                 CAST((SELECT COUNT(*) FROM truth3) AS BIGINT) AS truth_cnt""",
+
+    // Multi-probe over the refined cells: probes = top-2 centroid sims
+    // per query (cell tie-break), candidates from any probed cell.
+    "q89_ann_recall_multiprobe" ->
+      s"""WITH $unitCte,
+          $kmeansRefineCtes,
+          a1 AS (SELECT id, cell AS acell FROM (
+                   SELECT id, cell, sim,
+                          ROW_NUMBER() OVER (PARTITION BY id
+                                             ORDER BY sim DESC, cell ASC) AS rn
+                   FROM sims1)
+                 WHERE rn = 1),
+          r AS (SELECT e.vec_id, a1.acell AS label, e.u
+                FROM e JOIN a1 ON e.vec_id = a1.id),
+          rq AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+          probes AS (SELECT query_id, c_cell FROM (
+                       SELECT q.vec_id AS query_id, c.cell AS c_cell,
+                              ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                ORDER BY ${foldDot("q.u", "c.centroid")} DESC,
+                                         c.cell ASC) AS rn
+                       FROM rq q CROSS JOIN cents1 c)
+                     WHERE rn <= 2),
+          bsims AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                           ${foldDot("q.u", "c.u")} AS sim
+                    FROM rq q JOIN e c ON c.vec_id <> q.vec_id),
+          truth3 AS (SELECT query_id, cand_id FROM (
+                       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, cand_id ASC) AS rk
+                       FROM bsims)
+                     WHERE rk <= 3),
+          msims AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                           ${foldDot("q.u", "c.u")} AS sim
+                    FROM rq q JOIN probes p ON p.query_id = q.vec_id
+                              JOIN r c ON c.label = p.c_cell
+                                      AND c.vec_id <> q.vec_id),
+          mp AS (SELECT query_id, cand_id FROM (
+                   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, cand_id ASC) AS rk
+                   FROM msims)
+                 WHERE rk <= 3)
+          SELECT 'ivf_kmeans_np2' AS method,
+                 CAST((SELECT COUNT(*) FROM mp i JOIN truth3 t
                        USING (query_id, cand_id)) AS BIGINT) AS hits,
                  CAST((SELECT COUNT(*) FROM truth3) AS BIGINT) AS truth_cnt""",
 

@@ -86,6 +86,19 @@ class SimilaritySpec extends SparkSpec {
     norms.foreach(n => assert(math.abs(n - 1.0) < 1e-12))
   }
 
+  test("multi-probe IVF with nprobe = all cells equals brute force") {
+    val units = Similarity.unitVectors(vecs, Seq("vec_id" -> "id", "label" -> "cell"))
+    val cents = Similarity.exactCentroids(units, "cell", "unit")
+    def ranked(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "cand_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val mp = ranked(Similarity.cellTopKMultiProbe(
+      vecs, vecs.filter($"vec_id" === 1L), cents, k = 4, nprobe = 2))
+    val bf = ranked(Similarity.bruteForceTopK(
+      vecs, vecs.filter($"vec_id" === 1L), k = 4))
+    assert(mp == bf) // 2 cells exist; probing both == exhaustive search
+  }
+
   test("kmeansRefineExact and kmeansRefine produce the same assignment") {
     val units = Similarity.unitVectors(
       Tables.load(spark, "/root/testdata/sf0.001", "embeddings"),
