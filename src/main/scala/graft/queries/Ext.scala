@@ -515,6 +515,25 @@ object Ext {
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
              count(lit(1)).as("cnt"))
         .orderBy("l_returnflag")
+    }),
+
+    // Approximate quantiles (rows-only like q42/q84: sketch estimates are
+    // engine-specific; q59 is the exact nearest-rank twin). One pass,
+    // mergeable fixed-size sketches — at 100 TB this replaces the exact
+    // order-statistic scan; ProfilingSpec-style error bound in
+    // CurationSpec.
+    "q90_approx_quantiles" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_extendedprice"),
+               array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("qs"),
+             count(lit(1)).as("cnt"))
+        .select(col("l_returnflag"),
+                element_at(col("qs"), 1).as("p25"),
+                element_at(col("qs"), 2).as("p50"),
+                element_at(col("qs"), 3).as("p75"),
+                col("cnt"))
+        .orderBy("l_returnflag")
     })
   )
 

@@ -128,4 +128,18 @@ class CurationSpec extends SparkSpec {
     assert(out(2) == "call <PHONE> or <PHONE>")
     assert(out(3) == "nothing to hide here")
   }
+
+  test("q90: approximate quantiles land within the sketch's rank-error bound") {
+    import org.apache.spark.sql.functions._
+    // uniform 0..99999: true pth percentile ≈ p * 100000; accuracy 10000
+    // bounds rank error at n/10000 = 10 ranks → value error ≈ 10
+    val df = spark.range(0, 100000).select(col("id").cast("double").as("v"))
+    val qs = df.agg(percentile_approx(col("v"),
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("qs"))
+      .head().getSeq[Double](0)
+    Seq(0.25, 0.5, 0.75).zip(qs).foreach { case (p, est) =>
+      assert(math.abs(est - p * 100000) <= 100.0,
+        s"p$p: $est vs ${p * 100000}")
+    }
+  }
 }
