@@ -361,6 +361,14 @@ object Similarity {
       }
     }
 
+  /** Default population cap for one SRP (band, bkey) bucket. A bucket is
+    * only useful when it is selective; one holding more than this many
+    * vectors (a degenerate embedding mass sharing a sign pattern — e.g.
+    * near-zero vectors) would contribute O(pop²) join rows on a single
+    * key while carrying no discrimination. Same role as
+    * [[Dedup.DefaultMaxShingleDf]]. */
+  val DefaultMaxSrpBucket = 100L
+
   /** SRP-LSH near-dup pairs over an embedding column — the
     * centroid-free scale path for cosine dedup (complements the
     * IVF-cell blocking of [[cellDupPairs]], which needs a trained
@@ -375,14 +383,6 @@ object Similarity {
     * band — tune rowsPerBand ~ log2(n/target_bucket)); only candidate
     * pairs pay the exact dot product. P[two vectors at cosine θ share a
     * band] = (1 - acos(θ)/π)^rowsPerBand. */
-  /** Default population cap for one SRP (band, bkey) bucket. A bucket is
-    * only useful when it is selective; one holding more than this many
-    * vectors (a degenerate embedding mass sharing a sign pattern — e.g.
-    * near-zero vectors) would contribute O(pop²) join rows on a single
-    * key while carrying no discrimination. Same role as
-    * [[Dedup.DefaultMaxShingleDf]]. */
-  val DefaultMaxSrpBucket = 100L
-
   def srpDupPairs(corpus: DataFrame, threshold: Double,
                   bands: Int = 8, rowsPerBand: Int = 6, dim: Int = 64,
                   idCol: String = "vec_id", vecCol: String = "embedding",
