@@ -129,6 +129,18 @@ object Advanced {
     // divide + floor (no width_bucket engine-semantics to match), counts
     // and exact bucket bounds. The profiling complement to q70 — shape of
     // a distribution, not just min/max.
+    // Streaming windowed aggregation, batch-replay oracle (the events-
+    // side sibling of q85): the REAL streaming path — file source,
+    // event-time watermark, append mode (only watermark-closed windows
+    // emit), AvailableNow — hash-compared against SQL computing the same
+    // hourly aggregate restricted to the same close condition
+    // (window end ≤ max(ts) − the 2 h lateness bound). This gates the
+    // watermark/window semantics themselves, not just the arithmetic.
+    "q91_stream_hourly" -> ((s, dir) => {
+      graft.streaming.EventsStream.replayHourly(s, dir)
+        .orderBy("window_start", "event_type")
+    }),
+
     "q80_histogram" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "orders")
@@ -230,6 +242,16 @@ object Advanced {
       """SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
                 COUNT(*) AS cnt, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
          FROM orders GROUP BY 1 ORDER BY bucket""",
+
+    // Window close mirror: Spark emits an append-mode window once
+    // window.end <= watermark = max event time - lateness.
+    "q91_stream_hourly" ->
+      s"""WITH mx AS (SELECT MAX(ts) AS m FROM events)
+          SELECT date_trunc('hour', ts) AS window_start, event_type,
+                 COUNT(*) AS cnt, ${dsumSql("value", 6)} AS value_sum
+          FROM events, mx
+          WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= m - INTERVAL 2 HOUR
+          GROUP BY 1, 2 ORDER BY window_start, event_type""",
 
     "q44_asof_join" ->
       """SELECT event_id, user_id, asof_orderkey, asof_totalprice FROM (

@@ -42,8 +42,12 @@ object EventsStream {
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      // exact-decimal sum (the dsum convention): state stays one decimal
+      // per group, and the emitted value is aggregation-order-independent
+      // — which is what lets q91 hash-compare the stream against SQL
       .agg(count(lit(1)).as("cnt"),
-           sum(col("value")).as("value_sum"))
+           sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+             .cast("double").as("value_sum"))
       .select(col("w.start").as("window_start"), col("event_type"),
               col("cnt"), col("value_sum"))
 
@@ -170,4 +174,47 @@ object EventsStream {
     * catch-up-on-missed-windows tick). */
   def runAvailableNow(writer: DataStreamWriter[Row]): StreamingQuery =
     writer.trigger(Trigger.AvailableNow()).start()
+
+  /** Batch-replay harness for the windowed aggregation (q91): drive
+    * [[hourlyCounts]] through the real streaming engine — file source,
+    * event-time watermark, APPEND mode, so ONLY watermark-closed windows
+    * emit — over the bounded events table, and return the emitted rows.
+    * The oracle mirrors the close condition exactly: windows whose end
+    * ≤ max(ts) − the 2 h lateness bound. Work dirs are temp, removed on
+    * JVM exit. */
+  def replayHourly(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val work = java.nio.file.Files.createTempDirectory("graft_events_replay_")
+    scala.sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(work.toFile)
+    }
+    // file stream source needs a directory; link (or copy) the table in
+    val in = java.nio.file.Files.createDirectory(work.resolve("in"))
+    val target = java.nio.file.Paths.get(path)
+    try java.nio.file.Files.createSymbolicLink(in.resolve("events.parquet"), target)
+    catch { case _: Exception =>
+      java.nio.file.Files.copy(target, in.resolve("events.parquet")); ()
+    }
+    val out = s"$work/out"
+    // same nanos-long → micros-timestamp normalization as Tables.load
+    // (events.ts is parquet TIMESTAMP(NANOS), read as long under
+    // nanosAsLong)
+    val raw = readEvents(spark, in.toString, schema)
+    val events =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    val q = hourlyCounts(events)
+      .writeStream
+      .option("checkpointLocation", s"$work/ckpt")
+      .outputMode("append")
+      .format("parquet").option("path", out)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+  }
 }
