@@ -141,6 +141,19 @@ object Advanced {
         .orderBy("window_start", "event_type")
     }),
 
+    // Session-window streaming semantics, batch-replay oracle (q91's
+    // sibling for the merge-on-overlap window family): session_window
+    // merges an event into a session iff it lands strictly inside
+    // last-event + gap (diff >= gap starts a new session — mirrored with
+    // >= in the oracle, unlike q43's batch islands which use >), and a
+    // session emits when the watermark passes its end. The oracle
+    // rebuilds sessions with gaps-and-islands and applies the same close
+    // condition.
+    "q92_stream_sessions" -> ((s, dir) => {
+      graft.streaming.EventsStream.replaySessions(s, dir)
+        .orderBy("user_id", "session_start")
+    }),
+
     "q80_histogram" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "orders")
@@ -242,6 +255,35 @@ object Advanced {
       """SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
                 COUNT(*) AS cnt, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
          FROM orders GROUP BY 1 ORDER BY bucket""",
+
+    // Session mirror: islands with the session_window merge rule
+    // (>= gap starts new), end = last event + gap, closed sessions only.
+    "q92_stream_sessions" ->
+      s"""WITH mx AS (SELECT MAX(ts) AS m FROM events),
+          marked AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                             >= 1800 * 1000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)),
+          sessioned AS (
+            SELECT *, SUM(new_session) OVER
+                   (PARTITION BY user_id ORDER BY ts ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+            FROM marked),
+          sess AS (
+            SELECT MIN(ts) AS session_start,
+                   MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                   user_id, COUNT(*) AS events,
+                   ${dsumSql("value", 6)} AS value_sum
+            FROM sessioned GROUP BY user_id, session_id)
+          SELECT session_start, session_end, user_id, events, value_sum
+          FROM sess, mx
+          WHERE session_end <= m - INTERVAL 2 HOUR
+          ORDER BY user_id, session_start""",
 
     // Window close mirror: Spark emits an append-mode window once
     // window.end <= watermark = max event time - lateness.

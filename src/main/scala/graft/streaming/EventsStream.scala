@@ -59,13 +59,16 @@ object EventsStream {
       .agg(count(lit(1)).as("cnt"))
       .select(col("w.start").as("window_start"), col("event_type"), col("cnt"))
 
-  /** T5: session windows per user with a 30m gap. */
+  /** T5: session windows per user with a 30m gap. Value sum follows the
+    * dsum convention (exact decimal, surfaced as double) so emitted rows
+    * are hash-comparable (q92). */
   def userSessions(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
       .groupBy(session_window(col("ts"), "30 minutes").as("s"), col("user_id"))
       .agg(count(lit(1)).as("events"),
-           sum(col("value")).as("value_sum"))
+           sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+             .cast("double").as("value_sum"))
       .select(col("s.start").as("session_start"), col("s.end").as("session_end"),
               col("user_id"), col("events"), col("value_sum"))
 
@@ -175,14 +178,14 @@ object EventsStream {
   def runAvailableNow(writer: DataStreamWriter[Row]): StreamingQuery =
     writer.trigger(Trigger.AvailableNow()).start()
 
-  /** Batch-replay harness for the windowed aggregation (q91): drive
-    * [[hourlyCounts]] through the real streaming engine — file source,
-    * event-time watermark, APPEND mode, so ONLY watermark-closed windows
-    * emit — over the bounded events table, and return the emitted rows.
-    * The oracle mirrors the close condition exactly: windows whose end
-    * ≤ max(ts) − the 2 h lateness bound. Work dirs are temp, removed on
-    * JVM exit. */
-  def replayHourly(spark: SparkSession, dir: String): DataFrame = {
+  /** Batch-replay harness: drive a windowed aggregation through the real
+    * streaming engine — file source, event-time watermark, APPEND mode,
+    * so ONLY watermark-closed windows emit — over the bounded events
+    * table, and return the emitted rows. The oracle mirrors the close
+    * condition exactly: windows whose end ≤ max(ts) − the 2 h lateness
+    * bound. Work dirs are temp, removed on JVM exit. */
+  private def replayEvents(spark: SparkSession, dir: String,
+                           agg: DataFrame => DataFrame): DataFrame = {
     val path = s"$dir/events.parquet"
     val schema = spark.read.parquet(path).schema
     val work = java.nio.file.Files.createTempDirectory("graft_events_replay_")
@@ -208,7 +211,7 @@ object EventsStream {
       if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       else raw
-    val q = hourlyCounts(events)
+    val q = agg(events)
       .writeStream
       .option("checkpointLocation", s"$work/ckpt")
       .outputMode("append")
@@ -217,4 +220,13 @@ object EventsStream {
     q.awaitTermination()
     spark.read.parquet(out)
   }
+
+  /** q91: [[hourlyCounts]] through the real engine (tumbling windows). */
+  def replayHourly(spark: SparkSession, dir: String): DataFrame =
+    replayEvents(spark, dir, hourlyCounts)
+
+  /** q92: [[userSessions]] through the real engine (session windows —
+    * a session closes when the watermark passes last-event + gap). */
+  def replaySessions(spark: SparkSession, dir: String): DataFrame =
+    replayEvents(spark, dir, userSessions)
 }
