@@ -28,9 +28,26 @@ object TrainingExport {
 
   /** Deterministic shard assignment + within-shard sort key. */
   def assignShards(docs: DataFrame, numShards: Int, key: String = "doc_id"): DataFrame =
+    assignShardsBy(docs, numShards, xxhash64(col(key)))
+
+  /** Shard assignment from an arbitrary 64-bit hash column (the
+    * oracle-parity twin passes a portable polynomial hash; production
+    * stays on xxhash64). */
+  def assignShardsBy(docs: DataFrame, numShards: Int, h: org.apache.spark.sql.Column): DataFrame =
     docs
-      .withColumn("_h", xxhash64(col(key)))
+      .withColumn("_h", h)
       .withColumn(ShardCol, pmod(col("_h"), lit(numShards.toLong)))
+
+  /** The manifest as a DataFrame: per-shard row count + order-insensitive
+    * content digest of `rowHash` (any 64-bit per-row hash column). One
+    * partial/final aggregate pair on shard — the same single-pass shape
+    * whether the result is collected (exportJsonl's n-row control-plane
+    * manifest) or left distributed (the q93 catalog entry). */
+  def manifestOf(assigned: DataFrame, rowHash: org.apache.spark.sql.Column): DataFrame =
+    assigned
+      .groupBy(col(ShardCol))
+      .agg(count(lit(1)).as("n_rows"), contentHash(rowHash))
+      .orderBy(ShardCol)
 
   /** Export `docs` as `numShards` JSONL shards under `path` (directory per
     * shard via partitionBy; exactly one file per shard because each shard's
@@ -61,23 +78,20 @@ object TrainingExport {
         .select(col(ShardCol), col("line"))
         .write.partitionBy(ShardCol).mode("overwrite").text(path)
       // Manifest: per-shard row count + order-insensitive content digest.
-      val manifest = lines
-        .groupBy(col(ShardCol))
-        .agg(count(lit(1)).as("rows"), contentHash(col("line")))
-        .orderBy(ShardCol)
+      val manifest = manifestOf(lines, xxhash64(col("line")))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
       writeManifest(spark, path, manifest)
       manifest
     } finally lines.unpersist()
   }
 
-  /** Order-insensitive content digest: Σ (xxhash64(line) mod P) mod P,
-    * summed in DECIMAL(38) — commutative/associative so any aggregation
-    * order agrees, and overflow-free at any row count (ANSI mode would
-    * throw on a wrapping long sum). */
-  private val HashP = 1000000007L
-  private def contentHash(line: org.apache.spark.sql.Column) =
-    pmod(sum(pmod(xxhash64(line), lit(HashP))
+  /** Order-insensitive content digest: Σ (rowHash mod P) mod P, summed
+    * in DECIMAL(38) — commutative/associative so any aggregation order
+    * agrees, and overflow-free at any row count (ANSI mode would throw
+    * on a wrapping long sum). */
+  val HashP = 1000000007L
+  private def contentHash(rowHash: org.apache.spark.sql.Column) =
+    pmod(sum(pmod(rowHash, lit(HashP))
                .cast(org.apache.spark.sql.types.DecimalType(38, 0))),
          lit(HashP)).cast("long").as("content_hash")
 
@@ -102,7 +116,7 @@ object TrainingExport {
       .withColumn(ShardCol,
         regexp_extract(input_file_name(), s"$ShardCol=(\\d+)", 1).cast("long"))
       .groupBy(col(ShardCol))
-      .agg(count(lit(1)).as("rows"), contentHash(col("value")))
+      .agg(count(lit(1)).as("n_rows"), contentHash(xxhash64(col("value"))))
       .orderBy(ShardCol)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
 }

@@ -18,6 +18,11 @@ object Advanced {
 
   private def t(s: SparkSession, dir: String, name: String) = Tables.load(s, dir, name)
 
+  /** Max edit distance for the fuzzy brand-pair linkage (q97) — also
+    * bounds the length-band blocking predicate (|len Δ| ≤ d is implied
+    * by lev ≤ d, so the band never drops a true match). */
+  val FuzzyMaxDist = 2
+
   val queries: Map[String, Q] = Map(
     // Windowed anomaly detection over the event stream: flag hours whose
     // count spikes > 3σ above the trailing 24-observed-hours baseline.
@@ -182,6 +187,69 @@ object Advanced {
         .agg(count(lit(1)).as("cnt"),
              sum($"p_retailprice".cast(DecimalType(18, 2))).cast("double").as("price_sum"))
         .orderBy($"band".asc_nulls_first)
+    }),
+
+    // Cohort retention: users grouped by first-seen week, activity
+    // counted per week offset — the engagement matrix behind every
+    // retention dashboard. Scale shape: the first-seen timestamp rides
+    // on the event rows via a window min (ONE shuffle on user_id — no
+    // self-join back), then the cohort cell aggregate is a second,
+    // cardinality-bounded shuffle on (cohort_week, week_offset). Week
+    // offsets divide exactly (both ends Monday-truncated), so the
+    // arithmetic is integer end-to-end.
+    "q95_cohort_retention" -> ((s, dir) => {
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id")
+      t(s, dir, "events")
+        .select($"user_id", $"ts")
+        .withColumn("first_ts", min($"ts").over(byUser))
+        .select($"user_id",
+                date_trunc("week", $"first_ts").as("cohort_week"),
+                (datediff(date_trunc("week", $"ts"),
+                          date_trunc("week", $"first_ts")) / 7)
+                  .cast("long").as("week_offset"))
+        .groupBy($"cohort_week", $"week_offset")
+        .agg(countDistinct($"user_id").as("users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
+    // EXT fuzzy join (record linkage): near-identical part names within
+    // a brand, verified by edit distance, reported as the per-brand
+    // linkage summary (row-pair count + exact distance mass — identical
+    // to the naive part×part self-join the oracle runs).
+    //
+    // Scale shape, in priority order:
+    //  1. VALUE-SPACE COLLAPSE: group to distinct (brand, name) with
+    //     multiplicities FIRST — the edit-distance verify then runs over
+    //     name pairs, not row pairs (64 distinct names vs 20k rows at
+    //     sf0.1 ≈ 160× fewer levenshteins; row-pair counts come back via
+    //     mA·mB / C(m,2) multiplication, exactly). This is the move that
+    //     survives 100 TB whenever the value domain is smaller than the
+    //     row count — and when it isn't, the block key widens to
+    //     (brand, length bucket) and hot blocks get salted
+    //     (Joins.saltedJoin).
+    //  2. The cheap length-band predicate prunes before levenshtein
+    //     (|lenΔ| ≤ d is implied by lev ≤ d — never drops a match).
+    //  3. The levenshtein itself is THRESHOLD-BANDED (O(d·len), returns
+    //     −1 above d) — never pays the full O(len²) DP on a far pair.
+    "q97_fuzzy_brand_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val g = t(s, dir, "part")
+        .groupBy($"p_brand", $"p_name").agg(count(lit(1)).as("m"))
+      val a = g.select($"p_brand", $"p_name".as("a_name"), $"m".as("ma"))
+      val b = g.select($"p_brand", $"p_name".as("b_name"), $"m".as("mb"))
+      a.join(b, Seq("p_brand"))
+        .filter($"a_name" <= $"b_name")
+        .filter(abs(length($"a_name") - length($"b_name")) <= FuzzyMaxDist)
+        .withColumn("dist", levenshtein($"a_name", $"b_name", FuzzyMaxDist))
+        .filter($"dist" >= 0) // banded: −1 means > threshold
+        .withColumn("npairs", // row pairs this name pair stands for
+          when($"a_name" === $"b_name", ($"ma" * ($"ma" - 1) / 2).cast("long"))
+            .otherwise($"ma" * $"mb"))
+        .groupBy($"p_brand")
+        .agg(sum($"npairs").cast("long").as("pairs"),
+             sum($"dist" * $"npairs").cast("long").as("dist_sum"))
+        .orderBy("p_brand")
     })
   )
 
@@ -313,6 +381,26 @@ object Advanced {
          SELECT band, COUNT(*) AS cnt,
                 CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
          FROM part LEFT JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
-         GROUP BY band ORDER BY band NULLS FIRST"""
+         GROUP BY band ORDER BY band NULLS FIRST""",
+
+    "q95_cohort_retention" ->
+      """WITH e AS (SELECT user_id, ts,
+                           MIN(ts) OVER (PARTITION BY user_id) AS first_ts
+                    FROM events)
+         SELECT CAST(date_trunc('week', first_ts) AS TIMESTAMP) AS cohort_week,
+                CAST(date_diff('day', CAST(date_trunc('week', first_ts) AS DATE),
+                               CAST(date_trunc('week', ts) AS DATE)) // 7
+                     AS BIGINT) AS week_offset,
+                COUNT(DISTINCT user_id) AS users
+         FROM e GROUP BY 1, 2 ORDER BY cohort_week, week_offset""",
+
+    "q97_fuzzy_brand_pairs" ->
+      s"""SELECT a.p_brand AS p_brand, COUNT(*) AS pairs,
+                 CAST(SUM(levenshtein(a.p_name, b.p_name)) AS BIGINT) AS dist_sum
+          FROM part a JOIN part b
+            ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+           AND abs(length(a.p_name) - length(b.p_name)) <= $FuzzyMaxDist
+           AND levenshtein(a.p_name, b.p_name) <= $FuzzyMaxDist
+          GROUP BY 1 ORDER BY p_brand"""
   )
 }

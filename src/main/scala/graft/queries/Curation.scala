@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, TextAnalysis => TA}
+import graft.operators.{Dedup, Sketches, TextAnalysis => TA, TrainingExport}
 
 /** Training-data curation beyond dedup: the operations a 100 TB pretraining
   * pipeline runs between "raw crawl" and "tokenizer input", each with a
@@ -42,6 +42,17 @@ object Curation {
   val MixBudget = 300L
   /** Fixed-point scale for bigram probability ratios (q72). */
   val BigramScale = 1000000000L
+  /** Shard count for the export-manifest twin (q93). */
+  val ExportShards = 8
+  /** Misra–Gries counter budget (q94): guarantees every key above a
+    * 1/1024 frequency share survives candidate generation. */
+  val HeavyK = 1024
+
+  /** Portable polynomial char fold (codegen'd PolyHash) — the
+    * SQL-expressible stand-in for xxhash64 in oracle-parity twins
+    * (q74 precedent). */
+  private def polyFold(c: org.apache.spark.sql.Column, b: Long, p: Long) =
+    call_function("graft_polyhash", c, lit(b), lit(p))
 
   val queries: Map[String, Q] = Map(
     // Decontamination. Benchmark = every 20th doc (stands in for an eval
@@ -380,6 +391,66 @@ object Curation {
         .join(uniform, Seq("digest"), "left_semi")
         .select(col("digest"), col("n_toks"), col("rep_ratio"), col("text"))
         .orderBy("digest")
+    }),
+
+    // Training-export manifest, PORTABLE-hash twin (q74 pattern): the
+    // same shard-assign + per-shard (count, order-insensitive digest)
+    // aggregation that TrainingExport.exportJsonl collects as its
+    // control-plane manifest, left distributed and oracle-mirrored via
+    // the polynomial char fold (production shards/digests stay on
+    // xxhash64 — TrainingExportSpec pins the two paths to one code
+    // path). ONE exchange on shard; digests sum in decimal so any
+    // partial-aggregation tree agrees.
+    "q93_export_manifest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val assigned = TrainingExport.assignShardsBy(
+        docs, ExportShards, polyFold(col("text"), 131L, 1000000007L))
+      TrainingExport.manifestOf(assigned, polyFold(col("text"), 137L, 998244353L))
+    }),
+
+    // EXACT heavy hitters over the event stream via Misra–Gries
+    // candidates + exact verify: the sketch's one-sided guarantee
+    // (no false negatives above n/k) makes the ≤ k−1 candidate re-count
+    // provably equal to the exact groupBy-everything answer, while the
+    // only full-width pass keeps k-bounded state per partition. At
+    // sf0.1 the 1500 distinct users exceed the 1024 counters, so the
+    // decrement path genuinely runs (the skew-free fixture leaves 1
+    // over-threshold user; SketchesSpec covers the skewed regime).
+    "q94_heavy_hitters" -> ((s, dir) => {
+      val keys = t(s, dir, "events").select(col("user_id").cast("string").as("k"))
+      Dedup.withPersisted(keys) { ks =>
+        Sketches.heavyHitters(ks, "k", HeavyK)
+          .select(col("k").cast("long").as("user_id"), col("cnt"))
+          .orderBy(col("cnt").desc, col("user_id"))
+      }
+    }),
+
+    // Two-sample Kolmogorov–Smirnov drift check between the even/odd
+    // doc_id halves of the corpus on the n_chars metric — the
+    // distribution-shift monitor a pipeline runs between snapshots.
+    // All integer arithmetic: the KS statistic is reported as the
+    // numerator max|cumA·nB − cumB·nA| over the common denominator
+    // nA·nB (no float ECDF division to drift by ulps). Scale shape:
+    // one groupBy on the metric VALUE (bounded cardinality — bin wide
+    // metrics first), so the single-partition prefix-sum window runs
+    // over #distinct-values rows, not corpus rows.
+    "q96_ks_drift" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents").select($"doc_id", $"n_chars")
+      val isA = $"doc_id" % 2 === 0
+      val g = d.groupBy($"n_chars").agg(
+        count(lit(1)).as("cnt"),
+        sum(when(isA, 1L).otherwise(0L)).as("ca"))
+      val w = Window.orderBy($"n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = d.agg(
+        sum(when(isA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(isA, 0L).otherwise(1L)).as("n_b"))
+      g.withColumn("cuma", sum($"ca").over(w))
+        .withColumn("cumb", sum($"cnt" - $"ca").over(w))
+        .crossJoin(broadcast(tot)) // 1-row stats side
+        .agg(max(abs($"cuma" * $"n_b" - $"cumb" * $"n_a")).as("ks_num"),
+             max($"n_a").as("n_a"), max($"n_b").as("n_b"))
     })
   )
 
@@ -605,6 +676,42 @@ object Curation {
                            HAVING COUNT(*) = COUNT(CASE WHEN lang IN ($langs)
                                                         THEN 1 END))
           ORDER BY digest"""
-    }
+    },
+
+    "q93_export_manifest" -> {
+      def fold(b: Long, p: Long) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+            (a, c) -> (a * $b + c) % $p)"""
+      s"""WITH h AS (SELECT ${fold(131L, 1000000007L)} AS h1,
+                            ${fold(137L, 998244353L)} AS h2
+                     FROM documents)
+          SELECT h1 % $ExportShards AS shard, COUNT(*) AS n_rows,
+                 CAST(SUM(h2 % ${TrainingExport.HashP}) % ${TrainingExport.HashP}
+                      AS BIGINT) AS content_hash
+          FROM h GROUP BY 1 ORDER BY shard"""
+    },
+
+    "q94_heavy_hitters" ->
+      s"""WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id),
+          t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c)
+          SELECT user_id, cnt FROM c, t
+          WHERE cnt * $HeavyK > n
+          ORDER BY cnt DESC, user_id""",
+
+    "q96_ks_drift" ->
+      """WITH g AS (SELECT n_chars, COUNT(*) AS cnt,
+                           SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS ca
+                    FROM documents GROUP BY n_chars),
+          c AS (SELECT SUM(ca) OVER (ORDER BY n_chars) AS cuma,
+                       SUM(cnt - ca) OVER (ORDER BY n_chars) AS cumb
+                FROM g),
+          t AS (SELECT SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+                       SUM(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS n_b
+                FROM documents)
+          SELECT CAST(MAX(ABS(cuma * n_b - cumb * n_a)) AS BIGINT) AS ks_num,
+                 CAST(MAX(n_a) AS BIGINT) AS n_a,
+                 CAST(MAX(n_b) AS BIGINT) AS n_b
+          FROM c, t"""
   )
 }

@@ -47,4 +47,29 @@ class TrainingExportSpec extends SparkSpec {
              s"shard $s bytes differ")
     }
   }
+
+  test("q93 portable manifest twin: partition of the corpus, hash-pluggable") {
+    // The catalog entry swaps xxhash64 for the SQL-mirrorable PolyHash;
+    // the manifest shape must be invariant to that choice: shards
+    // partition the corpus (counts sum to n, every shard within range)
+    // and the frame agrees with the collected-manifest path on the
+    // DEFAULT hash.
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val n = docs.count()
+
+    val portable = graft.queries.Curation.queries("q93_export_manifest")(
+      spark, dir).collect()
+    assert(portable.map(_.getLong(1)).sum == n)
+    assert(portable.forall(r => r.getLong(0) >= 0 &&
+      r.getLong(0) < graft.queries.Curation.ExportShards))
+
+    // Default-hash path: manifestOf over assignShards == what exportJsonl
+    // would record for the same (single-column) payload.
+    val assigned = TrainingExport.assignShards(docs, 4)
+    val frame = TrainingExport.manifestOf(assigned, xxhash64(to_json(struct($"doc_id", $"text"))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val work = java.nio.file.Files.createTempDirectory("texport93").toString
+    val collected = TrainingExport.exportJsonl(docs, s"$work/c", numShards = 4)
+    assert(frame == collected)
+  }
 }
