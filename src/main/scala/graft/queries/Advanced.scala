@@ -23,6 +23,11 @@ object Advanced {
     * by lev ≤ d, so the band never drops a true match). */
   val FuzzyMaxDist = 2
 
+  /** Minimum pair co-occurrence count for q98 — by the Apriori
+    * property also the item-support prefilter bound (an item in any
+    * qualifying pair has support ≥ the pair's support). */
+  val MinSupport = 2L
+
   val queries: Map[String, Q] = Map(
     // Windowed anomaly detection over the event stream: flag hours whose
     // count spikes > 3σ above the trailing 24-observed-hours baseline.
@@ -234,8 +239,12 @@ object Advanced {
     //     −1 above d) — never pays the full O(len²) DP on a far pair.
     "q97_fuzzy_brand_pairs" -> ((s, dir) => {
       import s.implicits._
-      val g = t(s, dir, "part")
-        .groupBy($"p_brand", $"p_name").agg(count(lit(1)).as("m"))
+      // withPersisted: the distinct-name relation feeds BOTH self-join
+      // sides — unpersisted, each side would re-run the full part scan
+      // + aggregation (the multi-consumer re-execution pitfall).
+      graft.operators.Dedup.withPersisted(
+        t(s, dir, "part")
+          .groupBy($"p_brand", $"p_name").agg(count(lit(1)).as("m"))) { g =>
       val a = g.select($"p_brand", $"p_name".as("a_name"), $"m".as("ma"))
       val b = g.select($"p_brand", $"p_name".as("b_name"), $"m".as("mb"))
       a.join(b, Seq("p_brand"))
@@ -250,6 +259,45 @@ object Advanced {
         .agg(sum($"npairs").cast("long").as("pairs"),
              sum($"dist" * $"npairs").cast("long").as("dist_sum"))
         .orderBy("p_brand")
+      }
+    }),
+
+    // EXT market-basket co-occurrence (association mining, pair level):
+    // parts bought together in an order, with supports + basket count
+    // riding along so confidence/lift are one division away — kept as
+    // exact integers for cross-engine hashing. Scale shape:
+    //  - Apriori prune FIRST: an item in any pair with support ≥ T has
+    //    item support ≥ T, so low-support items drop before the
+    //    quadratic per-basket expansion (on skewed real data this is
+    //    the df-cap analog; a giant basket needs a per-basket item cap
+    //    the same way a hot shingle needs maxShingleDf);
+    //  - the basket self-join shuffles on the basket key once, and the
+    //    per-basket pair fanout is C(basket size, 2)-bounded;
+    //  - item supports join back via broadcast (item dim ≪ pair count);
+    //  - the basket relation is persisted across its three consumers
+    //    (supports, pair sides).
+    "q98_item_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_partkey").distinct()
+      graft.operators.Dedup.withPersisted(li) { l =>
+        val sup = l.groupBy($"l_partkey").agg(count(lit(1)).as("sup"))
+        val frequent = sup.filter($"sup" >= MinSupport).select($"l_partkey")
+        val lf = l.join(frequent, Seq("l_partkey"), "left_semi")
+        val nBaskets = l.select($"l_orderkey").distinct().count()
+        val a = lf.select($"l_orderkey", $"l_partkey".as("part_a"))
+        val b = lf.select($"l_orderkey", $"l_partkey".as("part_b"))
+        a.join(b, Seq("l_orderkey"))
+          .filter($"part_a" < $"part_b")
+          .groupBy($"part_a", $"part_b")
+          .agg(count(lit(1)).as("cnt"))
+          .filter($"cnt" >= MinSupport)
+          .join(broadcast(sup.select($"l_partkey".as("part_a"), $"sup".as("sup_a"))), Seq("part_a"))
+          .join(broadcast(sup.select($"l_partkey".as("part_b"), $"sup".as("sup_b"))), Seq("part_b"))
+          .select($"part_a", $"part_b", $"cnt", $"sup_a", $"sup_b",
+                  lit(nBaskets).as("n_baskets"))
+          .orderBy("part_a", "part_b")
+      }
     })
   )
 
@@ -401,6 +449,22 @@ object Advanced {
             ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
            AND abs(length(a.p_name) - length(b.p_name)) <= $FuzzyMaxDist
            AND levenshtein(a.p_name, b.p_name) <= $FuzzyMaxDist
-          GROUP BY 1 ORDER BY p_brand"""
+          GROUP BY 1 ORDER BY p_brand""",
+
+    "q98_item_pairs" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+          sup AS (SELECT l_partkey, COUNT(*) AS sup FROM li GROUP BY 1),
+          nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM li),
+          pairs AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   COUNT(*) AS cnt
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING COUNT(*) >= $MinSupport)
+          SELECT part_a, part_b, cnt, sa.sup AS sup_a, sb.sup AS sup_b,
+                 CAST(n_baskets AS BIGINT) AS n_baskets
+          FROM pairs JOIN sup sa ON part_a = sa.l_partkey
+                     JOIN sup sb ON part_b = sb.l_partkey, nb
+          ORDER BY part_a, part_b"""
   )
 }
