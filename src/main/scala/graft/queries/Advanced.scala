@@ -276,29 +276,10 @@ object Advanced {
     //  - item supports join back via broadcast (item dim ≪ pair count);
     //  - the basket relation is persisted across its three consumers
     //    (supports, pair sides).
-    "q98_item_pairs" -> ((s, dir) => {
-      import s.implicits._
-      val li = t(s, dir, "lineitem")
-        .select($"l_orderkey", $"l_partkey").distinct()
-      graft.operators.Dedup.withPersisted(li) { l =>
-        val sup = l.groupBy($"l_partkey").agg(count(lit(1)).as("sup"))
-        val frequent = sup.filter($"sup" >= MinSupport).select($"l_partkey")
-        val lf = l.join(frequent, Seq("l_partkey"), "left_semi")
-        val nBaskets = l.select($"l_orderkey").distinct().count()
-        val a = lf.select($"l_orderkey", $"l_partkey".as("part_a"))
-        val b = lf.select($"l_orderkey", $"l_partkey".as("part_b"))
-        a.join(b, Seq("l_orderkey"))
-          .filter($"part_a" < $"part_b")
-          .groupBy($"part_a", $"part_b")
-          .agg(count(lit(1)).as("cnt"))
-          .filter($"cnt" >= MinSupport)
-          .join(broadcast(sup.select($"l_partkey".as("part_a"), $"sup".as("sup_a"))), Seq("part_a"))
-          .join(broadcast(sup.select($"l_partkey".as("part_b"), $"sup".as("sup_b"))), Seq("part_b"))
-          .select($"part_a", $"part_b", $"cnt", $"sup_a", $"sup_b",
-                  lit(nBaskets).as("n_baskets"))
-          .orderBy("part_a", "part_b")
-      }
-    })
+    "q98_item_pairs" -> ((s, dir) =>
+      graft.operators.Analytics.coOccurrence(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey", MinSupport)
+        .orderBy("part_a", "part_b"))
   )
 
   val oracle: Map[String, String] = Map(

@@ -436,21 +436,9 @@ object Curation {
     // over #distinct-values rows, not corpus rows.
     "q96_ks_drift" -> ((s, dir) => {
       import s.implicits._
-      val d = t(s, dir, "documents").select($"doc_id", $"n_chars")
-      val isA = $"doc_id" % 2 === 0
-      val g = d.groupBy($"n_chars").agg(
-        count(lit(1)).as("cnt"),
-        sum(when(isA, 1L).otherwise(0L)).as("ca"))
-      val w = Window.orderBy($"n_chars")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val tot = d.agg(
-        sum(when(isA, 1L).otherwise(0L)).as("n_a"),
-        sum(when(isA, 0L).otherwise(1L)).as("n_b"))
-      g.withColumn("cuma", sum($"ca").over(w))
-        .withColumn("cumb", sum($"cnt" - $"ca").over(w))
-        .crossJoin(broadcast(tot)) // 1-row stats side
-        .agg(max(abs($"cuma" * $"n_b" - $"cumb" * $"n_a")).as("ks_num"),
-             max($"n_a").as("n_a"), max($"n_b").as("n_b"))
+      graft.operators.Analytics.ksDrift(
+        t(s, dir, "documents").select($"doc_id", $"n_chars"),
+        "n_chars", $"doc_id" % 2 === 0)
     })
   )
 

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Analytics
+
+/** Property coverage for the analytics operators beyond the fixture
+  * oracle: KS edge cases and the Apriori prune's result-neutrality on
+  * data where the prune actually drops items. */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("KS of identically-distributed halves is 0; of disjoint halves is n_a*n_b") {
+    // Identical: same multiset of values on both sides.
+    val same = (1 to 200).flatMap(i => Seq((i.toLong, i % 10), (i.toLong + 1000, i % 10)))
+      .toDF("id", "v")
+    val r1 = Analytics.ksDrift(same, "v", $"id" <= 200).head()
+    assert(r1.getLong(0) == 0L && r1.getLong(1) == 200L && r1.getLong(2) == 200L)
+
+    // Disjoint supports: A strictly below B → max gap = full mass.
+    val disjoint = ((1 to 150).map(i => (i.toLong, i % 5)) ++
+      (1 to 100).map(i => (i.toLong + 1000, 100 + i % 7))).toDF("id", "v")
+    val r2 = Analytics.ksDrift(disjoint, "v", $"id" <= 150).head()
+    assert(r2.getLong(1) == 150L && r2.getLong(2) == 100L)
+    assert(r2.getLong(0) == 150L * 100L)
+  }
+
+  test("KS matches a driver-side ECDF computation on an arbitrary mix") {
+    val rows = (1 to 300).map(i => (i.toLong, (i * 7919) % 23)) ++
+      (1 to 200).map(i => (i.toLong + 5000, (i * 104729) % 31))
+    val df = rows.toDF("id", "v")
+    val got = Analytics.ksDrift(df, "v", $"id" <= 300).head()
+    val a = rows.filter(_._1 <= 300).map(_._2)
+    val b = rows.filter(_._1 > 300).map(_._2)
+    val ks = (a ++ b).distinct.map { t =>
+      math.abs(a.count(_ <= t).toLong * b.size - b.count(_ <= t).toLong * a.size)
+    }.max
+    assert(got.getLong(0) == ks && got.getLong(1) == a.size && got.getLong(2) == b.size)
+  }
+
+  test("Apriori prune is result-neutral even when it drops items") {
+    // Baskets with many support-1 items (i*1000+b is unique per basket)
+    // alongside recurring items — the prune genuinely removes rows here.
+    val rows = (1 to 50).flatMap { b =>
+      Seq((b.toLong, "x"), (b.toLong, if (b % 2 == 0) "y" else "z"),
+          (b.toLong, s"rare${b}"))
+    }.toDF("basket", "item")
+    val pruned = Analytics.coOccurrence(rows, "basket", "item", 2L, aprioriPrune = true)
+      .orderBy("part_a", "part_b").collect().toSeq
+    val unpruned = Analytics.coOccurrence(rows, "basket", "item", 2L, aprioriPrune = false)
+      .orderBy("part_a", "part_b").collect().toSeq
+    assert(pruned == unpruned)
+    // Sanity vs hand computation: x co-occurs with y in 25 baskets, with
+    // z in 25; rare* items never reach support 2.
+    val asMap = pruned.map(r => (r.getString(0), r.getString(1)) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(asMap == Map(
+      ("x", "y") -> ((25L, 50L, 25L, 50L)),
+      ("x", "z") -> ((25L, 50L, 25L, 50L))))
+  }
+
+  test("duplicate (basket, item) rows count once") {
+    val rows = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"))
+      .toDF("basket", "item")
+    val got = Analytics.coOccurrence(rows, "basket", "item", 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(("a", "b", 2L)))
+  }
+}
