@@ -37,6 +37,51 @@ object Analytics {
            max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
   }
 
+  /** Damped PageRank over a DIRECTED edge list (`src`, `dst`) in pure
+    * integer arithmetic: ranks are fixed-point at `scale` (initial rank
+    * = scale/n; update r'(v) = (15·scale/100)/n + (85·Σ r(u) div
+    * deg(u)) div 100, every division an integer floor) so results are
+    * bit-identical across engines and partitionings — no float mass to
+    * drift by ulps. Symmetrize the edge list first for an undirected
+    * graph.
+    *
+    * Scale shape (the k-means-refine pattern): edges + out-degrees are
+    * computed once inside a persisted scope; each iteration is one
+    * shuffle on src (contrib join) and one on dst (the sum), and the
+    * rank frame is localCheckpoint'ed per round so the plan does not
+    * grow with the iteration count. Only the node COUNT ever reaches
+    * the driver. Truncation loses ≤ 1 unit per division — at the
+    * default scale that is relative error ~1e-10 per round, and
+    * determinism is what the oracle gate needs.
+    */
+  def pageRank(edges0: DataFrame, iters: Int,
+               scale: Long = 1000000000000L): DataFrame = {
+    val edges = edges0.select(col("src"), col("dst"))
+    Dedup.withPersisted(edges) { e =>
+      val nodes = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct()
+        .localCheckpoint() // reused every round + the final left join
+      val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
+      val n = nodes.count() // control-plane scalar
+      val tele = (15L * scale / 100L) / n
+      var ranks = nodes.select(col("id"), lit(scale / n).as("rank"))
+      for (_ <- 1 to iters) {
+        val contribs = e
+          .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+          .join(deg.withColumnRenamed("id", "src"), Seq("src"))
+          .select(col("dst").as("id"), expr("rank div deg").as("c"))
+          .groupBy(col("id")).agg(sum(col("c")).as("sc"))
+        ranks = nodes.join(contribs, Seq("id"), "left")
+          .select(col("id"),
+            (lit(tele) + expr("(85 * coalesce(sc, CAST(0 AS BIGINT))) div 100"))
+              .as("rank"))
+          .localCheckpoint()
+      }
+      ranks
+    }
+  }
+
   /** Market-basket pair co-occurrence: (part_a < part_b) item pairs
     * sharing a basket at least `minSupport` times, with item supports
     * and the basket count riding along as exact integers (confidence /

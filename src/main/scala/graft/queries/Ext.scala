@@ -19,6 +19,9 @@ object Ext {
   private val JaccardThreshold = 0.8
   private val ContainmentThreshold = 0.9
   private val CosineDupThreshold = 0.4
+  /** PageRank rounds / fixed-point scale for q99. */
+  private val PageRankIters = 3
+  private val PageRankScale = 1000000000000L
 
   val queries: Map[String, Q] = Map(
     // Exact dedup: content digest → representative + multiplicity.
@@ -343,6 +346,22 @@ object Ext {
     "q48_dup_clusters" -> ((s, dir) => {
       Dedup.clusters(
         Dedup.minhashDupPairs(t(s, dir, "documents"), JaccardThreshold))
+        .orderBy("doc_id")
+    }),
+
+    // Iterative graph analytics beyond connected components: damped
+    // PageRank over the (symmetrized) near-dup graph — centrality = how
+    // "hub-like" a document is inside its duplication neighborhood.
+    // Pure integer fixed-point arithmetic, per-round lineage truncation
+    // (see Analytics.pageRank); edges via LSH (q48 precedent — LSH ==
+    // exact pairs is oracle-enforced by q32), oracle = the same three
+    // unrolled iterations over the exact pairs CTE.
+    "q99_pagerank" -> ((s, dir) => {
+      val pairs = Dedup.minhashDupPairs(t(s, dir, "documents"), JaccardThreshold)
+      val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      graft.operators.Analytics.pageRank(edges, PageRankIters, PageRankScale)
+        .select(col("id").as("doc_id"), col("rank"))
         .orderBy("doc_id")
     }),
 
@@ -1064,6 +1083,35 @@ object Ext {
             SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.id)
           SELECT id AS doc_id, MIN(lab) AS cluster_id
           FROM reach GROUP BY id ORDER BY doc_id""",
+
+    "q99_pagerank" -> {
+      val scale = 1000000000000L
+      // One unrolled integer-exact iteration: every division is a floor
+      // (DuckDB `//` == Spark `div` on positive BIGINTs).
+      def iter(k: Int, prev: String) =
+        s"""it$k AS (
+              SELECT n0.id,
+                     CAST(((15 * $scale) // 100) // (SELECT n FROM nn)
+                          + (85 * COALESCE(SUM(r.rank // d.deg), 0)) // 100
+                          AS BIGINT) AS rank
+              FROM nodes n0
+              LEFT JOIN edges e ON e.dst = n0.id
+              LEFT JOIN $prev r ON r.id = e.src
+              LEFT JOIN deg d ON d.id = e.src
+              GROUP BY n0.id)"""
+      s"""WITH $pairsCte,
+          edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                    UNION ALL SELECT b_id, a_id FROM pairs),
+          nodes AS (SELECT DISTINCT src AS id FROM edges),
+          deg AS (SELECT src AS id, COUNT(*) AS deg FROM edges GROUP BY 1),
+          nn AS (SELECT COUNT(*) AS n FROM nodes),
+          r0 AS (SELECT id, CAST($scale // (SELECT n FROM nn) AS BIGINT) AS rank
+                 FROM nodes),
+          ${iter(1, "r0")},
+          ${iter(2, "it1")},
+          ${iter(3, "it2")}
+          SELECT id AS doc_id, rank FROM it3 ORDER BY doc_id"""
+    },
 
     "q49_dedup_apply" ->
       s"""WITH RECURSIVE $pairsCte,

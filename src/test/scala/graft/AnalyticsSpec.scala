@@ -58,6 +58,49 @@ class AnalyticsSpec extends SparkSpec {
       ("x", "z") -> ((25L, 50L, 25L, 50L))))
   }
 
+  test("pageRank: uniform on a ring, center-heavy on a star, mass bounded") {
+    val scale = 1000000000000L
+    // Directed ring 0→1→…→9→0: perfect symmetry ⇒ identical ranks.
+    val ring = (0L until 10L).map(i => (i, (i + 1) % 10)).toDF("src", "dst")
+    val ringRanks = Analytics.pageRank(ring, 3, scale).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ringRanks.values.toSet.size == 1)
+
+    // Star (symmetrized): hub collects mass from every leaf.
+    val star = (1L to 8L).flatMap(i => Seq((0L, i), (i, 0L))).toDF("src", "dst")
+    val starRanks = Analytics.pageRank(star, 3, scale).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(starRanks(0L) > starRanks(1L))
+    assert((1L to 8L).map(starRanks).toSet.size == 1) // leaves identical
+    // floor truncation only ever LOSES mass, never creates it
+    assert(starRanks.values.sum <= scale)
+  }
+
+  test("pageRank matches a driver-side integer reference under any partitioning") {
+    val scale = 1000000000000L
+    val edges = (for (i <- 0L until 30L; j <- Seq((i * 7 + 3) % 30, (i * 11 + 5) % 30)
+                      if i != j) yield (i, j)).distinct
+    def reference(iters: Int): Map[Long, Long] = {
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val n = nodes.size.toLong
+      val tele = (15L * scale / 100L) / n
+      var r = nodes.map(_ -> scale / n).toMap
+      for (_ <- 1 to iters) {
+        val in = edges.groupBy(_._2).view.mapValues(
+          _.map { case (s, _) => r(s) / deg(s) }.sum).toMap
+        r = nodes.map(v => v -> (tele + 85L * in.getOrElse(v, 0L) / 100L)).toMap
+      }
+      r
+    }
+    val expect = reference(3)
+    for (parts <- Seq(1, 4, 32)) {
+      val got = Analytics.pageRank(edges.toDF("src", "dst").repartition(parts), 3, scale)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"parts=$parts")
+    }
+  }
+
   test("duplicate (basket, item) rows count once") {
     val rows = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"))
       .toDF("basket", "item")
