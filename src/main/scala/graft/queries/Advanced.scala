@@ -28,6 +28,12 @@ object Advanced {
     * qualifying pair has support ≥ the pair's support). */
   val MinSupport = 2L
 
+  /** Explicit pivot column set for q100 — pivot values MUST be declared,
+    * not discovered: discovery is an extra job AND makes the output
+    * schema data-dependent (a new event type would silently widen the
+    * table). Shared with the oracle's CASE ladder. */
+  val PivotEventTypes = Seq("click", "error", "purchase", "signup", "view")
+
   val queries: Map[String, Q] = Map(
     // Windowed anomaly detection over the event stream: flag hours whose
     // count spikes > 3σ above the trailing 24-observed-hours baseline.
@@ -279,7 +285,52 @@ object Advanced {
     "q98_item_pairs" -> ((s, dir) =>
       graft.operators.Analytics.coOccurrence(
         t(s, dir, "lineitem"), "l_orderkey", "l_partkey", MinSupport)
-        .orderBy("part_a", "part_b"))
+        .orderBy("part_a", "part_b")),
+
+    // Relational pivot: long → wide with a DECLARED value set (see
+    // PivotEventTypes). groupBy().pivot(col, values) skips the extra
+    // distinct-discovery job and keeps the schema static — both
+    // requirements at 100 TB. Absent cells are zero-filled to match the
+    // oracle's CASE-count semantics.
+    "q100_pivot" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy(date_trunc("day", $"ts").as("day"))
+        .pivot("event_type", PivotEventTypes)
+        .agg(count(lit(1)))
+        .na.fill(0L, PivotEventTypes)
+        .orderBy("day")
+    }),
+
+    // Time-series gap filling: a dense hour spine per event type (the
+    // 1-row min/max span broadcast into the tiny type dimension,
+    // sequence + explode), left-joined counts, zero fill + last-known
+    // forward fill. The hourly aggregate is the only corpus-width
+    // shuffle; the forward-fill window partitions on event_type. The
+    // spine stays spine-sized at any corpus scale (hours × types) —
+    // for high-cardinality entity spines the same explode parallelizes
+    // per entity.
+    "q101_gap_fill" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val hourly = ev
+        .groupBy($"event_type", date_trunc("hour", $"ts").as("hr"))
+        .agg(count(lit(1)).as("c"))
+      val span = ev.agg(date_trunc("hour", min($"ts")).as("lo"),
+                        date_trunc("hour", max($"ts")).as("hi"))
+      val spine = ev.select($"event_type").distinct()
+        .crossJoin(broadcast(span)) // 1-row span side
+        .select($"event_type",
+                explode(sequence($"lo", $"hi", expr("interval 1 hour"))).as("hr"))
+      val w = Window.partitionBy($"event_type").orderBy($"hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(hourly, Seq("event_type", "hr"), "left")
+        .withColumn("cnt", coalesce($"c", lit(0L)))
+        .withColumn("carried",
+          coalesce(last($"c", ignoreNulls = true).over(w), lit(0L)))
+        .select($"event_type", $"hr", $"cnt", $"carried")
+        .orderBy("event_type", "hr")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -446,6 +497,33 @@ object Advanced {
                  CAST(n_baskets AS BIGINT) AS n_baskets
           FROM pairs JOIN sup sa ON part_a = sa.l_partkey
                      JOIN sup sb ON part_b = sb.l_partkey, nb
-          ORDER BY part_a, part_b"""
+          ORDER BY part_a, part_b""",
+
+    "q100_pivot" -> {
+      val cases = PivotEventTypes.map(t =>
+        s"COUNT(CASE WHEN event_type = '$t' THEN 1 END) AS $t").mkString(",\n")
+      s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                 $cases
+          FROM events GROUP BY 1 ORDER BY day"""
+    },
+
+    "q101_gap_fill" ->
+      """WITH hourly AS (
+           SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS c
+           FROM events GROUP BY 1, 2),
+         span AS (SELECT date_trunc('hour', MIN(ts)) AS lo,
+                         date_trunc('hour', MAX(ts)) AS hi FROM events),
+         spine AS (
+           SELECT event_type, UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+           FROM (SELECT DISTINCT event_type FROM events), span)
+         SELECT s.event_type, CAST(s.hr AS TIMESTAMP) AS hr,
+                CAST(COALESCE(c, 0) AS BIGINT) AS cnt,
+                CAST(COALESCE(LAST_VALUE(c IGNORE NULLS) OVER (
+                       PARTITION BY s.event_type ORDER BY s.hr
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+                     AS BIGINT) AS carried
+         FROM spine s LEFT JOIN hourly h
+           ON s.event_type = h.event_type AND s.hr = h.hr
+         ORDER BY s.event_type, s.hr"""
   )
 }
