@@ -34,6 +34,16 @@ object Advanced {
     * table). Shared with the oracle's CASE ladder. */
   val PivotEventTypes = Seq("click", "error", "purchase", "signup", "view")
 
+  /** Shared long→wide reshape for q100 (pivot) and q102 (unpivot). */
+  private def pivotWide(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy(date_trunc("day", $"ts").as("day"))
+      .pivot("event_type", PivotEventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, PivotEventTypes)
+  }
+
   val queries: Map[String, Q] = Map(
     // Windowed anomaly detection over the event stream: flag hours whose
     // count spikes > 3σ above the trailing 24-observed-hours baseline.
@@ -292,15 +302,17 @@ object Advanced {
     // distinct-discovery job and keeps the schema static — both
     // requirements at 100 TB. Absent cells are zero-filled to match the
     // oracle's CASE-count semantics.
-    "q100_pivot" -> ((s, dir) => {
-      import s.implicits._
-      t(s, dir, "events")
-        .groupBy(date_trunc("day", $"ts").as("day"))
-        .pivot("event_type", PivotEventTypes)
-        .agg(count(lit(1)))
-        .na.fill(0L, PivotEventTypes)
-        .orderBy("day")
-    }),
+    "q100_pivot" -> ((s, dir) => pivotWide(s, dir).orderBy("day")),
+
+    // The inverse operator: unpivot (melt) the wide frame back to long
+    // form — `Dataset.unpivot` is a zero-shuffle narrow reshape (each
+    // wide row emits one long row per value column in place). Gated
+    // against the dense day × type long form.
+    "q102_unpivot" -> ((s, dir) =>
+      pivotWide(s, dir)
+        .unpivot(Array(col("day")), PivotEventTypes.map(col).toArray,
+                 "event_type", "cnt")
+        .orderBy("day", "event_type")),
 
     // Time-series gap filling: a dense hour spine per event type (the
     // 1-row min/max span broadcast into the tiny type dimension,
@@ -505,6 +517,19 @@ object Advanced {
       s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
                  $cases
           FROM events GROUP BY 1 ORDER BY day"""
+    },
+
+    "q102_unpivot" -> {
+      val typeRows = PivotEventTypes.map(t => s"('$t')").mkString(", ")
+      s"""WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events),
+          types(event_type) AS (VALUES $typeRows),
+          h AS (SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS c
+                FROM events GROUP BY 1, 2)
+          SELECT CAST(d.day AS TIMESTAMP) AS day, t.event_type,
+                 CAST(COALESCE(c, 0) AS BIGINT) AS cnt
+          FROM days d CROSS JOIN types t
+          LEFT JOIN h ON h.day = d.day AND h.event_type = t.event_type
+          ORDER BY day, t.event_type"""
     },
 
     "q101_gap_fill" ->
