@@ -314,6 +314,15 @@ object Advanced {
                  "event_type", "cnt")
         .orderBy("day", "event_type")),
 
+    // Stream-stream interval join through the REAL engine (file source,
+    // two watermarked sides, event-time-bounded state) — closes the
+    // last spec-only streaming path with an oracle row (q91/q92
+    // pattern). Inner matches emit once both sides arrive, so the
+    // bounded replay equals the batch condition join the oracle runs.
+    "q103_stream_interval_join" -> ((s, dir) =>
+      graft.streaming.EventsStream.replayIntervalJoin(s, dir)
+        .orderBy("event_id", "fact_id")),
+
     // Time-series gap filling: a dense hour spine per event type (the
     // 1-row min/max span broadcast into the tiny type dimension,
     // sequence + explode), left-joined counts, zero fill + last-known
@@ -518,6 +527,15 @@ object Advanced {
                  $cases
           FROM events GROUP BY 1 ORDER BY day"""
     },
+
+    "q103_stream_interval_join" ->
+      """SELECT l.event_id AS event_id, r.event_id AS fact_id,
+                l.user_id AS user_id
+         FROM events l JOIN events r
+           ON l.user_id = r.user_id
+          AND l.event_type = 'click' AND r.event_type = 'purchase'
+          AND r.ts BETWEEN l.ts - INTERVAL 1 HOUR AND l.ts
+         ORDER BY event_id, fact_id""",
 
     "q102_unpivot" -> {
       val typeRows = PivotEventTypes.map(t => s"('$t')").mkString(", ")

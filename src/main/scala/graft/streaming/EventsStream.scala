@@ -229,4 +229,22 @@ object EventsStream {
     * a session closes when the watermark passes last-event + gap). */
   def replaySessions(spark: SparkSession, dir: String): DataFrame =
     replayEvents(spark, dir, userSessions)
+
+  /** q103: [[intervalJoin]] through the real engine — each click joined
+    * to the same user's purchases in the trailing hour, BOTH sides
+    * derived from one file-source stream (a stream-stream self-join;
+    * Spark plans two watermarked scans of the source). Inner interval
+    * matches emit as soon as both sides have arrived — the watermark
+    * only evicts state — so the bounded replay equals the batch
+    * condition join exactly, which is what the oracle runs. */
+  def replayIntervalJoin(spark: SparkSession, dir: String): DataFrame =
+    replayEvents(spark, dir, { ev =>
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("fact_ts"),
+                col("event_id").as("fact_id"))
+      intervalJoin(clicks, purchases)
+        .select(col("event_id"), col("fact_id"), col("user_id"))
+    })
 }
