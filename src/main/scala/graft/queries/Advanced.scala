@@ -314,6 +314,34 @@ object Advanced {
                  "event_type", "cnt")
         .orderBy("day", "event_type")),
 
+    // SCD2 (slowly-changing-dimension) interval build: collapse each
+    // user's event-type history into validity intervals [valid_from,
+    // valid_to) — consecutive same-type events merge into one segment,
+    // the current segment stays open (null valid_to). The warehouse
+    // temporal-table op: lag to mark changes, running sum to number
+    // segments, one min/max aggregate per segment. ONE shuffle on
+    // user_id shared by both windows; ties broken by event_id for a
+    // total order.
+    "q104_scd2_intervals" -> ((s, dir) => {
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      t(s, dir, "events")
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("chg",
+          when(lag($"event_type", 1).over(byUser).isNull ||
+               lag($"event_type", 1).over(byUser) =!= $"event_type", 1L)
+            .otherwise(0L))
+        .withColumn("seg", sum($"chg").over(byUser))
+        .groupBy($"user_id", $"seg", $"event_type")
+        .agg(min($"ts").as("valid_from"), count(lit(1)).as("n_events"))
+        .withColumn("valid_to",
+          lead($"valid_from", 1).over(
+            Window.partitionBy($"user_id").orderBy($"seg")))
+        .select($"user_id", $"seg", $"event_type", $"valid_from",
+                $"valid_to", $"n_events")
+        .orderBy("user_id", "seg")
+    }),
+
     // Stream-stream interval join through the REAL engine (file source,
     // two watermarked sides, event-time-bounded state) — closes the
     // last spec-only streaming path with an oracle row (q91/q92
@@ -527,6 +555,31 @@ object Advanced {
                  $cases
           FROM events GROUP BY 1 ORDER BY day"""
     },
+
+    "q104_scd2_intervals" ->
+      """WITH marked AS (
+           SELECT user_id, ts, event_id, event_type,
+                  CASE WHEN lag(event_type) OVER w IS NULL
+                         OR lag(event_type) OVER w <> event_type
+                       THEN 1 ELSE 0 END AS chg
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         seg AS (
+           SELECT *, SUM(chg) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS seg
+           FROM marked),
+         segs AS (
+           SELECT user_id, seg, event_type,
+                  MIN(ts) AS valid_from, COUNT(*) AS n_events
+           FROM seg GROUP BY 1, 2, 3)
+         SELECT user_id, CAST(seg AS BIGINT) AS seg, event_type,
+                valid_from,
+                lead(valid_from) OVER (PARTITION BY user_id ORDER BY seg)
+                  AS valid_to,
+                n_events
+         FROM segs ORDER BY user_id, seg""",
 
     "q103_stream_interval_join" ->
       """SELECT l.event_id AS event_id, r.event_id AS fact_id,

@@ -47,6 +47,8 @@ object Curation {
   /** Misra–Gries counter budget (q94): guarantees every key above a
     * 1/1024 frequency share survives candidate generation. */
   val HeavyK = 1024
+  /** Robust-outlier threshold (q105): flag |x − median| > MadK · MAD. */
+  val MadK = 2L
 
   /** Portable polynomial char fold (codegen'd PolyHash) — the
     * SQL-expressible stand-in for xxhash64 in oracle-parity twins
@@ -439,6 +441,40 @@ object Curation {
       graft.operators.Analytics.ksDrift(
         t(s, dir, "documents").select($"doc_id", $"n_chars"),
         "n_chars", $"doc_id" % 2 === 0)
+    }),
+
+    // Robust outlier detection: |x − median| > 2·MAD, with median and
+    // MAD both NEAREST-RANK order statistics (smallest value whose
+    // cumulative count reaches (n+1) div 2) — integer end-to-end, no
+    // engine-specific interpolation. Same bounded-window shape as q96:
+    // both rank scans group by the metric VALUE first, so the ordered
+    // prefix sums run over metric cardinality; n / median / MAD each
+    // ride as 1-row broadcasts; the 2-col base relation is persisted
+    // across its four consumers.
+    "q105_robust_outliers" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.withPersisted(
+        t(s, dir, "documents").select($"doc_id", $"n_chars")) { d =>
+        def rankMin(rows: org.apache.spark.sql.DataFrame, c: String,
+                    nRow: org.apache.spark.sql.DataFrame, out: String) = {
+          val w = Window.orderBy(col(c))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          rows.groupBy(col(c)).agg(count(lit(1)).as("gc"))
+            .withColumn("cum", sum($"gc").over(w))
+            .crossJoin(broadcast(nRow)) // 1-row count side
+            .filter($"cum" >= expr("(n + 1) div 2"))
+            .agg(min(col(c)).as(out))
+        }
+        val nRow = d.agg(count(lit(1)).as("n"))
+        val medRow = rankMin(d, "n_chars", nRow, "med")
+        val dev = d.crossJoin(broadcast(medRow))
+          .withColumn("dev", abs($"n_chars" - $"med"))
+        val madRow = rankMin(dev, "dev", nRow, "mad")
+        dev.crossJoin(broadcast(madRow))
+          .filter($"dev" > $"mad" * MadK)
+          .select($"doc_id", $"n_chars", $"dev", $"med", $"mad")
+          .orderBy("doc_id")
+      }
     })
   )
 
@@ -700,6 +736,22 @@ object Curation {
           SELECT CAST(MAX(ABS(cuma * n_b - cumb * n_a)) AS BIGINT) AS ks_num,
                  CAST(MAX(n_a) AS BIGINT) AS n_a,
                  CAST(MAX(n_b) AS BIGINT) AS n_b
-          FROM c, t"""
+          FROM c, t""",
+
+    "q105_robust_outliers" ->
+      s"""WITH n AS (SELECT COUNT(*) AS n FROM documents),
+          gv AS (SELECT n_chars AS v, COUNT(*) AS gc FROM documents GROUP BY 1),
+          cv AS (SELECT v, SUM(gc) OVER (ORDER BY v) AS cum FROM gv),
+          med AS (SELECT MIN(v) AS med FROM cv, n WHERE cum >= (n + 1) // 2),
+          dev AS (SELECT doc_id, n_chars, ABS(n_chars - med) AS dev, med
+                  FROM documents, med),
+          gd AS (SELECT dev AS v, COUNT(*) AS gc FROM dev GROUP BY 1),
+          cd AS (SELECT v, SUM(gc) OVER (ORDER BY v) AS cum FROM gd),
+          mad AS (SELECT MIN(v) AS mad FROM cd, n WHERE cum >= (n + 1) // 2)
+          SELECT doc_id, n_chars, CAST(dev AS BIGINT) AS dev,
+                 CAST(med AS BIGINT) AS med, CAST(mad AS BIGINT) AS mad
+          FROM dev, mad
+          WHERE dev > mad * $MadK
+          ORDER BY doc_id"""
   )
 }
