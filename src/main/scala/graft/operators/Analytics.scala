@@ -64,6 +64,7 @@ object Analytics {
       val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
         .localCheckpoint()
       val n = nodes.count() // control-plane scalar
+      require(n > 0, "pageRank: empty edge list — no nodes to rank")
       val tele = (15L * scale / 100L) / n
       var ranks = nodes.select(col("id"), lit(scale / n).as("rank"))
       for (_ <- 1 to iters) {

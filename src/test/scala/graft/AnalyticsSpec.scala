@@ -101,6 +101,14 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("pageRank fails loudly on an empty edge list") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      Analytics.pageRank(empty, 3)
+    }
+    assert(e.getMessage.contains("empty edge list"))
+  }
+
   test("duplicate (basket, item) rows count once") {
     val rows = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"))
       .toDF("basket", "item")

@@ -33,6 +33,24 @@ class ScaleSpec extends SparkSpec {
     assert(countShuffles(graft.operators.Search.invertedIndex(docs)) == 2)
   }
 
+  test("SCD2 intervals: windows + segment aggregate share ONE user_id shuffle") {
+    // expected exchanges: (1) hashpartitioning(user_id) feeding the
+    // lag/cumsum windows, REUSED by the (user_id, seg, type) aggregate
+    // (partial/final adjacent — user_id alone determines the partition)
+    // and the closing lead window; (2) the final ORDER BY. A third
+    // exchange means the segment aggregate stopped reusing the window
+    // partitioning.
+    val q = graft.queries.Advanced.queries("q104_scd2_intervals")(
+      spark, "/root/testdata/sf0.001")
+    assert(countShuffles(q) == 2)
+  }
+
+  test("export manifest: ONE shard exchange plus the final sort") {
+    val q = graft.queries.Curation.queries("q93_export_manifest")(
+      spark, "/root/testdata/sf0.001")
+    assert(countShuffles(q) == 2)
+  }
+
   test("persisted LSH band index: a delta probe costs one delta-side shuffle only") {
     import graft.operators.Dedup
     spark.sql("DROP TABLE IF EXISTS band_idx")
