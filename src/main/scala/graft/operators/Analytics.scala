@@ -12,29 +12,90 @@ import org.apache.spark.sql.functions._
   */
 object Analytics {
 
+  /** Ceiling on the distinct-value cardinality the ordered prefix-sum
+    * windows in [[ksDrift]] / [[rankMinValue]] will accept: those windows
+    * are single-partition BY DESIGN (they run over the grouped VALUE
+    * domain, not the corpus), so an unbinned raw-double metric would
+    * silently become a whole-domain single-reducer scan. 4M grouped rows
+    * (~100 MB) is far inside one executor's comfort zone and far above
+    * any sanely binned metric. */
+  val DefaultMaxDistinct = 4L * 1024 * 1024
+
+  /** Fail-loudly cardinality guard (the srpDupPairs dim-check pattern,
+    * Similarity.scala:396): plan-embedded — an unpartitioned count window
+    * over the ALREADY-GROUPED relation (which the caller's next window
+    * single-partitions anyway, so the check adds no new exchange shape
+    * and no extra driver action), then a per-row raise_error if the
+    * domain is wider than `maxDistinct`. */
+  private def guardCardinality(g: DataFrame, c: String, maxDistinct: Long,
+                               op: String): DataFrame =
+    if (maxDistinct <= 0) g
+    else g.withColumn("_nv", count(lit(1)).over(Window.partitionBy()))
+      .withColumn(c,
+        when(col("_nv") <= maxDistinct, col(c))
+          .otherwise(raise_error(concat(
+            lit(s"$op: metric cardinality "), col("_nv").cast("string"),
+            lit(s" exceeds maxDistinct=$maxDistinct — bin the metric " +
+                "(width_bucket) before calling, or raise the guard " +
+                "explicitly")))))
+      .drop("_nv")
+
   /** Two-sample Kolmogorov–Smirnov statistic between the `isA` and ¬`isA`
     * halves of `rows` on integer metric `value`, in PURE INTEGER space:
     * one row (ks_num, n_a, n_b) where KS = ks_num / (n_a·n_b).
     *
-    * Scale shape: counts aggregate per metric VALUE first (one
-    * exchange), so the unavoidable ordered prefix-sum window runs over
-    * the metric's cardinality, not the corpus — bin wide metrics before
-    * calling. Totals ride in on a 1-row broadcast.
+    * Scale shape: counts aggregate per metric VALUE first (the ONLY
+    * corpus-width pass — totals derive from the same grouped relation,
+    * persisted across its two consumers), so the unavoidable ordered
+    * prefix-sum window runs over the metric's cardinality, not the
+    * corpus. That cardinality is guarded: wider than `maxDistinct`
+    * fails loudly instead of single-reducer-scanning the domain. The
+    * cross products are computed in DecimalType(38,0) — cuma·n_b
+    * reaches n_a·n_b, which overflows LongType once each half holds
+    * ~3e9+ rows (ANSI throw / silent wrap); the final cast back to
+    * long keeps the output schema and still fails loudly under ANSI in
+    * the (astronomically separated) case the numerator itself exceeds
+    * 2^63.
     */
-  def ksDrift(rows: DataFrame, value: String, isA: Column): DataFrame = {
-    val g = rows.groupBy(col(value)).agg(
+  def ksDrift(rows: DataFrame, value: String, isA: Column,
+              maxDistinct: Long = DefaultMaxDistinct): DataFrame = {
+    val g0 = rows.groupBy(col(value)).agg(
       count(lit(1)).as("cnt"),
       sum(when(isA, 1L).otherwise(0L)).as("ca"))
-    val w = Window.orderBy(col(value))
+    Dedup.withPersisted(g0) { g =>
+      val w = Window.orderBy(col(value))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = g.agg(sum(col("ca")).as("n_a"),
+                      sum(col("cnt") - col("ca")).as("n_b"))
+      val dec = "decimal(38,0)"
+      guardCardinality(g, value, maxDistinct, "ksDrift")
+        .withColumn("cuma", sum(col("ca")).over(w))
+        .withColumn("cumb", sum(col("cnt") - col("ca")).over(w))
+        .crossJoin(broadcast(tot)) // 1-row stats side
+        .agg(max(abs(col("cuma").cast(dec) * col("n_b").cast(dec)
+                     - col("cumb").cast(dec) * col("n_a").cast(dec)))
+               .cast("long").as("ks_num"),
+             max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
+    }
+  }
+
+  /** Nearest-rank order statistic: the smallest `c` whose cumulative
+    * count reaches (n+1) div 2 — the integer-exact median/MAD primitive
+    * (q105). Same bounded-window shape as [[ksDrift]]: group by the
+    * metric VALUE first, prefix-sum over the value domain only, `nRow`
+    * (a 1-row count) rides in on a broadcast. The domain cardinality is
+    * guarded by `maxDistinct` exactly as in ksDrift. */
+  def rankMinValue(rows: DataFrame, c: String, nRow: DataFrame, out: String,
+                   maxDistinct: Long = DefaultMaxDistinct): DataFrame = {
+    val w = Window.orderBy(col(c))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = rows.agg(
-      sum(when(isA, 1L).otherwise(0L)).as("n_a"),
-      sum(when(isA, 0L).otherwise(1L)).as("n_b"))
-    g.withColumn("cuma", sum(col("ca")).over(w))
-      .withColumn("cumb", sum(col("cnt") - col("ca")).over(w))
-      .crossJoin(broadcast(tot)) // 1-row stats side
-      .agg(max(abs(col("cuma") * col("n_b") - col("cumb") * col("n_a"))).as("ks_num"),
-           max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
+    guardCardinality(
+        rows.groupBy(col(c)).agg(count(lit(1)).as("gc")), c, maxDistinct,
+        "rankMinValue")
+      .withColumn("cum", sum(col("gc")).over(w))
+      .crossJoin(broadcast(nRow)) // 1-row count side
+      .filter(col("cum") >= expr("(n + 1) div 2"))
+      .agg(min(col(c)).as(out))
   }
 
   /** Damped PageRank over a DIRECTED edge list (`src`, `dst`) in pure

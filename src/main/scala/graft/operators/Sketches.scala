@@ -39,14 +39,26 @@ object Sketches {
   /** Default counter budget: guarantees recall of keys above ~0.1%. */
   val DefaultK = 1024
 
-  /** Misra–Gries buffer: total rows seen + the capped counter map. */
+  /** Catalyst map buffers reject null keys (NULL_MAP_KEY), so the MG
+    * buffer carries PREFIX-ENCODED keys — null → NUL, k →
+    * SOH+k (collision-free) — and [[misraGries]] decodes at its
+    * single driver-side collection point. This is what lets a NULL key
+    * count like any other group, matching the exact groupBy answer. */
+  private[operators] def encKey(key: String): String =
+    if (key == null) "\u0000" else "\u0001" + key
+  private[operators] def decKey(key: String): String =
+    if (key == "\u0000") null else key.substring(1)
+
+  /** Misra–Gries buffer: total rows seen + the capped counter map
+    * (keys prefix-encoded — see [[encKey]]). */
   final class MisraGriesAgg(k: Int)
       extends Aggregator[String, (Long, Map[String, Long]), (Long, Map[String, Long])] {
     require(k > 1, s"k must be > 1: $k")
 
     override def zero: (Long, Map[String, Long]) = (0L, Map.empty)
 
-    override def reduce(b: (Long, Map[String, Long]), key: String): (Long, Map[String, Long]) = {
+    override def reduce(b: (Long, Map[String, Long]), key0: String): (Long, Map[String, Long]) = {
+      val key = encKey(key0)
       val (n, m) = b
       m.get(key) match {
         case Some(c) => (n + 1, m.updated(key, c + 1))
@@ -87,7 +99,8 @@ object Sketches {
   def misraGries(keys: DataFrame, key: String, k: Int = DefaultK): (Long, Map[String, Long]) = {
     val agg = udaf(new MisraGriesAgg(k))
     val row = keys.agg(agg(col(key)).as("mg")).head().getStruct(0)
-    (row.getLong(0), row.getMap[String, Long](1).toMap)
+    (row.getLong(0),
+     row.getMap[String, Long](1).toMap.map { case (ky, c) => decKey(ky) -> c })
   }
 
   /** EXACT heavy hitters {key : count(key) > n/k} via sketch-candidates +
@@ -95,13 +108,19 @@ object Sketches {
     * the answer, so re-counting candidates only (broadcast join — ≤ k−1
     * keys) and filtering `cnt · k > n` in exact integer arithmetic yields
     * precisely the exact-plan answer. `keys` is scanned twice (sketch +
-    * verify) — persist it at the call site. */
+    * verify) — persist it at the call site.
+    *
+    * NULL keys are a group, matching the exact `groupBy` answer: the MG
+    * map carries null like any key, and the verify join is NULL-SAFE
+    * (`<=>`) — a plain equi-join would silently drop a genuinely
+    * over-threshold null key that survived as a candidate. */
   def heavyHitters(keys: DataFrame, key: String, k: Int = DefaultK): DataFrame = {
     val (n, cand) = misraGries(keys, key, k)
     val spark = keys.sparkSession
     import spark.implicits._
-    val candDf = spark.createDataset(cand.keys.toSeq).toDF(key)
-    keys.join(broadcast(candDf), Seq(key))
+    val candDf = spark.createDataset(cand.keys.toSeq).toDF("__cand")
+    keys.join(broadcast(candDf), col(key) <=> col("__cand"))
+      .drop("__cand")
       .groupBy(col(key))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") * lit(k.toLong) > lit(n))

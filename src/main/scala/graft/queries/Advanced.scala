@@ -271,6 +271,11 @@ object Advanced {
         .withColumn("npairs", // row pairs this name pair stands for
           when($"a_name" === $"b_name", ($"ma" * ($"ma" - 1) / 2).cast("long"))
             .otherwise($"ma" * $"mb"))
+        // npairs = 0 only for singleton self-pairs (m = 1, a == b): the
+        // oracle's row-level self-join (l < r) emits no row for those, so
+        // a brand with ONLY singleton names must produce no group at all
+        // — result-neutral for brands with real pairs (0 adds nothing).
+        .filter($"npairs" > 0)
         .groupBy($"p_brand")
         .agg(sum($"npairs").cast("long").as("pairs"),
              sum($"dist" * $"npairs").cast("long").as("dist_sum"))

@@ -416,8 +416,9 @@ object Curation {
     // provably equal to the exact groupBy-everything answer, while the
     // only full-width pass keeps k-bounded state per partition. At
     // sf0.1 the 1500 distinct users exceed the 1024 counters, so the
-    // decrement path genuinely runs (the skew-free fixture leaves 1
-    // over-threshold user; SketchesSpec covers the skewed regime).
+    // decrement path genuinely runs (the near-uniform fixture leaves
+    // many users just over the n/k line — CORRECTNESS_r05 recorded 150
+    // over-threshold rows; SketchesSpec covers the skewed regime).
     "q94_heavy_hitters" -> ((s, dir) => {
       val keys = t(s, dir, "events").select(col("user_id").cast("string").as("k"))
       Dedup.withPersisted(keys) { ks =>
@@ -447,24 +448,19 @@ object Curation {
     // MAD both NEAREST-RANK order statistics (smallest value whose
     // cumulative count reaches (n+1) div 2) — integer end-to-end, no
     // engine-specific interpolation. Same bounded-window shape as q96:
-    // both rank scans group by the metric VALUE first, so the ordered
-    // prefix sums run over metric cardinality; n / median / MAD each
-    // ride as 1-row broadcasts; the 2-col base relation is persisted
-    // across its four consumers.
+    // both rank scans (Analytics.rankMinValue) group by the metric
+    // VALUE first, so the ordered prefix sums run over metric
+    // cardinality — and fail loudly past the maxDistinct guard instead
+    // of single-reducer-scanning an unbinned domain; n / median / MAD
+    // each ride as 1-row broadcasts; the 2-col base relation is
+    // persisted across its four consumers.
     "q105_robust_outliers" -> ((s, dir) => {
       import s.implicits._
       Dedup.withPersisted(
         t(s, dir, "documents").select($"doc_id", $"n_chars")) { d =>
         def rankMin(rows: org.apache.spark.sql.DataFrame, c: String,
-                    nRow: org.apache.spark.sql.DataFrame, out: String) = {
-          val w = Window.orderBy(col(c))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-          rows.groupBy(col(c)).agg(count(lit(1)).as("gc"))
-            .withColumn("cum", sum($"gc").over(w))
-            .crossJoin(broadcast(nRow)) // 1-row count side
-            .filter($"cum" >= expr("(n + 1) div 2"))
-            .agg(min(col(c)).as(out))
-        }
+                    nRow: org.apache.spark.sql.DataFrame, out: String) =
+          graft.operators.Analytics.rankMinValue(rows, c, nRow, out)
         val nRow = d.agg(count(lit(1)).as("n"))
         val medRow = rankMin(d, "n_chars", nRow, "med")
         val dev = d.crossJoin(broadcast(medRow))

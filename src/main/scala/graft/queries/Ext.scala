@@ -296,8 +296,12 @@ object Ext {
       val truth5 = brute5.drop("rank")
       val ivf = Similarity.cellTopK(e, q, k = 3).select("query_id", "cand_id")
       val pq = Similarity.pqTopK(e, q, k = 5).select("query_id", "cand_id")
-      val srpSub = Similarity.srpDupPairs(e, CosineDupThreshold)
-        .filter(col("a_id") % 10 === 0 && col("b_id") % 10 === 0)
+      // SRP runs on the SAMPLE, not the full corpus: band keys are
+      // per-vector (broadcast hyperplanes), so sample-side banding finds
+      // exactly the pairs whose endpoints are both sampled — identical
+      // result at ~10× less candidate work than filtering afterwards.
+      val srpSub = Similarity.srpDupPairs(
+          e.filter(col("vec_id") % 10 === 0), CosineDupThreshold)
         .select("a_id", "b_id")
       val exactSub = Similarity.dupPairs(e.filter(col("vec_id") % 10 === 0),
           CosineDupThreshold)

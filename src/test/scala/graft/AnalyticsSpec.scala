@@ -109,6 +109,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(e.getMessage.contains("empty edge list"))
   }
 
+  private def messagesOf(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+
+  test("ordered-prefix windows fail loudly past the maxDistinct cardinality guard") {
+    // 50 distinct metric values against a guard of 10: the raw-double-
+    // metric mistake must throw, not single-reducer-scan the domain.
+    val wide = (1 to 50).map(i => (i.toLong, i)).toDF("id", "v")
+    val e1 = intercept[Exception] {
+      Analytics.ksDrift(wide, "v", $"id" % 2 === 0, maxDistinct = 10).collect()
+    }
+    assert(messagesOf(e1).contains("maxDistinct"), messagesOf(e1))
+    val nRow = wide.agg(count(lit(1)).as("n"))
+    val e2 = intercept[Exception] {
+      Analytics.rankMinValue(wide, "v", nRow, "med", maxDistinct = 10).collect()
+    }
+    assert(messagesOf(e2).contains("maxDistinct"), messagesOf(e2))
+    // ...and is result-neutral when the domain fits under the guard.
+    val med = Analytics.rankMinValue(wide, "v", nRow, "med", maxDistinct = 100)
+      .head().getInt(0)
+    assert(med == 25)
+  }
+
   test("duplicate (basket, item) rows count once") {
     val rows = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"))
       .toDF("basket", "item")

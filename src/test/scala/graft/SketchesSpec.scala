@@ -55,6 +55,17 @@ class SketchesSpec extends SparkSpec {
     assert(got.count() == 0L)
   }
 
+  test("an over-threshold NULL key survives the sketch AND the null-safe verify") {
+    // 40 nulls over n=100 at k=5 (threshold cnt·5 > 100): the null key is
+    // the ONLY heavy hitter. A plain equi-join verify would never match
+    // the null candidate and silently drop it — the exact groupBy answer
+    // keeps a NULL group, so heavyHitters must too.
+    val keys = Seq.fill(40)(null: String) ++ (1 to 60).map(i => s"k${i % 20}")
+    val got = Sketches.heavyHitters(keys.toDF("k").repartition(4), "k", 5)
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toSeq
+    assert(got == Seq(None -> 40L))
+  }
+
   test("sketch counts are never overestimates and total n is exact") {
     val keys = skewed(500)
     val (n, cand) = Sketches.misraGries(keys.toDF("k").repartition(4), "k", 16)
