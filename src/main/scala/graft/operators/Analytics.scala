@@ -144,6 +144,13 @@ object Analytics {
     }
   }
 
+  /** Giant-basket population cap: a single basket fans out C(size, 2)
+    * pair rows ON ONE BASKET KEY — Apriori pruning cannot help when the
+    * oversized basket is made of globally-popular items (a crawler
+    * session, a reseller cart). 1000 items bounds any one basket's
+    * fanout at ~500k rows; every TPC-H order holds ≤ 7. */
+  val DefaultMaxBasketItems = 1000L
+
   /** Market-basket pair co-occurrence: (part_a < part_b) item pairs
     * sharing a basket at least `minSupport` times, with item supports
     * and the basket count riding along as exact integers (confidence /
@@ -155,12 +162,28 @@ object Analytics {
     * ≥ the pair's support — AnalyticsSpec asserts equality), which is
     * why q98's unpruned DuckDB oracle still hash-matches; on skewed
     * real data it is the df-cap analog that keeps the expansion small.
+    *
+    * `maxBasketItems` is the SKEW kill the prune can't provide: baskets
+    * with more distinct items are dropped entirely, up front — they
+    * vanish from supports, the basket count and pairs alike, the same
+    * population-filter semantics as q68's shingle df cap and
+    * srpDupPairs' bucket guard, and the same one-sided mirror (a
+    * QUALIFY COUNT(*) OVER basket in the oracle). The cap window
+    * partitions on the basket key the self-join shuffles on anyway.
     * Input baskets are deduplicated here; the (basket, item) relation
     * is persisted across its consumers.
     */
   def coOccurrence(rows: DataFrame, basket: String, item: String,
-                   minSupport: Long, aprioriPrune: Boolean = true): DataFrame = {
-    val li = rows.select(col(basket).as("basket"), col(item).as("item")).distinct()
+                   minSupport: Long, aprioriPrune: Boolean = true,
+                   maxBasketItems: Long = DefaultMaxBasketItems): DataFrame = {
+    val li0 = rows.select(col(basket).as("basket"), col(item).as("item")).distinct()
+    val li =
+      if (maxBasketItems <= 0) li0
+      else li0
+        .withColumn("_bsz",
+          count(lit(1)).over(Window.partitionBy(col("basket"))))
+        .filter(col("_bsz") <= maxBasketItems)
+        .drop("_bsz")
     Dedup.withPersisted(li) { l =>
       val sup = l.groupBy(col("item")).agg(count(lit(1)).as("sup"))
       val lf =

@@ -28,6 +28,12 @@ object Advanced {
     * qualifying pair has support ≥ the pair's support). */
   val MinSupport = 2L
 
+  /** q98's giant-basket population cap (oracle-mirrored via QUALIFY):
+    * binds nothing on TPC-H (≤ 7 items/order at every SF) but bounds a
+    * real cart/session basket's C(size, 2) fanout — see
+    * Analytics.coOccurrence. */
+  val MaxBasketItems = graft.operators.Analytics.DefaultMaxBasketItems
+
   /** Explicit pivot column set for q100 — pivot values MUST be declared,
     * not discovered: discovery is an extra job AND makes the output
     * schema data-dependent (a new event type would silently widen the
@@ -299,7 +305,8 @@ object Advanced {
     //    (supports, pair sides).
     "q98_item_pairs" -> ((s, dir) =>
       graft.operators.Analytics.coOccurrence(
-        t(s, dir, "lineitem"), "l_orderkey", "l_partkey", MinSupport)
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey", MinSupport,
+        maxBasketItems = MaxBasketItems)
         .orderBy("part_a", "part_b")),
 
     // Relational pivot: long → wide with a DECLARED value set (see
@@ -538,7 +545,9 @@ object Advanced {
           GROUP BY 1 ORDER BY p_brand""",
 
     "q98_item_pairs" ->
-      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      s"""WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+          li AS (SELECT * FROM li0
+                 QUALIFY COUNT(*) OVER (PARTITION BY l_orderkey) <= $MaxBasketItems),
           sup AS (SELECT l_partkey, COUNT(*) AS sup FROM li GROUP BY 1),
           nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM li),
           pairs AS (

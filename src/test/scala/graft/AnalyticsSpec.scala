@@ -139,4 +139,33 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
     assert(got == Seq(("a", "b", 2L)))
   }
+
+  test("maxBasketItems drops a giant basket of popular items that Apriori can't prune") {
+    // 20 normal 2-item baskets of globally-heavy items + one 100-item
+    // basket made ENTIRELY of those same heavy items: every item clears
+    // minSupport, so the Apriori prune keeps the whole giant basket and
+    // its C(100,2) = 4950-pair fanout lands on ONE basket key. The cap
+    // is the only guard that fires.
+    val heavy = (0 until 100).map(i => f"h$i%03d")
+    val normal = (1 to 20).flatMap(b =>
+      Seq((b.toLong, heavy(2 * (b % 10))), (b.toLong, heavy(2 * (b % 10) + 1))))
+    val giant = heavy.map(i => (999L, i))
+    val rows = (normal ++ giant).toDF("basket", "item")
+
+    val capped = Analytics.coOccurrence(rows, "basket", "item", 2L,
+        maxBasketItems = 50L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // Dropped basket vanishes from EVERYTHING: pairs, supports, n_baskets.
+    val expect = (0 until 10).map { p =>
+      (heavy(2 * p), heavy(2 * p + 1)) -> ((2L, 2L, 2L, 20L))
+    }.toMap
+    assert(capped == expect)
+
+    // Cap off: the giant basket floods in — 4950 distinct pairs, each
+    // pair of heavy items co-occurring at least once.
+    val uncapped = Analytics.coOccurrence(rows, "basket", "item", 1L,
+        maxBasketItems = 0L).count()
+    assert(uncapped == 4950L)
+  }
 }
