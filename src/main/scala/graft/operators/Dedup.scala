@@ -155,7 +155,7 @@ object Dedup {
   def minhashSignatures(shingleSets: DataFrame, numHashes: Int = 64): DataFrame =
     signaturesFromExploded(explodedShingles(shingleSets), numHashes)
 
-  private def signaturesFromExploded(sh: DataFrame, numHashes: Int): DataFrame =
+  private[operators] def signaturesFromExploded(sh: DataFrame, numHashes: Int): DataFrame =
     sh.groupBy("doc_id")
       .agg(array((0 until numHashes).map(j =>
         min(xxhash64(lit(j), col("shingle")))): _*).as("sig"))
@@ -266,7 +266,8 @@ object Dedup {
     val sigD = signaturesFromExploded(deltaSh, numHashes)
     val bd = bandKeys(sigD, bands, rows, numHashes)
     val bc = bandKeys(signaturesFromExploded(corpusSh, numHashes),
-      bands, rows, numHashes) // in practice: the persisted band index
+      bands, rows, numHashes) // in-memory twin of BandIndex's on-disk
+                              // index (q106 probes that one from disk)
     val crossCand = bd.as("x").join(bc.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
         col("x.doc_id") =!= col("y.doc_id"))

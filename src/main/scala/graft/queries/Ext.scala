@@ -273,6 +273,32 @@ object Ext {
       }.orderBy("a_id", "b_id")
     }),
 
+    // q81 through the PRODUCTION path: the corpus band index is built ON
+    // DISK (directory-partitioned on pmod(xxhash64(band,bkey), 64) with a
+    // layout sidecar — BandIndex) and the delta probes it by PATH with a
+    // partition-pruned read: only touched bucket directories are scanned,
+    // the banding layout comes from the sidecar, and no in-session state
+    // survives from the build (DedupSpec proves the cross-session read
+    // and asserts the pruned scan). Same oracle as q81: the full exact
+    // recompute restricted to delta-touching pairs, so candidate recall
+    // through the on-disk layout is itself hash-gated.
+    "q106_disk_index_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpusSh = Dedup.explodedShingles(
+        Dedup.shingleSets(docs.filter(col("doc_id") % 10 =!= 0)))
+      val deltaSh = Dedup.explodedShingles(
+        Dedup.shingleSets(docs.filter(col("doc_id") % 10 === 0)))
+      val idxPath = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_band_index_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+      Dedup.withPersisted(corpusSh) { c =>
+        graft.operators.BandIndex.write(c, idxPath) // the nightly build
+        Dedup.withPersisted(deltaSh) { d =>
+          graft.operators.BandIndex.minhashPairsFromIndex(
+            idxPath, c, d, JaccardThreshold) // the daily probe
+        }
+      }.orderBy("a_id", "b_id")
+    }),
+
     // ANN recall@k — the tuning dial for the approximate tiers: hit
     // counts of IVF top-3 (q39), PQ-ADC top-5 (q61) and SRP-LSH pairs
     // (q75, sampled to vec_id % 10 = 0 so the exact pair ground truth
@@ -951,6 +977,14 @@ object Ext {
     // (doc_id % 10 = 0) — what minhashPairsIncremental must reproduce
     // without re-hashing the corpus.
     "q81_incremental_dedup" ->
+      s"""WITH $pairsCte
+          SELECT a_id, b_id, jaccard FROM pairs
+          WHERE a_id % 10 = 0 OR b_id % 10 = 0
+          ORDER BY a_id, b_id""",
+
+    // Same exact-recompute oracle as q81: the on-disk index path must
+    // reproduce the in-memory incremental answer bit for bit.
+    "q106_disk_index_dedup" ->
       s"""WITH $pairsCte
           SELECT a_id, b_id, jaccard FROM pairs
           WHERE a_id % 10 = 0 OR b_id % 10 = 0

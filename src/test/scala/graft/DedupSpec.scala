@@ -30,6 +30,53 @@ class DedupSpec extends SparkSpec {
     assert(incr == full)
   }
 
+  test("on-disk band index: cross-session probe == in-memory incremental, partition-pruned") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val corpusSh = Dedup.explodedShingles(
+      Dedup.shingleSets(docs.filter($"doc_id" % 5 =!= 0)))
+    val deltaSh = Dedup.explodedShingles(
+      Dedup.shingleSets(docs.filter($"doc_id" % 5 === 0)))
+    val idx = java.nio.file.Files.createTempDirectory("graft_bandidx")
+      .resolve("idx").toString
+    graft.operators.BandIndex.write(corpusSh, idx)
+
+    // Probe from a FRESH session: no SQL/catalog state survives from the
+    // build — layout and banding family come from the on-disk sidecar,
+    // the index rows from the directories. This is the daily-delta tick
+    // of a deployment whose nightly build ran in another JVM.
+    val s2 = spark.newSession()
+    val docs2 = Tables.load(s2, "/root/testdata/sf0.001", "documents")
+    val corpusSh2 = Dedup.explodedShingles(
+      Dedup.shingleSets(docs2.filter(col("doc_id") % 5 =!= 0)))
+    val deltaSh2 = Dedup.explodedShingles(
+      Dedup.shingleSets(docs2.filter(col("doc_id") % 5 === 0)))
+    val fromDisk = graft.operators.BandIndex
+      .minhashPairsFromIndex(idx, corpusSh2, deltaSh2, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inMem = Dedup.minhashPairsIncremental(corpusSh, deltaSh, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fromDisk.nonEmpty && fromDisk == inMem)
+
+    // The probe read is PARTITION-PRUNED: restricting to a few touched
+    // buckets must plan a partition filter and open strictly fewer files
+    // than the full index — the O(delta + matched buckets) claim.
+    val l = graft.operators.BandIndex.layout(spark, idx)
+    assert(l.buckets == 64 && l.numHashes == 64 && l.bands == 16)
+    // inputFiles ignores pruning — read the SCAN NODE's executed metrics.
+    def filesScanned(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case s if s.metrics.contains("numFiles") =>
+          s.metrics("numFiles").value }.get
+    }
+    val all = filesScanned(spark.read.parquet(idx)
+      .select("doc_id", "band", "bkey"))
+    val pruned = graft.operators.BandIndex.readTouched(spark, idx, Seq(0L, 1L))
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    val prunedFiles = filesScanned(pruned)
+    assert(prunedFiles < all, s"pruned read opened $prunedFiles of $all files")
+  }
+
   test("exact dedup groups identical texts") {
     val g = Dedup.exactGroups(corpus)
     assert(g.count() == 4)
