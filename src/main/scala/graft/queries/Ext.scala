@@ -22,6 +22,11 @@ object Ext {
   /** PageRank rounds / fixed-point scale for q99. */
   private val PageRankIters = 3
   private val PageRankScale = 1000000000000L
+  /** HLL relative standard deviation for the q42/q84 bound gates: the
+    * within_bound flag asserts |approx − exact| ≤ 3·rsd·exact (≈3σ). */
+  private val HllRsd = 0.05
+  /** percentile_approx accuracy for q90: rank error ≤ n/acc per group. */
+  private val QuantileAcc = 10000
 
   val queries: Map[String, Q] = Map(
     // Exact dedup: content digest → representative + multiplicity.
@@ -65,17 +70,28 @@ object Ext {
         .orderBy("col_name")
     }),
 
-    // Column profiling with HLL cardinalities (rows-only like q42: the
-    // sketch estimate is engine-specific) — the wide-table variant:
+    // Column profiling with HLL cardinalities — the wide-table variant:
     // every metric INCLUDING n_distinct in one aggregate pass, no melted
-    // distinct scan. ProfilingSpec gates the estimate against the exact
-    // counts at the sketch's error bound.
+    // distinct scan (that one-scan shape is profileApprox itself,
+    // spec-gated in ProfilingSpec). The HLL estimate is engine-specific,
+    // so the GATE query emits the exact profile (q70's oracle semantics)
+    // plus within_bound = |hll − exact| ≤ 3·rsd·exact per column,
+    // checked in plan against the q70-style exact pass.
     "q84_profile_hll" -> ((s, dir) => {
-      graft.operators.Profiling.profileApprox(
-        t(s, dir, "orders"),
-        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
-            "o_orderpriority"),
-        numeric = Set("o_orderkey", "o_custkey", "o_totalprice"))
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+                     "o_totalprice", "o_orderpriority")
+      val num = Set("o_orderkey", "o_custkey", "o_totalprice")
+      val orders = t(s, dir, "orders")
+      val hll = graft.operators.Profiling.profileApprox(orders, cols, num)
+        .select(col("col_name"), col("n_distinct").as("nd_hll"))
+      graft.operators.Profiling.profile(orders, cols, num)
+        .join(hll, Seq("col_name")) // both sides are #cols rows
+        .select(col("col_name"), col("n_rows"), col("nonnull"), col("nulls"),
+                col("n_distinct"), col("min_num"), col("max_num"),
+                col("min_str"), col("max_str"),
+          (abs(col("nd_hll") - col("n_distinct")).cast("double")
+             <= lit(3.0 * HllRsd) * col("n_distinct").cast("double"))
+            .cast("long").as("within_bound"))
         .orderBy("col_name")
     }),
 
@@ -556,33 +572,64 @@ object Ext {
         .orderBy("media_id")
     }),
 
-    // HLL distinct (approximate — rows-only check; exactness is covered by
-    // q05). At 100 TB this replaces count(distinct) everywhere feasible.
+    // HLL distinct. At 100 TB this replaces count(distinct) everywhere
+    // feasible. The sketch estimate itself is engine-specific, so the
+    // OUTPUT is the bound check: exact distinct (cross-engine, DuckDB-
+    // verified) + within_bound = |approx − exact| ≤ 3·rsd·exact, checked
+    // IN PLAN — an HLL drift past the bound flips the flag and fails the
+    // oracle hash. (The exact twin rides along only to gate; production
+    // callers use the approx column alone.)
     "q42_hll_distinct" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        .agg(approx_count_distinct(col("l_partkey"), HllRsd).as("approx_parts"),
+             countDistinct(col("l_partkey")).as("exact_parts"),
              count(lit(1)).as("cnt"))
+        .select(col("l_returnflag"), col("exact_parts"), col("cnt"),
+          (abs(col("approx_parts") - col("exact_parts")).cast("double")
+             <= lit(3.0 * HllRsd) * col("exact_parts").cast("double"))
+            .cast("long").as("within_bound"))
         .orderBy("l_returnflag")
     }),
 
-    // Approximate quantiles (rows-only like q42/q84: sketch estimates are
-    // engine-specific; q59 is the exact nearest-rank twin). One pass,
-    // mergeable fixed-size sketches — at 100 TB this replaces the exact
-    // order-statistic scan; ProfilingSpec-style error bound in
-    // CurationSpec.
+    // Approximate quantiles: one pass, mergeable fixed-size sketches —
+    // at 100 TB this replaces the exact order-statistic scan (q59 is the
+    // exact nearest-rank twin). The sketch values are engine-specific,
+    // so the OUTPUT is the RANK-BOUND check, evaluated in plan: for each
+    // φ the returned value's rank window [#(x<v)+1, #(x≤v)] must land
+    // within n·(φ ± 1/acc) (±1 row of floor/ceil slack) — a sketch
+    // exceeding its guarantee flips the flag and fails the oracle hash.
     "q90_approx_quantiles" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(percentile_approx(col("l_extendedprice"),
-               array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("qs"),
-             count(lit(1)).as("cnt"))
-        .select(col("l_returnflag"),
-                element_at(col("qs"), 1).as("p25"),
-                element_at(col("qs"), 2).as("p50"),
-                element_at(col("qs"), 3).as("p75"),
-                col("cnt"))
-        .orderBy("l_returnflag")
+      val eps = 1.0 / QuantileAcc
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      Dedup.withPersisted(li) { d => // two consumers: sketch + rank count
+        val phis = Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75")
+        val ap = d.groupBy(col("l_returnflag"))
+          .agg(percentile_approx(col("l_extendedprice"),
+                 array(lit(0.25), lit(0.5), lit(0.75)), lit(QuantileAcc)).as("qs"),
+               count(lit(1)).as("cnt"))
+          .select(Seq(col("l_returnflag"), col("cnt")) ++
+            phis.zipWithIndex.map { case ((_, nm), i) =>
+              element_at(col("qs"), i + 1).as(s"v_$nm") }: _*)
+        val rankAggs = phis.flatMap { case (_, nm) => Seq(
+          sum(when(col("l_extendedprice") <= col(s"v_$nm"), 1L)
+            .otherwise(0L)).as(s"le_$nm"),
+          sum(when(col("l_extendedprice") < col(s"v_$nm"), 1L)
+            .otherwise(0L)).as(s"lt_$nm")) }
+        val counted = d.join(broadcast(ap), Seq("l_returnflag"))
+          .groupBy(Seq("l_returnflag", "cnt").map(col) ++
+                   phis.map { case (_, nm) => col(s"v_$nm") }: _*)
+          .agg(rankAggs.head, rankAggs.tail: _*)
+        val bounds = phis.map { case (phi, nm) =>
+          ((col(s"le_$nm").cast("double")
+              >= lit(phi - eps) * col("cnt").cast("double") - 1.0) &&
+           (col(s"lt_$nm").cast("double")
+              <= lit(phi + eps) * col("cnt").cast("double") + 1.0))
+            .cast("long").as(s"within_$nm") }
+        counted.select(Seq(col("l_returnflag"), col("cnt")) ++ bounds: _*)
+          .orderBy("l_returnflag")
+      }
     })
   )
 
@@ -771,6 +818,43 @@ object Ext {
           row("o_orderpriority", false))
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     },
+
+    // Bound-gate oracles for the sketch queries (round 6): DuckDB
+    // verifies the EXACT columns and pins within_bound = 1 — the Spark
+    // side evaluates the sketch-vs-exact bound in plan, so an estimate
+    // drifting past its guarantee flips the flag and hash-mismatches.
+    "q42_hll_distinct" ->
+      """SELECT l_returnflag,
+                CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+                COUNT(*) AS cnt, CAST(1 AS BIGINT) AS within_bound
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
+
+    "q84_profile_hll" -> {
+      def row(c: String, numeric: Boolean) = {
+        val minNum = if (numeric) s"CAST(MIN($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+        val maxNum = if (numeric) s"CAST(MAX($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+        val minStr = if (numeric) "CAST(NULL AS VARCHAR)" else s"CAST(MIN($c) AS VARCHAR)"
+        val maxStr = if (numeric) "CAST(NULL AS VARCHAR)" else s"CAST(MAX($c) AS VARCHAR)"
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+                   COUNT($c) AS nonnull, COUNT(*) - COUNT($c) AS nulls,
+                   CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+                   $minNum AS min_num, $maxNum AS max_num,
+                   $minStr AS min_str, $maxStr AS max_str,
+                   CAST(1 AS BIGINT) AS within_bound
+            FROM orders"""
+      }
+      Seq(row("o_orderkey", true), row("o_custkey", true),
+          row("o_orderstatus", false), row("o_totalprice", true),
+          row("o_orderpriority", false))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+
+    "q90_approx_quantiles" ->
+      """SELECT l_returnflag, COUNT(*) AS cnt,
+                CAST(1 AS BIGINT) AS within_p25,
+                CAST(1 AS BIGINT) AS within_p50,
+                CAST(1 AS BIGINT) AS within_p75
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
 
     "q68_winnow_pairs" -> {
       import graft.operators.Dedup.{WinnowB => B, WinnowP => P, WinnowGram => G,
