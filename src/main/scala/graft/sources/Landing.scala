@@ -3,6 +3,8 @@ package graft.sources
 import java.io.{BufferedOutputStream, File, FileInputStream, FileOutputStream}
 import java.util.zip.ZipInputStream
 
+import org.apache.spark.sql.Dataset
+
 /** Landing-directory utilities (SURVEY S11): the reference's transparent
   * decompress step (handlers/utils.py:56-141). Gzip needs nothing here —
   * Hadoop codecs decompress `.gz` on read (covered by the epss .csv.gz
@@ -11,6 +13,39 @@ import java.util.zip.ZipInputStream
   * arrive one per source per tick, never through executors.
   */
 object Landing {
+
+  /** Land fetched pages as one file per page, written by the EXECUTORS
+    * straight to the landing filesystem — the step between the S1/S2
+    * distributed fetch ([[Fetch.fetchPages]]) and the declared-schema scan
+    * ([[Readers.nvd]]), closing the reference's fetch→parse loop
+    * (datasources/nvd_handler.py:90-120) without funnelling page bodies
+    * through the driver. Filenames are deterministic in the page number
+    * and the write overwrites, so a retried task re-lands identical
+    * files — the landing dir is idempotent under Spark's task retry the
+    * same way the K1 merge is idempotent under tick replay. Returns the
+    * number of pages landed (the action that runs the fetch). */
+  def landPages(pages: Dataset[FetchedPage], dir: String): Long = {
+    import pages.sparkSession.implicits._
+    pages.mapPartitions { it =>
+      // Executor-side FS handle from the task's default Hadoop config —
+      // same resolution path as a parquet write on a real cluster.
+      val path = new org.apache.hadoop.fs.Path(dir)
+      val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      fs.mkdirs(path)
+      var landed = 0L
+      it.foreach { p =>
+        val out = fs.create(new org.apache.hadoop.fs.Path(path, f"page-${p.page}%05d.json"), true)
+        try out.write(p.body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        landed += 1
+      }
+      Iterator.single(landed)
+    }.toDF("n")
+      .agg(org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.sum("n"),
+        org.apache.spark.sql.functions.lit(0L)))
+      .head().getLong(0)
+  }
 
   /** Extract a zip archive into `destDir`, returning extracted paths in
     * archive order. Zip-slip safe. */

@@ -1,0 +1,171 @@
+package graft
+
+import java.sql.Timestamp
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Watermarks
+import graft.sources.{Fetch, Landing}
+import graft.sources.Fetch.{Policy, TransientFetchException}
+
+/** End-to-end §3.1 init + §3.2 incremental tick through the DISTRIBUTED
+  * fetch path: recorded-fixture paginated transport → executor-side page
+  * landing → declared-schema scan → K1 merge → prioritize → watermark
+  * stamp (reference: main.py:64-98 init, 123-147 update loop;
+  * datasources/nvd_handler.py:90-120 pagination with lastModStartDate
+  * windowing). With this green, the only untested part of S1/S2 is the
+  * HTTP socket itself — everything from "page body exists" onward runs
+  * through the same code a production deployment would.
+  */
+class FetchE2eSpec extends SparkSpec {
+  import FetchE2eSpec._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("S1 e2e: paginated init fetch + watermark-windowed incremental tick") {
+    val work = java.nio.file.Files.createTempDirectory("fetch_e2e").toString
+    val status = s"$work/status"
+    val snap = s"$work/snap"
+    val policy = Policy(resultsPerPage = 2, retryDelayMs = 1L)
+
+    // ---- §3.1 init: no watermark → full pull ---------------------------
+    assert(CveJob.isInitRun(spark, status))
+    attempts.clear()
+
+    // The reference learns totalResults from the first response and
+    // ceil-divs into pages (nvd_handler copy.py:156-158) — probe page 0
+    // driver-side through the same bounded-retry path the executors use.
+    val total1 = parseTotal(Fetch.fetchWithRetry(initTransport, 0L, policy,
+      sleeper = _ => ()).body)
+    assert(total1 == 5L)
+    val landed1 = Landing.landPages(
+      Fetch.fetchPages(spark, total1, policy, numPartitions = 2, initTransport),
+      s"$work/land1")
+    assert(landed1 == 3L) // ceil(5/2)
+    // the transient 503 on page 1 was retried INSIDE the fetch job
+    assert(attempts.get(1L).get() == 2)
+    assert(attempts.get(0L).get() >= 2) // probe + distributed fetch
+
+    val t0 = ts("2025-04-01 00:00:00")
+    CveJob.runTick(spark, CvePipeline.Landing(nvd = Some(s"$work/land1")),
+      snap, status, t0)
+    assert(!CveJob.isInitRun(spark, status))
+    assert(Watermarks.lastUpdated(spark, status, CveJob.JobSource).contains(t0))
+
+    val s1 = spark.read.parquet(snap)
+    assert(s1.count() == 5)
+    assert(s1.columns.contains("priority"))
+    assert(s1.filter(col("id") === "CVE-2025-0001")
+      .select("nvd.vulnStatus").head().getString(0) == "Received")
+
+    // ---- §3.2 incremental: fetch window driven by the watermark --------
+    // The fixture "server" applies lastModStartDate exactly as the real
+    // API does: only records modified after `since` come back.
+    val since = Watermarks.lastUpdated(spark, status, CveJob.JobSource).get
+    val transport2 = windowTransport(since)
+    val total2 = parseTotal(Fetch.fetchWithRetry(transport2, 0L, policy,
+      sleeper = _ => ()).body)
+    assert(total2 == 2L) // one updated + one new CVE fall in the window
+    val landed2 = Landing.landPages(
+      Fetch.fetchPages(spark, total2, policy, numPartitions = 2, transport2),
+      s"$work/land2")
+    assert(landed2 == 1L)
+
+    val t1 = ts("2025-04-01 04:00:00")
+    CveJob.runTick(spark, CvePipeline.Landing(nvd = Some(s"$work/land2")),
+      snap, status, t1)
+    assert(Watermarks.lastUpdated(spark, status, CveJob.JobSource).contains(t1))
+
+    val s2 = spark.read.parquet(snap)
+    assert(s2.count() == 6) // 5 + 1 new, updated row upserted not duplicated
+    // matched row: payload refreshed, created_at preserved, updated_at = t1
+    val upd = s2.filter(col("id") === "CVE-2025-0001")
+      .select(col("nvd.vulnStatus"), col("created_at"), col("updated_at")).head()
+    assert(upd.getString(0) == "Analyzed")
+    assert(upd.getTimestamp(1) == t0)
+    assert(upd.getTimestamp(2) == t1)
+    // unmatched row: untouched by the delta, both stamps still t0
+    val still = s2.filter(col("id") === "CVE-2025-0002")
+      .select(col("created_at"), col("updated_at")).head()
+    assert(still.getTimestamp(0) == t0)
+    assert(still.getTimestamp(1) == t0)
+    // new row: both stamps t1
+    val fresh = s2.filter(col("id") === "CVE-2025-0006")
+      .select(col("created_at"), col("updated_at")).head()
+    assert(fresh.getTimestamp(0) == t1)
+    assert(fresh.getTimestamp(1) == t1)
+  }
+
+  test("landPages: empty fetch lands nothing and returns 0") {
+    val work = java.nio.file.Files.createTempDirectory("fetch_e2e0").toString
+    val n = Landing.landPages(
+      Fetch.fetchPages(spark, totalResults = 0L, Policy(resultsPerPage = 2),
+        numPartitions = 2, (_: Long) => "unused"),
+      s"$work/empty")
+    assert(n == 0L)
+  }
+}
+
+/** Fixture server + transports live on the companion so Spark closures
+  * capture the object, not the spec instance. */
+object FetchE2eSpec {
+  /** Attempt counts per page, shared across executor threads (local mode). */
+  val attempts = new ConcurrentHashMap[Long, AtomicInteger]()
+
+  private case class Rec(id: String, lastModified: String,
+                         vulnStatus: String, desc: String)
+
+  /** Server state at init time: 5 CVEs, none modified after t0. */
+  private val initRecs = Seq(
+    Rec("CVE-2025-0001", "2025-03-01T00:00:00.000", "Received", "first"),
+    Rec("CVE-2025-0002", "2025-03-02T00:00:00.000", "Analyzed", "second"),
+    Rec("CVE-2025-0003", "2025-03-03T00:00:00.000", "Analyzed", "third"),
+    Rec("CVE-2025-0004", "2025-03-04T00:00:00.000", "Modified", "fourth"),
+    Rec("CVE-2025-0005", "2025-03-05T00:00:00.000", "Analyzed", "fifth"))
+
+  /** Server state during the second tick's window: 0001 re-analyzed, 0006
+    * published — both with lastModified after the first watermark. */
+  private val laterRecs = Seq(
+    Rec("CVE-2025-0001", "2025-04-01T02:00:00.000", "Analyzed", "first (updated)"),
+    Rec("CVE-2025-0006", "2025-04-01T03:00:00.000", "Received", "sixth"))
+
+  private val PerPage = 2
+
+  private def pageBody(recs: Seq[Rec], page: Long): String = {
+    val slice = recs.slice((page * PerPage).toInt, ((page + 1) * PerPage).toInt)
+    val vulns = slice.map { r =>
+      s"""{"cve":{"id":"${r.id}","lastModified":"${r.lastModified}",""" +
+        s""""vulnStatus":"${r.vulnStatus}",""" +
+        s""""descriptions":[{"lang":"en","value":"${r.desc}"}]}}"""
+    }.mkString(",")
+    s"""{"resultsPerPage":$PerPage,"startIndex":${page * PerPage},""" +
+      s""""totalResults":${recs.size},"vulnerabilities":[$vulns]}"""
+  }
+
+  private def count(page: Long): Int =
+    attempts.computeIfAbsent(page, _ => new AtomicInteger).incrementAndGet()
+
+  /** Init transport: full corpus; page 1 throws a 503 on its first
+    * attempt so the retry path is exercised inside the distributed job. */
+  val initTransport: Long => String = { page =>
+    if (count(page) == 1 && page == 1L) throw new TransientFetchException("503")
+    pageBody(initRecs, page)
+  }
+
+  /** Windowed transport: the server applies lastModStartDate=since, the
+    * same filter the real API applies (nvd_handler.py:90-120). */
+  def windowTransport(since: Timestamp): Long => String = { page =>
+    val window = (initRecs ++ laterRecs).filter { r =>
+      Timestamp.valueOf(r.lastModified.replace("T", " ").stripSuffix(".000"))
+        .after(since)
+    }
+    pageBody(window, page)
+  }
+
+  def parseTotal(body: String): Long =
+    """"totalResults":(\d+)""".r.findFirstMatchIn(body)
+      .map(_.group(1).toLong)
+      .getOrElse(sys.error("no totalResults in page body"))
+}
