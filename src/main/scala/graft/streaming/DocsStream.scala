@@ -96,21 +96,22 @@ object DocsStream {
     val schema = spark.read.parquet(path).schema
     val work = java.nio.file.Files.createTempDirectory("graft_docs_replay_")
     scala.sys.addShutdownHook {
+      // never recurse THROUGH a symlink — listFiles follows directory
+      // links, and the input dir holds links into the source table
       def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        if (!java.nio.file.Files.isSymbolicLink(f.toPath))
+          Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(); ()
       }
       rm(work.toFile)
     }
     val snap = s"$work/snapshot"
     val ckpt = s"$work/ckpt"
     // the file stream source requires a DIRECTORY; link (or copy) the
-    // table file into a fresh input dir instead of mutating the fixture
+    // table — single file or part-file directory — into a fresh input
+    // dir instead of mutating the fixture
     val in = java.nio.file.Files.createDirectory(work.resolve("in"))
-    val target = java.nio.file.Paths.get(path)
-    try java.nio.file.Files.createSymbolicLink(in.resolve("documents.parquet"), target)
-    catch { case _: Exception =>
-      java.nio.file.Files.copy(target, in.resolve("documents.parquet")); ()
-    }
+    EventsStream.linkTable(in, path)
     val stream = spark.readStream.schema(schema).parquet(in.toString)
       .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
     val q = EventsStream.runAvailableNow(

@@ -178,6 +178,32 @@ object EventsStream {
   def runAvailableNow(writer: DataStreamWriter[Row]): StreamingQuery =
     writer.trigger(Trigger.AvailableNow()).start()
 
+  /** Link a parquet table — a single file (driver fixtures) OR a
+    * Spark-written DIRECTORY of part files (scaled rehearsal data) —
+    * into a stream-source input dir, without mutating the source. All
+    * part files are present before the query starts and AvailableNow
+    * with no maxFilesPerTrigger drains them as ONE batch, so the
+    * emitted set is identical to the single-file replay (the watermark
+    * only moves after the batch). Falls back to copying where symlinks
+    * are unsupported. */
+  private[streaming] def linkTable(in: java.nio.file.Path, table: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val target = java.nio.file.Paths.get(table)
+    def link(name: String, src: java.nio.file.Path): Unit =
+      try { java.nio.file.Files.createSymbolicLink(in.resolve(name), src); () }
+      catch { case _: Exception =>
+        java.nio.file.Files.copy(src, in.resolve(name)); ()
+      }
+    if (java.nio.file.Files.isDirectory(target)) {
+      val parts = java.nio.file.Files.list(target)
+      try parts.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .zipWithIndex
+        .foreach { case (p, i) => link(f"part-$i%05d.parquet", p) }
+      finally parts.close()
+    } else link(target.getFileName.toString, target)
+  }
+
   /** Batch-replay harness: drive a windowed aggregation through the real
     * streaming engine — file source, event-time watermark, APPEND mode,
     * so ONLY watermark-closed windows emit — over the bounded events
@@ -190,18 +216,18 @@ object EventsStream {
     val schema = spark.read.parquet(path).schema
     val work = java.nio.file.Files.createTempDirectory("graft_events_replay_")
     scala.sys.addShutdownHook {
+      // never recurse THROUGH a symlink — listFiles follows directory
+      // links, and the input dir holds links into the source table
       def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        if (!java.nio.file.Files.isSymbolicLink(f.toPath))
+          Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(); ()
       }
       rm(work.toFile)
     }
     // file stream source needs a directory; link (or copy) the table in
     val in = java.nio.file.Files.createDirectory(work.resolve("in"))
-    val target = java.nio.file.Paths.get(path)
-    try java.nio.file.Files.createSymbolicLink(in.resolve("events.parquet"), target)
-    catch { case _: Exception =>
-      java.nio.file.Files.copy(target, in.resolve("events.parquet")); ()
-    }
+    linkTable(in, path)
     val out = s"$work/out"
     // same nanos-long → micros-timestamp normalization as Tables.load
     // (events.ts is parquet TIMESTAMP(NANOS), read as long under
