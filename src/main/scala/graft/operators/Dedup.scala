@@ -449,16 +449,42 @@ object Dedup {
     sums.select(col("doc_id"), sig.as("simhash"))
   }
 
+  /** Bucket-population cap for SimHash banding (the srpDupPairs
+    * maxBucket / jaccard maxShingleDf pattern). Above sf0.01 a band
+    * bucket holding a large near-identical cluster goes quadratic — the
+    * sf1 rehearsal measured a 40k-doc bucket (1.1e9 candidate pairs)
+    * under the portable hash's biased high bits. With the cap, candidate
+    * volume is bounded by 2·n·cap: linear in corpus size at any skew. */
+  val DefaultMaxSimhashBucket = 200L
+
   /** SimHash near-dup candidates: 4×16-bit band blocking, then popcount
-    * Hamming ≤ maxHamming. Blocking guarantees recall for distance ≤ 3. */
-  def simhashDupPairs(sim: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val banded = sim.select(col("doc_id"), col("simhash"),
+    * Hamming ≤ maxHamming. Pigeonhole: distance ≤ 3 leaves ≥ 1 of the 4
+    * bands identical, so blocking recall is exact — EXCEPT for pairs all
+    * of whose clean bands are over-populated (> maxBucket), which are
+    * dropped with the bucket: a cluster bigger than the cap is exact-
+    * dedup's job (q30), not pairwise LSH's. The cap is mirrored in the
+    * q74 oracle (QUALIFY on the band population) so capped results stay
+    * hash-gated. maxBucket <= 0 disables the guard. */
+  def simhashDupPairs(sim: DataFrame, maxHamming: Int = 3,
+                      maxBucket: Long = DefaultMaxSimhashBucket): DataFrame = {
+    val banded0 = sim.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
                shiftrightunsigned(col("simhash"), b * 16)
                  .bitwiseAND(lit(0xFFFFL)).as("bval"))): _*)).as("bs"))
       .select(col("doc_id"), col("simhash"),
               col("bs.band").as("band"), col("bs.bval").as("bval"))
+    // Materialized eagerly: the self-join consumes the banded relation
+    // twice, and the upstream simhash (two shuffles + 64 bit sums) and
+    // the population window must not run per side.
+    val banded =
+      (if (maxBucket <= 0) banded0
+       else banded0
+         .withColumn("_pop", count(lit(1))
+           .over(Window.partitionBy(col("band"), col("bval"))))
+         .filter(col("_pop") <= maxBucket)
+         .drop("_pop")
+      ).localCheckpoint()
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
         col("x.doc_id") < col("y.doc_id"))

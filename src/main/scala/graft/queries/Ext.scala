@@ -777,7 +777,9 @@ object Ext {
           banded AS (
             SELECT doc_id, simhash, band,
                    (simhash >> (band * 16)) & 65535 AS bval
-            FROM sig, (SELECT UNNEST(range(0, 4)) AS band) b),
+            FROM sig, (SELECT UNNEST(range(0, 4)) AS band) b
+            QUALIFY COUNT(*) OVER (PARTITION BY band, bval)
+                    <= ${Dedup.DefaultMaxSimhashBucket}),
           cand AS (
             SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
                    CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming

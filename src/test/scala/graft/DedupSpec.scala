@@ -110,6 +110,23 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // distinct doc stays out
   }
 
+  test("simhash bucket cap: an over-populated band bucket cannot go quadratic") {
+    // 250 docs share ONE signature (every band bucket holds all 250 —
+    // the degenerate cluster the sf1 rehearsal hit at 40k docs), plus a
+    // normal near-dup pair one bit apart whose buckets hold 2 docs.
+    val hot = (1L to 250L).map(id => (id, 0x5A5A5A5A5A5A5A5AL))
+    val pair = Seq((1000L, 0x0F0F0F0F0F0F0F0FL), (1001L, 0x0F0F0F0F0F0F0F0EL))
+    val sim = (hot ++ pair).toDF("doc_id", "simhash")
+    val capped = Dedup.simhashDupPairs(sim, maxHamming = 3, maxBucket = 200L)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the fanout bound: the 250-cluster's C(250,2) pairs are dropped
+    // with its buckets; the normal pair still surfaces
+    assert(capped == Set((1000L, 1001L)))
+    // uncapped (maxBucket <= 0) keeps the quadratic ground truth
+    val uncapped = Dedup.simhashDupPairs(sim, maxHamming = 3, maxBucket = 0L)
+    assert(uncapped.count() == 250L * 249 / 2 + 1)
+  }
+
   test("clusters: connected components collapse transitively-linked dups") {
     // 1-2, 2-4 chain (1-4 also direct) + isolated pair 7-8
     val pairs = Seq((1L, 2L), (2L, 4L), (1L, 4L), (7L, 8L)).toDF("a_id", "b_id")
