@@ -114,14 +114,32 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Cell-population cap for [[cellDupPairs]]: Σ O(cell²) is only a
+    * scale pattern while cells stay bounded, and a STATIC quantizer's
+    * cells grow linearly with the corpus (the sf1 rehearsal: 10 fixed
+    * labels → 2.2k-vector cells at 10×; 2.2M at the 1000× target). A
+    * cell past the cap is dropped from pairwise blocking — it isn't
+    * block-joinable any more and belongs to a re-trained quantizer
+    * (kmeansRefine, q87) or the SRP path (q75). Mirrored in the q40
+    * oracle via QUALIFY so capped results stay hash-gated. */
+  val DefaultMaxCell = 4096L
+
   /** Near-dup pairs (a<b) with cosine ≥ threshold, blocked by a cell
     * column: the scale pattern for embedding dedup — pairs are only
     * generated within a cell (IVF bucket / LSH band), turning O(n²) into
-    * Σ O(cell²) on a co-partitioned equi-join. */
+    * Σ O(cell²) on a co-partitioned equi-join, with over-populated cells
+    * dropped (see [[DefaultMaxCell]]; maxCell <= 0 disables). */
   def cellDupPairs(corpus: DataFrame, threshold: Double,
                    idCol: String = "vec_id", vecCol: String = "embedding",
-                   cellCol: String = "label"): DataFrame = {
-    val u = unitVectors(corpus, Seq(idCol -> "id", cellCol -> "cell"), vecCol, "u")
+                   cellCol: String = "label",
+                   maxCell: Long = DefaultMaxCell): DataFrame = {
+    val u0 = unitVectors(corpus, Seq(idCol -> "id", cellCol -> "cell"), vecCol, "u")
+    val u =
+      if (maxCell <= 0) u0
+      else u0
+        .withColumn("_pop", count(lit(1)).over(Window.partitionBy(col("cell"))))
+        .filter(col("_pop") <= maxCell)
+        .drop("_pop")
     u.as("a").join(u.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),

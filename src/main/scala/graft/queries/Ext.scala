@@ -1020,11 +1020,17 @@ object Ext {
                 FROM sims)
           WHERE rk <= 3 ORDER BY query_id, rank""",
 
+    // The QUALIFY mirrors cellDupPairs' maxCell guard (same constant,
+    // referenced so it cannot drift) — over-grown cells leave pairwise
+    // blocking in BOTH engines.
     "q40_embed_dups" ->
-      s"""WITH $unitCte
+      s"""WITH $unitCte,
+          eg AS (SELECT * FROM e
+                 QUALIFY COUNT(*) OVER (PARTITION BY label)
+                         <= ${Similarity.DefaultMaxCell})
           SELECT a_id, b_id, sim FROM (
             SELECT a.vec_id AS a_id, b.vec_id AS b_id, ${foldDot("a.u", "b.u")} AS sim
-            FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+            FROM eg a JOIN eg b ON a.label = b.label AND a.vec_id < b.vec_id)
           WHERE sim >= $CosineDupThreshold
           ORDER BY a_id, b_id""",
 

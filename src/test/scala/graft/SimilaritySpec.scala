@@ -35,6 +35,20 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs == Set((1L, 2L), (3L, 4L)))
   }
 
+  test("cell dup pairs: an over-grown cell leaves pairwise blocking") {
+    import spark.implicits._
+    // one 5-vector hot cell (label 0, all identical → all pairs qualify)
+    // + a 2-vector cell with a real near-dup pair
+    val hot = (1L to 5L).map(id => (id, Array.fill(4)(1.0f), 0))
+    val ok = Seq((10L, Array(1.0f, 0.1f, 0f, 0f), 1),
+                 (11L, Array(1.0f, 0.12f, 0f, 0f), 1))
+    val corpus = (hot ++ ok).toDF("vec_id", "embedding", "label")
+    val capped = Similarity.cellDupPairs(corpus, 0.9, maxCell = 4L)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((10L, 11L))) // C(5,2) hot-cell pairs dropped
+    assert(Similarity.cellDupPairs(corpus, 0.9, maxCell = 0L).count() == 11L)
+  }
+
   test("native graft_dot is bit-identical to the ordered HOF fold") {
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
