@@ -209,22 +209,25 @@ object Ext {
     "q50_tfidf_topterms" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents")
-      val tf = docs
+      val tf0 = docs
         .select(col("doc_id"), explode(TA.wordTokens(col("text"))).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tf").desc, col("doc_freq").asc, col("term").asc)
-      tf.join(dfreq, "term").crossJoin(broadcast(n))
-        .withColumn("tfidf",
-          round(col("tf").cast("double") *
-                log(col("n_docs").cast("double") / col("doc_freq").cast("double")), 6))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 5)
-        .select(col("doc_id"), col("term"), col("tf"), col("doc_freq"),
-                col("rank"), col("tfidf"))
-        .orderBy("doc_id", "rank")
+      // tf feeds BOTH the doc-frequency aggregate and the join's left
+      // side — persisted so the tokenize+count shuffle runs once
+      Dedup.withPersisted(tf0) { tf =>
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+        tf.join(dfreq, "term").crossJoin(broadcast(n))
+          .withColumn("tfidf",
+            round(col("tf").cast("double") *
+                  log(col("n_docs").cast("double") / col("doc_freq").cast("double")), 6))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("doc_id"), col("term"), col("tf"), col("doc_freq"),
+                  col("rank"), col("tfidf"))
+      }.orderBy("doc_id", "rank")
     }),
 
     // Rolling-hash document fingerprint (ordered fold — oracle mirrors

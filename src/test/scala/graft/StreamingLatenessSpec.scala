@@ -99,6 +99,48 @@ class StreamingLatenessSpec extends SparkSpec {
     assert(emitted == oracle)
   }
 
+  test("q103 torture: late fact beyond the join horizon never matches; within-horizon OOO does") {
+    implicit val sc = spark.sqlContext
+    val evs = MemoryStream[Ev]
+    val facts = MemoryStream[Fact]
+    val joined = EventsStream.intervalJoin(
+      evs.toDF().select($"user_id", $"ts", $"event_type"),
+      facts.toDF(), lookback = "1 hour", lateness = "2 hours")
+    val q = joined.select($"user_id", $"ts", $"fact_ts", $"tag")
+      .writeStream.format("memory").queryName("ooo_ijoin")
+      .outputMode("append").start()
+    try {
+      def rows() = spark.table("ooo_ijoin").collect()
+        .map(r => (r.getAs[Long]("user_id"),
+                   r.getAs[Timestamp]("ts").toInstant.toString,
+                   r.getAs[Timestamp]("fact_ts").toInstant.toString,
+                   r.getAs[String]("tag"))).toSet
+      // batch 1: in-window match emits as soon as both sides exist
+      evs.addData(Ev(ts("2024-01-01T10:00:00Z"), 1, "click", 1.0))
+      facts.addData(Fact(ts("2024-01-01T09:30:00Z"), 1, "f1"))
+      q.processAllAvailable()
+      val m1 = (1L, "2024-01-01T10:00:00Z", "2024-01-01T09:30:00Z", "f1")
+      assert(rows() == Set(m1))
+      // batch 2: both sides jump to 14:00 → watermark 12:00, the 10:00
+      // event's join state is evictable
+      evs.addData(Ev(ts("2024-01-01T14:00:00Z"), 2, "click", 1.0))
+      facts.addData(Fact(ts("2024-01-01T14:10:00Z"), 9, "noise"))
+      q.processAllAvailable()
+      // batch 3 torture, arrival order backward in event time:
+      //  * f_late 09:45 (user 1) — would have matched the 10:00 click,
+      //    but it is beyond the watermark → dropped, match never emits;
+      //  * f_ok 13:30 (user 2) — BELOW 14:00 but above the watermark:
+      //    matches the already-buffered 14:00 click retroactively.
+      facts.addData(
+        Fact(ts("2024-01-01T09:45:00Z"), 1, "f_late"),
+        Fact(ts("2024-01-01T13:30:00Z"), 2, "f_ok"))
+      q.processAllAvailable()
+      val m2 = (2L, "2024-01-01T14:00:00Z", "2024-01-01T13:30:00Z", "f_ok")
+      assert(rows() == Set(m1, m2)) // f_late produced NOTHING
+      assert(droppedByWatermark(q) >= 1L) // and the engine ledger says why
+    } finally q.stop()
+  }
+
   test("q92 torture: OOO session extension across batches; beyond-horizon row dropped") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Ev]
