@@ -2,7 +2,7 @@ package graft.operators
 
 import java.nio.charset.StandardCharsets
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -47,18 +47,23 @@ object BandIndex {
     def rowsPerBand: Int = numHashes / bands
   }
 
-  private def fs(spark: SparkSession) =
-    FileSystem.get(spark.sparkContext.hadoopConfiguration)
+  // Resolve the filesystem FROM the index path (not the default FS): the
+  // sidecar must live next to the parquet buckets even when the index is
+  // on an explicit file:/ or object-store URI and fs.defaultFS is HDFS —
+  // a default-FS sidecar would be missing (or STALE from an older build)
+  // exactly when another session probes the index.
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def writeMeta(spark: SparkSession, path: String, l: Layout): Unit = {
-    val out = fs(spark).create(new Path(path, MetaFile), true)
+    val out = fs(spark, path).create(new Path(path, MetaFile), true)
     try out.write(s"${l.buckets} ${l.numHashes} ${l.bands}"
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
   }
 
   def layout(spark: SparkSession, path: String): Layout = {
-    val in = fs(spark).open(new Path(path, MetaFile))
+    val in = fs(spark, path).open(new Path(path, MetaFile))
     val parts =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         .split("\\s+").map(_.toInt)

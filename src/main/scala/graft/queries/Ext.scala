@@ -16,6 +16,28 @@ object Ext {
 
   private def t(s: SparkSession, dir: String, name: String) = Tables.load(s, dir, name)
 
+  /** PID-scoped scratch path under java.io.tmpdir, deleted on JVM exit.
+    * Stable within the process (same name → same dir) so repeated query
+    * runs overwrite rather than accumulate. */
+  private def scratchDir(name: String): String = {
+    val f = new java.io.File(sys.props("java.io.tmpdir"),
+      s"${name}_p${ProcessHandle.current().pid()}")
+    if (scratchRegistered.add(f.getAbsolutePath)) {
+      scala.sys.addShutdownHook {
+        def rm(x: java.io.File): Unit = {
+          if (!java.nio.file.Files.isSymbolicLink(x.toPath))
+            Option(x.listFiles).foreach(_.foreach(rm))
+          x.delete(); ()
+        }
+        rm(f)
+      }
+      ()
+    }
+    f.getAbsolutePath
+  }
+  private val scratchRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private val JaccardThreshold = 0.8
   private val ContainmentThreshold = 0.9
   private val CosineDupThreshold = 0.4
@@ -307,8 +329,12 @@ object Ext {
         Dedup.shingleSets(docs.filter(col("doc_id") % 10 =!= 0)))
       val deltaSh = Dedup.explodedShingles(
         Dedup.shingleSets(docs.filter(col("doc_id") % 10 === 0)))
-      val idxPath = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_band_index_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+      // per-process work dir (PID-scoped: concurrent Verify/Bench runs
+      // must not race on one index; an overwrite mid-probe would read a
+      // half-written index), removed on JVM exit — stable WITHIN the
+      // process so bench repeats re-exercise the overwrite path
+      val idxPath = scratchDir(
+        s"graft_band_index_${Integer.toHexString(dir.hashCode)}")
       Dedup.withPersisted(corpusSh) { c =>
         graft.operators.BandIndex.write(c, idxPath) // the nightly build
         Dedup.withPersisted(deltaSh) { d =>
@@ -1165,11 +1191,15 @@ object Ext {
                      CAST((1103515245 * (j*64 + d) + 12345) % 2147483648
                           % 2001 - 1000 AS DOUBLE)) AS w
             FROM (SELECT unnest(range(0, 48)) AS j)),
+          -- SRP bands over the SAMPLE, exactly as the Spark side does:
+          -- the maxBucket QUALIFY must see SAMPLE bucket populations, not
+          -- full-corpus ones, or the two engines cap different buckets
+          esamp AS (SELECT * FROM e WHERE vec_id % 10 = 0),
           sbits AS (
             SELECT e.vec_id AS id, CAST(p.j // 6 AS INT) AS band,
                    CASE WHEN ${foldDot("e.u", "p.w")} >= 0.0
                         THEN CAST(2 ** (p.j % 6) AS BIGINT) ELSE 0 END AS bit
-            FROM e CROSS JOIN planes p),
+            FROM esamp e CROSS JOIN planes p),
           bkeys AS (SELECT id, band, CAST(SUM(bit) AS BIGINT) AS bkey
                     FROM sbits GROUP BY id, band
                     QUALIFY COUNT(*) OVER (PARTITION BY band, bkey)
@@ -1179,10 +1209,9 @@ object Ext {
                       ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
           srp AS (SELECT a_id, b_id FROM (
                     SELECT c.a_id, c.b_id, ${foldDot("ua.u", "ub.u")} AS sim
-                    FROM scand c JOIN e ua ON ua.vec_id = c.a_id
-                                JOIN e ub ON ub.vec_id = c.b_id)
-                  WHERE sim >= $CosineDupThreshold
-                    AND a_id % 10 = 0 AND b_id % 10 = 0),
+                    FROM scand c JOIN esamp ua ON ua.vec_id = c.a_id
+                                JOIN esamp ub ON ub.vec_id = c.b_id)
+                  WHERE sim >= $CosineDupThreshold),
           esub AS (SELECT a_id, b_id FROM (
                      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
                             ${foldDot("a.u", "b.u")} AS sim

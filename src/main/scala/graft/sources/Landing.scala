@@ -26,11 +26,15 @@ object Landing {
     * number of pages landed (the action that runs the fetch). */
   def landPages(pages: Dataset[FetchedPage], dir: String): Long = {
     import pages.sparkSession.implicits._
+    // Ship the DRIVER's Hadoop config to the tasks (spark.hadoop.* keys,
+    // fs credentials, defaultFS) — a bare executor-side Configuration
+    // would drop them and resolve the landing FS differently from a
+    // parquet write.
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      pages.sparkSession.sparkContext.hadoopConfiguration)
     pages.mapPartitions { it =>
-      // Executor-side FS handle from the task's default Hadoop config —
-      // same resolution path as a parquet write on a real cluster.
       val path = new org.apache.hadoop.fs.Path(dir)
-      val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val fs = path.getFileSystem(conf.value)
       fs.mkdirs(path)
       var landed = 0L
       it.foreach { p =>

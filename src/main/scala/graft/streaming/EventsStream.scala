@@ -196,11 +196,19 @@ object EventsStream {
       }
     if (java.nio.file.Files.isDirectory(target)) {
       val parts = java.nio.file.Files.list(target)
-      try parts.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .zipWithIndex
-        .foreach { case (p, i) => link(f"part-$i%05d.parquet", p) }
-      finally parts.close()
+      val linked =
+        try parts.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .zipWithIndex
+          .map { case (p, i) => link(f"part-$i%05d.parquet", p); 1 }
+          .sum
+        finally parts.close()
+      // fail loudly on an unsupported layout (e.g. partitionBy
+      // subdirectories) — a zero-file link would make the replay
+      // "succeed" over empty input, a silent wrong answer
+      require(linked > 0,
+        s"linkTable: no top-level *.parquet files in $table — " +
+          "partitioned table layouts are not replayable")
     } else link(target.getFileName.toString, target)
   }
 

@@ -25,8 +25,14 @@ import graft.{GraftSession, Tables}
   *    which is how an event stream actually grows;
   *  - documents suffix every 3rd token with a replica tag: every word
   *    3-shingle contains a tagged token, so cross-replica Jaccard is 0
-  *    while within-replica near-dup structure, token counts and length
-  *    distributions are preserved;
+  *    while within-replica token counts, length distributions and
+  *    EXACT-dup structure are preserved (ScaleDataSpec). Known
+  *    conservative bias: positional tagging shifts across a token
+  *    insertion/deletion, so a near-dup pair differing by an insertion
+  *    loses some shingle overlap in replicas 1..K-1 — replica corpora
+  *    slightly UNDER-load the near-dup verify stages relative to
+  *    replica 0 (never over-load, which is the direction that would
+  *    flatter the ratios);
   *  - embeddings cyclic-rotate the vector by a replica-dependent offset:
   *    the corpus is centered (verified mean ≈ 0), so a rotated copy is
   *    as orthogonal as a random pair (sampled max cosine 0.36, far
