@@ -81,6 +81,13 @@ object BandIndex {
     val sig = Dedup.signaturesFromExploded(corpusSh, numHashes)
     Dedup.bandKeys(sig, bands, numHashes / bands, numHashes)
       .withColumn(BucketCol, bucketOf(col("band"), col("bkey"), buckets))
+      // cluster each bucket into one task before the partitioned write:
+      // without this every shuffle partition writes a sliver into every
+      // bucket directory (buckets × partitions tiny files — 2k at sf0.1,
+      // and the same small-files explosion on a cluster); with it the
+      // file count is O(buckets) and the probe opens one file per
+      // touched directory
+      .repartition(buckets, col(BucketCol))
       .write.partitionBy(BucketCol).mode("overwrite").parquet(path)
     writeMeta(corpusSh.sparkSession, path, Layout(buckets, numHashes, bands))
   }
