@@ -18,19 +18,26 @@ object Ext {
 
   /** PID-scoped scratch path under java.io.tmpdir, deleted on JVM exit.
     * Stable within the process (same name → same dir) so repeated query
-    * runs overwrite rather than accumulate. */
+    * runs overwrite rather than accumulate. A SIGKILLed run's hook never
+    * fires, so on first use the same-name dirs of DEAD processes are
+    * reclaimed — /tmp garbage is bounded by live runs, not run history. */
   private def scratchDir(name: String): String = {
-    val f = new java.io.File(sys.props("java.io.tmpdir"),
-      s"${name}_p${ProcessHandle.current().pid()}")
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val pid = ProcessHandle.current().pid()
+    val f = new java.io.File(tmp, s"${name}_p$pid")
     if (scratchRegistered.add(f.getAbsolutePath)) {
-      scala.sys.addShutdownHook {
-        def rm(x: java.io.File): Unit = {
-          if (!java.nio.file.Files.isSymbolicLink(x.toPath))
-            Option(x.listFiles).foreach(_.foreach(rm))
-          x.delete(); ()
+      val Stale = s"""${java.util.regex.Pattern.quote(name)}_p(\\d+)""".r
+      Option(tmp.listFiles).foreach(_.foreach { d =>
+        d.getName match {
+          case Stale(p) if p.toLong != pid && {
+              val h = ProcessHandle.of(p.toLong)
+              !(h.isPresent && h.get.isAlive)
+            } =>
+            graft.sources.Landing.deleteNoFollow(d)
+          case _ => ()
         }
-        rm(f)
-      }
+      })
+      scala.sys.addShutdownHook(graft.sources.Landing.deleteNoFollow(f))
       ()
     }
     f.getAbsolutePath
@@ -1215,9 +1222,7 @@ object Ext {
           esub AS (SELECT a_id, b_id FROM (
                      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
                             ${foldDot("a.u", "b.u")} AS sim
-                     FROM e a JOIN e b
-                       ON a.vec_id < b.vec_id
-                      AND a.vec_id % 10 = 0 AND b.vec_id % 10 = 0)
+                     FROM esamp a JOIN esamp b ON a.vec_id < b.vec_id)
                    WHERE sim >= $CosineDupThreshold)
           SELECT 'ivf' AS method,
                  CAST((SELECT COUNT(*) FROM ivf i JOIN truth3 t

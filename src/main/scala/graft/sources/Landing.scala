@@ -14,6 +14,17 @@ import org.apache.spark.sql.Dataset
   */
 object Landing {
 
+  /** Recursive local delete that never follows a symlink — File.listFiles
+    * descends THROUGH directory links, so a naive recursive delete of a
+    * work dir containing links into a source table would delete the
+    * table's contents (found the hard way in round 6). Shared by every
+    * shutdown-hook cleanup. */
+  def deleteNoFollow(f: File): Unit = {
+    if (!java.nio.file.Files.isSymbolicLink(f.toPath))
+      Option(f.listFiles).foreach(_.foreach(deleteNoFollow))
+    f.delete(); ()
+  }
+
   /** Land fetched pages as one file per page, written by the EXECUTORS
     * straight to the landing filesystem — the step between the S1/S2
     * distributed fetch ([[Fetch.fetchPages]]) and the declared-schema scan

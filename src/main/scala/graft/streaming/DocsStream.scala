@@ -95,16 +95,8 @@ object DocsStream {
     val path = s"$dir/documents.parquet"
     val schema = spark.read.parquet(path).schema
     val work = java.nio.file.Files.createTempDirectory("graft_docs_replay_")
-    scala.sys.addShutdownHook {
-      // never recurse THROUGH a symlink — listFiles follows directory
-      // links, and the input dir holds links into the source table
-      def rm(f: java.io.File): Unit = {
-        if (!java.nio.file.Files.isSymbolicLink(f.toPath))
-          Option(f.listFiles).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(work.toFile)
-    }
+    // symlink-safe: the input dir holds links into the source table
+    scala.sys.addShutdownHook(graft.sources.Landing.deleteNoFollow(work.toFile))
     val snap = s"$work/snapshot"
     val ckpt = s"$work/ckpt"
     // the file stream source requires a DIRECTORY; link (or copy) the

@@ -195,20 +195,18 @@ object EventsStream {
         java.nio.file.Files.copy(src, in.resolve(name)); ()
       }
     if (java.nio.file.Files.isDirectory(target)) {
-      val parts = java.nio.file.Files.list(target)
-      val linked =
-        try parts.iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet"))
-          .zipWithIndex
-          .map { case (p, i) => link(f"part-$i%05d.parquet", p); 1 }
-          .sum
-        finally parts.close()
-      // fail loudly on an unsupported layout (e.g. partitionBy
-      // subdirectories) — a zero-file link would make the replay
-      // "succeed" over empty input, a silent wrong answer
-      require(linked > 0,
-        s"linkTable: no top-level *.parquet files in $table — " +
-          "partitioned table layouts are not replayable")
+      val stream = java.nio.file.Files.list(target)
+      val entries = try stream.iterator().asScala.toVector finally stream.close()
+      val parts = entries.filter(_.getFileName.toString.endsWith(".parquet"))
+      // fail loudly on a partitionBy layout (data hidden in
+      // subdirectories) — a zero-file link there would make the replay
+      // "succeed" over empty input, a silent wrong answer. A directory
+      // with no subdirs and no part files is a legitimately EMPTY table
+      // (e.g. only _SUCCESS) and replays as empty input.
+      require(parts.nonEmpty || !entries.exists(java.nio.file.Files.isDirectory(_)),
+        s"linkTable: $table has partition subdirectories but no top-level " +
+          "*.parquet files — partitioned table layouts are not replayable")
+      parts.zipWithIndex.foreach { case (p, i) => link(f"part-$i%05d.parquet", p) }
     } else link(target.getFileName.toString, target)
   }
 
@@ -223,16 +221,8 @@ object EventsStream {
     val path = s"$dir/events.parquet"
     val schema = spark.read.parquet(path).schema
     val work = java.nio.file.Files.createTempDirectory("graft_events_replay_")
-    scala.sys.addShutdownHook {
-      // never recurse THROUGH a symlink — listFiles follows directory
-      // links, and the input dir holds links into the source table
-      def rm(f: java.io.File): Unit = {
-        if (!java.nio.file.Files.isSymbolicLink(f.toPath))
-          Option(f.listFiles).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(work.toFile)
-    }
+    // symlink-safe: the input dir holds links into the source table
+    scala.sys.addShutdownHook(graft.sources.Landing.deleteNoFollow(work.toFile))
     // file stream source needs a directory; link (or copy) the table in
     val in = java.nio.file.Files.createDirectory(work.resolve("in"))
     linkTable(in, path)
