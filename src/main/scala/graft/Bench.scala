@@ -40,10 +40,13 @@ object Bench {
     // capped LSH twins q32/q83 are the scale paths) — quadratic on a hot
     // shingle by design, so they bench only at oracle scale (sf ≤ 0.01);
     // above that they'd report a workload no deployment would run.
-    // strict numeric token (sf0.1.bak must not parse as "0.1."); an
-    // unparseable dir counts as big — skipping the anchors is the safe
-    // default and is visible in the emitted `skipped` field
-    val sf = """sf(\d+(?:\.\d+)?)""".r.findFirstMatchIn(sfDir)
+    // strict numeric token (sf0.1.bak must not parse as "0.1."), matched
+    // against the sf directory's OWN name — a parent path component like
+    // /srv/sf0.001-archive/sf1 must not decide the gate. An unparseable
+    // name counts as big: skipping the anchors is the safe default and
+    // is visible in the emitted `skipped` field.
+    val sf = """sf(\d+(?:\.\d+)?)""".r
+      .findFirstMatchIn(new java.io.File(sfDir).getName)
       .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption)
     val uncappedAnchors = Set("q31_dedup_jaccard", "q73_containment")
     val selected =

@@ -177,13 +177,7 @@ object Analytics {
                    minSupport: Long, aprioriPrune: Boolean = true,
                    maxBasketItems: Long = DefaultMaxBasketItems): DataFrame = {
     val li0 = rows.select(col(basket).as("basket"), col(item).as("item")).distinct()
-    val li =
-      if (maxBasketItems <= 0) li0
-      else li0
-        .withColumn("_bsz",
-          count(lit(1)).over(Window.partitionBy(col("basket"))))
-        .filter(col("_bsz") <= maxBasketItems)
-        .drop("_bsz")
+    val li = Dedup.capPopulation(li0, Seq(col("basket")), maxBasketItems)
     Dedup.withPersisted(li) { l =>
       val sup = l.groupBy(col("item")).agg(count(lit(1)).as("sup"))
       val lf =

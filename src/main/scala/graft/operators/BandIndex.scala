@@ -92,13 +92,35 @@ object BandIndex {
     writeMeta(corpusSh.sparkSession, path, Layout(buckets, numHashes, bands))
   }
 
+  /** The band-key schema the probe expects back from the index. */
+  private val probeSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("band",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("bkey",
+      org.apache.spark.sql.types.LongType)))
+
   /** The partition-pruned probe read: only directories holding a touched
-    * bucket are scanned (exposed for the spec's plan assertion). */
+    * bucket are scanned (exposed for the spec's plan assertion). An index
+    * built from an EMPTY corpus (day zero: sidecar + _SUCCESS, no bucket
+    * directories) reads as zero corpus rows — the probe then yields
+    * delta-internal pairs only, instead of crashing schema inference. */
   def readTouched(spark: SparkSession, path: String,
-                  touched: Seq[Long]): DataFrame =
-    spark.read.parquet(path)
-      .filter(col(BucketCol).isin(touched: _*))
-      .select("doc_id", "band", "bkey")
+                  touched: Seq[Long]): DataFrame = {
+    val p = new Path(path)
+    val hasBuckets = fs(spark, path).listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      st.isDirectory && !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (!hasBuckets)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], probeSchema)
+    else
+      spark.read.parquet(path)
+        .filter(col(BucketCol).isin(touched: _*))
+        .select("doc_id", "band", "bkey")
+  }
 
   /** Incremental near-dup pairs of `deltaSh` against the ON-DISK index at
     * `path` — the cross-session variant of Dedup.minhashPairsIncremental

@@ -77,6 +77,18 @@ object Dedup {
     * cache. Every multi-scan dedup entry point funnels through this so a
     * long-lived session (bench loop, notebook) never leaks cached
     * shingle relations. */
+  /** The shared skew guard behind every population cap (srp maxBucket,
+    * simhash maxBucket, cell maxCell, basket maxBasketItems): drop every
+    * row of a group whose population exceeds `max`; `max <= 0` disables.
+    * Kept as ONE helper so the disable convention and the QUALIFY oracle
+    * mirrors (same keys, same constant) cannot drift per copy. */
+  def capPopulation(df: DataFrame, keys: Seq[Column], max: Long): DataFrame =
+    if (max <= 0) df
+    else df
+      .withColumn("_pop", count(lit(1)).over(Window.partitionBy(keys: _*)))
+      .filter(col("_pop") <= max)
+      .drop("_pop")
+
   def withPersisted(sh: DataFrame)(f: DataFrame => DataFrame): DataFrame = {
     val p = sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try f(p).localCheckpoint() // eager: runs while p is cached
@@ -477,14 +489,8 @@ object Dedup {
     // Materialized eagerly: the self-join consumes the banded relation
     // twice, and the upstream simhash (two shuffles + 64 bit sums) and
     // the population window must not run per side.
-    val banded =
-      (if (maxBucket <= 0) banded0
-       else banded0
-         .withColumn("_pop", count(lit(1))
-           .over(Window.partitionBy(col("band"), col("bval"))))
-         .filter(col("_pop") <= maxBucket)
-         .drop("_pop")
-      ).localCheckpoint()
+    val banded = capPopulation(banded0, Seq(col("band"), col("bval")), maxBucket)
+      .localCheckpoint()
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
         col("x.doc_id") < col("y.doc_id"))

@@ -134,12 +134,7 @@ object Similarity {
                    cellCol: String = "label",
                    maxCell: Long = DefaultMaxCell): DataFrame = {
     val u0 = unitVectors(corpus, Seq(idCol -> "id", cellCol -> "cell"), vecCol, "u")
-    val u =
-      if (maxCell <= 0) u0
-      else u0
-        .withColumn("_pop", count(lit(1)).over(Window.partitionBy(col("cell"))))
-        .filter(col("_pop") <= maxCell)
-        .drop("_pop")
+    val u = Dedup.capPopulation(u0, Seq(col("cell")), maxCell)
     u.as("a").join(u.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
@@ -433,14 +428,8 @@ object Similarity {
       // LSH-discriminable at all. Materialized eagerly (inside the
       // persisted-u scope): the self-join consumes it twice and the 48
       // plane dots + population window must not run per side.
-      val keys =
-        (if (maxBucket <= 0) keys0
-         else keys0
-           .withColumn("_pop", count(lit(1))
-             .over(Window.partitionBy(col("band"), col("bkey"))))
-           .filter(col("_pop") <= maxBucket)
-           .select("id", "band", "bkey")
-        ).localCheckpoint()
+      val keys = Dedup.capPopulation(keys0, Seq(col("band"), col("bkey")), maxBucket)
+        .localCheckpoint()
       val cand = keys.as("a").join(keys.as("b"),
           col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.id") < col("b.id"))

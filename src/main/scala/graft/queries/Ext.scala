@@ -111,7 +111,10 @@ object Ext {
                      "o_totalprice", "o_orderpriority")
       val num = Set("o_orderkey", "o_custkey", "o_totalprice")
       val orders = t(s, dir, "orders")
-      val hll = graft.operators.Profiling.profileApprox(orders, cols, num)
+      // rsd passed explicitly — the bound below is 3·HllRsd, and the
+      // sketch must run at the SAME constant or the gate silently drifts
+      val hll = graft.operators.Profiling.profileApprox(orders, cols, num,
+        rsd = HllRsd)
         .select(col("col_name"), col("n_distinct").as("nd_hll"))
       graft.operators.Profiling.profile(orders, cols, num)
         .join(hll, Seq("col_name")) // both sides are #cols rows
@@ -339,8 +342,11 @@ object Ext {
       // per-process work dir (PID-scoped: concurrent Verify/Bench runs
       // must not race on one index; an overwrite mid-probe would read a
       // half-written index), removed on JVM exit — stable WITHIN the
-      // process so bench repeats re-exercise the overwrite path
-      val idxPath = scratchDir(
+      // process so bench repeats re-exercise the overwrite path. The
+      // explicit file: scheme pins index AND cleanup to the local FS —
+      // a scheme-less path would resolve through fs.defaultFS (HDFS on
+      // a cluster) while the java.io.File cleanup stayed local
+      val idxPath = "file:" + scratchDir(
         s"graft_band_index_${Integer.toHexString(dir.hashCode)}")
       Dedup.withPersisted(corpusSh) { c =>
         graft.operators.BandIndex.write(c, idxPath) // the nightly build

@@ -199,13 +199,20 @@ object EventsStream {
       val entries = try stream.iterator().asScala.toVector finally stream.close()
       val parts = entries.filter(_.getFileName.toString.endsWith(".parquet"))
       // fail loudly on a partitionBy layout (data hidden in
-      // subdirectories) — a zero-file link there would make the replay
-      // "succeed" over empty input, a silent wrong answer. A directory
-      // with no subdirs and no part files is a legitimately EMPTY table
-      // (e.g. only _SUCCESS) and replays as empty input.
-      require(parts.nonEmpty || !entries.exists(java.nio.file.Files.isDirectory(_)),
-        s"linkTable: $table has partition subdirectories but no top-level " +
-          "*.parquet files — partitioned table layouts are not replayable")
+      // subdirectories) — linking only the top-level slice, or nothing,
+      // would make the replay "succeed" over partial/empty input, a
+      // silent wrong answer. Hidden/metadata dirs (_spark_metadata, .*)
+      // are not data; a directory with neither data subdirs nor part
+      // files is a legitimately EMPTY table and replays as empty input.
+      val dataSubdirs = entries.filter { p =>
+        val n = p.getFileName.toString
+        java.nio.file.Files.isDirectory(p) &&
+          !n.startsWith("_") && !n.startsWith(".")
+      }
+      require(dataSubdirs.isEmpty,
+        s"linkTable: $table has partition subdirectories " +
+          s"(${dataSubdirs.map(_.getFileName).mkString(", ")}) — " +
+          "partitioned table layouts are not replayable")
       parts.zipWithIndex.foreach { case (p, i) => link(f"part-$i%05d.parquet", p) }
     } else link(target.getFileName.toString, target)
   }
