@@ -33,15 +33,29 @@ import org.apache.spark.sql.functions._
   * Reference analog: the persisted per-source watermark that makes the
   * reference's increments real (handlers/mongodb_handler.py:212-225) —
   * here the persisted state is the candidate-generation index itself.
+  *
+  * PUBLISH IS ATOMIC — nightly rebuilds and daily probes may run in
+  * different JVMs concurrently: each build writes a fresh `v-NNNNN/`
+  * version directory and commits it by RENAMING the layout sidecar into
+  * place as the last step (same-directory rename — atomic on POSIX and
+  * HDFS). Probes resolve "current" = the highest version whose sidecar
+  * exists, and pin that one version for the whole probe, so a probe
+  * never sees a half-written index, a missing sidecar, or a layout from
+  * a different build than the rows it bands against. A build retains
+  * the previous committed version (for probes in flight across one
+  * rebuild) and prunes anything older.
   */
 object BandIndex {
   val BucketCol = "band_bucket"
   private val MetaFile = "_graft_band_index"
+  private val VersionPrefix = "v-"
 
   /** Uniform, deterministic, stable across ticks: a (band, bkey) always
     * lands in the same directory, so probe pruning is sound. */
-  def bucketOf(band: Column, bkey: Column, n: Int): Column =
+  def bucketOf(band: Column, bkey: Column, n: Int): Column = {
+    require(n > 0, s"bucket count ($n) must be positive") // pmod(x,0)=null
     pmod(xxhash64(band, bkey), lit(n.toLong))
+  }
 
   final case class Layout(buckets: Int, numHashes: Int, bands: Int) {
     def rowsPerBand: Int = numHashes / bands
@@ -55,15 +69,53 @@ object BandIndex {
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def writeMeta(spark: SparkSession, path: String, l: Layout): Unit = {
-    val out = fs(spark, path).create(new Path(path, MetaFile), true)
+  /** Commit the version: write the sidecar under a temp name, then rename
+    * it into place — a same-directory rename of a small file, atomic on
+    * POSIX and HDFS, so a concurrent probe either sees the complete
+    * sidecar (version committed) or none (version invisible). */
+  private def commitMeta(spark: SparkSession, vdir: Path, l: Layout): Unit = {
+    val f = fs(spark, vdir.toString)
+    val tmp = new Path(vdir, MetaFile + ".tmp")
+    val out = f.create(tmp, true)
     try out.write(s"${l.buckets} ${l.numHashes} ${l.bands}"
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    require(f.rename(tmp, new Path(vdir, MetaFile)),
+      s"band index commit rename failed under $vdir")
   }
 
-  def layout(spark: SparkSession, path: String): Layout = {
-    val in = fs(spark, path).open(new Path(path, MetaFile))
+  private def versionOf(name: String): Option[Int] =
+    if (name.startsWith(VersionPrefix))
+      name.stripPrefix(VersionPrefix).toIntOption
+    else None
+
+  /** All version numbers present under `path` (committed or not). */
+  private def versions(spark: SparkSession, path: String): Seq[Int] = {
+    val f = fs(spark, path)
+    val p = new Path(path)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq
+      .filter(_.isDirectory).flatMap(st => versionOf(st.getPath.getName))
+  }
+
+  /** The directory of the newest COMMITTED version (sidecar present).
+    * Loud failure when none exists — an unbuilt or mid-first-build index
+    * must never silently probe as empty. Exposed for specs/tools that
+    * need to read the current index rows directly. */
+  def currentPath(spark: SparkSession, path: String): String = {
+    val f = fs(spark, path)
+    val committed = versions(spark, path).sorted(Ordering[Int].reverse)
+      .find(v => f.exists(new Path(vdir(path, v), MetaFile)))
+    require(committed.nonEmpty,
+      s"no committed band index version under $path — build one with BandIndex.write")
+    vdir(path, committed.get).toString
+  }
+
+  private def vdir(path: String, v: Int): Path =
+    new Path(path, f"$VersionPrefix$v%05d")
+
+  private def layoutAt(spark: SparkSession, versionDir: String): Layout = {
+    val in = fs(spark, versionDir).open(new Path(versionDir, MetaFile))
     val parts =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         .split("\\s+").map(_.toInt)
@@ -71,13 +123,24 @@ object BandIndex {
     Layout(parts(0), parts(1), parts(2))
   }
 
-  /** Band the corpus shingle relation and write the index. One corpus
-    * pass (signatures → band keys), one shuffle into the bucket layout.
-    * Overwrite-idempotent: re-running a build converges. */
+  def layout(spark: SparkSession, path: String): Layout =
+    layoutAt(spark, currentPath(spark, path))
+
+  /** Band the corpus shingle relation and publish a NEW index version.
+    * One corpus pass (signatures → band keys), one shuffle into the
+    * bucket layout. Re-running a build converges: each run publishes the
+    * next version and prunes all but the previous one (kept for probes
+    * in flight across one rebuild). */
   def write(corpusSh: DataFrame, path: String, numHashes: Int = 64,
             bands: Int = 16, buckets: Int = 64): Unit = {
     require(bands > 0 && numHashes % bands == 0,
       s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    // buckets <= 0 would make bucketOf = pmod(x, 0) = null: every row in
+    // __HIVE_DEFAULT_PARTITION__ and every probe silently empty
+    require(buckets > 0, s"buckets ($buckets) must be positive")
+    val spark = corpusSh.sparkSession
+    val next = (versions(spark, path) :+ 0).max + 1
+    val target = vdir(path, next)
     val sig = Dedup.signaturesFromExploded(corpusSh, numHashes)
     Dedup.bandKeys(sig, bands, numHashes / bands, numHashes)
       .withColumn(BucketCol, bucketOf(col("band"), col("bkey"), buckets))
@@ -88,8 +151,14 @@ object BandIndex {
       // file count is O(buckets) and the probe opens one file per
       // touched directory
       .repartition(buckets, col(BucketCol))
-      .write.partitionBy(BucketCol).mode("overwrite").parquet(path)
-    writeMeta(corpusSh.sparkSession, path, Layout(buckets, numHashes, bands))
+      .write.partitionBy(BucketCol).mode("overwrite").parquet(target.toString)
+    commitMeta(spark, target, Layout(buckets, numHashes, bands))
+    // prune: keep this version and its predecessor, drop everything older
+    // (committed or abandoned) — bounded disk without yanking a version a
+    // concurrent probe pinned before this build started
+    val f = fs(spark, path)
+    versions(spark, path).filter(_ < next - 1)
+      .foreach(v => f.delete(vdir(path, v), true))
   }
 
   /** The band-key schema the probe expects back from the index. */
@@ -101,15 +170,20 @@ object BandIndex {
     org.apache.spark.sql.types.StructField("bkey",
       org.apache.spark.sql.types.LongType)))
 
-  /** The partition-pruned probe read: only directories holding a touched
-    * bucket are scanned (exposed for the spec's plan assertion). An index
-    * built from an EMPTY corpus (day zero: sidecar + _SUCCESS, no bucket
-    * directories) reads as zero corpus rows — the probe then yields
-    * delta-internal pairs only, instead of crashing schema inference. */
+  /** The partition-pruned probe read against the CURRENT committed
+    * version: only directories holding a touched bucket are scanned
+    * (exposed for the spec's plan assertion). An index built from an
+    * EMPTY corpus (day zero: sidecar + _SUCCESS, no bucket directories)
+    * reads as zero corpus rows — the probe then yields delta-internal
+    * pairs only, instead of crashing schema inference. */
   def readTouched(spark: SparkSession, path: String,
-                  touched: Seq[Long]): DataFrame = {
-    val p = new Path(path)
-    val hasBuckets = fs(spark, path).listStatus(p).exists { st =>
+                  touched: Seq[Long]): DataFrame =
+    readTouchedAt(spark, currentPath(spark, path), touched)
+
+  private def readTouchedAt(spark: SparkSession, versionDir: String,
+                            touched: Seq[Long]): DataFrame = {
+    val p = new Path(versionDir)
+    val hasBuckets = fs(spark, versionDir).listStatus(p).exists { st =>
       val n = st.getPath.getName
       st.isDirectory && !n.startsWith("_") && !n.startsWith(".")
     }
@@ -117,7 +191,7 @@ object BandIndex {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], probeSchema)
     else
-      spark.read.parquet(path)
+      spark.read.parquet(versionDir)
         .filter(col(BucketCol).isin(touched: _*))
         .select("doc_id", "band", "bkey")
   }
@@ -131,12 +205,16 @@ object BandIndex {
     * (three consumers: the touched-bucket collect, the index probe join,
     * the delta-internal self-join); the index contributes ONLY its
     * touched directories; verification is restricted to candidate docs.
-    * Banding layout comes from the index sidecar, never a parameter.
+    * Banding layout comes from the index sidecar, never a parameter —
+    * and the probe PINS one committed version up front, so a rebuild
+    * committing mid-probe can't mix layouts between the sidecar read and
+    * the directory scan.
     */
   def minhashPairsFromIndex(path: String, corpusSh: DataFrame,
                             deltaSh: DataFrame, threshold: Double): DataFrame = {
     val spark = deltaSh.sparkSession
-    val l = layout(spark, path)
+    val pinned = currentPath(spark, path)
+    val l = layoutAt(spark, pinned)
     val bd = Dedup.bandKeys(
         Dedup.signaturesFromExploded(deltaSh, l.numHashes),
         l.bands, l.rowsPerBand, l.numHashes)
@@ -145,7 +223,7 @@ object BandIndex {
     val touched = bd
       .select(bucketOf(col("band"), col("bkey"), l.buckets).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq.sorted
-    val bc = readTouched(spark, path, touched)
+    val bc = readTouchedAt(spark, pinned, touched)
     val crossCand = bd.as("x").join(bc.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
         col("x.doc_id") =!= col("y.doc_id"))

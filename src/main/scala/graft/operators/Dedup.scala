@@ -72,11 +72,6 @@ object Dedup {
       .select(col("doc_id"), explode(col("shingles")).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("shingle"))
 
-  /** Persist `sh`, build + eagerly materialize `f(sh)` (localCheckpoint
-    * truncates lineage and pins the — small — result), then release the
-    * cache. Every multi-scan dedup entry point funnels through this so a
-    * long-lived session (bench loop, notebook) never leaks cached
-    * shingle relations. */
   /** The shared skew guard behind every population cap (srp maxBucket,
     * simhash maxBucket, cell maxCell, basket maxBasketItems): drop every
     * row of a group whose population exceeds `max`; `max <= 0` disables.
@@ -89,6 +84,11 @@ object Dedup {
       .filter(col("_pop") <= max)
       .drop("_pop")
 
+  /** Persist `sh`, build + eagerly materialize `f(sh)` (localCheckpoint
+    * truncates lineage and pins the — small — result), then release the
+    * cache. Every multi-scan dedup entry point funnels through this so a
+    * long-lived session (bench loop, notebook) never leaks cached
+    * shingle relations. */
   def withPersisted(sh: DataFrame)(f: DataFrame => DataFrame): DataFrame = {
     val p = sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try f(p).localCheckpoint() // eager: runs while p is cached

@@ -33,16 +33,30 @@ object Landing {
     * through the driver. Filenames are deterministic in the page number
     * and the write overwrites, so a retried task re-lands identical
     * files — the landing dir is idempotent under Spark's task retry the
-    * same way the K1 merge is idempotent under tick replay. Returns the
-    * number of pages landed (the action that runs the fetch). */
+    * same way the K1 merge is idempotent under tick replay. The dir is
+    * WIPED (driver-side) before the fetch runs: re-landing a smaller
+    * fetch into a previously used dir must not leave the earlier tick's
+    * higher-numbered page files for the declared-schema scan to silently
+    * include — idempotence has to hold per LANDING, not just per page.
+    * Returns the number of pages landed (the action that runs the
+    * fetch). */
   def landPages(pages: Dataset[FetchedPage], dir: String): Long = {
     import pages.sparkSession.implicits._
     // Ship the DRIVER's Hadoop config to the tasks (spark.hadoop.* keys,
     // fs credentials, defaultFS) — a bare executor-side Configuration
     // would drop them and resolve the landing FS differently from a
     // parquet write.
-    val conf = new org.apache.spark.util.SerializableConfiguration(
-      pages.sparkSession.sparkContext.hadoopConfiguration)
+    val hconf = pages.sparkSession.sparkContext.hadoopConfiguration
+    val conf = new org.apache.spark.util.SerializableConfiguration(hconf)
+    // Control-plane pre-step, before any task writes: clear stale pages
+    // from an earlier landing into the same dir. (Hadoop's delete removes
+    // a symlink itself rather than descending through it, so this cannot
+    // re-create the round-6 follow-the-link hazard deleteNoFollow guards
+    // against on java.io.File trees.)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val dirFs = dirPath.getFileSystem(hconf)
+    if (dirFs.exists(dirPath)) dirFs.delete(dirPath, true)
+    dirFs.mkdirs(dirPath)
     pages.mapPartitions { it =>
       val path = new org.apache.hadoop.fs.Path(dir)
       val fs = path.getFileSystem(conf.value)

@@ -69,12 +69,45 @@ class DedupSpec extends SparkSpec {
         .collectFirst { case s if s.metrics.contains("numFiles") =>
           s.metrics("numFiles").value }.get
     }
-    val all = filesScanned(spark.read.parquet(idx)
-      .select("doc_id", "band", "bkey"))
+    val all = filesScanned(
+      spark.read.parquet(graft.operators.BandIndex.currentPath(spark, idx))
+        .select("doc_id", "band", "bkey"))
     val pruned = graft.operators.BandIndex.readTouched(spark, idx, Seq(0L, 1L))
     assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
     val prunedFiles = filesScanned(pruned)
     assert(prunedFiles < all, s"pruned read opened $prunedFiles of $all files")
+
+    // Atomic publish: a REBUILD lands as a new committed version; the
+    // previous version is retained for in-flight probes, anything older
+    // pruned; the probe keeps answering through the rebuild.
+    graft.operators.BandIndex.write(corpusSh, idx)
+    graft.operators.BandIndex.write(corpusSh, idx)
+    val vdirs = new java.io.File(idx)
+      .listFiles.filter(_.isDirectory).map(_.getName).filter(_.startsWith("v-")).sorted
+    assert(vdirs.length == 2, s"expected current+previous, got ${vdirs.toSeq}")
+    assert(graft.operators.BandIndex.currentPath(spark, idx).endsWith(vdirs.last))
+    val afterRebuild = graft.operators.BandIndex
+      .minhashPairsFromIndex(idx, corpusSh2, deltaSh2, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(afterRebuild == inMem)
+  }
+
+  test("band index fails loudly: unbuilt path, zero buckets") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val sh = Dedup.explodedShingles(Dedup.shingleSets(docs.limit(5)))
+    val empty = java.nio.file.Files.createTempDirectory("graft_bandidx_none")
+      .resolve("never_built").toString
+    // an unbuilt index must never silently probe as an empty corpus
+    val e1 = intercept[IllegalArgumentException] {
+      graft.operators.BandIndex.layout(spark, empty)
+    }
+    assert(e1.getMessage.contains("no committed band index"))
+    // buckets <= 0 would send every row to the null partition and make
+    // every probe silently empty — rejected at build time
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.BandIndex.write(sh, empty, buckets = 0)
+    }
+    assert(e2.getMessage.contains("buckets"))
   }
 
   test("exact dedup groups identical texts") {

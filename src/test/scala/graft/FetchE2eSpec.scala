@@ -106,6 +106,25 @@ class FetchE2eSpec extends SparkSpec {
       s"$work/empty")
     assert(n == 0L)
   }
+
+  test("landPages: re-landing a smaller fetch wipes the earlier tick's stale pages") {
+    val work = java.nio.file.Files.createTempDirectory("fetch_reland").toString
+    val dir = s"$work/land"
+    def pageFiles() = new java.io.File(dir).listFiles
+      .map(_.getName).filter(_.startsWith("page-")).sorted.toSeq
+    val transport = (p: Long) => s"""{"page":$p}"""
+    val first = Landing.landPages(
+      Fetch.fetchPages(spark, totalResults = 6L, Policy(resultsPerPage = 2),
+        numPartitions = 2, transport), dir)
+    assert(first == 3L && pageFiles().size == 3)
+    // a later, smaller tick into the SAME dir: the scan must see exactly
+    // this tick's pages — page-00002 from the first landing must be gone
+    val second = Landing.landPages(
+      Fetch.fetchPages(spark, totalResults = 2L, Policy(resultsPerPage = 2),
+        numPartitions = 2, transport), dir)
+    assert(second == 1L)
+    assert(pageFiles() == Seq("page-00000.json"))
+  }
 }
 
 /** Fixture server + transports live on the companion so Spark closures
