@@ -216,6 +216,47 @@ object Similarity {
   def clusteringObjective(units: DataFrame, cents: DataFrame): Double =
     assignCells(units, cents).agg(avg(col("cell_sim"))).head().getDouble(0)
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC dedup as
+    * cluster-then-dedup-within-cluster — k-means partitions the embedding
+    * space, then exact pairwise cosine runs ONLY inside each cell, so the
+    * quadratic work is Σ O(cell²) instead of O(corpus²). Differs from
+    * [[cellDupPairs]] (given blocking column, pair list out) in both
+    * halves: cells are LEARNED (label-seeded Lloyd refinement,
+    * [[kmeansRefineExact]] — deterministic, oracle-mirrorable) and the
+    * output is the dedup DECISION — for every removed vector, the
+    * lowest-id cell-mate within `threshold` as witness (keep-first, the
+    * same canonical-representative rule as exact dedup's min-id keep).
+    *
+    * 100 TB shape: centroids are the only broadcast (k × dims); the
+    * corpus moves once onto cell keys; over-populated cells are dropped
+    * by the shared [[Dedup.capPopulation]] guard (maxCell <= 0 disables —
+    * a cell past the cap belongs to a quantizer with larger k, which is
+    * how SemDeDup scales k with corpus size anyway). The assigned relation
+    * is checkpointed: it feeds both sides of the self-join, and without
+    * pinning it the whole Lloyd pipeline would re-execute per side (no
+    * subplan CSE). */
+  def semDedupRemovals(corpus: DataFrame, threshold: Double,
+                       refineIters: Int = 1,
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       cellCol: String = "label",
+                       maxCell: Long = DefaultMaxCell): DataFrame = {
+    val units = unitVectors(corpus, Seq(idCol -> "id", cellCol -> "cell"), vecCol)
+    val cents = kmeansRefineExact(units, exactCentroids(units), refineIters)
+    val assigned = assignCells(units, cents).select(col("id"), col("assigned_cell"))
+    val au = Dedup.capPopulation(
+        units.select(col("id"), col("unit")).join(assigned, "id"),
+        Seq(col("assigned_cell")), maxCell)
+      .localCheckpoint()
+    au.as("a").join(au.as("b"),
+        col("a.assigned_cell") === col("b.assigned_cell") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+              dot(col("a.unit"), col("b.unit")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .groupBy(col("b_id").as(idCol))
+      .agg(min(col("a_id")).as("witness_id"), max(col("sim")).as("max_sim"))
+  }
+
   /** Product-quantization codebook training: per subspace, k-means over
     * the subvectors — Lloyd's algorithm made fully deterministic so the
     * DuckDB oracle can mirror every step bit-for-bit:

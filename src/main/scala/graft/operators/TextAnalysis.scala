@@ -1,13 +1,14 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline, built entirely
   * from codegen'd `org.apache.spark.sql.functions` (no UDFs): tokenizers,
   * quality signals, a stopword-profile language guesser and a rolling-hash
-  * fingerprint. All are per-row narrow transforms — they scale linearly and
-  * never shuffle on their own.
+  * fingerprint. All are per-row narrow transforms — they scale linearly
+  * and never shuffle on their own — except [[boilerplateStats]], the one
+  * corpus-level pass (its shuffles are documented on the method).
   */
 object TextAnalysis {
 
@@ -117,6 +118,40 @@ object TextAnalysis {
     val e = regexp_replace(text, emailRe, "<EMAIL>")
     val u = regexp_replace(e, urlRe, "<URL>")
     regexp_replace(u, phoneRe, "<PHONE>")
+  }
+
+  /** Corpus-level boilerplate detection (the C4/RefinedWeb repeated-span
+    * rule): an n-gram OCCURRING in ≥ minDf distinct docs is boilerplate —
+    * navboxes, license headers, templated spans — and each doc is scored
+    * by how much of it is made of such spans. Output: (doc_id, n_grams,
+    * boiler_grams) — occurrence counts, NOT distinct grams, because the
+    * scrub decision weighs repeated spans by how much of the doc they
+    * cover; docs shorter than n tokens have no grams and drop out (both
+    * engines alike).
+    *
+    * Plan at 100 TB: grams explode map-side; the per-gram df aggregation
+    * and the join back to occurrences share the gram shuffle key (one
+    * exchange feeds both — AQE reuses it), then one doc_id shuffle for
+    * the final rollup. The gram relation is persisted across its two
+    * consumers ([[Dedup.withPersisted]] lifecycle) so the tokenize +
+    * explode runs once. No driver-side state at any size. */
+  def boilerplateStats(docs: DataFrame, n: Int = 3, minDf: Long = 4,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = wsTokens(lower(col(textCol)))
+    val grams = docs.select(col(idCol).as("doc_id"), toks.as("tokens"))
+      .select(col("doc_id"), explode(
+        when(size(col("tokens")) >= n,
+          transform(sequence(lit(1), size(col("tokens")) - (n - 1)),
+            i => concat_ws(" ", slice(col("tokens"), i, lit(n)))))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+    Dedup.withPersisted(grams) { g =>
+      val df = g.groupBy(col("gram"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      g.join(df, "gram")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+             count(when(col("df") >= minDf, 1)).as("boiler_grams"))
+    }
   }
 
   /** Polynomial rolling-hash fingerprint over token first-bytes:

@@ -319,6 +319,17 @@ object Curation {
       }.orderBy("doc_id")
     }),
 
+    // Corpus-level boilerplate spans (the C4/RefinedWeb repeated-span
+    // rule): 3-grams occurring in >= 4 distinct docs are boilerplate —
+    // templated headers, navboxes — and each doc reports how many of its
+    // gram OCCURRENCES are boilerplate (coverage, not distinct types).
+    // Plan: the per-gram df aggregation and the occurrence join-back
+    // share the gram shuffle key; one doc_id rollup; the gram relation
+    // is persisted across its two consumers.
+    "q108_boilerplate" -> ((s, dir) =>
+      TA.boilerplateStats(t(s, dir, "documents"), n = 3, minDf = 4)
+        .orderBy("doc_id")),
+
     // PII scrub / redaction: count and mask emails, URLs and phone
     // numbers. The synthetic corpus has no PII, so the query first
     // appends a deterministic contact line derived from doc_id (same
@@ -615,6 +626,19 @@ object Curation {
                 CAST(CAST(SUM((c_bg * $BigramScale) // c_head) AS BIGINT) AS DOUBLE)
                   / CAST(COUNT(*) * $BigramScale AS DOUBLE) AS mean_p
          FROM bg JOIN c_bg USING (w1, w2) JOIN c_head USING (w1)
+         GROUP BY doc_id ORDER BY doc_id""",
+
+    "q108_boilerplate" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tokens
+                       FROM documents),
+         g AS (SELECT doc_id, UNNEST(CASE WHEN len(tokens) >= 3
+                  THEN list_transform(range(1, len(tokens)-1), i ->
+                         concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))
+                  ELSE CAST([] AS VARCHAR[]) END) AS gram FROM toks),
+         d AS (SELECT gram, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY 1)
+         SELECT doc_id, COUNT(*) AS n_grams,
+                COUNT(*) FILTER (WHERE df >= 4) AS boiler_grams
+         FROM g JOIN d USING (gram)
          GROUP BY doc_id ORDER BY doc_id""",
 
     "q64_pii_scrub" -> {

@@ -565,6 +565,20 @@ object Ext {
         .orderBy("id")
     }),
 
+    // SemDeDup (arXiv:2303.09540) end-to-end: label-seeded k-means cells
+    // (the same oracle-gated Lloyd round as q87) confine exact pairwise
+    // cosine to within-cell blocks, and every vector with a lower-id
+    // cell-mate at cosine >= threshold is REMOVED (keep-first, min-id
+    // witness). Differs from q40 in both halves: cells are LEARNED, and
+    // the output is the dedup decision, not the pair list. The shared
+    // capPopulation guard bounds per-cell fanout (QUALIFY-mirrored).
+    "q107_semantic_dedup" -> ((s, dir) => {
+      Similarity.semDedupRemovals(t(s, dir, "embeddings"), CosineDupThreshold)
+        .select(col("vec_id"), col("witness_id"),
+                round(col("max_sim"), 6).as("max_sim"))
+        .orderBy("vec_id")
+    }),
+
     // IVF+PQ composed (IVFADC): coarse cell restriction + PQ-ADC ranking
     // from m-byte codes — the standard billion-scale ANN index layout.
     // Per query the scan touches ONE cell's code rows; scoring reads m
@@ -1356,6 +1370,28 @@ object Ext {
 
     // q87's refined cells driving the q82 recall measurement: the
     // "after the fix" row of the tuning dial.
+    "q107_semantic_dedup" ->
+      s"""WITH $unitCte,
+          $kmeansRefineCtes,
+          a1 AS (SELECT id, cell AS acell FROM (
+                   SELECT id, cell,
+                          ROW_NUMBER() OVER (PARTITION BY id
+                                             ORDER BY sim DESC, cell ASC) AS rn
+                   FROM sims1)
+                 WHERE rn = 1),
+          au AS (SELECT e.vec_id AS id, e.u, a1.acell
+                 FROM e JOIN a1 ON e.vec_id = a1.id
+                 QUALIFY COUNT(*) OVER (PARTITION BY a1.acell)
+                         <= ${Similarity.DefaultMaxCell}),
+          pairs AS (SELECT x.id AS a_id, y.id AS b_id,
+                           ${foldDot("x.u", "y.u")} AS sim
+                    FROM au x JOIN au y
+                    ON x.acell = y.acell AND x.id < y.id)
+          SELECT b_id AS vec_id, MIN(a_id) AS witness_id,
+                 ROUND(MAX(sim), 6) AS max_sim
+          FROM pairs WHERE sim >= $CosineDupThreshold
+          GROUP BY 1 ORDER BY vec_id""",
+
     "q88_ann_recall_refined" ->
       s"""WITH $unitCte,
           $kmeansRefineCtes,

@@ -49,6 +49,30 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.cellDupPairs(corpus, 0.9, maxCell = 0L).count() == 11L)
   }
 
+  test("semDedup removes the later vector of each within-cell near-dup, keep-first") {
+    val out = Similarity.semDedupRemovals(vecs, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // (1,2) and (3,4) are near-identical and share a (refined) cell:
+    // the HIGHER id of each pair is removed, with the lower as witness;
+    // 5 is antipodal to its cell-mates and survives
+    assert(out == Map(2L -> 1L, 4L -> 3L))
+  }
+
+  test("semDedup cap guard: an over-grown cell is excluded from pairwise work") {
+    // 5 identical vectors (one degenerate cell, every pair cosine 1) +
+    // a 2-vector near-dup cell; cap 4 must drop the hot cell's removals
+    val hot = (1L to 5L).map(id => (id, Array.fill(4)(1.0f), 0))
+    val ok = Seq((10L, Array(1.0f, 0.1f, 0f, 0f), 1),
+                 (11L, Array(1.0f, 0.12f, 0f, 0f), 1))
+    val corpus = (hot ++ ok).toDF("vec_id", "embedding", "label")
+    val capped = Similarity.semDedupRemovals(corpus, 0.9, maxCell = 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(capped == Map(11L -> 10L))
+    val uncapped = Similarity.semDedupRemovals(corpus, 0.9, maxCell = 0L)
+      .collect().map(_.getLong(0)).toSet
+    assert(uncapped == Set(2L, 3L, 4L, 5L, 11L)) // keep-first: 1 survives
+  }
+
   test("native graft_dot is bit-identical to the ordered HOF fold") {
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

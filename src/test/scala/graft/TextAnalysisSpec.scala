@@ -6,6 +6,24 @@ import graft.operators.{TextAnalysis => TA}
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("boilerplate stats: repeated spans counted by occurrence, short docs drop out") {
+    val docs = Seq(
+      (1L, "legal header here then one two three"),   // shared span + unique tail
+      (2L, "legal header here then four five six"),
+      (3L, "legal header here then seven eight nine"),
+      (4L, "legal header here legal header here"),    // span twice: occurrences count
+      (5L, "totally unique text with no repeats"),
+      (6L, "too short")                               // < 3 tokens: no grams
+    ).toDF("doc_id", "text")
+    val out = TA.boilerplateStats(docs, n = 3, minDf = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // "legal header here" df=4 (docs 1-4) is the only gram at df >= 4
+    assert(!out.contains(6L))
+    assert(out(1L) == (5L, 1L) && out(2L) == (5L, 1L) && out(3L) == (5L, 1L))
+    assert(out(4L) == (4L, 2L)) // both occurrences of the span count
+    assert(out(5L) == (4L, 0L))
+  }
+
   test("tokenizers: whitespace, word, bpe-ish counts") {
     val df = Seq(("It's 42 tokens, right?")).toDF("text")
       .select(
