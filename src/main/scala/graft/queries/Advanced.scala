@@ -186,6 +186,16 @@ object Advanced {
         .orderBy("user_id", "session_start")
     }),
 
+    // Sliding-window streaming semantics, batch-replay oracle — the
+    // overlapping member of the window family (q91 tumbling, q92
+    // session). Every event belongs to exactly 2 epoch-aligned 1h/30m
+    // windows; the oracle expands each event into both its window starts
+    // and applies the same per-window close condition as q91.
+    "q109_stream_sliding" -> ((s, dir) => {
+      graft.streaming.EventsStream.replaySliding(s, dir)
+        .orderBy("window_start", "event_type")
+    }),
+
     "q80_histogram" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "orders")
@@ -493,6 +503,24 @@ object Advanced {
           FROM sess, mx
           WHERE session_end <= m - INTERVAL 2 HOUR
           ORDER BY user_id, session_start""",
+
+    // Sliding-window close mirror: each event expands into its two
+    // 30-min-phased window starts (both always contain the event, since
+    // slide < length and windows are epoch-aligned); a window copy
+    // emits once its end <= watermark, exactly as tumbling.
+    "q109_stream_sliding" ->
+      s"""WITH mx AS (SELECT MAX(ts) AS m FROM events),
+          cand AS (
+            SELECT event_type, value,
+                   UNNEST([time_bucket(INTERVAL 30 MINUTE, ts),
+                           time_bucket(INTERVAL 30 MINUTE, ts)
+                             - INTERVAL 30 MINUTE]) AS window_start
+            FROM events)
+          SELECT window_start, event_type, COUNT(*) AS cnt,
+                 ${dsumSql("value", 6)} AS value_sum
+          FROM cand, mx
+          WHERE window_start + INTERVAL 1 HOUR <= m - INTERVAL 2 HOUR
+          GROUP BY 1, 2 ORDER BY window_start, event_type""",
 
     // Window close mirror: Spark emits an append-mode window once
     // window.end <= watermark = max event time - lateness.

@@ -51,13 +51,20 @@ object EventsStream {
       .select(col("w.start").as("window_start"), col("event_type"),
               col("cnt"), col("value_sum"))
 
-  /** T5: sliding window (1h length, 30m slide). */
+  /** T5: sliding window (1h length, 30m slide) — every event lands in
+    * exactly length/slide = 2 epoch-aligned windows; state is still
+    * O(open windows) because the watermark closes both copies together.
+    * Value sum follows the dsum convention so emitted rows are
+    * hash-comparable (q109). */
   def slidingCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"))
-      .select(col("w.start").as("window_start"), col("event_type"), col("cnt"))
+      .agg(count(lit(1)).as("cnt"),
+           sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+             .cast("double").as("value_sum"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+              col("cnt"), col("value_sum"))
 
   /** T5: session windows per user with a 30m gap. Value sum follows the
     * dsum convention (exact decimal, surfaced as double) so emitted rows
@@ -260,6 +267,14 @@ object EventsStream {
     * a session closes when the watermark passes last-event + gap). */
   def replaySessions(spark: SparkSession, dir: String): DataFrame =
     replayEvents(spark, dir, userSessions)
+
+  /** q109: [[slidingCounts]] through the real engine — the overlapping
+    * member of the window family (q91 tumbling, q92 session). Append
+    * mode emits each 30-min-phased window copy independently as the
+    * watermark passes ITS end, so the close condition is per-copy, same
+    * as tumbling. */
+  def replaySliding(spark: SparkSession, dir: String): DataFrame =
+    replayEvents(spark, dir, slidingCounts)
 
   /** q103: [[intervalJoin]] through the real engine — each click joined
     * to the same user's purchases in the trailing hour, BOTH sides

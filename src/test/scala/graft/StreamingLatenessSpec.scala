@@ -99,6 +99,73 @@ class StreamingLatenessSpec extends SparkSpec {
     assert(emitted == oracle)
   }
 
+  test("q109 torture: a late row merges into its still-open window copy, loses the closed one") {
+    val work = java.nio.file.Files.createTempDirectory("ooo_sliding").toString
+    val src = s"$work/in"; val out = s"$work/out"; val ckpt = s"$work/ckpt"
+
+    // Sliding 1h/30m: every event owns TWO window copies whose ends
+    // differ by 30 min — so a late row can find one copy closed and the
+    // other still open. That per-copy behavior is the sliding-specific
+    // semantics this torture pins down.
+    val waves = Seq(
+      // wave 1 — 10:05 click → copies [09:30,10:30) + [10:00,11:00).
+      Seq(Ev(ts("2024-01-01T10:05:00Z"), 1, "click", 1.0)),
+      // wave 2 — 13:00 click. Watermark → 11:00: both of 10:05's copies
+      // close (ends 10:30 and 11:00 ≤ 11:00) and emit.
+      Seq(Ev(ts("2024-01-01T13:00:00Z"), 2, "click", 1.0)),
+      // wave 3 — the torture: a 10:40 view, below the 11:00 watermark.
+      // Copy [10:00,11:00) is CLOSED → that copy is dropped; copy
+      // [10:30,11:30) (end 11:30 > 11:00) is OPEN → merged. One row,
+      // half kept. Plus an in-order 13:10 click.
+      Seq(Ev(ts("2024-01-01T10:40:00Z"), 3, "view", 3.0),
+          Ev(ts("2024-01-01T13:10:00Z"), 2, "click", 1.0)),
+      // wave 4 — closer at 17:00 → watermark 15:00 closes everything
+      // through hour 14; the closer's own copies stay open (never emit).
+      Seq(Ev(ts("2024-01-01T17:00:00Z"), 6, "view", 0.0)))
+
+    val schema = waves.head.toDF().schema
+    var dropped = 0L
+    waves.zipWithIndex.foreach { case (wave, i) =>
+      wave.toDF().write.parquet(s"$src/w$i")
+      val q = EventsStream.slidingCounts(
+          spark.readStream.schema(schema).parquet(s"$src/*"))
+        .writeStream.option("checkpointLocation", ckpt)
+        .outputMode("append").format("parquet").option("path", out)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      dropped += droppedByWatermark(q)
+    }
+
+    val emitted = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Timestamp]("window_start").toInstant.toString,
+                 r.getAs[String]("event_type"), r.getAs[Long]("cnt"),
+                 r.getAs[Double]("value_sum")))
+      .toSet
+    assert(emitted == Set(
+      ("2024-01-01T09:30:00Z", "click", 1L, 1.0),
+      ("2024-01-01T10:00:00Z", "click", 1L, 1.0),  // 10:40 view NOT here
+      ("2024-01-01T10:30:00Z", "view", 1L, 3.0),   // ...but it IS here
+      ("2024-01-01T12:30:00Z", "click", 2L, 2.0),
+      ("2024-01-01T13:00:00Z", "click", 2L, 2.0)))
+    // exactly ONE window-copy of the late row was dropped
+    assert(dropped == 1L)
+
+    // batch mirror: expand every row into both copies, exclude the one
+    // copy the stream provably lost, apply the close condition
+    val batch = waves.flatten.toDF()
+      .groupBy(window($"ts", "1 hour", "30 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("cnt"), sum($"value").as("value_sum"))
+      .filter($"w.end" <= ts("2024-01-01T15:00:00Z"))
+      .filter(!($"w.start" === ts("2024-01-01T10:00:00Z") &&
+                $"event_type" === "view")) // the closed-copy loss
+      .select($"w.start".as("window_start"), $"event_type", $"cnt", $"value_sum")
+      .collect()
+      .map(r => (r.getTimestamp(0).toInstant.toString, r.getString(1),
+                 r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(emitted == batch)
+  }
+
   test("q103 torture: late fact beyond the join horizon never matches; within-horizon OOO does") {
     implicit val sc = spark.sqlContext
     val evs = MemoryStream[Ev]
