@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic weighted sampling for corpus curation — the "give me a
+  * k-doc quality-weighted subsample per stratum" step of a training-data
+  * mixture build. Systematic probability-proportional-to-size (PPS)
+  * sampling: walk each stratum in id order accumulating weight, and take
+  * a pick every tot/k weight units. Entirely INTEGER arithmetic (floor
+  * divisions on BIGINT cumulative sums), so the selection is exact,
+  * reproducible, and oracle-mirrorable — no RNG, no transcendental keys
+  * (an Efraimidis–Spirakis u^(1/w) key would hinge on libm ulps and
+  * could flip the marginal pick between engines).
+  *
+  * Docs heavier than the step are selected once (classic systematic PPS
+  * — a stratum yields at MOST k picks, fewer when single docs absorb
+  * multiple steps).
+  */
+object Sampling {
+
+  /** Per-stratum systematic PPS selection. A row is picked iff its
+    * weight interval (cum-w, cum] crosses a step boundary:
+    * `(cum*k) div tot > ((cum-w)*k) div tot`.
+    *
+    * The cumulative sum is computed as a TWO-LEVEL prefix sum so no
+    * stratum ever becomes one task: rows prefix-sum inside
+    * (stratum, bucket = id div bucketSize) windows — parallel across
+    * buckets — while the stratum-wide carry runs over the tiny
+    * per-bucket totals relation; bucket offsets join back on the SAME
+    * (stratum, bucket) key the inner window just shuffled on, and the
+    * per-stratum totals are a broadcast. At 100 TB the only stratum-wide
+    * pass is over n/bucketSize summary rows (recurse the same trick if
+    * even that outgrows a window). Overflow envelope: cum*k must fit a
+    * signed 64-bit — 10^14 total weight × k=10^3 is 10^17 < 2^63.
+    *
+    * Output: (stratum, id, w, pick) for selected rows, pick = the step
+    * index landed on. */
+  def systematicPps(df: DataFrame, strataCol: String, idCol: String,
+                    weightCol: String, k: Int,
+                    bucketSize: Long = 1L << 20): DataFrame = {
+    require(k > 0, s"sample size k ($k) must be positive")
+    require(bucketSize > 0, s"bucketSize ($bucketSize) must be positive")
+    val base = df.select(col(strataCol).as("stratum"), col(idCol).as("id"),
+        col(weightCol).cast("long").as("w"))
+      .withColumn("bucket", expr(s"id div ${bucketSize}L"))
+    val inner = Window.partitionBy(col("stratum"), col("bucket")).orderBy(col("id"))
+    val carry = Window.partitionBy(col("stratum")).orderBy(col("bucket"))
+    val btot = base.groupBy(col("stratum"), col("bucket"))
+      .agg(sum(col("w")).as("bw"))
+    val boff = btot
+      .withColumn("off", sum(col("bw")).over(carry) - col("bw"))
+      .select(col("stratum"), col("bucket"), col("off"))
+    val tot = btot.groupBy(col("stratum")).agg(sum(col("bw")).as("tot"))
+    base
+      .withColumn("icum", sum(col("w")).over(inner))
+      .join(boff, Seq("stratum", "bucket"))
+      .join(broadcast(tot), Seq("stratum"))
+      .withColumn("cum", col("icum") + col("off"))
+      .withColumn("pick", expr(s"(cum * ${k}L) div tot"))
+      .filter(col("pick") > expr(s"((cum - w) * ${k}L) div tot"))
+      .select(col("stratum"), col("id"), col("w"), col("pick"))
+  }
+}

@@ -319,6 +319,21 @@ object Curation {
       }.orderBy("doc_id")
     }),
 
+    // Weighted subsample: systematic PPS, 40 picks per source, weight =
+    // n_chars — integer-exact selection (no RNG, no libm keys). The
+    // Spark side computes the cumulative weight as the SCALABLE
+    // two-level prefix sum (parallel per-bucket windows + a tiny bucket
+    // carry; bucketSize forced small here so the decomposition is
+    // really exercised) while the oracle runs the plain single-window
+    // form — hash equality proves the decomposition correct.
+    "q110_weighted_sample" -> ((s, dir) =>
+      graft.operators.Sampling.systematicPps(
+          t(s, dir, "documents"), "source", "doc_id", "n_chars", k = 40,
+          bucketSize = 1024L)
+        .withColumnRenamed("stratum", "source")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("source", "doc_id")),
+
     // Corpus-level boilerplate spans (the C4/RefinedWeb repeated-span
     // rule): 3-grams occurring in >= 4 distinct docs are boilerplate —
     // templated headers, navboxes — and each doc reports how many of its
@@ -627,6 +642,18 @@ object Curation {
                   / CAST(COUNT(*) * $BigramScale AS DOUBLE) AS mean_p
          FROM bg JOIN c_bg USING (w1, w2) JOIN c_head USING (w1)
          GROUP BY doc_id ORDER BY doc_id""",
+
+    "q110_weighted_sample" ->
+      """WITH c AS (SELECT source, doc_id, n_chars AS w,
+                           SUM(n_chars) OVER (PARTITION BY source
+                                              ORDER BY doc_id) AS cum,
+                           SUM(n_chars) OVER (PARTITION BY source) AS tot
+                    FROM documents)
+         SELECT source, doc_id, CAST(w AS BIGINT) AS w,
+                CAST((cum * 40) // tot AS BIGINT) AS pick
+         FROM c
+         WHERE (cum * 40) // tot > ((cum - w) * 40) // tot
+         ORDER BY source, doc_id""",
 
     "q108_boilerplate" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tokens
