@@ -62,4 +62,43 @@ object Sampling {
       .filter(col("pick") > expr(s"((cum - w) * ${k}L) div tot"))
       .select(col("stratum"), col("id"), col("w"), col("pick"))
   }
+
+  /** EXACT global rank by (weight DESC, id ASC) — curriculum ordering
+    * for a whole corpus — without the single-task global window a naive
+    * `row_number() OVER (ORDER BY ...)` plans. Range-partition on the
+    * ordering key (each partition then holds a contiguous slice of the
+    * global order), rank WITHIN partitions in parallel, and add each
+    * partition's offset = rows in all earlier partitions, computed from
+    * the per-partition counts relation (≤ `partitions` rows — control
+    * plane). Correct for ANY boundary placement the range sampler picks:
+    * (weight, id) is a total order, so partition i's rows all precede
+    * partition i+1's, and offsets absorb where the cut fell.
+    *
+    * At 100 TB this is the shape Spark's own sort uses (range exchange +
+    * local sort) with the rank arithmetic kept declarative. */
+  def globalRankByWeight(df: DataFrame, idCol: String, weightCol: String,
+                         partitions: Int = 64): DataFrame = {
+    require(partitions > 0, s"partitions ($partitions) must be positive")
+    val ranked = df
+      .select(col(idCol).as("id"), col(weightCol).cast("long").as("w"))
+      .repartitionByRange(partitions, col("w").desc, col("id").asc)
+      .withColumn("pid", spark_partition_id())
+      .withColumn("within", row_number().over(
+        Window.partitionBy(col("pid"))
+          .orderBy(col("w").desc, col("id").asc)))
+    // the ranked relation feeds BOTH the offsets aggregation and the
+    // final join — pin it (withPersisted lifecycle) or the scan + range
+    // exchange + window would execute once per consumer. The offsets
+    // window is over ≤ `partitions` summary rows: control-plane sized,
+    // its single-partition WindowExec is deliberate.
+    Dedup.withPersisted(ranked) { r =>
+      val offsets = r.groupBy(col("pid"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("off", sum(col("cnt")).over(
+          Window.orderBy(col("pid"))) - col("cnt"))
+        .select(col("pid"), col("off"))
+      r.join(broadcast(offsets), Seq("pid"))
+        .select(col("id"), col("w"), (col("off") + col("within")).as("rank"))
+    }
+  }
 }

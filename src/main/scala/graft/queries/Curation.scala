@@ -319,6 +319,18 @@ object Curation {
       }.orderBy("doc_id")
     }),
 
+    // Curriculum ordering: EXACT global rank of every doc by length
+    // (quality stand-in) with NO single-task sort — range exchange on
+    // the ordering key, parallel within-partition ranks, control-plane
+    // offsets (the two-level shape q110 uses for prefix sums, applied
+    // to ordering). The oracle runs the naive global window; equality
+    // proves the distributed rank for any boundary placement.
+    "q112_curriculum_rank" -> ((s, dir) =>
+      graft.operators.Sampling.globalRankByWeight(
+          t(s, dir, "documents"), "doc_id", "n_chars", partitions = 16)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("rank")),
+
     // Weighted subsample: systematic PPS, 40 picks per source, weight =
     // n_chars — integer-exact selection (no RNG, no libm keys). The
     // Spark side computes the cumulative weight as the SCALABLE
@@ -642,6 +654,11 @@ object Curation {
                   / CAST(COUNT(*) * $BigramScale AS DOUBLE) AS mean_p
          FROM bg JOIN c_bg USING (w1, w2) JOIN c_head USING (w1)
          GROUP BY doc_id ORDER BY doc_id""",
+
+    "q112_curriculum_rank" ->
+      """SELECT doc_id, n_chars AS w,
+                ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rank
+         FROM documents ORDER BY rank""",
 
     "q110_weighted_sample" ->
       """WITH c AS (SELECT source, doc_id, n_chars AS w,

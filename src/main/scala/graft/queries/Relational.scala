@@ -26,6 +26,24 @@ object Relational {
   private def t(s: SparkSession, dir: String, name: String) = Tables.load(s, dir, name)
 
   val queries: Map[String, Q] = Map(
+    // Salted skew join, RESULT-gated: Joins.saltedJoin spreads one hot
+    // key over `factor` reducers (deterministic event_id salt on the
+    // large side, factor-exploded small side) and must produce exactly
+    // the plain equi-join's answer — the oracle runs the unsalted join,
+    // so hash equality proves salting is result-neutral, the same way
+    // q98 gates the Apriori prune and q110 the prefix decomposition.
+    "q111_salted_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id").as("c_custkey"), col("value"), col("event_id"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      graft.operators.Joins
+        .saltedJoin(ev, cust, "c_custkey", factor = 8, saltCols = Seq("event_id"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("events"), dsum(col("value"), 6).as("value_sum"))
+        .orderBy("c_mktsegment")
+    }),
+
     // S-scan + P3 projection pushdown: only 3 of 11 lineitem columns read.
     "q01_scan_project" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -367,6 +385,13 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    // the UNSALTED join: salting must be result-neutral
+    "q111_salted_join" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS events,
+                 ${dsumSql("value", 6)} AS value_sum
+          FROM events e JOIN customer c ON e.user_id = c.c_custkey
+          GROUP BY 1 ORDER BY c_mktsegment""",
+
     "q01_scan_project" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber",
 

@@ -42,6 +42,22 @@ class SamplingSpec extends SparkSpec {
     assert(perStratum.values.forall(_ <= 7))
   }
 
+  test("global rank: distributed two-level rank equals the naive global window") {
+    val df = (0L until 500L)
+      .map(i => (i, (i * 7919L) % 211L))  // shuffled weights with ties
+      .toDF("id", "w")
+    val dist = Sampling.globalRankByWeight(df, "id", "w", partitions = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val naive = df.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"w".desc, $"id".asc)))
+      .collect().map(r => (r.getLong(0), r.getInt(2).toLong)).toMap
+    assert(dist.size == 500 && dist == naive)
+    // a degenerate single partition also agrees (offset path = 0)
+    val one = Sampling.globalRankByWeight(df, "id", "w", partitions = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(one == naive)
+  }
+
   test("systematic PPS rejects non-positive k and bucketSize") {
     val df = Seq(("a", 1L, 1L)).toDF("s", "id", "w")
     intercept[IllegalArgumentException] {
