@@ -126,11 +126,37 @@ object BandIndex {
   def layout(spark: SparkSession, path: String): Layout =
     layoutAt(spark, currentPath(spark, path))
 
+  /** Claim a version number exclusively: `create(..., overwrite=false)`
+    * of a sibling claim file is atomic on POSIX and HDFS, so two
+    * concurrent builds can never write into the same v-NNNNN directory —
+    * the loser observes the claim and takes the next number. */
+  private def claimVersion(spark: SparkSession, path: String): Int = {
+    val f = fs(spark, path)
+    f.mkdirs(new Path(path))
+    var v = (versions(spark, path) :+ 0).max + 1
+    while (true) {
+      try {
+        f.create(claimFile(path, v), false).close()
+        return v
+      } catch {
+        case _: java.io.IOException => v += 1 // claimed by a racer; bump
+      }
+    }
+    v // unreachable
+  }
+
+  private def claimFile(path: String, v: Int): Path =
+    new Path(path, f".claim-$VersionPrefix$v%05d")
+
   /** Band the corpus shingle relation and publish a NEW index version.
     * One corpus pass (signatures → band keys), one shuffle into the
-    * bucket layout. Re-running a build converges: each run publishes the
-    * next version and prunes all but the previous one (kept for probes
-    * in flight across one rebuild). */
+    * bucket layout. Re-running a build converges: each run claims the
+    * next version atomically (safe under concurrent builders) and prunes
+    * everything below except the newest COMMITTED predecessor — which is
+    * kept for probes in flight across one rebuild. Pruning by
+    * committedness (not version arithmetic) means a crashed build's
+    * abandoned uncommitted directory is swept while the version a probe
+    * could actually have pinned survives. */
   def write(corpusSh: DataFrame, path: String, numHashes: Int = 64,
             bands: Int = 16, buckets: Int = 64): Unit = {
     require(bands > 0 && numHashes % bands == 0,
@@ -139,7 +165,7 @@ object BandIndex {
     // __HIVE_DEFAULT_PARTITION__ and every probe silently empty
     require(buckets > 0, s"buckets ($buckets) must be positive")
     val spark = corpusSh.sparkSession
-    val next = (versions(spark, path) :+ 0).max + 1
+    val next = claimVersion(spark, path)
     val target = vdir(path, next)
     val sig = Dedup.signaturesFromExploded(corpusSh, numHashes)
     Dedup.bandKeys(sig, bands, numHashes / bands, numHashes)
@@ -153,12 +179,21 @@ object BandIndex {
       .repartition(buckets, col(BucketCol))
       .write.partitionBy(BucketCol).mode("overwrite").parquet(target.toString)
     commitMeta(spark, target, Layout(buckets, numHashes, bands))
-    // prune: keep this version and its predecessor, drop everything older
-    // (committed or abandoned) — bounded disk without yanking a version a
-    // concurrent probe pinned before this build started
+    // prune: below `next`, keep only the newest COMMITTED version (the
+    // one an in-flight probe could have pinned); drop older committed
+    // versions AND any abandoned uncommitted directories + their claims
     val f = fs(spark, path)
-    versions(spark, path).filter(_ < next - 1)
-      .foreach(v => f.delete(vdir(path, v), true))
+    val committedBelow = versions(spark, path).filter(_ < next)
+      .sorted(Ordering[Int].reverse)
+      .find(v => f.exists(new Path(vdir(path, v), MetaFile)))
+    val claimed = f.listStatus(new Path(path)).toSeq.filter(_.isFile)
+      .flatMap(st => versionOf(st.getPath.getName.stripPrefix(".claim-")))
+    (versions(spark, path) ++ claimed).distinct
+      .filter(v => v < next && !committedBelow.contains(v))
+      .foreach { v =>
+        f.delete(vdir(path, v), true)
+        f.delete(claimFile(path, v), false)
+      }
   }
 
   /** The band-key schema the probe expects back from the index. */

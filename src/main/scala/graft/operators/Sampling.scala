@@ -37,11 +37,28 @@ object Sampling {
     *
     * Output: (stratum, id, w, pick) for selected rows, pick = the step
     * index landed on. */
+  /** Both the id (div'd into buckets) and the weight (cast to long for
+    * the exact cumulative arithmetic) must be INTEGRAL: a string id
+    * would null the bucket key and silently empty the join, and a
+    * fractional weight in (0,1) would truncate to 0 and null the step
+    * division — the same silently-empty failure modes BandIndex guards
+    * against. Scale fractional weights to integers first (the q72
+    * scaled-ratio convention). */
+  private def requireIntegral(df: DataFrame, c: String, role: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(c).dataType
+    require(dt.isInstanceOf[ByteType] || dt.isInstanceOf[ShortType] ||
+            dt.isInstanceOf[IntegerType] || dt.isInstanceOf[LongType],
+      s"$role column '$c' must be an integral type, got $dt")
+  }
+
   def systematicPps(df: DataFrame, strataCol: String, idCol: String,
                     weightCol: String, k: Int,
                     bucketSize: Long = 1L << 20): DataFrame = {
     require(k > 0, s"sample size k ($k) must be positive")
     require(bucketSize > 0, s"bucketSize ($bucketSize) must be positive")
+    requireIntegral(df, idCol, "id")
+    requireIntegral(df, weightCol, "weight")
     val base = df.select(col(strataCol).as("stratum"), col(idCol).as("id"),
         col(weightCol).cast("long").as("w"))
       .withColumn("bucket", expr(s"id div ${bucketSize}L"))
@@ -79,6 +96,7 @@ object Sampling {
   def globalRankByWeight(df: DataFrame, idCol: String, weightCol: String,
                          partitions: Int = 64): DataFrame = {
     require(partitions > 0, s"partitions ($partitions) must be positive")
+    requireIntegral(df, weightCol, "weight") // fractional would truncate
     val ranked = df
       .select(col(idCol).as("id"), col(weightCol).cast("long").as("w"))
       .repartitionByRange(partitions, col("w").desc, col("id").asc)

@@ -92,6 +92,30 @@ class DedupSpec extends SparkSpec {
     assert(afterRebuild == inMem)
   }
 
+  test("band index: a crashed build's junk version is swept, the committed predecessor survives") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val sh = Dedup.explodedShingles(Dedup.shingleSets(docs.limit(20)))
+    val idx = java.nio.file.Files.createTempDirectory("graft_bandidx_crash")
+      .resolve("idx").toString
+    graft.operators.BandIndex.write(sh, idx) // v1, committed
+    // simulate a build that claimed v2 and wrote parquet but DIED before
+    // commit: claim file + directory with no sidecar
+    val root = new java.io.File(idx)
+    new java.io.File(root, "v-00002").mkdirs()
+    new java.io.File(root, "v-00002/part-junk.parquet").createNewFile()
+    new java.io.File(root, ".claim-v-00002").createNewFile()
+    // current must still resolve to the committed v1, not the junk
+    assert(graft.operators.BandIndex.currentPath(spark, idx).endsWith("v-00001"))
+    // the next build must skip the claimed number (no same-dir race),
+    // keep v1 (the version an in-flight probe could have pinned), and
+    // sweep the junk v2 + its claim
+    graft.operators.BandIndex.write(sh, idx) // claims v3
+    val names = root.listFiles.map(_.getName).toSet
+    assert(graft.operators.BandIndex.currentPath(spark, idx).endsWith("v-00003"))
+    assert(names.contains("v-00001") && names.contains("v-00003"))
+    assert(!names.contains("v-00002") && !names.contains(".claim-v-00002"))
+  }
+
   test("band index fails loudly: unbuilt path, zero buckets") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val sh = Dedup.explodedShingles(Dedup.shingleSets(docs.limit(5)))

@@ -67,4 +67,23 @@ class SamplingSpec extends SparkSpec {
       Sampling.systematicPps(df, "s", "id", "w", k = 1, bucketSize = 0L)
     }
   }
+
+  test("non-integral id or weight fails loudly instead of sampling nothing") {
+    // a string id would null the bucket key (silent empty join); a
+    // fractional weight would truncate to 0 (silent empty sample)
+    val strId = Seq(("a", "url-1", 1L)).toDF("s", "id", "w")
+    val e1 = intercept[IllegalArgumentException] {
+      Sampling.systematicPps(strId, "s", "id", "w", k = 1)
+    }
+    assert(e1.getMessage.contains("integral"))
+    val fracW = Seq(("a", 1L, 0.3)).toDF("s", "id", "w")
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.systematicPps(fracW, "s", "id", "w", k = 1)
+    }
+    assert(e2.getMessage.contains("integral"))
+    val e3 = intercept[IllegalArgumentException] {
+      Sampling.globalRankByWeight(fracW, "id", "w")
+    }
+    assert(e3.getMessage.contains("integral"))
+  }
 }
