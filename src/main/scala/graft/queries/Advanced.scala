@@ -196,6 +196,18 @@ object Advanced {
         .orderBy("window_start", "event_type")
     }),
 
+    // Arbitrary keyed state (mapGroupsWithState) through the real
+    // engine: per-user running totals accumulated in the state store
+    // across micro-batches, update-mode emissions captured via
+    // foreachBatch, final snapshot = max(events) per user (running
+    // counts are strictly increasing, so the extraction is batching-
+    // independent). Gates the custom-state path's exactly-once-per-event
+    // accounting against the plain batch aggregate.
+    "q113_stream_state_totals" -> ((s, dir) => {
+      graft.streaming.EventsStream.replayRunningTotals(s, dir)
+        .orderBy("user_id")
+    }),
+
     "q80_histogram" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "orders")
@@ -503,6 +515,10 @@ object Advanced {
           FROM sess, mx
           WHERE session_end <= m - INTERVAL 2 HOUR
           ORDER BY user_id, session_start""",
+
+    "q113_stream_state_totals" ->
+      """SELECT user_id, COUNT(*) AS events
+         FROM events GROUP BY 1 ORDER BY user_id""",
 
     // Sliding-window close mirror: each event expands into its two
     // 30-min-phased window starts (both always contain the event, since

@@ -230,8 +230,12 @@ object EventsStream {
     * table, and return the emitted rows. The oracle mirrors the close
     * condition exactly: windows whose end ≤ max(ts) − the 2 h lateness
     * bound. Work dirs are temp, removed on JVM exit. */
-  private def replayEvents(spark: SparkSession, dir: String,
-                           agg: DataFrame => DataFrame): DataFrame = {
+  /** Stage the events table behind a file-source stream: per-part-file
+    * links in a fresh work dir (symlink-safe cleanup) + the nanos-long →
+    * micros-timestamp normalization Tables.load applies. Returns the
+    * streaming frame and the work dir for checkpoints/output. */
+  private def stagedEvents(spark: SparkSession,
+                           dir: String): (DataFrame, java.nio.file.Path) = {
     val path = s"$dir/events.parquet"
     val schema = spark.read.parquet(path).schema
     val work = java.nio.file.Files.createTempDirectory("graft_events_replay_")
@@ -240,15 +244,18 @@ object EventsStream {
     // file stream source needs a directory; link (or copy) the table in
     val in = java.nio.file.Files.createDirectory(work.resolve("in"))
     linkTable(in, path)
-    val out = s"$work/out"
-    // same nanos-long → micros-timestamp normalization as Tables.load
-    // (events.ts is parquet TIMESTAMP(NANOS), read as long under
-    // nanosAsLong)
     val raw = readEvents(spark, in.toString, schema)
     val events =
       if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       else raw
+    (events, work)
+  }
+
+  private def replayEvents(spark: SparkSession, dir: String,
+                           agg: DataFrame => DataFrame): DataFrame = {
+    val (events, work) = stagedEvents(spark, dir)
+    val out = s"$work/out"
     val q = agg(events)
       .writeStream
       .option("checkpointLocation", s"$work/ckpt")
@@ -257,6 +264,37 @@ object EventsStream {
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     spark.read.parquet(out)
+  }
+
+  /** q113: [[runningUserTotals]] — arbitrary keyed state via
+    * mapGroupsWithState — through the real engine. Update-mode emissions
+    * land via foreachBatch (the file sink is append-only), and the final
+    * per-user snapshot is recovered as max(events): a user's running
+    * count is strictly increasing across its emissions, so the
+    * extraction is deterministic under ANY batching AvailableNow picks.
+    * Gated on the exact integer surface (counts); the double value_sum
+    * stays out of the hash gate because mapGroupsWithState folds it in
+    * group-iterator order, which no oracle can reproduce. */
+  def replayRunningTotals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (events, work) = stagedEvents(spark, dir)
+    val out = s"$work/out"
+    val typed = events
+      .select(col("user_id"), col("event_type"), col("value"))
+      .as[UserEvent]
+    val q = runningUserTotals(typed).toDF()
+      .writeStream
+      .option("checkpointLocation", s"$work/ckpt")
+      .outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        b.write.mode("append").parquet(out); ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+      .groupBy(col("user_id"))
+      .agg(max(col("events")).as("events"))
   }
 
   /** q91: [[hourlyCounts]] through the real engine (tumbling windows). */
