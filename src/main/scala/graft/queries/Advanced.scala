@@ -196,6 +196,18 @@ object Advanced {
         .orderBy("window_start", "event_type")
     }),
 
+    // Session windows REBUILT in arbitrary user state
+    // (flatMapGroupsWithState + EventTimeTimeout): interval-merge logic,
+    // closed sessions buffered in state until the watermark passes
+    // their end, value sums as exact decimal micro-units. Must emit
+    // exactly what the native session_window emits — gated by the SAME
+    // oracle as q92, which is the strongest statement the custom-state
+    // surface can make.
+    "q114_stream_custom_sessions" -> ((s, dir) => {
+      graft.streaming.EventsStream.replayCustomSessions(s, dir)
+        .orderBy("user_id", "session_start")
+    }),
+
     // Arbitrary keyed state (mapGroupsWithState) through the real
     // engine: per-user running totals accumulated in the state store
     // across micro-batches, update-mode emissions captured via
@@ -416,6 +428,36 @@ object Advanced {
     })
   )
 
+  /** Shared by q92 (native session_window) and q114 (the custom-state
+    * rebuild): gaps-and-islands sessions under the session_window merge
+    * rule (diff >= gap starts new) and the watermark close condition. */
+  private val sessionsOracleSql =
+    s"""WITH mx AS (SELECT MAX(ts) AS m FROM events),
+        marked AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                           >= 1800 * 1000000
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)),
+        sessioned AS (
+          SELECT *, SUM(new_session) OVER
+                 (PARTITION BY user_id ORDER BY ts ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_id
+          FROM marked),
+        sess AS (
+          SELECT MIN(ts) AS session_start,
+                 MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                 user_id, COUNT(*) AS events,
+                 ${dsumSql("value", 6)} AS value_sum
+          FROM sessioned GROUP BY user_id, session_id)
+        SELECT session_start, session_end, user_id, events, value_sum
+        FROM sess, mx
+        WHERE session_end <= m - INTERVAL 2 HOUR
+        ORDER BY user_id, session_start"""
+
   val oracle: Map[String, String] = Map(
     "q71_anomaly_hours" ->
       """WITH hourly AS (
@@ -489,32 +531,12 @@ object Advanced {
 
     // Session mirror: islands with the session_window merge rule
     // (>= gap starts new), end = last event + gap, closed sessions only.
-    "q92_stream_sessions" ->
-      s"""WITH mx AS (SELECT MAX(ts) AS m FROM events),
-          marked AS (
-            SELECT user_id, ts, value,
-                   CASE WHEN lag(ts) OVER w IS NULL
-                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
-                             >= 1800 * 1000000
-                        THEN 1 ELSE 0 END AS new_session
-            FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)),
-          sessioned AS (
-            SELECT *, SUM(new_session) OVER
-                   (PARTITION BY user_id ORDER BY ts ASC
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS session_id
-            FROM marked),
-          sess AS (
-            SELECT MIN(ts) AS session_start,
-                   MAX(ts) + INTERVAL 30 MINUTE AS session_end,
-                   user_id, COUNT(*) AS events,
-                   ${dsumSql("value", 6)} AS value_sum
-            FROM sessioned GROUP BY user_id, session_id)
-          SELECT session_start, session_end, user_id, events, value_sum
-          FROM sess, mx
-          WHERE session_end <= m - INTERVAL 2 HOUR
-          ORDER BY user_id, session_start""",
+    "q92_stream_sessions" -> sessionsOracleSql,
+
+    // the custom-state session rebuild must emit EXACTLY what the
+    // native session_window emits: one oracle, two engines' worth of
+    // session machinery gated against it
+    "q114_stream_custom_sessions" -> sessionsOracleSql,
 
     "q113_stream_state_totals" ->
       """SELECT user_id, COUNT(*) AS events

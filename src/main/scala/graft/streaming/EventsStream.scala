@@ -11,6 +11,14 @@ import graft.operators.Merge
 case class UserEvent(user_id: Long, event_type: String, value: Double)
 case class UserTotal(user_id: Long, events: Long, value_sum: Double)
 
+// customSessions (q114) state/rows: times in micros, sums in exact
+// decimal micro-units (integers — order-independent accumulation)
+case class SessEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+case class SessAcc(start_us: Long, last_us: Long, n: Long, sum_micros: Long)
+case class SessBuf(sessions: Seq[SessAcc])
+case class SessOut(start_us: Long, end_us: Long, user_id: Long,
+                   events: Long, sum_micros: Long)
+
 /** Streaming layer (SURVEY.md §2.9): the reference is a scheduled
   * micro-batch incremental pipeline with persisted watermarks; its
   * semantics map 1:1 onto Structured Streaming:
@@ -113,6 +121,92 @@ object EventsStream {
             next
           }
       }
+  }
+
+  /** T5 EXT: session windows REBUILT in arbitrary user state — the
+    * flatMapGroupsWithState + EventTimeTimeout surface a production
+    * pipeline reaches for when session_window's fixed semantics don't
+    * fit (custom merge rules, per-session payloads, early triggers).
+    * Here the logic deliberately reproduces session_window exactly so
+    * the SAME oracle gates both (q92 native, q114 custom): every event
+    * is an interval [ts, ts+gap); intervals merge while the next start
+    * is STRICTLY inside the current end (diff >= gap starts a new
+    * session); a session emits only once the watermark passes its end —
+    * buffered in state until then — and the state timeout re-fires at
+    * the earliest retained end. One DOCUMENTED divergence from the
+    * native operator (StreamingLatenessSpec pins it): the engine
+    * applies ROW-level lateness to this surface — input below the
+    * watermark never reaches the state function — while session_window
+    * judges lateness by the WINDOW, so a below-watermark row whose
+    * session is still open is merged there but dropped here. Output is
+    * identical whenever rows arrive within the watermark (hence the
+    * shared q92 oracle). Value sums accumulate as exact decimal
+    * micro-units (order-independent integers), the dsum convention
+    * carried into imperative state code. State per key: the open
+    * session plus not-yet-emittable closed ones — bounded by the
+    * lateness horizon exactly like the native operator's buffer. */
+  def customSessions(events: DataFrame,
+                     gapMs: Long = 30L * 60 * 1000): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    val gapUs = gapMs * 1000L
+
+    def merge(sorted: Seq[SessAcc]): Seq[SessAcc] =
+      sorted.foldLeft(Vector.empty[SessAcc]) { (acc, s) =>
+        acc.lastOption match {
+          case Some(cur) if s.start_us < cur.last_us + gapUs =>
+            acc.init :+ SessAcc(cur.start_us, math.max(cur.last_us, s.last_us),
+              cur.n + s.n, cur.sum_micros + s.sum_micros)
+          case _ => acc :+ s
+        }
+      }
+
+    def step(user: Long, it: Iterator[SessEvent],
+             state: GroupState[SessBuf]): Iterator[SessOut] = {
+      val incoming = it.map { e =>
+        // exact decimal micro-units: BigDecimal.valueOf is the same
+        // shortest-decimal reading Spark's double->DECIMAL(18,6) cast
+        // uses, so the imperative sum lands on the dsum value
+        val micros = java.math.BigDecimal.valueOf(e.value)
+          .setScale(6, java.math.RoundingMode.HALF_UP)
+          .movePointRight(6).longValueExact()
+        val i = e.ts.toInstant
+        val tsUs = i.getEpochSecond * 1000000L + i.getNano / 1000L
+        SessAcc(tsUs, tsUs, 1L, micros)
+      }.toSeq
+      val held = state.getOption.map(_.sessions).getOrElse(Seq.empty)
+      val all = merge((held ++ incoming).sortBy(s => (s.start_us, s.last_us)))
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val (closed, retained) = all.partition(s => s.last_us + gapUs <= wmUs)
+      if (retained.isEmpty) state.remove()
+      else {
+        state.update(SessBuf(retained))
+        // re-arm at the earliest retained end, CEILING to ms: a truncated
+        // timestamp could fire while wmUs is still below the micro-exact
+        // end, and the re-arm at an already-passed ms would throw
+        state.setTimeoutTimestamp((retained.map(_.last_us).min + gapUs + 999L) / 1000L)
+      }
+      closed.iterator.map(s =>
+        SessOut(s.start_us, s.last_us + gapUs, user, s.n, s.sum_micros))
+    }
+
+    events
+      .withWatermark("ts", "2 hours")
+      // the watermarked ts column must survive into the typed Dataset —
+      // event-time timeout requires it on the state operator's input
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessBuf, SessOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(step)
+      .toDF()
+      .select(timestamp_micros(col("start_us")).as("session_start"),
+              timestamp_micros(col("end_us")).as("session_end"),
+              col("user_id"), col("events"),
+              // micro-units back to the dsum double: exact conversion,
+              // same value Decimal(18,6).cast(double) produces
+              (col("sum_micros").cast("decimal(24,0)") / lit(1000000L))
+                .cast("double").as("value_sum"))
   }
 
   /** EXT: streaming exact dedup — the streaming analog of
@@ -265,6 +359,12 @@ object EventsStream {
     q.awaitTermination()
     spark.read.parquet(out)
   }
+
+  /** q114: [[customSessions]] through the real engine — the custom-state
+    * rebuild of session windows must emit exactly what session_window
+    * emits, so it shares q92's oracle. */
+  def replayCustomSessions(spark: SparkSession, dir: String): DataFrame =
+    replayEvents(spark, dir, customSessions(_))
 
   /** q113: [[runningUserTotals]] — arbitrary keyed state via
     * mapGroupsWithState — through the real engine. Update-mode emissions

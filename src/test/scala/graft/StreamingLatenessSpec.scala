@@ -256,4 +256,54 @@ class StreamingLatenessSpec extends SparkSpec {
       assert(droppedByWatermark(q) == 1L)
     } finally q.stop()
   }
+
+  /** Same waves as the q92 torture, pinning where the custom-state
+    * rebuild MATCHES session_window (in-batch OOO, cross-batch
+    * extension, value accounting, watermark close) and the one place
+    * the surfaces genuinely differ: flatMapGroupsWithState applies
+    * ROW-level lateness (input below the watermark never reaches the
+    * state function — empirically verified), while session_window
+    * judges lateness by the WINDOW (a below-watermark row whose
+    * session is still open is merged). So user 3's 11:50 row — kept by
+    * q92's engine — is dropped here. Identical output whenever rows
+    * arrive within the watermark, which is why q114 shares q92's
+    * oracle. */
+  test("q114 torture: custom-state sessions under the same OOO waves") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventsStream.customSessions(mem.toDF())
+      .writeStream.format("memory").queryName("ooo_custom_sessions")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Ev(ts("2024-01-01T10:10:00Z"), 1, "click", 2.0),
+        Ev(ts("2024-01-01T10:00:00Z"), 1, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(
+        Ev(ts("2024-01-01T10:25:00Z"), 1, "click", 0.5),
+        Ev(ts("2024-01-01T14:00:00Z"), 2, "view", 1.0))
+      q.processAllAvailable()
+      mem.addData(
+        Ev(ts("2024-01-01T10:20:00Z"), 1, "click", 99.0),
+        Ev(ts("2024-01-01T11:50:00Z"), 3, "view", 2.0))
+      q.processAllAvailable()
+      mem.addData(Ev(ts("2024-01-01T18:00:00Z"), 9, "view", 0.0))
+      q.processAllAvailable()
+
+      val rows = spark.table("ooo_custom_sessions").collect()
+        .map(r => (r.getAs[Timestamp]("session_start").toInstant.toString,
+                   r.getAs[Timestamp]("session_end").toInstant.toString,
+                   r.getAs[Long]("user_id"), r.getAs[Long]("events"),
+                   r.getAs[Double]("value_sum")))
+        .toSet
+      assert(rows == Set(
+        // merged OOO session, batch-late 10:25 extension, exact sums —
+        // all identical to the native operator...
+        ("2024-01-01T10:00:00Z", "2024-01-01T10:55:00Z", 1L, 3L, 3.5),
+        ("2024-01-01T14:00:00Z", "2024-01-01T14:30:00Z", 2L, 1L, 1.0)))
+        // ...but NO user-3 session: its 11:50 row was below the 12:00
+        // watermark and fMGWS row-level lateness dropped it (q92's
+        // window-level rule keeps it — the documented divergence)
+    } finally q.stop()
+  }
 }
