@@ -319,6 +319,23 @@ object Curation {
       }.orderBy("doc_id")
     }),
 
+    // Dataset-versioning CDC: keyed digest diff of two corpus snapshots
+    // (simulated deterministically from the documents table: % 11 / % 13
+    // membership windows plus a text edit on % 17) → added / removed /
+    // changed report, unchanged rows filtered before materializing. The
+    // digest is an explicit canonical encoding, never engine-native
+    // struct rendering.
+    "q115_snapshot_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val prev = docs.filter(col("doc_id") % 11 =!= 0)
+      val cur = docs.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text", when(col("doc_id") % 17 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      graft.operators.Merge.snapshotDiff(prev, cur, "doc_id",
+          Seq("text", "lang", "source", "n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // Curriculum ordering: EXACT global rank of every doc by length
     // (quality stand-in) with NO single-task sort — range exchange on
     // the ordering key, parallel within-partition ranks, control-plane
@@ -654,6 +671,27 @@ object Curation {
                   / CAST(COUNT(*) * $BigramScale AS DOUBLE) AS mean_p
          FROM bg JOIN c_bg USING (w1, w2) JOIN c_head USING (w1)
          GROUP BY doc_id ORDER BY doc_id""",
+
+    "q115_snapshot_diff" -> {
+      val enc = "md5(concat_ws(chr(1), COALESCE(text, chr(2)), " +
+        "COALESCE(lang, chr(2)), COALESCE(source, chr(2)), " +
+        "COALESCE(CAST(n_chars AS VARCHAR), chr(2))))"
+      s"""WITH prev AS (
+            SELECT doc_id, $enc AS digest FROM documents WHERE doc_id % 11 <> 0),
+          cur0 AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END AS text,
+                   lang, source, n_chars
+            FROM documents WHERE doc_id % 13 <> 0),
+          cur AS (SELECT doc_id, $enc AS digest FROM cur0)
+          SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id,
+                 CASE WHEN p.digest IS NULL THEN 'added'
+                      WHEN c.digest IS NULL THEN 'removed'
+                      WHEN p.digest <> c.digest THEN 'changed' END AS change
+          FROM prev p FULL OUTER JOIN cur c ON p.doc_id = c.doc_id
+          WHERE p.digest IS NULL OR c.digest IS NULL OR p.digest <> c.digest
+          ORDER BY doc_id"""
+    },
 
     "q112_curriculum_rank" ->
       """SELECT doc_id, n_chars AS w,

@@ -88,4 +88,26 @@ class MergeSpec extends SparkSpec {
       Merge.upsert(snap0, Merge.init(Seq(("CVE-1", 0.5)).toDF("id", "epss"), t1))
     }
   }
+
+  test("snapshotDiff labels added/removed/changed; null and empty encode distinctly") {
+    val prev = Seq(
+      (1L, Option("a"), 10L),   // unchanged
+      (2L, Option("b"), 20L),   // value change
+      (3L, Option("c"), 30L),   // removed
+      (5L, None: Option[String], 50L),       // null -> "" must read as CHANGED
+      (6L, Option(""), 60L)     // "" stays "" -> unchanged
+    ).toDF("id", "name", "v")
+    val cur = Seq(
+      (1L, Option("a"), 10L),
+      (2L, Option("b"), 21L),
+      (4L, Option("d"), 40L),   // added
+      (5L, Option(""), 50L),
+      (6L, Option(""), 60L)
+    ).toDF("id", "name", "v")
+    val out = graft.operators.Merge
+      .snapshotDiff(prev, cur, "id", Seq("name", "v"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out == Map(2L -> "changed", 3L -> "removed",
+                      4L -> "added", 5L -> "changed"))
+  }
 }
