@@ -148,33 +148,6 @@ object Merge {
     * structs containing maps aren't natively orderable, hence a JSON sort
     * key — computed ONCE per element before collection, not inside the
     * comparator (which runs O(n log n) times per group). */
-  /** Snapshot diff (CDC between two corpus versions): keyed full-outer
-    * compare of content digests → one row per key that changed, labeled
-    * added / removed / changed — the "what moved between yesterday's and
-    * today's curated set" report a dataset-versioning pipeline publishes
-    * with each release. The digest is md5 over an EXPLICIT canonical
-    * encoding (values cast to string, unit-separator joined, null marked with \u0002 — NUL is not a valid DuckDB string byte)
-    * — never engine-native struct/JSON rendering, which formats doubles
-    * and nulls differently across engines. One shuffle per side on the
-    * key; unchanged rows (the overwhelming majority at 100 TB) are
-    * filtered before the result materializes. */
-  def snapshotDiff(prev: DataFrame, cur: DataFrame, keyCol: String,
-                   compareCols: Seq[String]): DataFrame = {
-    def digest(df: DataFrame) = df.select(
-      col(keyCol),
-      md5(concat_ws("\u0001",
-        compareCols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*))
-        .as("digest"))
-    digest(prev).as("p")
-      .join(digest(cur).as("c"), Seq(keyCol), "full_outer")
-      .withColumn("change",
-        when(col("p.digest").isNull, lit("added"))
-          .when(col("c.digest").isNull, lit("removed"))
-          .when(col("p.digest") =!= col("c.digest"), lit("changed")))
-      .filter(col("change").isNotNull)
-      .select(col(keyCol), col("change"))
-  }
-
   def lossless(delta: DataFrame, key: String, valueCol: String): DataFrame = {
     val keyed = delta.select(col(key),
       struct(to_json(struct(col(valueCol))).as("k"), col(valueCol).as("v")).as("_kv"))
@@ -183,5 +156,36 @@ object Merge {
     keyed.groupBy(col(key))
       .agg(transform(array_sort(collect_list(col("_kv")), cmp),
         e => e("v")).as(valueCol))
+  }
+
+  /** Snapshot diff (CDC between two corpus versions): keyed full-outer
+    * compare of content digests -> one row per key that changed, labeled
+    * added / removed / changed - the "what moved between yesterday's and
+    * today's curated set" report a dataset-versioning pipeline publishes
+    * with each release. The digest is md5 over an INJECTIVE canonical
+    * encoding: each field length-prefixed ("v<len>:<chars>", null = "n")
+    * and concatenated - a prefix code, so no field content (separators,
+    * markers, anything) can make two different row values collide - and
+    * never engine-native struct/JSON rendering, which formats doubles
+    * and nulls differently across engines. One shuffle per side on the
+    * key; unchanged rows (the overwhelming majority at 100 TB) are
+    * filtered before the result materializes. */
+  def snapshotDiff(prev: DataFrame, cur: DataFrame, keyCol: String,
+                   compareCols: Seq[String]): DataFrame = {
+    def enc(c: String): Column = {
+      val v = col(c).cast("string")
+      when(v.isNull, lit("n"))
+        .otherwise(concat(lit("v"), length(v).cast("string"), lit(":"), v))
+    }
+    def digest(df: DataFrame) = df.select(
+      col(keyCol), md5(concat(compareCols.map(enc): _*)).as("digest"))
+    digest(prev).as("p")
+      .join(digest(cur).as("c"), Seq(keyCol), "full_outer")
+      .withColumn("change",
+        when(col("p.digest").isNull, lit("added"))
+          .when(col("c.digest").isNull, lit("removed"))
+          .when(col("p.digest") =!= col("c.digest"), lit("changed")))
+      .filter(col("change").isNotNull)
+      .select(col(keyCol), col("change"))
   }
 }

@@ -673,9 +673,11 @@ object Curation {
          GROUP BY doc_id ORDER BY doc_id""",
 
     "q115_snapshot_diff" -> {
-      val enc = "md5(concat_ws(chr(1), COALESCE(text, chr(2)), " +
-        "COALESCE(lang, chr(2)), COALESCE(source, chr(2)), " +
-        "COALESCE(CAST(n_chars AS VARCHAR), chr(2))))"
+      // mirror of Merge.snapshotDiff's injective length-prefix encoding
+      def e(x: String) =
+        s"CASE WHEN $x IS NULL THEN 'n' ELSE 'v' || CAST(length($x) AS VARCHAR) || ':' || $x END"
+      val enc = s"md5(${e("text")} || ${e("lang")} || ${e("source")} || " +
+        s"${e("CAST(n_chars AS VARCHAR)")})"
       s"""WITH prev AS (
             SELECT doc_id, $enc AS digest FROM documents WHERE doc_id % 11 <> 0),
           cur0 AS (

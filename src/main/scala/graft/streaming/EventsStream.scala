@@ -181,10 +181,19 @@ object EventsStream {
       if (retained.isEmpty) state.remove()
       else {
         state.update(SessBuf(retained))
-        // re-arm at the earliest retained end, CEILING to ms: a truncated
-        // timestamp could fire while wmUs is still below the micro-exact
-        // end, and the re-arm at an already-passed ms would throw
-        state.setTimeoutTimestamp((retained.map(_.last_us).min + gapUs + 999L) / 1000L)
+        // The engine fires a timeout only when watermark > armed ts
+        // (STRICT), but the close condition is INCLUSIVE (end <= wm,
+        // like session_window) — so arm one ms BELOW the ms-ceiled
+        // earliest end: the group then wakes exactly when wm reaches
+        // the end, including a final watermark that lands ON it. If
+        // that value is not strictly above the current watermark (end
+        // within the next ms), arm at wm+1 — the only case that can
+        // miss is a watermark frozen forever exactly one ms past this
+        // session's end, which a micros-granular close can't express
+        // through ms-granular timeouts.
+        val endMsCeil = (retained.map(_.last_us).min + gapUs + 999L) / 1000L
+        val wmNowMs = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(math.max(endMsCeil - 1L, wmNowMs + 1L))
       }
       closed.iterator.map(s =>
         SessOut(s.start_us, s.last_us + gapUs, user, s.n, s.sum_micros))
@@ -318,12 +327,6 @@ object EventsStream {
     } else link(target.getFileName.toString, target)
   }
 
-  /** Batch-replay harness: drive a windowed aggregation through the real
-    * streaming engine — file source, event-time watermark, APPEND mode,
-    * so ONLY watermark-closed windows emit — over the bounded events
-    * table, and return the emitted rows. The oracle mirrors the close
-    * condition exactly: windows whose end ≤ max(ts) − the 2 h lateness
-    * bound. Work dirs are temp, removed on JVM exit. */
   /** Stage the events table behind a file-source stream: per-part-file
     * links in a fresh work dir (symlink-safe cleanup) + the nanos-long →
     * micros-timestamp normalization Tables.load applies. Returns the
@@ -346,6 +349,12 @@ object EventsStream {
     (events, work)
   }
 
+  /** Batch-replay harness: drive a windowed aggregation through the real
+    * streaming engine — file source, event-time watermark, APPEND mode,
+    * so ONLY watermark-closed windows emit — over the bounded events
+    * table, and return the emitted rows. The oracle mirrors the close
+    * condition exactly: windows whose end ≤ max(ts) − the 2 h lateness
+    * bound. Work dirs are temp, removed on JVM exit. */
   private def replayEvents(spark: SparkSession, dir: String,
                            agg: DataFrame => DataFrame): DataFrame = {
     val (events, work) = stagedEvents(spark, dir)

@@ -110,4 +110,15 @@ class MergeSpec extends SparkSpec {
     assert(out == Map(2L -> "changed", 3L -> "removed",
                       4L -> "added", 5L -> "changed"))
   }
+
+  test("snapshotDiff encoding is injective: separator-looking content cannot collide") {
+    // ("x\u0001y","z") vs ("x","y\u0001z") collide under naive
+    // separator-joined encodings; the length-prefix code must not
+    val prev = Seq((1L, "x\u0001y", "z"), (2L, "\u0002", "q")).toDF("id", "a", "b")
+    val cur = Seq((1L, "x", "y\u0001z"),
+                  (2L, null.asInstanceOf[String], "q")).toDF("id", "a", "b")
+    val out = graft.operators.Merge.snapshotDiff(prev, cur, "id", Seq("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out == Map(1L -> "changed", 2L -> "changed"))
+  }
 }

@@ -257,6 +257,29 @@ class StreamingLatenessSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("q114 boundary: a session whose end lands EXACTLY on the final watermark emits") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventsStream.customSessions(mem.toDF())
+      .writeStream.format("memory").queryName("boundary_custom_sessions")
+      .outputMode("append").start()
+    try {
+      // session end = 10:00 + 30m = 10:30; closer at 12:30 puts the
+      // final watermark at EXACTLY 10:30. The close condition is
+      // inclusive (end <= wm, like session_window), but the engine
+      // fires timeouts only when wm is STRICTLY past the armed ts —
+      // the arm-one-ms-below logic is what makes this emit.
+      mem.addData(Ev(ts("2024-01-01T10:00:00Z"), 1, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(ts("2024-01-01T12:30:00Z"), 2, "view", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("boundary_custom_sessions").collect()
+        .map(r => (r.getAs[Timestamp]("session_start").toInstant.toString,
+                   r.getAs[Long]("user_id")))
+      assert(rows.toSet == Set(("2024-01-01T10:00:00Z", 1L)))
+    } finally q.stop()
+  }
+
   /** Same waves as the q92 torture, pinning where the custom-state
     * rebuild MATCHES session_window (in-batch OOO, cross-batch
     * extension, value accounting, watermark close) and the one place
