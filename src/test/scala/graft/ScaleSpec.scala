@@ -126,4 +126,46 @@ class ScaleSpec extends SparkSpec {
     assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
       s"missing pruned schema in: $scan")
   }
+
+  test("top-k per group plans WindowGroupLimit: only k rows per group survive each shuffle side") {
+    // The q12 shape. Spark's rank-limit pushdown inserts a PARTIAL
+    // WindowGroupLimit below the exchange (map-side k-per-group prune)
+    // and a FINAL one above - at 100 TB the shuffle carries k rows per
+    // group instead of every row, which is the difference between a
+    // top-k that scales and one that moves the corpus.
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val w = Window.partitionBy($"l_orderkey").orderBy($"l_extendedprice".desc)
+    val topk = li.withColumn("rn", row_number().over(w)).filter($"rn" <= 2)
+    topk.write.format("noop").mode("overwrite").save()
+    val plan = topk.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"expected map-side WindowGroupLimit in:\n${plan.take(1500)}")
+  }
+
+  test("selective join injects a runtime bloom filter into the probe-side scan") {
+    // Spark's runtime-filter optimization: a bloom built from the
+    // filtered build side is pushed into the big side's scan, pruning
+    // rows BEFORE the shuffle. Default size thresholds target real
+    // scans (10GB probe side), so this only manifests at cluster scale;
+    // the spec lowers the application-side threshold to prove the
+    // mechanism fires on our plan shapes.
+    val prev = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try {
+      val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      val ord = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+        .filter($"o_orderpriority" === "1-URGENT")
+      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey")).groupBy().count()
+      j.collect()
+      assert(j.queryExecution.executedPlan.toString.toLowerCase.contains("bloom"),
+        "expected a runtime bloom filter in the probe-side scan")
+    } finally {
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      prev.foreach(v => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v))
+      if (prev.isEmpty) spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }
