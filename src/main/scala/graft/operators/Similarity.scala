@@ -216,6 +216,41 @@ object Similarity {
   def clusteringObjective(units: DataFrame, cents: DataFrame): Double =
     assignCells(units, cents).agg(avg(col("cell_sim"))).head().getDouble(0)
 
+  /** Cap on seed subdivisions per label — the composite cell id is
+    * `label · SplitCap + sub` so distinct labels can never collide; a
+    * label whose population would need ≥ SplitCap subdivisions fails
+    * loudly (the srpDupPairs raise_error pattern) instead of wrapping
+    * into another label's id space. */
+  val SplitCap: Long = 1L << 20
+
+  /** Scale k WITH the corpus — the SemDeDup prescription ("k grows with
+    * corpus size") made operational: subdivide every seed label into
+    * `ceil(pop / targetCell)` sub-seeds by plain id arithmetic
+    * (`vec_id mod splits` — dense ids spread near-uniformly), so seed
+    * cells start at ~targetCell members no matter how large the corpus
+    * grows and the within-cell quadratic stays Σ O(targetCell²). Fully
+    * deterministic and engine-portable (COUNT + integer ceil-div + mod —
+    * no RNG, no non-mirrorable hash), so the DuckDB oracle replays it
+    * exactly. The per-label population aggregate is tiny (O(labels)) and
+    * broadcast back; the corpus itself is touched map-side only. */
+  def withAutoCells(corpus: DataFrame, targetCell: Long,
+                    idCol: String = "vec_id", cellCol: String = "label",
+                    outCol: String = "auto_cell"): DataFrame = {
+    require(targetCell > 0, s"targetCell ($targetCell) must be positive")
+    val pops = corpus.groupBy(col(cellCol)).agg(count(lit(1)).as("_pop"))
+    corpus.join(broadcast(pops), cellCol)
+      .withColumn("_splits",
+        expr(s"(_pop + ${targetCell - 1L}) div ${targetCell}L"))
+      .withColumn(outCol,
+        when(col("_splits") < SplitCap,
+             col(cellCol).cast("long") * SplitCap + pmod(col(idCol), col("_splits")))
+          .otherwise(raise_error(concat(
+            lit(s"withAutoCells: label needs >= $SplitCap subdivisions ("),
+            col("_splits").cast("string"),
+            lit(s") — raise targetCell ($targetCell)")))))
+      .drop("_pop", "_splits")
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC dedup as
     * cluster-then-dedup-within-cluster — k-means partitions the embedding
     * space, then exact pairwise cosine runs ONLY inside each cell, so the

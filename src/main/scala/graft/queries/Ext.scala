@@ -48,6 +48,10 @@ object Ext {
   private val JaccardThreshold = 0.8
   private val ContainmentThreshold = 0.9
   private val CosineDupThreshold = 0.4
+  // Small enough that every sf0.01 label (44-59 vectors) actually splits
+  // (2-3 sub-seeds), so q116 exercises the subdivision path, not the
+  // splits=1 identity.
+  private val AutoKTargetCell = 24L
   /** PageRank rounds / fixed-point scale for q99. */
   private val PageRankIters = 3
   private val PageRankScale = 1000000000000L
@@ -579,6 +583,21 @@ object Ext {
         .orderBy("vec_id")
     }),
 
+    // q107 with k SCALED TO THE CORPUS — the piece that makes SemDeDup's
+    // Σ O(cell²) budget hold at 100 TB: seed labels are subdivided into
+    // ceil(pop / targetCell) cells by plain id arithmetic, so cells start
+    // at ~targetCell members at ANY corpus size (the sf1 rehearsal showed
+    // the fixed 10-label seeding outgrowing DefaultMaxCell at 10× — this
+    // is the documented "re-train with larger k" answer, automated).
+    "q116_semantic_autok" -> ((s, dir) => {
+      Similarity.semDedupRemovals(
+          Similarity.withAutoCells(t(s, dir, "embeddings"), AutoKTargetCell),
+          CosineDupThreshold, cellCol = "auto_cell")
+        .select(col("vec_id"), col("witness_id"),
+                round(col("max_sim"), 6).as("max_sim"))
+        .orderBy("vec_id")
+    }),
+
     // IVF+PQ composed (IVFADC): coarse cell restriction + PQ-ADC ranking
     // from m-byte codes — the standard billion-scale ANN index layout.
     // Per query the scan touches ONE cell's code rows; scoring reads m
@@ -761,9 +780,13 @@ object Ext {
     * mirrors Similarity.kmeansRefineExact(units, exactCentroids, 1).
     * Emits CTEs cents0/a0/cents1/sims1; consumers rank sims1. Shared by
     * q87 (refined assignment) and q88 (recall with refined cells). */
-  private val kmeansRefineCtes: String =
-    s"""flat AS (SELECT label AS cell, generate_subscripts(u, 1) AS pos,
-                        unnest(u) AS val FROM e),
+  /** Lloyd round from an arbitrary seed relation: expects a CTE
+    * `es(vec_id, u, scell)` upstream; emits cents0/a0/cents1/sims1. The
+    * label-seeded [[kmeansRefineCtes]] and the auto-k q116 differ only
+    * in how `es` derives `scell`. */
+  private val kmeansRefineFromSeeds: String =
+    s"""flat AS (SELECT scell AS cell, generate_subscripts(u, 1) AS pos,
+                        unnest(u) AS val FROM es),
         cdim AS (SELECT cell, pos,
                         CAST(SUM(CAST(val AS DECIMAL(28,16))) AS DOUBLE)
                           / CAST(COUNT(*) AS DOUBLE) AS cv
@@ -789,6 +812,22 @@ object Ext {
         sims1 AS (SELECT e.vec_id AS id, c.cell,
                          ${foldDot("e.u", "c.centroid")} AS sim
                   FROM e CROSS JOIN cents1 c)"""
+
+  private val kmeansRefineCtes: String =
+    s"""es AS (SELECT vec_id, u, label AS scell FROM e),
+        $kmeansRefineFromSeeds"""
+
+  /** Auto-k seeds mirroring Similarity.withAutoCells: per-label integer
+    * ceil-div split count, composite cell = label · SplitCap + id mod
+    * splits. */
+  private def autoSeedCtes(targetCell: Long): String =
+    s"""pops AS (SELECT label, COUNT(*) AS n FROM e GROUP BY 1),
+        es AS (SELECT e.vec_id, e.u,
+                      CAST(e.label AS BIGINT) * ${Similarity.SplitCap}
+                      + (e.vec_id % ((p.n + ${targetCell - 1L}) // $targetCell))
+                        AS scell
+               FROM e JOIN pops p ON e.label = p.label),
+        $kmeansRefineFromSeeds"""
 
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -1373,6 +1412,30 @@ object Ext {
     "q107_semantic_dedup" ->
       s"""WITH $unitCte,
           $kmeansRefineCtes,
+          a1 AS (SELECT id, cell AS acell FROM (
+                   SELECT id, cell,
+                          ROW_NUMBER() OVER (PARTITION BY id
+                                             ORDER BY sim DESC, cell ASC) AS rn
+                   FROM sims1)
+                 WHERE rn = 1),
+          au AS (SELECT e.vec_id AS id, e.u, a1.acell
+                 FROM e JOIN a1 ON e.vec_id = a1.id
+                 QUALIFY COUNT(*) OVER (PARTITION BY a1.acell)
+                         <= ${Similarity.DefaultMaxCell}),
+          pairs AS (SELECT x.id AS a_id, y.id AS b_id,
+                           ${foldDot("x.u", "y.u")} AS sim
+                    FROM au x JOIN au y
+                    ON x.acell = y.acell AND x.id < y.id)
+          SELECT b_id AS vec_id, MIN(a_id) AS witness_id,
+                 ROUND(MAX(sim), 6) AS max_sim
+          FROM pairs WHERE sim >= $CosineDupThreshold
+          GROUP BY 1 ORDER BY vec_id""",
+
+    // q107 with corpus-scaled seeds: identical Lloyd + dedup body, only
+    // the seed derivation differs (autoSeedCtes == withAutoCells).
+    "q116_semantic_autok" ->
+      s"""WITH $unitCte,
+          ${autoSeedCtes(AutoKTargetCell)},
           a1 AS (SELECT id, cell AS acell FROM (
                    SELECT id, cell,
                           ROW_NUMBER() OVER (PARTITION BY id

@@ -73,6 +73,41 @@ class SimilaritySpec extends SparkSpec {
     assert(uncapped == Set(2L, 3L, 4L, 5L, 11L)) // keep-first: 1 survives
   }
 
+  test("withAutoCells subdivides each label into ceil(pop/target) seed cells") {
+    // label 0: 7 members with ids covering residues 0..3 (mod 4) →
+    // target 2 ⇒ splits = ceil(7/2) = 4 distinct sub-cells; label 1:
+    // 2 members ⇒ splits = 1, single cell = 1 * SplitCap
+    val corpus = ((1L to 7L).map(id => (id, Array(1.0f, 0f), 0)) ++
+      Seq((20L, Array(0f, 1.0f), 1), (21L, Array(0f, 1.0f), 1)))
+      .toDF("vec_id", "embedding", "label")
+    val cells = Similarity.withAutoCells(corpus, targetCell = 2L)
+      .groupBy("label").agg(countDistinct($"auto_cell").as("k"),
+                            collect_set($"auto_cell").as("cs"))
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(cells(0).getAs[Long]("k") == 4L)
+    assert(cells(1).getAs[Long]("k") == 1L)
+    assert(cells(1).getAs[scala.collection.Seq[Long]]("cs")
+      == Seq(Similarity.SplitCap)) // 1 · SplitCap + (id mod 1 = 0)
+  }
+
+  test("withAutoCells with splits = 1 everywhere is the identity seeding") {
+    // target ≥ every label's population ⇒ one sub-cell per label ⇒ the
+    // refined dedup decision must equal the plain label-seeded path
+    val plain = Similarity.semDedupRemovals(vecs, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val auto = Similarity.semDedupRemovals(
+        Similarity.withAutoCells(vecs, targetCell = 100L),
+        0.9, cellCol = "auto_cell")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(auto == plain)
+  }
+
+  test("withAutoCells rejects a non-positive target") {
+    intercept[IllegalArgumentException] {
+      Similarity.withAutoCells(vecs, targetCell = 0L)
+    }
+  }
+
   test("native graft_dot is bit-identical to the ordered HOF fold") {
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
