@@ -44,6 +44,12 @@ import org.apache.spark.sql.functions._
   * a different build than the rows it bands against. A build retains
   * the previous committed version (for probes in flight across one
   * rebuild) and prunes anything older.
+  *
+  * DAILY DELTAS LAYER instead of rewriting: [[append]] publishes a
+  * delta's band rows as a new version whose sidecar points at its
+  * parent, probes read the pinned version's whole CHAIN (each layer
+  * partition-pruned), and the next full [[write]] compacts the chain —
+  * LSM-style: O(delta) per day, O(corpus) only at compaction.
   */
 object BandIndex {
   val BucketCol = "band_bucket"
@@ -72,12 +78,16 @@ object BandIndex {
   /** Commit the version: write the sidecar under a temp name, then rename
     * it into place — a same-directory rename of a small file, atomic on
     * POSIX and HDFS, so a concurrent probe either sees the complete
-    * sidecar (version committed) or none (version invisible). */
-  private def commitMeta(spark: SparkSession, vdir: Path, l: Layout): Unit = {
+    * sidecar (version committed) or none (version invisible). A LAYER
+    * (delta append) records its parent version as a fourth field; a base
+    * build records none. */
+  private def commitMeta(spark: SparkSession, vdir: Path, l: Layout,
+                         parent: Option[Int] = None): Unit = {
     val f = fs(spark, vdir.toString)
     val tmp = new Path(vdir, MetaFile + ".tmp")
     val out = f.create(tmp, true)
-    try out.write(s"${l.buckets} ${l.numHashes} ${l.bands}"
+    try out.write((s"${l.buckets} ${l.numHashes} ${l.bands}"
+        + parent.map(p => s" $p").getOrElse(""))
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
     require(f.rename(tmp, new Path(vdir, MetaFile)),
@@ -114,13 +124,34 @@ object BandIndex {
   private def vdir(path: String, v: Int): Path =
     new Path(path, f"$VersionPrefix$v%05d")
 
-  private def layoutAt(spark: SparkSession, versionDir: String): Layout = {
+  private def metaAt(spark: SparkSession,
+                     versionDir: String): (Layout, Option[Int]) = {
     val in = fs(spark, versionDir).open(new Path(versionDir, MetaFile))
     val parts =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         .split("\\s+").map(_.toInt)
       finally in.close()
-    Layout(parts(0), parts(1), parts(2))
+    (Layout(parts(0), parts(1), parts(2)), parts.lift(3))
+  }
+
+  private def layoutAt(spark: SparkSession, versionDir: String): Layout =
+    metaAt(spark, versionDir)._1
+
+  /** The version chain of `v`: itself, then parents down to the base.
+    * Parents are always claimed before their children, so the walk must
+    * strictly descend — a sidecar violating that is corrupt and fails
+    * loudly rather than looping. */
+  private def chainOf(spark: SparkSession, path: String, v: Int): Seq[Int] = {
+    val chain = Seq.newBuilder[Int]
+    var cur = Option(v)
+    while (cur.nonEmpty) {
+      val c = cur.get
+      chain += c
+      cur = metaAt(spark, vdir(path, c).toString)._2
+      require(cur.forall(_ < c),
+        s"band index chain corrupt under $path: $c points at ${cur.get}")
+    }
+    chain.result()
   }
 
   def layout(spark: SparkSession, path: String): Layout =
@@ -179,17 +210,58 @@ object BandIndex {
       .repartition(buckets, col(BucketCol))
       .write.partitionBy(BucketCol).mode("overwrite").parquet(target.toString)
     commitMeta(spark, target, Layout(buckets, numHashes, bands))
-    // prune: below `next`, keep only the newest COMMITTED version (the
-    // one an in-flight probe could have pinned); drop older committed
-    // versions AND any abandoned uncommitted directories + their claims
+    prune(spark, path, next)
+  }
+
+  /** Append a DELTA's band rows as a new LAYER on the current committed
+    * version instead of rewriting the corpus index — the daily path: the
+    * nightly [[write]] is O(corpus), the daily append is O(delta). The
+    * layer inherits the banding layout FROM the index (an append can
+    * never change the hash family) and its sidecar records the parent
+    * version; probes read the whole chain, partition-pruned per layer,
+    * so probe cost grows with layer COUNT, not corpus size — compaction
+    * is simply the next full [[write]], which collapses the chain.
+    * Re-appending a doc already in the chain is harmless: candidate
+    * pairs are distinct()ed and verification is per doc.
+    *
+    * Concurrency: safe against concurrent probes and full rebuilds (the
+    * same versioned-commit argument as [[write]]). Two SIMULTANEOUS
+    * appends both pin the same parent and the later commit wins the
+    * chain — the earlier layer is silently shadowed — so appends must be
+    * serialized by the caller (they are the once-per-tick step of the
+    * daily loop; ticks are inherently sequential). */
+  def append(deltaSh: DataFrame, path: String): Unit = {
+    val spark = deltaSh.sparkSession
+    val pinned = currentPath(spark, path)
+    val l = layoutAt(spark, pinned)
+    val parent = versionOf(new Path(pinned).getName).get
+    val next = claimVersion(spark, path)
+    val target = vdir(path, next)
+    val sig = Dedup.signaturesFromExploded(deltaSh, l.numHashes)
+    Dedup.bandKeys(sig, l.bands, l.rowsPerBand, l.numHashes)
+      .withColumn(BucketCol, bucketOf(col("band"), col("bkey"), l.buckets))
+      .repartition(l.buckets, col(BucketCol))
+      .write.partitionBy(BucketCol).mode("overwrite").parquet(target.toString)
+    commitMeta(spark, target, l, Some(parent))
+    prune(spark, path, next)
+  }
+
+  /** Sweep everything below `next` except the LIVE chains: `next`'s own
+    * ancestors (those layers ARE the index) and the newest committed
+    * predecessor's chain (the version an in-flight probe could have
+    * pinned, with its layers). Crashed builds' uncommitted directories
+    * and stale claim files go too. */
+  private def prune(spark: SparkSession, path: String, next: Int): Unit = {
     val f = fs(spark, path)
-    val committedBelow = versions(spark, path).filter(_ < next)
+    val prevPinned = versions(spark, path).filter(_ < next)
       .sorted(Ordering[Int].reverse)
       .find(v => f.exists(new Path(vdir(path, v), MetaFile)))
+    val keep = (chainOf(spark, path, next) ++
+      prevPinned.toSeq.flatMap(v => chainOf(spark, path, v))).toSet
     val claimed = f.listStatus(new Path(path)).toSeq.filter(_.isFile)
       .flatMap(st => versionOf(st.getPath.getName.stripPrefix(".claim-")))
     (versions(spark, path) ++ claimed).distinct
-      .filter(v => v < next && !committedBelow.contains(v))
+      .filter(v => v < next && !keep.contains(v))
       .foreach { v =>
         f.delete(vdir(path, v), true)
         f.delete(claimFile(path, v), false)
@@ -206,14 +278,23 @@ object BandIndex {
       org.apache.spark.sql.types.LongType)))
 
   /** The partition-pruned probe read against the CURRENT committed
-    * version: only directories holding a touched bucket are scanned
-    * (exposed for the spec's plan assertion). An index built from an
-    * EMPTY corpus (day zero: sidecar + _SUCCESS, no bucket directories)
-    * reads as zero corpus rows — the probe then yields delta-internal
-    * pairs only, instead of crashing schema inference. */
+    * version AND its layer chain: per layer, only directories holding a
+    * touched bucket are scanned (exposed for the spec's plan assertion).
+    * An index built from an EMPTY corpus (day zero: sidecar + _SUCCESS,
+    * no bucket directories) reads as zero corpus rows — the probe then
+    * yields delta-internal pairs only, instead of crashing schema
+    * inference. */
   def readTouched(spark: SparkSession, path: String,
                   touched: Seq[Long]): DataFrame =
-    readTouchedAt(spark, currentPath(spark, path), touched)
+    readChain(spark, path, currentPath(spark, path), touched)
+
+  private def readChain(spark: SparkSession, path: String, pinnedDir: String,
+                        touched: Seq[Long]): DataFrame = {
+    val v = versionOf(new Path(pinnedDir).getName).get
+    chainOf(spark, path, v)
+      .map(c => readTouchedAt(spark, vdir(path, c).toString, touched))
+      .reduce(_ union _)
+  }
 
   private def readTouchedAt(spark: SparkSession, versionDir: String,
                             touched: Seq[Long]): DataFrame = {
@@ -258,7 +339,7 @@ object BandIndex {
     val touched = bd
       .select(bucketOf(col("band"), col("bkey"), l.buckets).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq.sorted
-    val bc = readTouchedAt(spark, pinned, touched)
+    val bc = readChain(spark, path, pinned, touched)
     val crossCand = bd.as("x").join(bc.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
         col("x.doc_id") =!= col("y.doc_id"))

@@ -361,6 +361,35 @@ object Ext {
       }.orderBy("a_id", "b_id")
     }),
 
+    // The LAYERED daily loop over the same on-disk index: nightly base
+    // build (docs ≢ 0,5 mod 10), day-1 delta APPENDED as an O(delta)
+    // layer (≡ 5), day-2 delta probed against the base+layer chain
+    // (≡ 0) — no corpus rewrite between ticks; the next full write()
+    // compacts. The probe's truth is identical to a monolithic index
+    // over ≢ 0 (DedupSpec asserts that equality programmatically; here
+    // the DuckDB oracle gates it end-to-end).
+    "q117_index_append" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val baseSh = Dedup.explodedShingles(Dedup.shingleSets(
+        docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5)))
+      val d1Sh = Dedup.explodedShingles(Dedup.shingleSets(
+        docs.filter(col("doc_id") % 10 === 5)))
+      val d2Sh = Dedup.explodedShingles(Dedup.shingleSets(
+        docs.filter(col("doc_id") % 10 === 0)))
+      val idxPath = "file:" + scratchDir(
+        s"graft_band_layer_${Integer.toHexString(dir.hashCode)}")
+      Dedup.withPersisted(baseSh) { c =>
+        graft.operators.BandIndex.write(c, idxPath) // nightly compaction
+        Dedup.withPersisted(d1Sh) { d1 =>
+          graft.operators.BandIndex.append(d1, idxPath) // day-1 tick
+          Dedup.withPersisted(d2Sh) { d2 =>
+            graft.operators.BandIndex.minhashPairsFromIndex(
+              idxPath, c.union(d1), d2, JaccardThreshold) // day-2 probe
+          }
+        }
+      }.orderBy("a_id", "b_id")
+    }),
+
     // ANN recall@k — the tuning dial for the approximate tiers: hit
     // counts of IVF top-3 (q39), PQ-ADC top-5 (q61) and SRP-LSH pairs
     // (q75, sampled to vec_id % 10 = 0 so the exact pair ground truth
@@ -1172,6 +1201,16 @@ object Ext {
     // Same exact-recompute oracle as q81: the on-disk index path must
     // reproduce the in-memory incremental answer bit for bit.
     "q106_disk_index_dedup" ->
+      s"""WITH $pairsCte
+          SELECT a_id, b_id, jaccard FROM pairs
+          WHERE a_id % 10 = 0 OR b_id % 10 = 0
+          ORDER BY a_id, b_id""",
+
+    // Same truth as q106 (the probe side is the ≡ 0 docs, the index side
+    // everything else) — reached through the layered base+append chain
+    // instead of a monolithic build, which is exactly the claim under
+    // gate: layering must not change the answer.
+    "q117_index_append" ->
       s"""WITH $pairsCte
           SELECT a_id, b_id, jaccard FROM pairs
           WHERE a_id % 10 = 0 OR b_id % 10 = 0

@@ -92,6 +92,55 @@ class DedupSpec extends SparkSpec {
     assert(afterRebuild == inMem)
   }
 
+  test("band index layers: append == rebuild, chain survives pruning, write() compacts") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    def sh(p: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      Dedup.explodedShingles(Dedup.shingleSets(docs.filter(p($"doc_id"))))
+    val baseSh = sh(id => id % 5 === 1 || id % 5 === 2 || id % 5 === 3)
+    val d1Sh = sh(id => id % 5 === 4)
+    val d2Sh = sh(id => id % 5 === 0)
+    val B = graft.operators.BandIndex
+
+    // layered: base build + day-1 append, day-2 probe
+    val idx = java.nio.file.Files.createTempDirectory("graft_bandidx_layer")
+      .resolve("idx").toString
+    B.write(baseSh, idx) // v1
+    B.append(d1Sh, idx)  // v2 → parent v1
+    val vnames = new java.io.File(idx).listFiles
+      .filter(_.isDirectory).map(_.getName).sorted
+    // the parent layer must SURVIVE the append's prune — it is the index
+    assert(vnames.toSeq == Seq("v-00001", "v-00002"), vnames.toSeq)
+    val layered = B.minhashPairsFromIndex(idx, baseSh.union(d1Sh), d2Sh, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    // monolithic truth: one index over base ∪ d1
+    val idx2 = java.nio.file.Files.createTempDirectory("graft_bandidx_mono")
+      .resolve("idx").toString
+    B.write(baseSh.union(d1Sh), idx2)
+    val mono = B.minhashPairsFromIndex(idx2, baseSh.union(d1Sh), d2Sh, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(layered.nonEmpty && layered == mono)
+
+    // a second append layers on the first (chain of three)
+    B.append(d2Sh, idx) // v3 → parent v2
+    assert(new java.io.File(idx).listFiles.filter(_.isDirectory).length == 3)
+    // readTouched over every bucket now sees all three layers' docs
+    val l = B.layout(spark, idx)
+    val allDocs = B.readTouched(spark, idx, (0L until l.buckets).toSeq)
+      .select("doc_id").distinct().count()
+    val expected = docs.select("doc_id").distinct().count()
+    assert(allDocs == expected, s"chain read saw $allDocs of $expected docs")
+
+    // compaction: a full write() collapses the chain; one prior version
+    // (the previous pinned head) is retained WITH its ancestor layers
+    // for in-flight probes, and the next write sweeps them
+    B.write(baseSh.union(d1Sh).union(d2Sh), idx) // v4 (keeps v3's chain)
+    B.write(baseSh.union(d1Sh).union(d2Sh), idx) // v5 (keeps v4 only)
+    val after = new java.io.File(idx).listFiles
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(after.toSeq == Seq("v-00004", "v-00005"), after.toSeq)
+  }
+
   test("band index: a crashed build's junk version is swept, the committed predecessor survives") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val sh = Dedup.explodedShingles(Dedup.shingleSets(docs.limit(20)))
