@@ -12,7 +12,11 @@ class ScaleSpec extends SparkSpec {
   import spark.implicits._
 
   private def countShuffles(df: org.apache.spark.sql.DataFrame): Int = {
-    // Materialize so AQE finalizes the plan, then count shuffle nodes.
+    // Counts the INITIAL physical plan's exchanges — the distribution
+    // requirements Catalyst planned. (The noop write executes a separate
+    // cloned query execution, so AQE never finalizes THIS plan; that is
+    // fine here, since AQE only reuses/coalesces exchanges, never adds
+    // one, so the initial count is the upper bound these tests pin.)
     df.write.format("noop").mode("overwrite").save()
     val plan = df.queryExecution.executedPlan
     val finalPlan = plan match {
@@ -164,6 +168,50 @@ class ScaleSpec extends SparkSpec {
         "expected a runtime bloom filter in the probe-side scan")
     } finally {
       spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      prev.foreach(v => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v))
+      if (prev.isEmpty) spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("AQE splits a runtime-skewed join partition (the unsalted safety net)") {
+    // q111's salting handles KNOWN hot keys; for skew discovered only at
+    // runtime the engine's own OptimizeSkewedJoin must carry the plan —
+    // AQE replans the sort-merge join with the oversized partition split
+    // across tasks. Default thresholds target 256 MB partitions; the
+    // spec lowers them to prove the rewrite fires on our join shapes.
+    val prev = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    try {
+      // one hot key carrying ~100× the rows of every other key; the
+      // payload column rides through to the OUTPUT so the hot partition
+      // is genuinely oversized in bytes (a k-only projection would prune
+      // it to nothing), and no downstream operator requires the join's
+      // hash partitioning (a keyed agg above the join would veto the
+      // split, since split partitions no longer satisfy its
+      // distribution)
+      val skewed = spark.range(0, 20000)
+        .select(when($"id" < 19000, lit(7L)).otherwise($"id").as("k"),
+                concat(lit("payload-padding-"), $"id").as("v"))
+      val dim = spark.range(0, 200).select($"id".as("k"), ($"id" * 2).as("w"))
+      val j = skewed.join(dim, "k")
+      // collect() executes THIS dataset's queryExecution — a .write would
+      // plan a separate one, leaving this plan un-finalized by AQE
+      j.collect()
+      val finalPlan = j.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      assert(finalPlan.toString.contains("skew=true"),
+        s"expected OptimizeSkewedJoin to split the hot partition:\n$finalPlan")
+    } finally {
+      Seq("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        .foreach(spark.conf.unset)
       prev.foreach(v => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v))
       if (prev.isEmpty) spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
