@@ -198,8 +198,7 @@ object BandIndex {
     val spark = corpusSh.sparkSession
     val next = claimVersion(spark, path)
     val target = vdir(path, next)
-    val sig = Dedup.signaturesFromExploded(corpusSh, numHashes)
-    Dedup.bandKeys(sig, bands, numHashes / bands, numHashes)
+    bandRows(corpusSh, Layout(buckets, numHashes, bands))
       .withColumn(BucketCol, bucketOf(col("band"), col("bkey"), buckets))
       // cluster each bucket into one task before the partitioned write:
       // without this every shuffle partition writes a sliver into every
@@ -212,6 +211,13 @@ object BandIndex {
     commitMeta(spark, target, Layout(buckets, numHashes, bands))
     prune(spark, path, next)
   }
+
+  /** Band a shingle relation under a layout — the ONE banding used by
+    * build, append and probe, so a relation is never banded twice with
+    * accidentally different families. */
+  private def bandRows(sh: DataFrame, l: Layout): DataFrame =
+    Dedup.bandKeys(Dedup.signaturesFromExploded(sh, l.numHashes),
+      l.bands, l.rowsPerBand, l.numHashes)
 
   /** Append a DELTA's band rows as a new LAYER on the current committed
     * version instead of rewriting the corpus index — the daily path: the
@@ -230,20 +236,60 @@ object BandIndex {
     * chain — the earlier layer is silently shadowed — so appends must be
     * serialized by the caller (they are the once-per-tick step of the
     * daily loop; ticks are inherently sequential). */
-  def append(deltaSh: DataFrame, path: String): Unit = {
-    val spark = deltaSh.sparkSession
-    val pinned = currentPath(spark, path)
-    val l = layoutAt(spark, pinned)
-    val parent = versionOf(new Path(pinned).getName).get
-    val next = claimVersion(spark, path)
-    val target = vdir(path, next)
-    val sig = Dedup.signaturesFromExploded(deltaSh, l.numHashes)
-    Dedup.bandKeys(sig, l.bands, l.rowsPerBand, l.numHashes)
-      .withColumn(BucketCol, bucketOf(col("band"), col("bkey"), l.buckets))
-      .repartition(l.buckets, col(BucketCol))
-      .write.partitionBy(BucketCol).mode("overwrite").parquet(target.toString)
-    commitMeta(spark, target, l, Some(parent))
-    prune(spark, path, next)
+  def append(deltaSh: DataFrame, path: String): Unit =
+    new DeltaTick(path, deltaSh).append()
+
+  /** One probe-then-append tick of the daily loop, pinned to ONE
+    * committed version: the delta is banded ONCE under the pinned
+    * layout and the SAME band rows serve both [[pairs]] (the chain
+    * probe) and [[append]] (the new layer) — banding is the tick's
+    * expensive stage (64 mins per doc behind a shuffle), so the
+    * streaming loop (q118) must not pay it twice. Pinning at
+    * construction also closes the layout race: a rebuild committing
+    * mid-tick can't band the delta with one family and append it under
+    * another. */
+  final class DeltaTick(path: String, deltaSh: DataFrame) {
+    private val spark = deltaSh.sparkSession
+    private val pinnedDir = currentPath(spark, path)
+    private val l = layoutAt(spark, pinnedDir)
+    private val parent = versionOf(new Path(pinnedDir).getName).get
+    /** Delta band rows under the pinned layout; localCheckpoint'ed — the
+      * touched-bucket collect, the chain probe join, the delta-internal
+      * self-join and the layer write all consume it. */
+    lazy val bands: DataFrame = bandRows(deltaSh, l).localCheckpoint()
+
+    /** Near-dup pairs of the delta against the pinned chain + itself
+      * (see [[minhashPairsFromIndex]]). */
+    def pairs(corpusSh: DataFrame, threshold: Double): DataFrame = {
+      val touched = bands
+        .select(bucketOf(col("band"), col("bkey"), l.buckets).as("b"))
+        .distinct().collect().map(_.getLong(0)).toSeq.sorted
+      val bc = readChain(spark, path, pinnedDir, touched)
+      val crossCand = bands.as("x").join(bc.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+        .select(least(col("x.doc_id"), col("y.doc_id")).as("a_id"),
+                greatest(col("x.doc_id"), col("y.doc_id")).as("b_id"))
+      val deltaCand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      Dedup.verifyPairs(crossCand.union(deltaCand).distinct(),
+        corpusSh.union(deltaSh), threshold)
+    }
+
+    /** Publish the banded delta as the next layer (parent = the pinned
+      * version). */
+    def append(): Unit = {
+      val next = claimVersion(spark, path)
+      val target = vdir(path, next)
+      bands
+        .withColumn(BucketCol, bucketOf(col("band"), col("bkey"), l.buckets))
+        .repartition(l.buckets, col(BucketCol))
+        .write.partitionBy(BucketCol).mode("overwrite").parquet(target.toString)
+      commitMeta(spark, target, l, Some(parent))
+      prune(spark, path, next)
+    }
   }
 
   /** Sweep everything below `next` except the LIVE chains: `next`'s own
@@ -327,29 +373,6 @@ object BandIndex {
     * the directory scan.
     */
   def minhashPairsFromIndex(path: String, corpusSh: DataFrame,
-                            deltaSh: DataFrame, threshold: Double): DataFrame = {
-    val spark = deltaSh.sparkSession
-    val pinned = currentPath(spark, path)
-    val l = layoutAt(spark, pinned)
-    val bd = Dedup.bandKeys(
-        Dedup.signaturesFromExploded(deltaSh, l.numHashes),
-        l.bands, l.rowsPerBand, l.numHashes)
-      .localCheckpoint()
-    // Control-plane: which index directories can hold a colliding band?
-    val touched = bd
-      .select(bucketOf(col("band"), col("bkey"), l.buckets).as("b"))
-      .distinct().collect().map(_.getLong(0)).toSeq.sorted
-    val bc = readChain(spark, path, pinned, touched)
-    val crossCand = bd.as("x").join(bc.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-        col("x.doc_id") =!= col("y.doc_id"))
-      .select(least(col("x.doc_id"), col("y.doc_id")).as("a_id"),
-              greatest(col("x.doc_id"), col("y.doc_id")).as("b_id"))
-    val deltaCand = bd.as("x").join(bd.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-    Dedup.verifyPairs(crossCand.union(deltaCand).distinct(),
-      corpusSh.union(deltaSh), threshold)
-  }
+                            deltaSh: DataFrame, threshold: Double): DataFrame =
+    new DeltaTick(path, deltaSh).pairs(corpusSh, threshold)
 }

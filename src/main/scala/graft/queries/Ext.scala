@@ -390,6 +390,17 @@ object Ext {
       }.orderBy("a_id", "b_id")
     }),
 
+    // The q117 daily loop run CONTINUOUSLY: micro-batches probe the
+    // persisted layered index, upsert verified pairs into a keyed
+    // snapshot, then append themselves as an O(batch) layer. A pair is
+    // discovered exactly when its later member arrives, so the final
+    // snapshot equals the full-corpus pair set (batch q32's truth)
+    // regardless of how the engine batched the input.
+    "q118_stream_index_dedup" -> ((s, dir) => {
+      graft.streaming.DocsStream.replayIndexedDedup(s, dir, JaccardThreshold)
+        .orderBy("a_id", "b_id")
+    }),
+
     // ANN recall@k — the tuning dial for the approximate tiers: hit
     // counts of IVF top-3 (q39), PQ-ADC top-5 (q61) and SRP-LSH pairs
     // (q75, sampled to vec_id % 10 = 0 so the exact pair ground truth
@@ -1215,6 +1226,10 @@ object Ext {
           SELECT a_id, b_id, jaccard FROM pairs
           WHERE a_id % 10 = 0 OR b_id % 10 = 0
           ORDER BY a_id, b_id""",
+
+    // The streamed daily loop must land on the complete batch truth —
+    // every pair, discovered at whichever tick its later member arrived.
+    "q118_stream_index_dedup" -> jaccardSql,
 
     // The LSH-candidates + exact-containment-verify construction is NOT
     // mirrored here — the oracle is the uncapped exact answer (q73's),

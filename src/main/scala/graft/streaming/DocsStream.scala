@@ -111,4 +111,92 @@ object DocsStream {
     q.awaitTermination()
     spark.read.parquet(snap)
   }
+
+  /** Streaming incremental near-dup detection against the PERSISTED
+    * layered band index — the q106/q117 daily loop run as a continuous
+    * pipeline. Every micro-batch: (1) shingles its docs, (2) probes the
+    * index CHAIN for candidates against all earlier docs plus itself and
+    * exact-verifies them, (3) upserts the verified pairs into a keyed
+    * snapshot, (4) appends its own band rows as an O(batch) index layer
+    * and its shingles to the verification store. A pair is discovered
+    * exactly when its LATER member arrives, so the final snapshot equals
+    * the FULL-CORPUS pair set no matter how the engine batches the input
+    * — the batching-invariance that makes a streaming pipeline
+    * oracle-checkable (q118 gates it against the same DuckDB truth as
+    * batch q32; StreamingSpec pins 1-batch == N-batch).
+    *
+    * Exactly-once under re-delivery: the keyed upsert absorbs re-probed
+    * pairs; a re-appended index layer only duplicates postings (the
+    * candidate distinct() ignores them); and the store read anti-joins
+    * the in-flight batch's doc ids so a crash AFTER the store append
+    * cannot double the batch's shingle rows in verification (verify
+    * counts raw rows per doc — duplicates would corrupt jaccard).
+    *
+    * 100 TB/day shape: per tick the corpus-sized relations are touched
+    * only via the partition-pruned chain probe and the candidate-
+    * restricted verify semi-join; signatures/banding/append are O(batch).
+    * The pair snapshot rewrite is O(pairs); at scale that sink becomes
+    * the K1 bucketed partition-overwrite merge. */
+  def replayIndexedDedup(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, threshold: Double,
+                         inputSplits: Int = 4): DataFrame = {
+    import graft.operators.{BandIndex, Dedup, Merge}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val work = java.nio.file.Files.createTempDirectory("graft_docs_incdedup_")
+    scala.sys.addShutdownHook(graft.sources.Landing.deleteNoFollow(work.toFile))
+    // deterministic multi-file input so AvailableNow + maxFilesPerTrigger
+    // genuinely exercises the incremental path (a single-file table would
+    // collapse into one all-delta batch)
+    val in = work.resolve("in").toString
+    docs.repartitionByRange(inputSplits, col("doc_id")).write.parquet(in)
+    val idx = "file:" + work.resolve("idx")
+    val store = work.resolve("shingles").toString
+    val snap = work.resolve("pairs").toString
+    // day zero: an EMPTY committed base version, so the first batch
+    // probes legally and yields its delta-internal pairs
+    val emptySh = Dedup.explodedShingles(Dedup.shingleSets(docs.limit(0)))
+    val shSchema = emptySh.schema
+    BandIndex.write(emptySh, idx)
+    emptySh.write.parquet(store) // may land zero part files; see schema read
+    val q = EventsStream.runAvailableNow(
+      spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .writeStream
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .outputMode("update")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val s = batch.sparkSession
+          // multi-consumer (probe join, self-join, touched collect, two
+          // appends) — persisted for the tick, released before the next
+          val bsh = Dedup.explodedShingles(Dedup.shingleSets(batch))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val earlier = s.read.schema(shSchema).parquet(store)
+              .join(bsh.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+            // one pinned tick: the batch is banded ONCE, serving both
+            // the chain probe and the layer append below
+            val tick = new BandIndex.DeltaTick(idx, bsh)
+            val pairs = tick.pairs(earlier, threshold)
+              .withColumn("pk",
+                concat_ws(":", col("a_id"), col("b_id")))
+            // materialize pairs into the keyed snapshot BEFORE the two
+            // appends so a re-delivered batch recomputes from the same
+            // pre-append state it first saw
+            graft.SnapshotIO.recover(s.sparkContext.hadoopConfiguration, snap)
+            val prev =
+              if (graft.SnapshotIO.nonEmpty(s.sparkContext.hadoopConfiguration, snap))
+                s.read.parquet(snap)
+              else Merge.init(pairs.limit(0))
+            val tmp = snap + "_tmp"
+            Merge.upsert(prev, pairs, "pk").write.mode("overwrite").parquet(tmp)
+            graft.SnapshotIO.swap(s.sparkContext.hadoopConfiguration, tmp, snap)
+            tick.append() // the O(batch) daily layer, same band rows
+            bsh.write.mode("append").parquet(store)
+          } finally bsh.unpersist()
+          ()
+        })
+    q.awaitTermination()
+    spark.read.parquet(snap).select("a_id", "b_id", "jaccard")
+  }
 }

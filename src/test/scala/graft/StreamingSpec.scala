@@ -292,4 +292,23 @@ class StreamingSpec extends SparkSpec {
       assert(batch == rows)
     } finally q.stop()
   }
+
+  test("indexed streaming dedup is batching-invariant and equals the batch truth") {
+    import graft.operators.Dedup
+    import graft.streaming.DocsStream
+    val dir = "/root/testdata/sf0.001"
+    def pairsOf(splits: Int) =
+      DocsStream.replayIndexedDedup(spark, dir, 0.8, inputSplits = splits)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // 4 input files × maxFilesPerTrigger=1 → four probe→upsert→append
+    // ticks; 1 file → one all-delta tick. The pair set must not care.
+    val incremental = pairsOf(4)
+    val oneShot = pairsOf(1)
+    assert(incremental.nonEmpty && incremental == oneShot)
+    // and both equal the plain batch LSH pipeline over the same corpus
+    val batch = Dedup.minhashDupPairs(
+        Tables.load(spark, dir, "documents"), 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(incremental == batch)
+  }
 }
