@@ -136,7 +136,9 @@ object DocsStream {
     * only via the partition-pruned chain probe and the candidate-
     * restricted verify semi-join; signatures/banding/append are O(batch).
     * The pair snapshot rewrite is O(pairs); at scale that sink becomes
-    * the K1 bucketed partition-overwrite merge. */
+    * the K1 bucketed partition-overwrite merge, and the shingle store
+    * a doc_id-bucketed table (PartitionedSnapshot layout) so the verify
+    * read prunes files — not just rows — down to candidate docs. */
   def replayIndexedDedup(spark: org.apache.spark.sql.SparkSession,
                          dir: String, threshold: Double,
                          inputSplits: Int = 4): DataFrame = {
