@@ -238,7 +238,13 @@ object Similarity {
                     outCol: String = "auto_cell"): DataFrame = {
     require(targetCell > 0, s"targetCell ($targetCell) must be positive")
     val pops = corpus.groupBy(col(cellCol)).agg(count(lit(1)).as("_pop"))
-    corpus.join(broadcast(pops), cellCol)
+      .withColumnRenamed(cellCol, "_pcell")
+    // null-safe join: a NULL label groups in pops but an equi-join would
+    // silently DROP its rows here (the plain label-seeded path keeps
+    // them); with <=> they survive as one undivided seed cell (their
+    // composite id is null·cap + mod = null on both engines alike)
+    corpus.join(broadcast(pops), col(cellCol) <=> col("_pcell"))
+      .drop("_pcell")
       .withColumn("_splits",
         expr(s"(_pop + ${targetCell - 1L}) div ${targetCell}L"))
       .withColumn(outCol,

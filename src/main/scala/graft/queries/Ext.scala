@@ -816,12 +816,10 @@ object Ext {
         b$i AS (SELECT b.sub, b.code, COALESCE(n.new_vec, b.code_vec) AS code_vec
                 FROM $prev b LEFT JOIN n$i n ON b.sub = n.sub AND b.code = n.code)"""
 
-  /** One exact-decimal Lloyd round over full vectors, label-cell init —
-    * mirrors Similarity.kmeansRefineExact(units, exactCentroids, 1).
-    * Emits CTEs cents0/a0/cents1/sims1; consumers rank sims1. Shared by
-    * q87 (refined assignment) and q88 (recall with refined cells). */
-  /** Lloyd round from an arbitrary seed relation: expects a CTE
-    * `es(vec_id, u, scell)` upstream; emits cents0/a0/cents1/sims1. The
+  /** One exact-decimal Lloyd round over full vectors from an arbitrary
+    * seed relation — mirrors Similarity.kmeansRefineExact(units,
+    * exactCentroids, 1). Expects a CTE `es(vec_id, u, scell)` upstream;
+    * emits cents0/a0/cents1/sims1 (consumers rank sims1). The
     * label-seeded [[kmeansRefineCtes]] and the auto-k q116 differ only
     * in how `es` derives `scell`. */
   private val kmeansRefineFromSeeds: String =
@@ -853,6 +851,8 @@ object Ext {
                          ${foldDot("e.u", "c.centroid")} AS sim
                   FROM e CROSS JOIN cents1 c)"""
 
+  /** The label-cell seeding of [[kmeansRefineFromSeeds]] — shared by q87
+    * (refined assignment), q88/q89 (recall with refined cells) and q107. */
   private val kmeansRefineCtes: String =
     s"""es AS (SELECT vec_id, u, label AS scell FROM e),
         $kmeansRefineFromSeeds"""
@@ -866,7 +866,7 @@ object Ext {
                       CAST(e.label AS BIGINT) * ${Similarity.SplitCap}
                       + (e.vec_id % ((p.n + ${targetCell - 1L}) // $targetCell))
                         AS scell
-               FROM e JOIN pops p ON e.label = p.label),
+               FROM e JOIN pops p ON e.label IS NOT DISTINCT FROM p.label),
         $kmeansRefineFromSeeds"""
 
   private def sqlList(words: Seq[String]): String =
