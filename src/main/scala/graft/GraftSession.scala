@@ -33,6 +33,11 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Driver testdata writes events.ts as non-UTC-adjusted micros; with
+      // NTZ inference on, that surfaces as TIMESTAMP_NTZ, which watermarks
+      // reject and bigint casts refuse. Read it as session-TZ TIMESTAMP
+      // (session is pinned UTC above, so instants are unchanged).
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.optimizer.excludedRules",
               "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.warehouse.dir",

@@ -26,6 +26,12 @@ object Tables {
     // normalize to a micros TimestampType so downstream ops are uniform.
     if (name == "events" && df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // Non-UTC-adjusted parquet micros read as NTZ when a session lacks
+    // GraftSession's inferTimestampNTZ=false; under the UTC session TZ the
+    // cast is instant-preserving.
+    else if (name == "events" &&
+             df.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+      df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
     else df
   }
 

@@ -258,9 +258,14 @@ object BandIndex {
       * self-join and the layer write all consume it. */
     lazy val bands: DataFrame = bandRows(deltaSh, l).localCheckpoint()
 
-    /** Near-dup pairs of the delta against the pinned chain + itself
-      * (see [[minhashPairsFromIndex]]). */
-    def pairs(corpusSh: DataFrame, threshold: Double): DataFrame = {
+    /** Candidate pairs of the delta against the pinned chain + itself:
+      * distinct (a_id, b_id), a_id < b_id. Exposed separately from
+      * [[pairs]] so a caller that OWNS the verification relation (the
+      * streaming shingle store) can collect the candidate docs' store
+      * buckets and file-prune its read BEFORE verification.
+      * localCheckpoint'ed — consumed by the verify join and by the
+      * caller's touched-bucket collect. */
+    lazy val candidates: DataFrame = {
       val touched = bands
         .select(bucketOf(col("band"), col("bkey"), l.buckets).as("b"))
         .distinct().collect().map(_.getLong(0)).toSeq.sorted
@@ -274,9 +279,13 @@ object BandIndex {
           col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      Dedup.verifyPairs(crossCand.union(deltaCand).distinct(),
-        corpusSh.union(deltaSh), threshold)
+      crossCand.union(deltaCand).distinct().localCheckpoint()
     }
+
+    /** Near-dup pairs of the delta against the pinned chain + itself
+      * (see [[minhashPairsFromIndex]]). */
+    def pairs(corpusSh: DataFrame, threshold: Double): DataFrame =
+      Dedup.verifyPairs(candidates, corpusSh.union(deltaSh), threshold)
 
     /** Publish the banded delta as the next layer (parent = the pinned
       * version). */

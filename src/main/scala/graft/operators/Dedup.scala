@@ -95,15 +95,6 @@ object Dedup {
     finally p.unpersist()
   }
 
-  /** Exact pairwise n-gram Jaccard ≥ threshold via shingle equi-join,
-    * from a pre-exploded (ideally persisted) shingle relation.
-    * Set sizes ride along on the exploded rows (window count over doc_id)
-    * so no post-aggregation joins are needed — the pair aggregate carries
-    * (na, nb) as grouping constants. `maxShingleDf` drops shingles
-    * occurring in more than that many docs — the skew guard that stops a
-    * stop-shingle from making the self-join quadratic on one key. ON by
-    * default ([[DefaultMaxShingleDf]]); pass 0 to disable explicitly
-    * (ground-truth/oracle-parity runs only — never at scale). */
   /** Shared pair-statistics skeleton for the exact set-overlap measures:
     * df-cap skew guard → per-doc set sizes (window count riding on the
     * exploded rows) → shingle equi-self-join → (a_id, b_id, na, nb, i).
@@ -126,6 +117,15 @@ object Dedup {
       .agg(count(lit(1)).as("i"))
   }
 
+  /** Exact pairwise n-gram Jaccard ≥ threshold via shingle equi-join,
+    * from a pre-exploded (ideally persisted) shingle relation.
+    * Set sizes ride along on the exploded rows (window count over doc_id)
+    * so no post-aggregation joins are needed — the pair aggregate carries
+    * (na, nb) as grouping constants. `maxShingleDf` drops shingles
+    * occurring in more than that many docs — the skew guard that stops a
+    * stop-shingle from making the self-join quadratic on one key. ON by
+    * default ([[DefaultMaxShingleDf]]); pass 0 to disable explicitly
+    * (ground-truth/oracle-parity runs only — never at scale). */
   def jaccardPairsFrom(sh0: DataFrame, threshold: Double,
                        maxShingleDf: Long = DefaultMaxShingleDf): DataFrame =
     pairStatsFrom(sh0, maxShingleDf)

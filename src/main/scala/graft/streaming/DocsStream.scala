@@ -112,37 +112,129 @@ object DocsStream {
     spark.read.parquet(snap)
   }
 
+  /** doc_id hash buckets in the persisted shingle store: each batch's
+    * shingles are directory-partitioned on a stable bucket of doc_id
+    * (the PartitionedSnapshot layout move) so the verify read prunes
+    * FILES down to candidate docs' buckets, not just rows. */
+  val StoreBuckets = 32
+
+  /** On-disk schema of the shingle store: the exploded (doc_id, shingle)
+    * rows plus the two directory-partition columns — `batch` (which
+    * micro-batch landed the row; the idempotence key) and `doc_bucket`
+    * (the pruning key). Fixed here, never inferred: a day-zero store has
+    * no files to infer from. */
+  val StoreSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("shingle",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("batch",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("doc_bucket",
+        org.apache.spark.sql.types.LongType)))
+
+  /** The verify-side read of the shingle store: STRICTLY-EARLIER batches
+    * (partition filter on `batch` — the in-flight batch is excluded
+    * structurally, so a crash-replayed batch that already appended its
+    * shingles cannot double its own rows in verification) restricted to
+    * the given doc buckets (partition filter on `doc_bucket` — only
+    * files holding candidate docs are opened). Both predicates prune at
+    * the FILE level; StreamingSpec asserts the scan metrics. */
+  def earlierShingles(spark: org.apache.spark.sql.SparkSession, store: String,
+                      batchId: Long, buckets: Seq[Long]): DataFrame =
+    spark.read.schema(StoreSchema).parquet(store)
+      .filter(col("batch") < lit(batchId) &&
+              col("doc_bucket").isin(buckets: _*))
+      .select("doc_id", "shingle")
+
+  /** ONE probe→verify→upsert→append tick of the indexed streaming dedup
+    * — the foreachBatch body of [[replayIndexedDedup]], factored out so
+    * the idempotence spec can re-deliver a committed batch directly.
+    *
+    * Exactly-once under re-delivery, with NO crash point that corrupts
+    * state: the pair snapshot is a keyed upsert (absorbs re-probed
+    * pairs); the index layer append only duplicates postings (the
+    * candidate distinct() ignores them); and the shingle store append is
+    * IDEMPOTENT — the batch's rows land in its own `batch=<id>`
+    * partition directory via a wholesale overwrite, so a re-delivered
+    * batch replaces its earlier (possibly partial) append instead of
+    * doubling it, and the verify read excludes the in-flight partition
+    * by filter rather than by anti-join. Verify counts raw rows per doc,
+    * so doubled store rows would corrupt jaccard — the old append+
+    * anti-join layout left exactly that window between the store append
+    * and the checkpoint commit. */
+  def indexedDedupTick(batch: DataFrame, batchId: Long, idx: String,
+                       store: String, snap: String,
+                       threshold: Double): Unit = {
+    import graft.operators.{BandIndex, Dedup, Merge, PartitionedSnapshot}
+    val s = batch.sparkSession
+    // multi-consumer (probe join, self-join, touched collect, two
+    // appends) — persisted for the tick, released before the next
+    val bsh = Dedup.explodedShingles(Dedup.shingleSets(batch))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // one pinned tick: the batch is banded ONCE, serving both
+      // the chain probe and the layer append below
+      val tick = new BandIndex.DeltaTick(idx, bsh)
+      val cand = tick.candidates
+      // control-plane: which store buckets hold candidate docs
+      // (≤ StoreBuckets values)
+      val touched = cand.select(col("a_id").as("doc_id"))
+        .union(cand.select(col("b_id").as("doc_id")))
+        .select(PartitionedSnapshot.bucketOf(col("doc_id"), StoreBuckets).as("b"))
+        .distinct().collect().map(_.getLong(0)).toSeq.sorted
+      val earlier = earlierShingles(s, store, batchId, touched)
+      val pairs = Dedup.verifyPairs(cand, earlier.union(bsh), threshold)
+        .withColumn("pk", concat_ws(":", col("a_id"), col("b_id")))
+      // materialize pairs into the keyed snapshot BEFORE the two
+      // appends so a re-delivered batch recomputes from the same
+      // pre-append state it first saw
+      graft.SnapshotIO.recover(s.sparkContext.hadoopConfiguration, snap)
+      val prev =
+        if (graft.SnapshotIO.nonEmpty(s.sparkContext.hadoopConfiguration, snap))
+          s.read.parquet(snap)
+        else Merge.init(pairs.limit(0))
+      val tmp = snap + "_tmp"
+      Merge.upsert(prev, pairs, "pk").write.mode("overwrite").parquet(tmp)
+      graft.SnapshotIO.swap(s.sparkContext.hadoopConfiguration, tmp, snap)
+      tick.append() // the O(batch) daily layer, same band rows
+      // idempotent O(batch) store append: cluster each bucket into one
+      // task first (same small-files reasoning as BandIndex.write)
+      bsh.withColumn("doc_bucket",
+          PartitionedSnapshot.bucketOf(col("doc_id"), StoreBuckets))
+        .repartition(StoreBuckets, col("doc_bucket"))
+        .write.partitionBy("doc_bucket").mode("overwrite")
+        .parquet(s"$store/batch=$batchId")
+    } finally bsh.unpersist()
+    ()
+  }
+
   /** Streaming incremental near-dup detection against the PERSISTED
     * layered band index — the q106/q117 daily loop run as a continuous
     * pipeline. Every micro-batch: (1) shingles its docs, (2) probes the
     * index CHAIN for candidates against all earlier docs plus itself and
     * exact-verifies them, (3) upserts the verified pairs into a keyed
     * snapshot, (4) appends its own band rows as an O(batch) index layer
-    * and its shingles to the verification store. A pair is discovered
-    * exactly when its LATER member arrives, so the final snapshot equals
-    * the FULL-CORPUS pair set no matter how the engine batches the input
-    * — the batching-invariance that makes a streaming pipeline
-    * oracle-checkable (q118 gates it against the same DuckDB truth as
-    * batch q32; StreamingSpec pins 1-batch == N-batch).
-    *
-    * Exactly-once under re-delivery: the keyed upsert absorbs re-probed
-    * pairs; a re-appended index layer only duplicates postings (the
-    * candidate distinct() ignores them); and the store read anti-joins
-    * the in-flight batch's doc ids so a crash AFTER the store append
-    * cannot double the batch's shingle rows in verification (verify
-    * counts raw rows per doc — duplicates would corrupt jaccard).
+    * and its shingles to the bucketed verification store. A pair is
+    * discovered exactly when its LATER member arrives, so the final
+    * snapshot equals the FULL-CORPUS pair set no matter how the engine
+    * batches the input — the batching-invariance that makes a streaming
+    * pipeline oracle-checkable (q118 gates it against the same DuckDB
+    * truth as batch q32; StreamingSpec pins 1-batch == N-batch).
+    * Per-tick semantics and the exactly-once argument live on
+    * [[indexedDedupTick]].
     *
     * 100 TB/day shape: per tick the corpus-sized relations are touched
-    * only via the partition-pruned chain probe and the candidate-
-    * restricted verify semi-join; signatures/banding/append are O(batch).
-    * The pair snapshot rewrite is O(pairs); at scale that sink becomes
-    * the K1 bucketed partition-overwrite merge, and the shingle store
-    * a doc_id-bucketed table (PartitionedSnapshot layout) so the verify
-    * read prunes files — not just rows — down to candidate docs. */
+    * only via the partition-pruned chain probe and the store read pruned
+    * to earlier batches × candidate-doc buckets (file-level, then the
+    * verify semi-join row-level); signatures/banding/append are
+    * O(batch). The pair snapshot rewrite is O(pairs); at scale that
+    * sink becomes the K1 bucketed partition-overwrite merge. */
   def replayIndexedDedup(spark: org.apache.spark.sql.SparkSession,
                          dir: String, threshold: Double,
                          inputSplits: Int = 4): DataFrame = {
-    import graft.operators.{BandIndex, Dedup, Merge}
+    import graft.operators.{BandIndex, Dedup}
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "text")
     val work = java.nio.file.Files.createTempDirectory("graft_docs_incdedup_")
@@ -153,50 +245,20 @@ object DocsStream {
     val in = work.resolve("in").toString
     docs.repartitionByRange(inputSplits, col("doc_id")).write.parquet(in)
     val idx = "file:" + work.resolve("idx")
-    val store = work.resolve("shingles").toString
+    val store = java.nio.file.Files.createDirectory(work.resolve("shingles"))
+      .toString // empty dir: day-zero store (schema is fixed, not inferred)
     val snap = work.resolve("pairs").toString
     // day zero: an EMPTY committed base version, so the first batch
     // probes legally and yields its delta-internal pairs
-    val emptySh = Dedup.explodedShingles(Dedup.shingleSets(docs.limit(0)))
-    val shSchema = emptySh.schema
-    BandIndex.write(emptySh, idx)
-    emptySh.write.parquet(store) // may land zero part files; see schema read
+    BandIndex.write(Dedup.explodedShingles(Dedup.shingleSets(docs.limit(0))), idx)
     val q = EventsStream.runAvailableNow(
       spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1).parquet(in)
         .writeStream
         .option("checkpointLocation", work.resolve("ckpt").toString)
         .outputMode("update")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val s = batch.sparkSession
-          // multi-consumer (probe join, self-join, touched collect, two
-          // appends) — persisted for the tick, released before the next
-          val bsh = Dedup.explodedShingles(Dedup.shingleSets(batch))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          try {
-            val earlier = s.read.schema(shSchema).parquet(store)
-              .join(bsh.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
-            // one pinned tick: the batch is banded ONCE, serving both
-            // the chain probe and the layer append below
-            val tick = new BandIndex.DeltaTick(idx, bsh)
-            val pairs = tick.pairs(earlier, threshold)
-              .withColumn("pk",
-                concat_ws(":", col("a_id"), col("b_id")))
-            // materialize pairs into the keyed snapshot BEFORE the two
-            // appends so a re-delivered batch recomputes from the same
-            // pre-append state it first saw
-            graft.SnapshotIO.recover(s.sparkContext.hadoopConfiguration, snap)
-            val prev =
-              if (graft.SnapshotIO.nonEmpty(s.sparkContext.hadoopConfiguration, snap))
-                s.read.parquet(snap)
-              else Merge.init(pairs.limit(0))
-            val tmp = snap + "_tmp"
-            Merge.upsert(prev, pairs, "pk").write.mode("overwrite").parquet(tmp)
-            graft.SnapshotIO.swap(s.sparkContext.hadoopConfiguration, tmp, snap)
-            tick.append() // the O(batch) daily layer, same band rows
-            bsh.write.mode("append").parquet(store)
-          } finally bsh.unpersist()
-          ()
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          indexedDedupTick(batch, batchId, idx, store, snap, threshold)
         })
     q.awaitTermination()
     spark.read.parquet(snap).select("a_id", "b_id", "jaccard")

@@ -42,7 +42,7 @@ object StreamDemo {
               col("text").cast("binary").as("payload"),
               lit(null).cast(Multimodal.mediaSchema("meta").dataType).as("meta"))
     val withMeta = Multimodal.withPayloadMeta(media, col("payload"))
-    val decoded = Multimodal.decodeStub(withMeta, dim = 8)
+    val decoded = Multimodal.decode(withMeta, dim = 8)
     val resized = Multimodal.resizeMeta(decoded, maxSide = 256)
     println(s"[streamdemo] decoded ${decoded.count()} payloads; " +
       s"resized>${resized.filter(col("out_width") <= 256).count()} within bounds")

@@ -293,6 +293,62 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("shingle store: re-delivered batch is idempotent; verify read is file-pruned") {
+    import graft.operators.{BandIndex, Dedup}
+    import graft.streaming.DocsStream
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val work = java.nio.file.Files.createTempDirectory("graft_store_idem_")
+    scala.sys.addShutdownHook(graft.sources.Landing.deleteNoFollow(work.toFile))
+    val idx = "file:" + work.resolve("idx")
+    val store = java.nio.file.Files.createDirectory(work.resolve("shingles")).toString
+    val snap = work.resolve("pairs").toString
+    BandIndex.write(Dedup.explodedShingles(Dedup.shingleSets(docs.limit(0))), idx)
+    val b0 = docs.filter($"doc_id" % 2 === 0)
+    val b1 = docs.filter($"doc_id" % 2 === 1)
+    DocsStream.indexedDedupTick(b0, 0L, idx, store, snap, 0.8)
+    DocsStream.indexedDedupTick(b1, 1L, idx, store, snap, 0.8)
+    def storeDf = spark.read.schema(DocsStream.StoreSchema).parquet(store)
+    val rowsBefore = storeDf.count()
+    val pairsBefore = spark.read.parquet(snap)
+      .select("a_id", "b_id", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairsBefore.nonEmpty)
+
+    // Crash-replay: the checkpoint never committed batch 1, the engine
+    // re-delivers it. The store row count and the pair snapshot must be
+    // byte-for-byte the same state — the exactly-once claim.
+    DocsStream.indexedDedupTick(b1, 1L, idx, store, snap, 0.8)
+    assert(storeDf.count() == rowsBefore,
+      s"re-delivered batch changed store rows: ${storeDf.count()} != $rowsBefore")
+    val pairsAfter = spark.read.parquet(snap)
+      .select("a_id", "b_id", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairsAfter == pairsBefore)
+    // per-(batch, doc) shingle rows are unique — no doubled rows anywhere
+    val dbl = storeDf.groupBy("doc_id", "shingle")
+      .count().filter($"count" > 1).count()
+    assert(dbl == 0, s"$dbl doubled (doc_id, shingle) rows in store")
+
+    // The verify read prunes FILES: a batch/doc_bucket-restricted read
+    // must plan partition filters and open strictly fewer files than the
+    // full store scan.
+    def filesScanned(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case s if s.metrics.contains("numFiles") =>
+          s.metrics("numFiles").value }.get
+    }
+    val all = filesScanned(storeDf.select("doc_id", "shingle"))
+    val pruned = DocsStream.earlierShingles(spark, store, 1L, Seq(0L, 1L, 2L))
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    val prunedFiles = filesScanned(pruned)
+    assert(prunedFiles < all, s"pruned read opened $prunedFiles of $all files")
+    // and the batch filter structurally excludes the in-flight batch
+    assert(DocsStream.earlierShingles(spark, store, 0L,
+      (0L until DocsStream.StoreBuckets).toSeq).count() == 0)
+  }
+
   test("indexed streaming dedup is batching-invariant and equals the batch truth") {
     import graft.operators.Dedup
     import graft.streaming.DocsStream
