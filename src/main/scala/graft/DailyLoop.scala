@@ -1,0 +1,203 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.BandIndex
+import graft.streaming.DocsStream
+
+/** The reference's full operational loop (main.py:123-147) wired
+  * end-to-end against the PERSISTED dedup index: every daily tick lands
+  * the CVE deltas through the K1 merge, runs the document delta through
+  * the probe→verify→upsert→append dedup tick (the q118 machinery), and
+  * compacts the index chain when it exceeds the cadence threshold — then
+  * commits the tick atomically.
+  *
+  * Crash model — ONE commit point per tick. A tick touches five stores
+  * (CVE snapshot, watermark table, pair snapshot, shingle store, band
+  * index); giving each its own "done" flag would create crash windows
+  * where half a tick is visible and the other half re-runs under a new
+  * batch id (doubling shingle rows — exactly the corruption class the
+  * round-8 verdict flagged in the old store). Instead a tick COMMITS by
+  * atomically creating one marker file (`tick-<seq>-<millis>`, the
+  * BandIndex claim-file pattern); every step before that is idempotent
+  * under a full re-run with the SAME batch id (= committed seq + 1):
+  * the K1 merge is a keyed upsert, the pair snapshot a keyed upsert,
+  * the shingle store a wholesale overwrite of the tick's own
+  * `batch=<id>` partition (partials from a crashed attempt are swept at
+  * tick start — any partition above the committed seq is by definition
+  * uncommitted), and a double layer append only duplicates postings,
+  * which probes distinct() away and the next compaction collapses.
+  * So: crash anywhere before the marker → the whole tick re-runs and
+  * converges to the state a crash-free run would have produced
+  * (DailyLoopSpec injects a crash after every step and asserts exactly
+  * that); crash after the marker → the tick is complete.
+  *
+  * 100 TB shape: per tick the corpus-sized relations are touched only
+  * through the partition-pruned index probe and the bucket-pruned store
+  * read (see [[DocsStream.indexedDedupTick]]); the compaction rebuild is
+  * the only O(corpus) stage and runs once per `maxChain` ticks — the
+  * knob that trades nightly rebuild cost against probe chain length.
+  */
+object DailyLoop {
+
+  /** Fail-point injection for the crash spec: throw AFTER the named
+    * step, before the tick commits. */
+  sealed trait FailPoint
+  case object AfterMerge extends FailPoint
+  case object AfterDedup extends FailPoint
+  case object AfterCompact extends FailPoint
+  final class InjectedCrash(at: FailPoint)
+    extends RuntimeException(s"injected crash $at")
+
+  /** Everything a tick persists, rooted under one directory. */
+  final case class Paths(root: String) {
+    val snapshot = s"$root/snapshot"   // CVE K1 merge target
+    val status   = s"$root/status"     // per-source watermark table
+    val index    = s"$root/idx"        // layered band index
+    val store    = s"$root/shingles"   // bucketed shingle store
+    val pairs    = s"$root/pairs"      // verified near-dup pairs
+    val ticks    = s"$root/ticks"      // tick marker files (commit points)
+  }
+
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private val Marker = """tick-(\d+)-(\d+)""".r
+
+  /** Committed tick count and the last committed tick's stamp — read
+    * from the marker files, the loop's ONLY source of tick-completion
+    * truth (the watermark table is freshness metadata for P11 consumers,
+    * not a commit flag). */
+  def committedTick(spark: SparkSession, p: Paths): (Long, Option[Timestamp]) = {
+    val f = fs(spark, p.ticks)
+    val dir = new Path(p.ticks)
+    if (!f.exists(dir)) (0L, None)
+    else {
+      val ms = f.listStatus(dir).toSeq.map(_.getPath.getName).collect {
+        case Marker(n, t) => (n.toLong, t.toLong)
+      }
+      if (ms.isEmpty) (0L, None)
+      else {
+        val (n, t) = ms.maxBy(_._1)
+        (n, Some(new Timestamp(t)))
+      }
+    }
+  }
+
+  /** T3 catch-up semantics on the marker clock: due when no tick has
+    * ever committed or elapsed ≥ interval. */
+  def isTickDue(spark: SparkSession, p: Paths, now: Timestamp,
+                intervalHours: Int = 24): Boolean =
+    committedTick(spark, p)._2 match {
+      case None => true
+      case Some(last) =>
+        now.getTime - last.getTime >= intervalHours * 3600L * 1000L
+    }
+
+  /** Sweep shingle-store partitions above the committed seq: they can
+    * only be a crashed attempt's partial append (a committed tick's
+    * partition is by construction ≤ its marker's seq). */
+  private def sweepPartials(spark: SparkSession, p: Paths, committed: Long): Unit = {
+    val f = fs(spark, p.store)
+    val dir = new Path(p.store)
+    if (f.exists(dir)) f.listStatus(dir).toSeq
+      .filter(_.isDirectory).map(_.getPath)
+      .filter { d =>
+        d.getName.split("=", 2) match {
+          case Array("batch", v) => scala.util.Try(v.toLong).toOption.exists(_ > committed)
+          case _ => false
+        }
+      }
+      .foreach(f.delete(_, true))
+  }
+
+  /** One daily tick. Steps, in order: (1) K1 merge of the landed CVE
+    * sources into the snapshot + prioritize (CveJob.runTick without its
+    * watermark stamp — the COMBINED tick owns commit), (2) the indexed
+    * dedup tick over the landed document delta, (3) compaction when the
+    * layer chain exceeds `maxChain` (full rebuild from the store under
+    * the index's OWN layout — a compaction must never change the hash
+    * family), (4) freshness stamp, (5) the marker commit. */
+  def runTick(spark: SparkSession, landing: CvePipeline.Landing,
+              docsDelta: DataFrame, p: Paths, now: Timestamp,
+              threshold: Double = 0.8, maxChain: Int = Int.MaxValue,
+              failAt: Option[FailPoint] = None): Unit = {
+    val (committed, _) = committedTick(spark, p)
+    val batchId = committed + 1
+    // day-zero store dir: the verify read's fixed schema needs a path to
+    // exist even before the first partition lands
+    fs(spark, p.store).mkdirs(new Path(p.store))
+    sweepPartials(spark, p, committed)
+
+    // (1) the CVE enrichment merge — same body as CveJob.runTick, minus
+    // the watermark stamp
+    val nowCol = lit(now.toString).cast("timestamp")
+    SnapshotIO.recover(spark.sparkContext.hadoopConfiguration, p.snapshot)
+    val result =
+      if (!SnapshotIO.nonEmpty(spark.sparkContext.hadoopConfiguration, p.snapshot))
+        CvePipeline.buildSnapshot(spark, landing, now = nowCol)
+      else {
+        val snapshot = spark.read.parquet(p.snapshot).drop("priority")
+        CvePipeline.prioritize(operators.Merge.upsertMany(
+          snapshot, CvePipeline.deltas(spark, landing), "id", nowCol))
+      }
+    val tmp = p.snapshot + "_tmp"
+    result.write.mode("overwrite").parquet(tmp)
+    SnapshotIO.swap(spark.sparkContext.hadoopConfiguration, tmp, p.snapshot)
+    if (failAt.contains(AfterMerge)) throw new InjectedCrash(AfterMerge)
+
+    // (2) probe → verify → pair upsert → layer + store append.
+    // Day zero: commit an EMPTY base version so the first delta probes
+    // legally and yields its delta-internal pairs (guarded — a crash
+    // re-run must not stack a second base).
+    if (!BandIndex.isBuilt(spark, p.index))
+      BandIndex.write(operators.Dedup.explodedShingles(
+        operators.Dedup.shingleSets(docsDelta.limit(0))), p.index)
+    DocsStream.indexedDedupTick(docsDelta, batchId, p.index, p.store,
+      p.pairs, threshold)
+    if (failAt.contains(AfterDedup)) throw new InjectedCrash(AfterDedup)
+
+    // (3) compaction cadence: collapse the chain once probes would walk
+    // more than maxChain layers — the store holds the full committed
+    // corpus (this tick's partition included), so the rebuild needs no
+    // other input
+    if (BandIndex.chainLength(spark, p.index) > maxChain) {
+      val l = BandIndex.layout(spark, p.index)
+      BandIndex.write(DocsStream.storeShingles(spark, p.store, batchId),
+        p.index, l.numHashes, l.bands, l.buckets)
+    }
+    if (failAt.contains(AfterCompact)) throw new InjectedCrash(AfterCompact)
+
+    // (4) freshness metadata for P11 consumers (idempotent re-stamp)
+    operators.Watermarks.upsert(spark, p.status, CveJob.JobSource, now)
+
+    // (5) THE commit: one atomic marker create
+    val f = fs(spark, p.ticks)
+    f.mkdirs(new Path(p.ticks))
+    f.create(new Path(p.ticks, s"tick-$batchId-${now.getTime}"), false).close()
+  }
+
+  /** The scheduler loop (T1/T6 shape, marker clock): tick when due,
+    * sleep otherwise, stop cooperatively. Returns ticks run. */
+  def loop(spark: SparkSession, landing: CvePipeline.Landing,
+           docsDelta: Long => DataFrame, p: Paths,
+           intervalHours: Int, shouldStop: () => Boolean,
+           clock: () => Timestamp,
+           threshold: Double = 0.8, maxChain: Int = Int.MaxValue,
+           sleepMs: Long = 1000L): Int = {
+    var ticks = 0
+    while (!shouldStop()) {
+      val now = clock()
+      if (isTickDue(spark, p, now, intervalHours)) {
+        val seq = committedTick(spark, p)._1 + 1
+        runTick(spark, landing, docsDelta(seq), p, now, threshold, maxChain)
+        ticks += 1
+      } else Thread.sleep(sleepMs)
+    }
+    ticks
+  }
+}

@@ -27,11 +27,19 @@ object Tables {
     if (name == "events" && df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     // Non-UTC-adjusted parquet micros read as NTZ when a session lacks
-    // GraftSession's inferTimestampNTZ=false; under the UTC session TZ the
-    // cast is instant-preserving.
+    // GraftSession's inferTimestampNTZ=false. The NTZ→TZ cast interprets
+    // the wall-clock in the SESSION timezone, so it is instant-preserving
+    // only under UTC — fail loudly rather than silently shift every event
+    // instant in a non-UTC session.
     else if (name == "events" &&
-             df.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+             df.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType) {
+      val tz = spark.conf.get("spark.sql.session.timeZone")
+      require(tz == "UTC" || tz == "Etc/UTC" || tz == "GMT",
+        s"events.ts NTZ→Timestamp cast requires a UTC session " +
+          s"(spark.sql.session.timeZone=$tz would shift instants); " +
+          "use GraftSession, or set the session timezone to UTC")
       df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
     else df
   }
 

@@ -124,6 +124,15 @@ object BandIndex {
   private def vdir(path: String, v: Int): Path =
     new Path(path, f"$VersionPrefix$v%05d")
 
+  /** Newest COMMITTED version strictly below `below` (None when the
+    * index has no committed version there yet). */
+  private def committedHead(spark: SparkSession, path: String,
+                            below: Int): Option[Int] = {
+    val f = fs(spark, path)
+    versions(spark, path).filter(_ < below).sorted(Ordering[Int].reverse)
+      .find(v => f.exists(new Path(vdir(path, v), MetaFile)))
+  }
+
   private def metaAt(spark: SparkSession,
                      versionDir: String): (Layout, Option[Int]) = {
     val in = fs(spark, versionDir).open(new Path(versionDir, MetaFile))
@@ -157,6 +166,19 @@ object BandIndex {
   def layout(spark: SparkSession, path: String): Layout =
     layoutAt(spark, currentPath(spark, path))
 
+  /** Whether any committed version exists — the day-zero bootstrap
+    * probe (an unbuilt index must be built, not probed). */
+  def isBuilt(spark: SparkSession, path: String): Boolean =
+    committedHead(spark, path, below = Int.MaxValue).nonEmpty
+
+  /** Number of versions in the CURRENT committed chain (base + layers)
+    * — what a probe walks, and the compaction-cadence input: probe cost
+    * grows with this count, not with corpus size. */
+  def chainLength(spark: SparkSession, path: String): Int =
+    committedHead(spark, path, below = Int.MaxValue)
+      .map(v => chainOf(spark, path, v).length)
+      .getOrElse(0)
+
   /** Claim a version number exclusively: `create(..., overwrite=false)`
     * of a sibling claim file is atomic on POSIX and HDFS, so two
     * concurrent builds can never write into the same v-NNNNN directory —
@@ -170,7 +192,12 @@ object BandIndex {
         f.create(claimFile(path, v), false).close()
         return v
       } catch {
-        case _: java.io.IOException => v += 1 // claimed by a racer; bump
+        // ONLY the already-exists outcome means "claimed by a racer; bump".
+        // A generic IOException (permissions, full disk, FS down) used to
+        // take this branch too and loop forever consuming version numbers
+        // — rethrow it instead.
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => v += 1
+        case _: java.nio.file.FileAlreadyExistsException        => v += 1
       }
     }
     v // unreachable
@@ -208,9 +235,21 @@ object BandIndex {
       // touched directory
       .repartition(buckets, col(BucketCol))
       .write.partitionBy(BucketCol).mode("overwrite").parquet(target.toString)
+    requireClaimLive(spark, path, next)
     commitMeta(spark, target, Layout(buckets, numHashes, bands))
     prune(spark, path, next)
   }
+
+  /** Guard between the data write and the sidecar commit: if a CONCURRENT
+    * builder's [[prune]] swept this version's claim file (it cannot tell a
+    * slow in-flight build from a crashed one), committing would publish a
+    * directory whose data files may already be half-deleted. Fail loudly
+    * and abandon the version instead — the caller re-runs and claims a
+    * fresh number. */
+  private def requireClaimLive(spark: SparkSession, path: String, v: Int): Unit =
+    require(fs(spark, path).exists(claimFile(path, v)),
+      s"band index version $v under $path lost its claim file mid-build " +
+        "(a concurrent writer pruned it) — abandoning this version; re-run")
 
   /** Band a shingle relation under a layout — the ONE banding used by
     * build, append and probe, so a relation is never banded twice with
@@ -288,7 +327,15 @@ object BandIndex {
       Dedup.verifyPairs(candidates, corpusSh.union(deltaSh), threshold)
 
     /** Publish the banded delta as the next layer (parent = the pinned
-      * version). */
+      * version).
+      *
+      * Appends must be serialized by the caller (they are the once-per-
+      * tick step of the daily loop); a SIBLING append that slipped in
+      * anyway — same pinned parent, committed first — used to be
+      * silently shadowed by this commit (the chain walks parent links,
+      * so the earlier layer simply vanished from probes). Now the commit
+      * verifies the committed head is still exactly `parent` and fails
+      * loudly otherwise, abandoning the claimed version. */
     def append(): Unit = {
       val next = claimVersion(spark, path)
       val target = vdir(path, next)
@@ -296,6 +343,13 @@ object BandIndex {
         .withColumn(BucketCol, bucketOf(col("band"), col("bkey"), l.buckets))
         .repartition(l.buckets, col(BucketCol))
         .write.partitionBy(BucketCol).mode("overwrite").parquet(target.toString)
+      val head = committedHead(spark, path, below = next)
+      require(head.contains(parent),
+        s"band index append under $path: committed head moved " +
+          s"$parent → ${head.getOrElse("none")} while this layer was " +
+          "building (concurrent append or rebuild) — committing would " +
+          "shadow it; abandoning version " + next + ", re-probe and retry")
+      requireClaimLive(spark, path, next)
       commitMeta(spark, target, l, Some(parent))
       prune(spark, path, next)
     }

@@ -165,9 +165,17 @@ object Multimodal {
       new java.io.ByteArrayInputStream(b))
     try {
       val fmt = ais.getFormat
+      // The sample loop below is written for 16-bit signed little-endian
+      // PCM only. An 8-bit / u-law / ADPCM WAV is VALID audio we just
+      // don't decode — degrade to opaque rather than index past the
+      // frame (or divide by bytesPerSample=0 for sub-byte encodings).
+      if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+          fmt.getChannels < 1)
+        return decodeOpaque(id, b, dim)
       val frames = ais.getFrameLength
       val ch = fmt.getChannels
-      val bytesPerSample = fmt.getSampleSizeInBits / 8
+      val bytesPerSample = 2
       val data = ais.readAllBytes()
       val n = data.length / (bytesPerSample * ch)
       // Mean |amplitude| per dim-bucket (16-bit LE assumed — our writer's
@@ -228,9 +236,7 @@ object Multimodal {
             else if (isWav(b)) decodeWav(id, b, dim)
             else decodeOpaque(id, b, dim)
           } catch { // truncated/corrupt payload: degrade, don't fail the task
-            case _: java.io.IOException |
-                 _: javax.sound.sampled.UnsupportedAudioFileException =>
-              decodeOpaque(id, b, dim)
+            case scala.util.control.NonFatal(_) => decodeOpaque(id, b, dim)
           }
         }
       }

@@ -671,19 +671,32 @@ object Ext {
         .orderBy("assigned_cell", "rk")
     }),
 
-    // Multimodal decode + feature stage end-to-end (rows-only: the
-    // mapPartitions codec stage is not SQL-expressible): payload → decode
-    // stub → resize → mean feature magnitude per channel count.
+    // Multimodal encode→decode round-trip through the REAL pure-JVM
+    // codecs (BMP/PNG via javax.imageio, WAV via javax.sound.sampled):
+    // a deterministic per-doc spec chooses format and dimensions, the
+    // encode stage writes genuine container bytes, the decode stage
+    // sniffs magic and decodes them back. The oracle restates the spec
+    // arithmetic — hash-green only if every payload round-trips to
+    // exactly the dims it was encoded with, so a codec defect (wrong
+    // band count, frame miscount, sniff miss → opaque fallback) breaks
+    // the match. Both codec stages are mapPartitions: payloads never
+    // leave the executors, codec state is per-partition.
     "q46_multimodal_decode" -> ((s, dir) => {
       import graft.operators.Multimodal
-      val media = t(s, dir, "documents")
-        .select(col("doc_id").as("media_id"), lit("image").as("media_type"),
-                col("text").cast("binary").as("payload"))
-      val decoded = Multimodal.decodeStub(media, dim = 8)
-      Multimodal.resizeMeta(decoded, maxSide = 256)
-        .select(col("media_id"), col("channels").cast("long").as("channels"),
-                col("out_width").cast("long").as("out_width"),
-                col("out_height").cast("long").as("out_height"))
+      val spec = t(s, dir, "documents").select(
+        col("doc_id").as("media_id"),
+        element_at(array(lit("bmp"), lit("png"), lit("wav")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        (col("doc_id") % 7 + 4).cast("int").as("w"),
+        (col("doc_id") % 5 + 3).cast("int").as("h"),
+        (col("doc_id") % 50 + 10).cast("int").as("n"))
+      Multimodal.decode(Multimodal.encodeMedia(spec), dim = 8)
+        .select(col("media_id"), col("kind"),
+                col("width").cast("long").as("width"),
+                col("height").cast("long").as("height"),
+                col("channels").cast("long").as("channels"),
+                col("n_samples").cast("long").as("n_samples"),
+                col("sample_rate").cast("long").as("sample_rate"))
         .orderBy("media_id")
     }),
 
@@ -875,6 +888,21 @@ object Ext {
     s"CAST(len(list_filter(tokens, t -> list_contains(${sqlList(words)}, t))) AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    // The oracle restates the q46 encode spec: the Spark side must push
+    // real bytes through encode→decode and land on exactly these dims.
+    // (BMP/PNG decode to 3 raster bands; our WAV writer emits 16-bit
+    // mono PCM at Multimodal.WavSampleRate.)
+    "q46_multimodal_decode" ->
+      """SELECT doc_id AS media_id,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+                ELSE 'wav' END AS kind,
+           CAST(CASE WHEN doc_id % 3 < 2 THEN doc_id % 7 + 4 ELSE 0 END AS BIGINT) AS width,
+           CAST(CASE WHEN doc_id % 3 < 2 THEN doc_id % 5 + 3 ELSE 0 END AS BIGINT) AS height,
+           CAST(CASE WHEN doc_id % 3 < 2 THEN 3 ELSE 1 END AS BIGINT) AS channels,
+           CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 50 + 10 ELSE 0 END AS BIGINT) AS n_samples,
+           CAST(CASE WHEN doc_id % 3 = 2 THEN 8000 ELSE 0 END AS BIGINT) AS sample_rate
+         FROM documents ORDER BY media_id""",
+
     "q30_dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS copies
          FROM documents GROUP BY 1 ORDER BY content_hash""",

@@ -140,13 +140,38 @@ object DocsStream {
     * shingles cannot double its own rows in verification) restricted to
     * the given doc buckets (partition filter on `doc_bucket` — only
     * files holding candidate docs are opened). Both predicates prune at
-    * the FILE level; StreamingSpec asserts the scan metrics. */
+    * the FILE level; StreamingSpec asserts the scan metrics.
+    *
+    * A doc RE-ARRIVING in a later batch (an update, or a daily loop
+    * re-landing an overlapping delta) legitimately exists in several
+    * `batch=` partitions; verification counts raw rows per doc, so the
+    * read keeps each doc's LATEST stored batch only (supersede, the LWW
+    * rule) — the window runs over the already-pruned subset, so its
+    * shuffle is bounded by the candidate docs' buckets, not the store. */
   def earlierShingles(spark: org.apache.spark.sql.SparkSession, store: String,
-                      batchId: Long, buckets: Seq[Long]): DataFrame =
+                      batchId: Long, buckets: Seq[Long]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     spark.read.schema(StoreSchema).parquet(store)
       .filter(col("batch") < lit(batchId) &&
               col("doc_bucket").isin(buckets: _*))
+      .withColumn("latest", max("batch").over(w))
+      .filter(col("batch") === col("latest"))
       .select("doc_id", "shingle")
+  }
+
+  /** Full-corpus read of the shingle store (compaction input): all
+    * committed batches up to and including `upToBatch`, latest stored
+    * batch per doc (same supersede rule as [[earlierShingles]] — a
+    * re-arrived doc's OLD shingles must not union with its new ones). */
+  def storeShingles(spark: org.apache.spark.sql.SparkSession, store: String,
+                    upToBatch: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    spark.read.schema(StoreSchema).parquet(store)
+      .filter(col("batch") <= lit(upToBatch))
+      .withColumn("latest", max("batch").over(w))
+      .filter(col("batch") === col("latest"))
+      .select("doc_id", "shingle")
+  }
 
   /** ONE probe→verify→upsert→append tick of the indexed streaming dedup
     * — the foreachBatch body of [[replayIndexedDedup]], factored out so
@@ -163,7 +188,16 @@ object DocsStream {
     * by filter rather than by anti-join. Verify counts raw rows per doc,
     * so doubled store rows would corrupt jaccard — the old append+
     * anti-join layout left exactly that window between the store append
-    * and the checkpoint commit. */
+    * and the checkpoint commit.
+    *
+    * Re-ARRIVING docs (updates) follow the LWW supersede rule on both
+    * store reads (see [[earlierShingles]]/[[storeShingles]]). The pair
+    * snapshot itself is MONOTONE: a pair whose docs drift apart on
+    * update keeps its last-verified row (re-verified candidates are
+    * upserted with fresh values; pairs that fall below threshold are
+    * simply not re-emitted). Expiring stale pairs is a compaction-time
+    * concern — rebuild the pair snapshot from the compacted corpus when
+    * retention semantics require it. */
   def indexedDedupTick(batch: DataFrame, batchId: Long, idx: String,
                        store: String, snap: String,
                        threshold: Double): Unit = {
@@ -184,7 +218,12 @@ object DocsStream {
         .union(cand.select(col("b_id").as("doc_id")))
         .select(PartitionedSnapshot.bucketOf(col("doc_id"), StoreBuckets).as("b"))
         .distinct().collect().map(_.getLong(0)).toSeq.sorted
+      // a doc in the CURRENT batch supersedes any stored copy of itself
+      // (earlierShingles already keeps only the latest STORED batch per
+      // doc; this anti-join applies the same LWW rule to the in-flight
+      // version) — without it a re-arriving doc counts double in verify
       val earlier = earlierShingles(s, store, batchId, touched)
+        .join(bsh.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
       val pairs = Dedup.verifyPairs(cand, earlier.union(bsh), threshold)
         .withColumn("pk", concat_ws(":", col("a_id"), col("b_id")))
       // materialize pairs into the keyed snapshot BEFORE the two

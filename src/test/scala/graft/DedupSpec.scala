@@ -165,6 +165,32 @@ class DedupSpec extends SparkSpec {
     assert(!names.contains("v-00002") && !names.contains(".claim-v-00002"))
   }
 
+  test("band index: a sibling append that would be shadowed fails loudly") {
+    val B = graft.operators.BandIndex
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val sh = Dedup.explodedShingles(Dedup.shingleSets(docs.limit(20)))
+    val d1 = Dedup.explodedShingles(Dedup.shingleSets(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0).limit(10)))
+    val d2 = Dedup.explodedShingles(Dedup.shingleSets(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1).limit(10)))
+    val idx = java.nio.file.Files.createTempDirectory("graft_bandidx_sib")
+      .resolve("idx").toString
+    B.write(sh, idx) // v1, committed head
+    // two ticks pin the SAME parent (v1) — the out-of-band append a
+    // misconfigured second scheduler would produce
+    val t1 = new B.DeltaTick(idx, d1)
+    val t2 = new B.DeltaTick(idx, d2)
+    t1.append() // v2, head moves 1 → 2
+    // the sibling must fail loudly instead of silently shadowing v2
+    val e = intercept[IllegalArgumentException] { t2.append() }
+    assert(e.getMessage.contains("shadow"), e.getMessage)
+    // the committed chain is unharmed: head is still t1's layer
+    assert(B.currentPath(spark, idx).endsWith("v-00002"))
+    // and a correctly re-pinned tick (parent = new head) appends fine
+    new B.DeltaTick(idx, d2).append()
+    assert(B.currentPath(spark, idx).endsWith("v-00004"))
+  }
+
   test("band index fails loudly: unbuilt path, zero buckets") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val sh = Dedup.explodedShingles(Dedup.shingleSets(docs.limit(5)))

@@ -335,9 +335,19 @@ class StreamingSpec extends SparkSpec {
     // full store scan.
     def filesScanned(df: org.apache.spark.sql.DataFrame): Long = {
       df.collect()
-      df.queryExecution.executedPlan.collectLeaves()
-        .collectFirst { case s if s.metrics.contains("numFiles") =>
-          s.metrics("numFiles").value }.get
+      // the supersede window puts an exchange (→ AQE wrapper + query
+      // stages) above the scan, so walk through adaptive nodes to the
+      // file-source leaf instead of collectLeaves on the outer plan
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def scan(p: SparkPlan): Option[Long] = p match {
+        case a: AdaptiveSparkPlanExec => scan(a.executedPlan)
+        case q: QueryStageExec        => scan(q.plan)
+        case s if s.children.isEmpty =>
+          s.metrics.get("numFiles").map(_.value)
+        case s => s.children.flatMap(scan(_)).headOption
+      }
+      scan(df.queryExecution.executedPlan).get
     }
     val all = filesScanned(storeDf.select("doc_id", "shingle"))
     val pruned = DocsStream.earlierShingles(spark, store, 1L, Seq(0L, 1L, 2L))
@@ -347,6 +357,35 @@ class StreamingSpec extends SparkSpec {
     // and the batch filter structurally excludes the in-flight batch
     assert(DocsStream.earlierShingles(spark, store, 0L,
       (0L until DocsStream.StoreBuckets).toSeq).count() == 0)
+  }
+
+  test("shingle store: a re-arriving doc supersedes its stored shingles (LWW)") {
+    import graft.operators.{BandIndex, Dedup}
+    import graft.streaming.DocsStream
+    val work = java.nio.file.Files.createTempDirectory("graft_store_lww_")
+    scala.sys.addShutdownHook(graft.sources.Landing.deleteNoFollow(work.toFile))
+    val idx = "file:" + work.resolve("idx")
+    val store = java.nio.file.Files.createDirectory(work.resolve("shingles")).toString
+    val snap = work.resolve("pairs").toString
+    def d(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    val vOld = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val vNew = "completely different content about distributed query engines and shuffle plans at scale"
+    BandIndex.write(Dedup.explodedShingles(Dedup.shingleSets(d())), idx)
+    DocsStream.indexedDedupTick(d(1L -> vOld), 0L, idx, store, snap, 0.8)
+    DocsStream.indexedDedupTick(d(2L -> vOld), 1L, idx, store, snap, 0.8) // dup of 1
+    // doc 1 RE-ARRIVES with new text: batch 2 supersedes its batch-0 rows
+    DocsStream.indexedDedupTick(d(1L -> vNew), 2L, idx, store, snap, 0.8)
+    // doc 3 duplicates the NEW text: it must pair with doc 1 at 1.0 —
+    // under the old read doc 1's shingles were DOUBLED (old ∪ new rows),
+    // which would corrupt na and sink the jaccard
+    DocsStream.indexedDedupTick(d(3L -> vNew), 3L, idx, store, snap, 0.8)
+    val pairs = spark.read.parquet(snap)
+      .select("a_id", "b_id", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs.contains((1L, 2L, 1.0)), s"pre-update dup lost: $pairs")
+    assert(pairs.contains((1L, 3L, 1.0)), s"post-update dup wrong: $pairs")
+    // and no pair ever exceeds 1.0 — the doubled-rows corruption signature
+    assert(pairs.forall(_._3 <= 1.0), s"corrupt jaccard: $pairs")
   }
 
   test("indexed streaming dedup is batching-invariant and equals the batch truth") {
