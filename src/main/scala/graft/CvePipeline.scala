@@ -30,7 +30,13 @@ object CvePipeline {
       metasploit: Option[String] = None,
       debian: Option[String] = None,
       cveOrgDir: Option[String] = None,
-      redhat: Option[String] = None)
+      redhat: Option[String] = None) {
+    /** No source landed this tick (DailyLoop skips the merge step). */
+    def isEmpty: Boolean = productIterator.forall {
+      case o: Option[_] => o.isEmpty
+      case _            => true
+    }
+  }
 
   /** Collapse a multi-row source to one row per id: lossless array or
     * reference-fidelity last-writer-wins (source file order stands in for

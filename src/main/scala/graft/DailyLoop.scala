@@ -134,20 +134,23 @@ object DailyLoop {
     sweepPartials(spark, p, committed)
 
     // (1) the CVE enrichment merge — same body as CveJob.runTick, minus
-    // the watermark stamp
-    val nowCol = lit(now.toString).cast("timestamp")
-    SnapshotIO.recover(spark.sparkContext.hadoopConfiguration, p.snapshot)
-    val result =
-      if (!SnapshotIO.nonEmpty(spark.sparkContext.hadoopConfiguration, p.snapshot))
-        CvePipeline.buildSnapshot(spark, landing, now = nowCol)
-      else {
-        val snapshot = spark.read.parquet(p.snapshot).drop("priority")
-        CvePipeline.prioritize(operators.Merge.upsertMany(
-          snapshot, CvePipeline.deltas(spark, landing), "id", nowCol))
-      }
-    val tmp = p.snapshot + "_tmp"
-    result.write.mode("overwrite").parquet(tmp)
-    SnapshotIO.swap(spark.sparkContext.hadoopConfiguration, tmp, p.snapshot)
+    // the watermark stamp. A tick with NO landed sources (doc-only
+    // deployments, or a day every upstream was fresh per P11) skips it.
+    if (!landing.isEmpty) {
+      val nowCol = lit(now.toString).cast("timestamp")
+      SnapshotIO.recover(spark.sparkContext.hadoopConfiguration, p.snapshot)
+      val result =
+        if (!SnapshotIO.nonEmpty(spark.sparkContext.hadoopConfiguration, p.snapshot))
+          CvePipeline.buildSnapshot(spark, landing, now = nowCol)
+        else {
+          val snapshot = spark.read.parquet(p.snapshot).drop("priority")
+          CvePipeline.prioritize(operators.Merge.upsertMany(
+            snapshot, CvePipeline.deltas(spark, landing), "id", nowCol))
+        }
+      val tmp = p.snapshot + "_tmp"
+      result.write.mode("overwrite").parquet(tmp)
+      SnapshotIO.swap(spark.sparkContext.hadoopConfiguration, tmp, p.snapshot)
+    }
     if (failAt.contains(AfterMerge)) throw new InjectedCrash(AfterMerge)
 
     // (2) probe → verify → pair upsert → layer + store append.

@@ -401,6 +401,27 @@ object Ext {
         .orderBy("a_id", "b_id")
     }),
 
+    // The OPERATIONAL daily loop (DailyLoop.runTick): three scheduler
+    // ticks land disjoint document deltas against the persisted index —
+    // probe, verify, pair-upsert, O(batch) layer append, marker commit —
+    // with compaction cadence maxChain=2, so the chain is COLLAPSED
+    // mid-sequence and later ticks probe the compacted index. Gated on
+    // the same full-corpus truth as q118: orchestration, compaction and
+    // tick commits must be answer-invariant.
+    "q119_daily_loop_dedup" -> ((s, dir) => {
+      val work = java.nio.file.Files.createTempDirectory("graft_dailyq_")
+      val p = graft.DailyLoop.Paths(work.toString)
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      (1 to 3).foreach { d =>
+        graft.DailyLoop.runTick(s, graft.CvePipeline.Landing(),
+          docs.filter(col("doc_id") % 3 === lit(d - 1)), p,
+          java.sql.Timestamp.valueOf(f"2025-04-0$d%d 00:00:00"),
+          threshold = JaccardThreshold, maxChain = 2)
+      }
+      s.read.parquet(p.pairs)
+        .select("a_id", "b_id", "jaccard").orderBy("a_id", "b_id")
+    }),
+
     // ANN recall@k — the tuning dial for the approximate tiers: hit
     // counts of IVF top-3 (q39), PQ-ADC top-5 (q61) and SRP-LSH pairs
     // (q75, sampled to vec_id % 10 = 0 so the exact pair ground truth
@@ -1258,6 +1279,10 @@ object Ext {
     // The streamed daily loop must land on the complete batch truth —
     // every pair, discovered at whichever tick its later member arrived.
     "q118_stream_index_dedup" -> jaccardSql,
+
+    // The tick-committed daily loop with mid-sequence compaction must
+    // land on the same complete batch truth.
+    "q119_daily_loop_dedup" -> jaccardSql,
 
     // The LSH-candidates + exact-containment-verify construction is NOT
     // mirrored here — the oracle is the uncapped exact answer (q73's),
