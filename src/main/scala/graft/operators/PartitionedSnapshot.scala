@@ -76,6 +76,26 @@ object PartitionedSnapshot {
     spark.read.parquet(path)
   }
 
+  /** Whether the layout sidecar exists — the day-zero probe. */
+  def isInitialized(spark: SparkSession, path: String): Boolean =
+    fs(spark).exists(new Path(path, MetaFile))
+
+  /** Day-zero commit of an EMPTY bucketed snapshot: a `partitionBy` write
+    * of zero rows produces no partition directories, leaving nothing for
+    * schema inference — so the schema is carried by a SENTINEL partition
+    * outside the hash range (`id_bucket=-1`, one zero-row parquet file).
+    * [[read]] surfaces its zero rows harmlessly; [[mergeDelta]] never
+    * touches it (pmod is 0..n-1). Crash-safe: the sidecar commits last,
+    * so a half-written init is simply re-run. `empty` must be
+    * Merge.init'ed and carry zero rows. */
+  def initEmpty(empty: DataFrame, path: String, key: String = "id",
+                buckets: Int = 64): Unit = {
+    val spark = empty.sparkSession
+    empty.limit(0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/$BucketCol=-1")
+    writeMeta(spark, path, buckets)
+  }
+
   /** Merge `delta` into the snapshot at `path`, rewriting only the
     * partitions its keys hash into. Returns the touched bucket ids. */
   def mergeDelta(spark: SparkSession, path: String, delta: DataFrame,
@@ -105,7 +125,13 @@ object PartitionedSnapshot {
       val staging = path + "_delta_tmp"
       val hfs = fs(spark)
       hfs.delete(new Path(staging), true)
-      merged.write.partitionBy(BucketCol).mode("overwrite").parquet(staging)
+      // cluster each bucket into one task before the partitioned write
+      // (the BandIndex.write small-files reasoning): without this every
+      // upsert shuffle partition writes a sliver into every touched
+      // directory — touched × partitions files per tick, and the next
+      // tick's pruned read opens all of them
+      merged.repartition(col(BucketCol))
+        .write.partitionBy(BucketCol).mode("overwrite").parquet(staging)
       touched.foreach { b =>
         graft.SnapshotIO.swap(conf,
           s"$staging/$BucketCol=$b", s"$path/$BucketCol=$b")

@@ -418,8 +418,8 @@ object Ext {
           java.sql.Timestamp.valueOf(f"2025-04-0$d%d 00:00:00"),
           threshold = JaccardThreshold, maxChain = 2)
       }
-      s.read.parquet(p.pairs)
-        .select("a_id", "b_id", "jaccard").orderBy("a_id", "b_id")
+      graft.streaming.DocsStream.readPairs(s, p.pairs)
+        .orderBy("a_id", "b_id")
     }),
 
     // ANN recall@k — the tuning dial for the approximate tiers: hit

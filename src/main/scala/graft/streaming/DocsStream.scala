@@ -118,6 +118,17 @@ object DocsStream {
     * FILES down to candidate docs' buckets, not just rows. */
   val StoreBuckets = 32
 
+  /** Hash buckets of the verified-pair snapshot (the K1 bounded-MERGE
+    * sink): sized so a tick's pair keys touch few directories while each
+    * stays rewrite-cheap. */
+  val PairBuckets = 32
+
+  /** Read the verified-pair snapshot (heals any bucket a crashed merge
+    * left mid-swap, then drops the layout/bookkeeping columns). */
+  def readPairs(spark: org.apache.spark.sql.SparkSession, snap: String): DataFrame =
+    graft.operators.PartitionedSnapshot.read(spark, snap)
+      .select("a_id", "b_id", "jaccard")
+
   /** On-disk schema of the shingle store: the exploded (doc_id, shingle)
     * rows plus the two directory-partition columns — `batch` (which
     * micro-batch landed the row; the idempotence key) and `doc_bucket`
@@ -224,19 +235,26 @@ object DocsStream {
       // version) — without it a re-arriving doc counts double in verify
       val earlier = earlierShingles(s, store, batchId, touched)
         .join(bsh.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      // the verify plan is the tick's expensive stage and the bounded
+      // merge consumes it twice (touched-bucket collect + merge write) —
+      // persist for the sink's lifetime (the no-subplan-CSE pitfall)
       val pairs = Dedup.verifyPairs(cand, earlier.union(bsh), threshold)
         .withColumn("pk", concat_ws(":", col("a_id"), col("b_id")))
-      // materialize pairs into the keyed snapshot BEFORE the two
-      // appends so a re-delivered batch recomputes from the same
-      // pre-append state it first saw
-      graft.SnapshotIO.recover(s.sparkContext.hadoopConfiguration, snap)
-      val prev =
-        if (graft.SnapshotIO.nonEmpty(s.sparkContext.hadoopConfiguration, snap))
-          s.read.parquet(snap)
-        else Merge.init(pairs.limit(0))
-      val tmp = snap + "_tmp"
-      Merge.upsert(prev, pairs, "pk").write.mode("overwrite").parquet(tmp)
-      graft.SnapshotIO.swap(s.sparkContext.hadoopConfiguration, tmp, snap)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // materialize pairs into the keyed snapshot BEFORE the two
+        // appends so a re-delivered batch recomputes from the same
+        // pre-append state it first saw. The sink is the K1 bounded
+        // MERGE (PartitionedSnapshot): only the buckets holding this
+        // tick's pair keys are rewritten — O(|new pairs| + touched
+        // buckets) per tick, not O(|all pairs ever|); per-bucket
+        // crash-safe swaps + the idempotent keyed upsert make a
+        // re-delivered batch converge on any mid-merge crash state.
+        if (!PartitionedSnapshot.isInitialized(s, snap))
+          PartitionedSnapshot.initEmpty(Merge.init(pairs.limit(0)), snap,
+            "pk", PairBuckets)
+        PartitionedSnapshot.mergeDelta(s, snap, pairs, "pk")
+      } finally pairs.unpersist()
       tick.append() // the O(batch) daily layer, same band rows
       // idempotent O(batch) store append: cluster each bucket into one
       // task first (same small-files reasoning as BandIndex.write)
@@ -300,6 +318,6 @@ object DocsStream {
           indexedDedupTick(batch, batchId, idx, store, snap, threshold)
         })
     q.awaitTermination()
-    spark.read.parquet(snap).select("a_id", "b_id", "jaccard")
+    readPairs(spark, snap)
   }
 }

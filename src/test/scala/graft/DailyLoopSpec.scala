@@ -32,7 +32,7 @@ class DailyLoopSpec extends SparkSpec {
     java.nio.file.Files.createTempDirectory("graft_dailyloop_").toString
 
   private def pairSet(p: DailyLoop.Paths) =
-    spark.read.parquet(p.pairs).select("a_id", "b_id", "jaccard").collect()
+    graft.streaming.DocsStream.readPairs(spark, p.pairs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
 
   private lazy val batchTruth = Dedup.minhashDupPairs(docs, 0.8)

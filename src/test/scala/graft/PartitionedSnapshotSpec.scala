@@ -29,6 +29,31 @@ class PartitionedSnapshotSpec extends SparkSpec {
   private def bucketDirOf(rel: String): String =
     rel.split("/").find(_.startsWith(PartitionedSnapshot.BucketCol + "=")).get
 
+  test("initEmpty: day-zero snapshot reads as zero rows WITH schema, then merges deltas") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("psnap_empty").toString + "/snap"
+    val schemaDf = Merge.init(
+      Seq.empty[(String, Double)].toDF("id", "score"), t0)
+    PartitionedSnapshot.initEmpty(schemaDf, path, "id", buckets = 8)
+    assert(PartitionedSnapshot.isInitialized(spark, path))
+    // readable before any bucket exists: schema from the sentinel, 0 rows
+    val empty = PartitionedSnapshot.read(spark, path)
+    assert(empty.count() == 0)
+    assert(Set("id", "score").subsetOf(empty.columns.toSet))
+    // an EMPTY delta is a no-op, not a crash
+    assert(PartitionedSnapshot.mergeDelta(spark, path,
+      Seq.empty[(String, Double)].toDF("id", "score"), "id", t1).isEmpty)
+    // first real delta lands through the normal bounded merge
+    val touched = PartitionedSnapshot.mergeDelta(spark, path,
+      Seq(("a", 1.0), ("b", 2.0)).toDF("id", "score"), "id", t1)
+    assert(touched.nonEmpty)
+    val rows = PartitionedSnapshot.read(spark, path)
+      .select("id", "score").collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(rows == Set("a" -> 1.0, "b" -> 2.0))
+    // the sentinel partition is outside the hash range and never touched
+    assert(touched.forall(_ >= 0))
+  }
+
   test("delta-touched partitions rewrite; untouched partition files are byte-identical") {
     import spark.implicits._
     val work = Files.createTempDirectory("psnap").toString

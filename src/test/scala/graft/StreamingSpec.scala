@@ -310,8 +310,7 @@ class StreamingSpec extends SparkSpec {
     DocsStream.indexedDedupTick(b1, 1L, idx, store, snap, 0.8)
     def storeDf = spark.read.schema(DocsStream.StoreSchema).parquet(store)
     val rowsBefore = storeDf.count()
-    val pairsBefore = spark.read.parquet(snap)
-      .select("a_id", "b_id", "jaccard").collect()
+    val pairsBefore = DocsStream.readPairs(spark, snap).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(pairsBefore.nonEmpty)
 
@@ -321,8 +320,7 @@ class StreamingSpec extends SparkSpec {
     DocsStream.indexedDedupTick(b1, 1L, idx, store, snap, 0.8)
     assert(storeDf.count() == rowsBefore,
       s"re-delivered batch changed store rows: ${storeDf.count()} != $rowsBefore")
-    val pairsAfter = spark.read.parquet(snap)
-      .select("a_id", "b_id", "jaccard").collect()
+    val pairsAfter = DocsStream.readPairs(spark, snap).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(pairsAfter == pairsBefore)
     // per-(batch, doc) shingle rows are unique — no doubled rows anywhere
@@ -379,8 +377,7 @@ class StreamingSpec extends SparkSpec {
     // under the old read doc 1's shingles were DOUBLED (old ∪ new rows),
     // which would corrupt na and sink the jaccard
     DocsStream.indexedDedupTick(d(3L -> vNew), 3L, idx, store, snap, 0.8)
-    val pairs = spark.read.parquet(snap)
-      .select("a_id", "b_id", "jaccard").collect()
+    val pairs = DocsStream.readPairs(spark, snap).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(pairs.contains((1L, 2L, 1.0)), s"pre-update dup lost: $pairs")
     assert(pairs.contains((1L, 3L, 1.0)), s"post-update dup wrong: $pairs")
