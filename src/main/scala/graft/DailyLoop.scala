@@ -125,7 +125,8 @@ object DailyLoop {
   def runTick(spark: SparkSession, landing: CvePipeline.Landing,
               docsDelta: DataFrame, p: Paths, now: Timestamp,
               threshold: Double = 0.8, maxChain: Int = Int.MaxValue,
-              failAt: Option[FailPoint] = None): Unit = {
+              failAt: Option[FailPoint] = None,
+              keepMarkers: Int = KeepMarkers): Unit = {
     val (committed, _) = committedTick(spark, p)
     val batchId = committed + 1
     // day-zero store dir: the verify read's fixed schema needs a path to
@@ -178,11 +179,23 @@ object DailyLoop {
     // (4) freshness metadata for P11 consumers (idempotent re-stamp)
     operators.Watermarks.upsert(spark, p.status, CveJob.JobSource, now)
 
-    // (5) THE commit: one atomic marker create
+    // (5) THE commit: one atomic marker create — then sweep markers
+    // older than the newest KeepMarkers so the tick-listing control
+    // plane stays O(KeepMarkers) over years of daily ticks (the max
+    // marker is what defines the committed seq, so pruning history
+    // never moves it)
     val f = fs(spark, p.ticks)
     f.mkdirs(new Path(p.ticks))
     f.create(new Path(p.ticks, s"tick-$batchId-${now.getTime}"), false).close()
+    f.listStatus(new Path(p.ticks)).toSeq.map(_.getPath).collect {
+      case pt if Marker.findFirstMatchIn(pt.getName)
+                   .exists(_.group(1).toLong <= batchId - keepMarkers) => pt
+    }.foreach(f.delete(_, false))
   }
+
+  /** Tick markers retained after each commit (enough history to debug a
+    * stretch of ticks; the committed seq is always the max marker). */
+  val KeepMarkers = 32
 
   /** The scheduler loop (T1/T6 shape, marker clock): tick when due,
     * sleep otherwise, stop cooperatively. Returns ticks run. */

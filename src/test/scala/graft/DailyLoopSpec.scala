@@ -87,6 +87,19 @@ class DailyLoopSpec extends SparkSpec {
     assert(pairSet(p) == batchTruth)
   }
 
+  test("marker retention: old tick markers prune, the committed seq never moves") {
+    val p = DailyLoop.Paths(work())
+    (1 to 3).foreach { d =>
+      DailyLoop.runTick(spark, CvePipeline.Landing(), delta(d), p,
+        ts(f"2025-04-0$d%d 00:00:00"), keepMarkers = 2)
+    }
+    val markers = new java.io.File(p.ticks).listFiles.map(_.getName)
+      .filter(_.startsWith("tick-")).sorted // hadoop local FS adds .crc sidecars
+    assert(markers.length == 2, markers.toSeq) // tick-1 pruned
+    assert(DailyLoop.committedTick(spark, p)._1 == 3L)
+    assert(!DailyLoop.isTickDue(spark, p, ts("2025-04-03 12:00:00")))
+  }
+
   test("a crash after ANY step re-runs the tick and converges to the crash-free state") {
     import DailyLoop._
     // reference run, no crashes

@@ -81,6 +81,22 @@ class PartitionedSnapshotSpec extends SparkSpec {
     assert(before.filter(h => touchedDirs(bucketDirOf(h._1))) !=
            after.filter(h => touchedDirs(bucketDirOf(h._1))))
 
+    // The merge's snapshot-side read is FILE-pruned, not just
+    // row-filtered: the same touched-bucket read opens strictly fewer
+    // files than the full snapshot scan (partition pruning on the
+    // directory column).
+    def filesOf(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case s if s.metrics.contains("numFiles") =>
+          s.metrics("numFiles").value }.get
+    }
+    val allFiles = filesOf(PartitionedSnapshot.read(spark, path))
+    val prunedFiles = filesOf(PartitionedSnapshot.read(spark, path)
+      .filter(col(PartitionedSnapshot.BucketCol).isin(touched: _*)))
+    assert(prunedFiles < allFiles,
+      s"pruned read opened $prunedFiles of $allFiles files")
+
     // Result equivalence: partitioned merge == plain full merge.
     val expected = Merge.upsert(snap0, delta, "id", t1)
     val got = PartitionedSnapshot.read(spark, path).drop(PartitionedSnapshot.BucketCol)
