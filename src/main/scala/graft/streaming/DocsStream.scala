@@ -286,8 +286,10 @@ object DocsStream {
     * only via the partition-pruned chain probe and the store read pruned
     * to earlier batches × candidate-doc buckets (file-level, then the
     * verify semi-join row-level); signatures/banding/append are
-    * O(batch). The pair snapshot rewrite is O(pairs); at scale that
-    * sink becomes the K1 bucketed partition-overwrite merge. */
+    * O(batch). The pair snapshot IS the K1 bucketed partition-overwrite
+    * merge (PartitionedSnapshot): per tick only the pk-buckets holding
+    * new pairs are rewritten — O(new pairs + touched buckets), never
+    * O(all pairs ever). */
   def replayIndexedDedup(spark: org.apache.spark.sql.SparkSession,
                          dir: String, threshold: Double,
                          inputSplits: Int = 4): DataFrame = {
