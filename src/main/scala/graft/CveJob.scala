@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Merge, Watermarks}
+import graft.operators.Watermarks
 
 /** Job orchestration (main.py:64-147, 202-238): init-vs-update inference,
   * the periodic tick, catch-up on missed windows, graceful stop.
@@ -34,39 +34,58 @@ object CveJob {
         now.getTime - last.getTime >= intervalHours * 3600L * 1000L
     }
 
-  /** One tick: run the landed sources through the merge, stamp the job
-    * watermark (main.py:98). `landing` sources that are absent are
-    * skipped — the per-source freshness gate (P11) lives with the caller
-    * because it needs each source's upstream stamp. */
+  /** Hash-bucket count of the CVE snapshot layout (PartitionedSnapshot).
+    * Sized like the pair snapshot's: each bucket stays a rewrite-cheap
+    * few GB at the target corpus while a daily delta touches few of
+    * them. Layout state is recorded in the snapshot's own sidecar, so
+    * this constant only governs NEW snapshots. */
+  val SnapshotBuckets = 64
+
+  /** The K1 merge of a tick's landed sources into the BUCKETED snapshot
+    * — the bounded-MERGE path (PartitionedSnapshot): day zero writes the
+    * full build once; every later tick collapses the landed sources to
+    * one delta frame and rewrites ONLY the id-hash buckets that delta
+    * touches, recomputing the priority projection bucket-locally
+    * (priority is row-local, so untouched buckets stay correct AND
+    * byte-identical). This is what the reference's per-batch upserts do
+    * (handlers/mongodb_handler.py:141-177 — it never rewrites the
+    * collection); the old rewrite+swap path cost O(snapshot) per tick,
+    * a scale-killer at 100 TB.
+    *
+    * Crash-safe without its own commit flag: a half-written day-zero
+    * init has no sidecar and re-runs; a mid-merge crash leaves each
+    * bucket fully-old or fully-new (per-bucket backup-then-rename
+    * swaps), healed on the next read, and the keyed upsert is
+    * idempotent — so callers (DailyLoop's one-marker tick, runTick's
+    * watermark stamp) can re-run the whole step under the same batch. */
+  def mergeLanded(spark: SparkSession, landing: CvePipeline.Landing,
+                  snapshotPath: String, now: Timestamp): Unit = {
+    import graft.operators.PartitionedSnapshot
+    val nowCol = lit(now.toString).cast("timestamp")
+    if (!PartitionedSnapshot.isInitialized(spark, snapshotPath)) {
+      PartitionedSnapshot.init(
+        CvePipeline.buildSnapshot(spark, landing, now = nowCol),
+        snapshotPath, "id", SnapshotBuckets)
+    } else {
+      // ALL landed sources refresh on every tick, exactly as in the init
+      // build (the reference's update job re-runs every enabled handler;
+      // main.py:64-98) — collapsed to one keyed delta so the bounded
+      // merge sees exactly the touched ids.
+      PartitionedSnapshot.mergeDelta(spark, snapshotPath,
+        CvePipeline.combinedDelta(spark, landing), "id", nowCol,
+        postMerge = CvePipeline.prioritize)
+    }
+    ()
+  }
+
+  /** One tick: run the landed sources through the bounded merge, stamp
+    * the job watermark (main.py:98). `landing` sources that are absent
+    * are skipped — the per-source freshness gate (P11) lives with the
+    * caller because it needs each source's upstream stamp. */
   def runTick(spark: SparkSession, landing: CvePipeline.Landing,
               snapshotPath: String, statusPath: String,
               now: Timestamp): Unit = {
-    val nowCol = lit(now.toString).cast("timestamp")
-    // Heal a crash that happened mid-swap on a previous tick — otherwise
-    // the missing snapshot would silently flip this tick into a from-
-    // scratch rebuild and lose created_at history.
-    SnapshotIO.recover(spark.sparkContext.hadoopConfiguration, snapshotPath)
-    // Probe through the same FileSystem as the swap — a java.io.File
-    // check would always be false on a non-local defaultFS and silently
-    // rebuild from scratch every tick.
-    val hasSnapshot =
-      SnapshotIO.nonEmpty(spark.sparkContext.hadoopConfiguration, snapshotPath)
-    val result =
-      if (!hasSnapshot) {
-        CvePipeline.buildSnapshot(spark, landing, now = nowCol)
-      } else {
-        // ALL landed sources refresh on every tick, exactly as in the init
-        // build (the reference's update job re-runs every enabled handler;
-        // main.py:64-98) — multi-row sources collapse to one row per id
-        // first, same as buildSnapshot.
-        val snapshot = spark.read.parquet(snapshotPath).drop("priority")
-        val merged = Merge.upsertMany(snapshot,
-          CvePipeline.deltas(spark, landing), "id", nowCol)
-        CvePipeline.prioritize(merged)
-      }
-    val tmp = snapshotPath + "_tmp"
-    result.write.mode("overwrite").parquet(tmp)
-    SnapshotIO.swap(spark.sparkContext.hadoopConfiguration, tmp, snapshotPath)
+    mergeLanded(spark, landing, snapshotPath, now)
     Watermarks.upsert(spark, statusPath, JobSource, now)
   }
 

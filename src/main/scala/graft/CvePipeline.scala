@@ -31,11 +31,13 @@ object CvePipeline {
       debian: Option[String] = None,
       cveOrgDir: Option[String] = None,
       redhat: Option[String] = None) {
-    /** No source landed this tick (DailyLoop skips the merge step). */
-    def isEmpty: Boolean = productIterator.forall {
-      case o: Option[_] => o.isEmpty
-      case _            => true
-    }
+    /** No source landed this tick (DailyLoop skips the merge step).
+      * Enumerated explicitly — a productIterator fold would silently
+      * treat a future non-Option field as "empty"; adding a field here
+      * is a compile-visible decision. */
+    def isEmpty: Boolean =
+      Seq(nvd, epss, exploitDb, kev, metasploit, debian, cveOrgDir, redhat)
+        .forall(_.isEmpty)
   }
 
   /** Collapse a multi-row source to one row per id: lossless array or
@@ -63,6 +65,31 @@ object CvePipeline {
     landing.cveOrgDir.map(p => Readers.cveOrg(spark, p)),
     landing.redhat.map(p => Readers.redhat(spark, p))
   ).flatten
+
+  /** All landed sources collapsed into ONE one-row-per-id delta frame
+    * (no bookkeeping columns): per column the latest-arriving non-null
+    * value wins, exactly [[graft.operators.Merge.upsertMany]]'s rule —
+    * so `upsert(snapshot, combinedDelta(...))` equals
+    * `upsertMany(snapshot, deltas(...))` (property-tested in
+    * CvePipelineSpec). This is the delta shape the bounded
+    * [[graft.operators.PartitionedSnapshot.mergeDelta]] consumes: its
+    * keys are exactly the ids any source touched this tick, which is
+    * what prunes the snapshot rewrite to touched buckets. One shuffle
+    * (union + keyed agg) over delta-sized data only. */
+  def combinedDelta(spark: SparkSession, landing: Landing,
+                    fidelity: Boolean = false): DataFrame = {
+    val ds = deltas(spark, landing, fidelity)
+    require(ds.nonEmpty, "at least one landed source required")
+    val empty = Merge.init(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.StringType, nullable = false)))))
+    // the zero-row base contributes no values; now is irrelevant because
+    // the stamps are dropped — the real stamps come from the outer merge
+    Merge.upsertMany(empty, ds, "id")
+      .drop(Merge.CreatedAt, Merge.UpdatedAt)
+  }
 
   /** Build the unified snapshot from landed files. `now` is injectable so
     * golden tests are deterministic (F13 timestamps). */

@@ -38,7 +38,8 @@ import graft.streaming.DocsStream
   *
   * 100 TB shape: per tick the corpus-sized relations are touched only
   * through the partition-pruned index probe and the bucket-pruned store
-  * read (see [[DocsStream.indexedDedupTick]]); the compaction rebuild is
+  * read (see [[DocsStream.indexedDedupTick]]); the compaction rebuild
+  * (index AND pair-snapshot retention, [[DocsStream.rebuildPairs]]) is
   * the only O(corpus) stage and runs once per `maxChain` ticks — the
   * knob that trades nightly rebuild cost against probe chain length.
   */
@@ -133,25 +134,19 @@ object DailyLoop {
     // exist even before the first partition lands
     fs(spark, p.store).mkdirs(new Path(p.store))
     sweepPartials(spark, p, committed)
+    // heal a pair snapshot a crashed compaction rebuild left mid-swap —
+    // BEFORE any layout probe (a missing dir would read as day zero)
+    SnapshotIO.recover(spark.sparkContext.hadoopConfiguration, p.pairs)
 
-    // (1) the CVE enrichment merge — same body as CveJob.runTick, minus
-    // the watermark stamp. A tick with NO landed sources (doc-only
-    // deployments, or a day every upstream was fresh per P11) skips it.
-    if (!landing.isEmpty) {
-      val nowCol = lit(now.toString).cast("timestamp")
-      SnapshotIO.recover(spark.sparkContext.hadoopConfiguration, p.snapshot)
-      val result =
-        if (!SnapshotIO.nonEmpty(spark.sparkContext.hadoopConfiguration, p.snapshot))
-          CvePipeline.buildSnapshot(spark, landing, now = nowCol)
-        else {
-          val snapshot = spark.read.parquet(p.snapshot).drop("priority")
-          CvePipeline.prioritize(operators.Merge.upsertMany(
-            snapshot, CvePipeline.deltas(spark, landing), "id", nowCol))
-        }
-      val tmp = p.snapshot + "_tmp"
-      result.write.mode("overwrite").parquet(tmp)
-      SnapshotIO.swap(spark.sparkContext.hadoopConfiguration, tmp, p.snapshot)
-    }
+    // (1) the CVE enrichment merge — CveJob.mergeLanded, the BOUNDED
+    // K1 path: only the id-hash buckets the tick's delta touches are
+    // rewritten (PartitionedSnapshot.mergeDelta), never the whole
+    // snapshot. Idempotent under the one-marker re-run: the keyed upsert
+    // absorbs a re-landed delta, per-bucket swaps heal on read. A tick
+    // with NO landed sources (doc-only deployments, or a day every
+    // upstream was fresh per P11) skips it.
+    if (!landing.isEmpty)
+      CveJob.mergeLanded(spark, landing, p.snapshot, now)
     if (failAt.contains(AfterMerge)) throw new InjectedCrash(AfterMerge)
 
     // (2) probe → verify → pair upsert → layer + store append.
@@ -168,11 +163,20 @@ object DailyLoop {
     // (3) compaction cadence: collapse the chain once probes would walk
     // more than maxChain layers — the store holds the full committed
     // corpus (this tick's partition included), so the rebuild needs no
-    // other input
+    // other input. The PAIR snapshot is rebuilt on the same cadence
+    // (retention: drifted-apart pairs expire, DocsStream.rebuildPairs)
+    // and FIRST — the chain stays > maxChain until the index rebuild
+    // commits, so a crash anywhere inside this step re-runs the whole
+    // compaction instead of leaving the pair rebuild silently skipped.
     if (BandIndex.chainLength(spark, p.index) > maxChain) {
       val l = BandIndex.layout(spark, p.index)
-      BandIndex.write(DocsStream.storeShingles(spark, p.store, batchId),
-        p.index, l.numHashes, l.bands, l.buckets)
+      val corpusSh = DocsStream.storeShingles(spark, p.store, batchId)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        DocsStream.rebuildPairs(corpusSh, p.pairs, threshold,
+          l.numHashes, l.bands, lit(now.toString).cast("timestamp"))
+        BandIndex.write(corpusSh, p.index, l.numHashes, l.bands, l.buckets)
+      } finally { corpusSh.unpersist(); () }
     }
     if (failAt.contains(AfterCompact)) throw new InjectedCrash(AfterCompact)
 
@@ -198,8 +202,12 @@ object DailyLoop {
   val KeepMarkers = 32
 
   /** The scheduler loop (T1/T6 shape, marker clock): tick when due,
-    * sleep otherwise, stop cooperatively. Returns ticks run. */
-  def loop(spark: SparkSession, landing: CvePipeline.Landing,
+    * sleep otherwise, stop cooperatively. Returns ticks run. BOTH
+    * inputs are per-tick functions of the tick seq — a long-running
+    * deployment lands a fresh set of source files each day, so a fixed
+    * Landing would re-merge day one's files forever (idempotent but
+    * wasted work and stale data). */
+  def loop(spark: SparkSession, landing: Long => CvePipeline.Landing,
            docsDelta: Long => DataFrame, p: Paths,
            intervalHours: Int, shouldStop: () => Boolean,
            clock: () => Timestamp,
@@ -210,7 +218,7 @@ object DailyLoop {
       val now = clock()
       if (isTickDue(spark, p, now, intervalHours)) {
         val seq = committedTick(spark, p)._1 + 1
-        runTick(spark, landing, docsDelta(seq), p, now, threshold, maxChain)
+        runTick(spark, landing(seq), docsDelta(seq), p, now, threshold, maxChain)
         ticks += 1
       } else Thread.sleep(sleepMs)
     }

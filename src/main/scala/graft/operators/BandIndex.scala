@@ -330,12 +330,18 @@ object BandIndex {
       * version).
       *
       * Appends must be serialized by the caller (they are the once-per-
-      * tick step of the daily loop); a SIBLING append that slipped in
-      * anyway — same pinned parent, committed first — used to be
-      * silently shadowed by this commit (the chain walks parent links,
-      * so the earlier layer simply vanished from probes). Now the commit
-      * verifies the committed head is still exactly `parent` and fails
-      * loudly otherwise, abandoning the claimed version. */
+      * tick step of the daily loop). The shadow guard below is
+      * BEST-EFFORT, not a serialization primitive: a SIBLING append that
+      * slipped in anyway — same pinned parent — is caught (a) before
+      * commit if it already committed (check-then-act), and (b) after
+      * commit by re-verifying the head and UN-committing this layer on
+      * mismatch, which closes the commit-between-check-and-commit
+      * window for every interleaving except both siblings passing their
+      * post-commit re-check inside the same instant. Under genuinely
+      * concurrent unserialized appends exactly-one-survivor is therefore
+      * overwhelmingly likely but not guaranteed — the caller contract
+      * stands; the guard exists to turn a near-certain silent shadow
+      * into a loud abort. */
     def append(): Unit = {
       val next = claimVersion(spark, path)
       val target = vdir(path, next)
@@ -343,14 +349,27 @@ object BandIndex {
         .withColumn(BucketCol, bucketOf(col("band"), col("bkey"), l.buckets))
         .repartition(l.buckets, col(BucketCol))
         .write.partitionBy(BucketCol).mode("overwrite").parquet(target.toString)
-      val head = committedHead(spark, path, below = next)
-      require(head.contains(parent),
-        s"band index append under $path: committed head moved " +
-          s"$parent → ${head.getOrElse("none")} while this layer was " +
-          "building (concurrent append or rebuild) — committing would " +
-          "shadow it; abandoning version " + next + ", re-probe and retry")
+      def requireHeadIs(when: String): Unit = {
+        val head = committedHead(spark, path, below = next)
+        if (!head.contains(parent)) {
+          val f = fs(spark, path)
+          // un-commit: meta first (flips this version back to
+          // uncommitted for any concurrent reader), then the data. The
+          // claim file STAYS — the version number is burned, so a retry
+          // claims a fresh one and never revives this layer's ghost.
+          f.delete(new Path(target, MetaFile), false)
+          f.delete(target, true)
+          throw new IllegalStateException(
+            s"band index append under $path: committed head moved " +
+              s"$parent → ${head.getOrElse("none")} $when (concurrent " +
+              s"append or rebuild) — committing would shadow it; " +
+              s"abandoned version $next, re-probe and retry")
+        }
+      }
+      requireHeadIs("while this layer was building")
       requireClaimLive(spark, path, next)
       commitMeta(spark, target, l, Some(parent))
+      requireHeadIs("during this layer's commit")
       prune(spark, path, next)
     }
   }

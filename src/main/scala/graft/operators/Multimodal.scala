@@ -214,15 +214,47 @@ object Multimodal {
     Decoded(id, "opaque", w, hgt, ch, 0L, 0, feat)
   }
 
+  /** Exceptions a MALFORMED payload can legitimately raise inside the
+    * JDK codecs: stream/plugin failures surface as IOException
+    * (javax.imageio.IIOException included), an unrecognized RIFF body as
+    * UnsupportedAudioFileException, and the ImageIO/AudioSystem plugin
+    * internals are documented to throw IllegalArgumentException /
+    * IndexOutOfBoundsException / NegativeArraySizeException on corrupt
+    * headers (fuzzed sizes, negative dimensions). ONLY these degrade a
+    * row to opaque — anything else (an NPE or arithmetic bug in OUR
+    * sample loops) is a codec-logic defect and fails the task loudly
+    * instead of being silently converted into opaque rows. */
+  private def isExpectedDecodeFailure(t: Throwable): Boolean = t match {
+    case _: java.io.IOException => true
+    case _: javax.sound.sampled.UnsupportedAudioFileException => true
+    case _: IllegalArgumentException => true
+    case _: IndexOutOfBoundsException => true
+    case _: NegativeArraySizeException => true
+    case _ => false
+  }
+
+  /** Name of the accumulator counting degraded (caught-exception) rows —
+    * visible in the Spark UI / status API per job, so a corpus whose
+    * decode silently opaques 30% of its rows is observable without
+    * re-scanning. Sniff-miss opaques are NOT counted here; those are
+    * visible in-data as kind='opaque' with no exception involved. */
+  val DegradedAccumulator = "graft.multimodal.decode.degraded"
+
   /** Decode + feature-extract stage: mapPartitions, magic-byte sniffing,
     * REAL pure-JVM codecs (BMP/PNG via ImageIO, WAV via javax.sound);
     * anything else degrades to [[decodeOpaque]]. Output schema: media_id,
     * kind, width, height, channels, n_samples, sample_rate,
     * feature ARRAY<FLOAT>(dim). Features are computed from exact integer
-    * pixel/sample sums so they are bit-stable across JVMs and partitions. */
-  def decode(df: DataFrame, dim: Int = 8): DataFrame = {
+    * pixel/sample sums so they are bit-stable across JVMs and partitions.
+    * Malformed payloads (see [[isExpectedDecodeFailure]]) degrade
+    * row-by-row and are counted in [[DegradedAccumulator]]. */
+  def decode(df: DataFrame, dim: Int = 8,
+             degradedAcc: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    val degraded = degradedAcc.getOrElse(
+      spark.sparkContext.longAccumulator(DegradedAccumulator))
     val ds: Dataset[Decoded] = df.select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
@@ -236,7 +268,9 @@ object Multimodal {
             else if (isWav(b)) decodeWav(id, b, dim)
             else decodeOpaque(id, b, dim)
           } catch { // truncated/corrupt payload: degrade, don't fail the task
-            case scala.util.control.NonFatal(_) => decodeOpaque(id, b, dim)
+            case t: Throwable if isExpectedDecodeFailure(t) =>
+              degraded.add(1L)
+              decodeOpaque(id, b, dim)
           }
         }
       }

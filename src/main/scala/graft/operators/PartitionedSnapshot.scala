@@ -39,18 +39,32 @@ object PartitionedSnapshot {
   private def fs(spark: SparkSession) =
     FileSystem.get(spark.sparkContext.hadoopConfiguration)
 
-  /** Bucket count is layout state, so it lives WITH the layout: a sidecar
-    * file, not a parameter the caller must keep consistent forever. */
-  private def writeMeta(spark: SparkSession, path: String, n: Int): Unit = {
+  /** Bucket count AND merge key are layout state, so they live WITH the
+    * layout: a sidecar file (`<buckets>\n<key>`), not parameters the
+    * caller must keep consistent forever — [[mergeDelta]] validates the
+    * caller's key against the recorded one, so merging a snapshot under
+    * the wrong key fails loudly instead of scattering rows. */
+  private def writeMeta(spark: SparkSession, path: String, n: Int,
+                        key: String): Unit = {
     val out = fs(spark).create(new Path(path, MetaFile), true)
-    try out.write(n.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    try out.write(s"$n\n$key".getBytes(StandardCharsets.UTF_8))
+    finally out.close()
   }
 
-  def numBuckets(spark: SparkSession, path: String): Int = {
+  private def readMeta(spark: SparkSession, path: String): (Int, String) = {
     val in = fs(spark).open(new Path(path, MetaFile))
-    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
-    finally in.close()
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.split("\n", 2)
+      finally in.close()
+    (lines(0).trim.toInt, lines(1).trim)
   }
+
+  def numBuckets(spark: SparkSession, path: String): Int =
+    readMeta(spark, path)._1
+
+  /** The merge key the layout was created with. */
+  def keyOf(spark: SparkSession, path: String): String =
+    readMeta(spark, path)._2
 
   /** Read the whole snapshot. Partitions can disagree on schema after a
     * widening delta (only touched partitions gain the new columns), so
@@ -66,13 +80,18 @@ object PartitionedSnapshot {
     spark.read.option("mergeSchema", "true").parquet(path)
   }
 
-  /** Write the initial bucketed snapshot (df must be Merge.init'ed). */
+  /** Write the initial bucketed snapshot (df must be Merge.init'ed).
+    * Each bucket is clustered into one task before the partitioned write
+    * (the same small-files reasoning as [[mergeDelta]]'s staging write);
+    * the sidecar commits LAST, so a crash mid-init leaves an
+    * uninitialized layout that simply re-runs. */
   def init(df: DataFrame, path: String, key: String = "id",
            buckets: Int = 64): DataFrame = {
     val spark = df.sparkSession
     df.withColumn(BucketCol, bucketOf(col(key), buckets))
+      .repartition(col(BucketCol))
       .write.partitionBy(BucketCol).mode("overwrite").parquet(path)
-    writeMeta(spark, path, buckets)
+    writeMeta(spark, path, buckets, key)
     spark.read.parquet(path)
   }
 
@@ -93,15 +112,22 @@ object PartitionedSnapshot {
     val spark = empty.sparkSession
     empty.limit(0).coalesce(1)
       .write.mode("overwrite").parquet(s"$path/$BucketCol=-1")
-    writeMeta(spark, path, buckets)
+    writeMeta(spark, path, buckets, key)
   }
 
   /** Merge `delta` into the snapshot at `path`, rewriting only the
-    * partitions its keys hash into. Returns the touched bucket ids. */
+    * partitions its keys hash into. Returns the touched bucket ids.
+    * `postMerge` runs over each touched bucket's merged rows before the
+    * write — the hook for bucket-local derived columns (the CVE
+    * snapshot's priority recompute); it must be row-local, or untouched
+    * buckets would silently hold stale values. */
   def mergeDelta(spark: SparkSession, path: String, delta: DataFrame,
                  key: String = "id",
-                 now: Column = current_timestamp()): Seq[Long] = {
-    val n = numBuckets(spark, path)
+                 now: Column = current_timestamp(),
+                 postMerge: DataFrame => DataFrame = identity): Seq[Long] = {
+    val (n, storedKey) = readMeta(spark, path)
+    require(storedKey == key,
+      s"snapshot at $path is keyed on '$storedKey', merge asked for '$key'")
     val deltaB = delta.withColumn(BucketCol, bucketOf(col(key), n))
     // Control-plane: which partitions does this delta touch? ≤ n values.
     val touched = deltaB.select(BucketCol).distinct()
@@ -111,7 +137,8 @@ object PartitionedSnapshot {
       val snapTouched = read(spark, path)
         .filter(col(BucketCol).isin(touched: _*))
         .drop(BucketCol)
-      val merged = Merge.upsert(snapTouched, deltaB.drop(BucketCol), key, now)
+      val merged = postMerge(
+        Merge.upsert(snapTouched, deltaB.drop(BucketCol), key, now))
         .withColumn(BucketCol, bucketOf(col(key), n))
       // Write the touched buckets to a staging dir, then move each into
       // place with the crash-safe backup-then-rename swap — dynamic

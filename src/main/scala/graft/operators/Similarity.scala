@@ -379,10 +379,23 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
              m: Int = 4, subLen: Int = 16, numCodes: Int = 16, trainIters: Int = 2,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     val cu = unitVectors(corpus, Seq(idCol -> "id"), vecCol, "unit")
     val books = pqTrain(cu, m, subLen, numCodes, trainIters)
     val codes = pqEncode(cu, books, m, subLen)
+    pqTopKFrom(books, codes, queries, k, m, subLen, idCol, vecCol)
+  }
+
+  /** The PQ-ADC probe alone, against PREBUILT artifacts — codebooks
+    * (sub, code, code_vec) and the encoded corpus (id, sub, code), e.g.
+    * read back from [[AnnIndex]]'s versioned tables. This is the
+    * production query path at 100 TB: zero training, the corpus side
+    * touches only the m-small-int codes, the query-side LUT is broadcast.
+    * Doubles round-trip parquet exactly, so probing persisted artifacts
+    * is bit-identical to the in-session [[pqTopK]] that built them. */
+  def pqTopKFrom(books: DataFrame, codes: DataFrame, queries: DataFrame,
+                 k: Int, m: Int = 4, subLen: Int = 16,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     val qu = unitVectors(queries, Seq(idCol -> "id"), vecCol, "unit")
     val lut = subVectors(qu, m, subLen, Seq("id"))
       .join(broadcast(books), "sub")

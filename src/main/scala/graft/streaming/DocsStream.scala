@@ -123,11 +123,45 @@ object DocsStream {
     * stays rewrite-cheap. */
   val PairBuckets = 32
 
-  /** Read the verified-pair snapshot (heals any bucket a crashed merge
+  /** Read the verified-pair snapshot (heals a whole-dir swap a crashed
+    * compaction rebuild left behind, then any bucket a crashed merge
     * left mid-swap, then drops the layout/bookkeeping columns). */
-  def readPairs(spark: org.apache.spark.sql.SparkSession, snap: String): DataFrame =
+  def readPairs(spark: org.apache.spark.sql.SparkSession, snap: String): DataFrame = {
+    graft.SnapshotIO.recover(spark.sparkContext.hadoopConfiguration, snap)
     graft.operators.PartitionedSnapshot.read(spark, snap)
       .select("a_id", "b_id", "jaccard")
+  }
+
+  /** Compaction-time pair RETENTION: recompute the verified-pair set
+    * from the compacted corpus (latest version of every doc) and
+    * atomically replace the pair snapshot — this is where pairs whose
+    * docs drifted apart on update EXPIRE, closing the per-tick sink's
+    * documented monotonicity (see [[indexedDedupTick]]). O(corpus) by
+    * design, riding the same cadence (and the same persisted
+    * corpus-shingle frame) as the index rebuild it accompanies.
+    * Crash-safe: the replacement layout (sentinel, buckets, sidecar) is
+    * staged COMPLETELY beside the live snapshot, then moved in with the
+    * whole-dir backup-then-rename swap; [[readPairs]] and the daily tick
+    * heal a mid-swap crash, and a re-run recomputes from the unchanged
+    * store. */
+  def rebuildPairs(corpusSh: DataFrame, snap: String, threshold: Double,
+                   numHashes: Int, bands: Int,
+                   now: org.apache.spark.sql.Column): Unit = {
+    import graft.operators.{Dedup, Merge, PartitionedSnapshot}
+    val spark = corpusSh.sparkSession
+    val pairs = Dedup.minhashPairsFrom(corpusSh, threshold, numHashes, bands)
+      .withColumn("pk", concat_ws(":", col("a_id"), col("b_id")))
+    val tmp = snap + "_rebuild_tmp" // staging must start clean
+    new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(tmp), true)
+    // sentinel-first staging: a zero-pair corpus still publishes a
+    // readable (schema-carrying) snapshot
+    PartitionedSnapshot.initEmpty(Merge.init(pairs.limit(0)), tmp,
+      "pk", PairBuckets)
+    PartitionedSnapshot.mergeDelta(spark, tmp, pairs, "pk", now)
+    graft.SnapshotIO.swap(spark.sparkContext.hadoopConfiguration, tmp, snap)
+  }
 
   /** On-disk schema of the shingle store: the exploded (doc_id, shingle)
     * rows plus the two directory-partition columns — `batch` (which
@@ -203,12 +237,13 @@ object DocsStream {
     *
     * Re-ARRIVING docs (updates) follow the LWW supersede rule on both
     * store reads (see [[earlierShingles]]/[[storeShingles]]). The pair
-    * snapshot itself is MONOTONE: a pair whose docs drift apart on
-    * update keeps its last-verified row (re-verified candidates are
-    * upserted with fresh values; pairs that fall below threshold are
-    * simply not re-emitted). Expiring stale pairs is a compaction-time
-    * concern — rebuild the pair snapshot from the compacted corpus when
-    * retention semantics require it. */
+    * snapshot itself is MONOTONE between compactions: a pair whose docs
+    * drift apart on update keeps its last-verified row (re-verified
+    * candidates are upserted with fresh values; pairs that fall below
+    * threshold are simply not re-emitted). Stale pairs EXPIRE at the
+    * compaction cadence — [[rebuildPairs]], wired into
+    * DailyLoop.runTick's compaction step, replaces the snapshot from
+    * the compacted corpus. */
   def indexedDedupTick(batch: DataFrame, batchId: Long, idx: String,
                        store: String, snap: String,
                        threshold: Double): Unit = {

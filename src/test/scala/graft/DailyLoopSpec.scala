@@ -46,7 +46,7 @@ class DailyLoopSpec extends SparkSpec {
       ts("2025-04-02 00:00:00"), // tick 2
       ts("2025-04-03 00:00:00"), // tick 3
       ts("2025-04-03 12:00:00")) // not due — sleeps
-    val ticks = DailyLoop.loop(spark, landing, delta, p,
+    val ticks = DailyLoop.loop(spark, _ => landing, delta, p,
       intervalHours = 24,
       shouldStop = () => calls >= clockTimes.length,
       clock = () => {
@@ -87,6 +87,39 @@ class DailyLoopSpec extends SparkSpec {
     assert(pairSet(p) == batchTruth)
   }
 
+  test("compaction expires pairs whose docs drifted apart (pair retention)") {
+    import spark.implicits._
+    val p = DailyLoop.Paths(work())
+    val textA = "the quick brown fox jumps over the lazy dog again and again today"
+    // tick 1: two identical docs — pair (1,2) verified at jaccard 1.0
+    DailyLoop.runTick(spark, CvePipeline.Landing(),
+      Seq((1L, textA), (2L, textA)).toDF("doc_id", "text"),
+      p, ts("2025-04-01 00:00:00"))
+    def pairs() = graft.streaming.DocsStream.readPairs(spark, p.pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs() == Set((1L, 2L)))
+    // tick 2: doc 2 drifts completely away — the per-tick sink is
+    // monotone, so the stale pair SURVIVES this tick
+    DailyLoop.runTick(spark, CvePipeline.Landing(),
+      Seq((2L, "entirely unrelated zebra content sharing no trigram shingles whatsoever with anything"))
+        .toDF("doc_id", "text"),
+      p, ts("2025-04-02 00:00:00"))
+    assert(pairs() == Set((1L, 2L)))
+    // tick 3: maxChain = 1 forces compaction — retention rebuilds the
+    // pair snapshot from the compacted corpus and the pair expires
+    DailyLoop.runTick(spark, CvePipeline.Landing(),
+      Seq((3L, "a third document with its own fresh words nothing in common here"))
+        .toDF("doc_id", "text"),
+      p, ts("2025-04-03 00:00:00"), maxChain = 1)
+    assert(pairs().isEmpty)
+    // and a later tick re-landing doc 2's ORIGINAL text re-discovers the
+    // pair against the compacted index
+    DailyLoop.runTick(spark, CvePipeline.Landing(),
+      Seq((2L, textA)).toDF("doc_id", "text"),
+      p, ts("2025-04-04 00:00:00"), maxChain = 1000)
+    assert(pairs() == Set((1L, 2L)))
+  }
+
   test("marker retention: old tick markers prune, the committed seq never moves") {
     val p = DailyLoop.Paths(work())
     (1 to 3).foreach { d =>
@@ -98,6 +131,58 @@ class DailyLoopSpec extends SparkSpec {
     assert(markers.length == 2, markers.toSeq) // tick-1 pruned
     assert(DailyLoop.committedTick(spark, p)._1 == 3L)
     assert(!DailyLoop.isTickDue(spark, p, ts("2025-04-03 12:00:00")))
+  }
+
+  test("incremental tick rewrites only the CVE buckets its delta touches") {
+    import java.nio.file.{Files, Paths => JPaths}
+    val p = DailyLoop.Paths(work())
+    // tick 1: full landing — day-zero init of the bucketed snapshot
+    DailyLoop.runTick(spark, landing, delta(1), p, ts("2025-04-01 00:00:00"))
+    def hashes(): Map[String, String] = {
+      import scala.jdk.CollectionConverters._
+      val base = JPaths.get(p.snapshot)
+      Files.walk(base).iterator().asScala
+        .filter(f => Files.isRegularFile(f) &&
+          f.getFileName.toString.endsWith(".parquet"))
+        .map { f =>
+          val d = java.security.MessageDigest.getInstance("MD5")
+            .digest(Files.readAllBytes(f))
+          base.relativize(f).toString -> d.map("%02x".format(_)).mkString
+        }.toMap
+    }
+    def bucketOf(rel: String): String = rel.split("/")
+      .find(_.startsWith(operators.PartitionedSnapshot.BucketCol + "=")).get
+    val before = hashes()
+    val bucketsBefore = before.keySet.map(bucketOf)
+    assert(bucketsBefore.size > 2, "fixture spreads over several buckets")
+    // tick 2: a TINY epss-only landing touching one existing id — the
+    // bounded K1 path must rewrite only that id's bucket
+    val tiny = Files.createTempDirectory("graft_tinyepss_")
+      .resolve("epss_tiny.csv")
+    Files.write(tiny, java.util.Arrays.asList(
+      "#model_version:v2023.03.01,score_date:2025-04-02T00:00:00Z",
+      "cve,epss,percentile",
+      "CVE-2024-0001,0.50000,0.90000"))
+    DailyLoop.runTick(spark, CvePipeline.Landing(epss = Some(tiny.toString)),
+      delta(2), p, ts("2025-04-02 00:00:00"))
+    val after = hashes()
+    val changed = (before.keySet ++ after.keySet)
+      .filter(k => before.get(k) != after.get(k)).map(bucketOf)
+    assert(changed.size == 1, s"one id must touch one bucket, got $changed")
+    // untouched buckets are BYTE-identical (never rewritten)
+    val untouched = before.filter(kv => !changed(bucketOf(kv._1)))
+    assert(untouched.nonEmpty &&
+      untouched == after.filter(kv => !changed(bucketOf(kv._1))))
+    // and the merge itself is correct: new epss value, fresh updated_at
+    // on the touched row, everything else preserved
+    val snap = operators.PartitionedSnapshot.read(spark, p.snapshot)
+    val r = snap.filter(col("id") === "CVE-2024-0001")
+      .select(col("epss.epss_score"), col("updated_at")).head()
+    assert(math.abs(r.getDouble(0) - 0.5) < 1e-9)
+    assert(r.getTimestamp(1) == ts("2025-04-02 00:00:00"))
+    val other = snap.filter(col("id") === "CVE-2021-0002")
+      .select("updated_at").head()
+    assert(other.getTimestamp(0) == ts("2025-04-01 00:00:00"))
   }
 
   test("a crash after ANY step re-runs the tick and converges to the crash-free state") {

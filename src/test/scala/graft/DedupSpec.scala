@@ -182,8 +182,13 @@ class DedupSpec extends SparkSpec {
     val t2 = new B.DeltaTick(idx, d2)
     t1.append() // v2, head moves 1 → 2
     // the sibling must fail loudly instead of silently shadowing v2
-    val e = intercept[IllegalArgumentException] { t2.append() }
+    val e = intercept[IllegalStateException] { t2.append() }
     assert(e.getMessage.contains("shadow"), e.getMessage)
+    // the abandoned version left no DATA behind (un-commit swept it);
+    // only the burned claim file remains so v3 is never re-claimed
+    val junk = new java.io.File(idx).listFiles.map(_.getName)
+      .filter(n => n.contains("v-00003"))
+    assert(junk.forall(_.contains(".claim-")), junk.toSeq) // + hadoop .crc
     // the committed chain is unharmed: head is still t1's layer
     assert(B.currentPath(spark, idx).endsWith("v-00002"))
     // and a correctly re-pinned tick (parent = new head) appends fine

@@ -108,8 +108,13 @@ class MultimodalSpec extends SparkSpec {
       (1L, wav.take(16)),          // RIFF/WAVE magic, body gone
       (2L, png.take(12))           // PNG magic, IHDR truncated
     ).toDF("media_id", "payload")
-    val rows = Multimodal.decode(df, dim = 4).orderBy("media_id").collect()
+    val acc = spark.sparkContext.longAccumulator("test.decode.degraded")
+    val rows = Multimodal.decode(df, dim = 4, degradedAcc = Some(acc))
+      .orderBy("media_id").collect()
     assert(rows.forall(_.getAs[String]("kind") == "opaque"))
+    // degrades are COUNTED, not silent (the truncated WAV throws inside
+    // the codec; a magic-only PNG may return null instead, uncounted)
+    assert(acc.value >= 1)
   }
 
   test("resize: metadata scaling caps the long side, never upscales") {

@@ -48,6 +48,29 @@ class PipelineSpec extends SparkSpec {
     assert(p("CVE-2025-0100") == 4) // cveorg-only, no signals
   }
 
+  test("combinedDelta: upsert(snap, combined) == upsertMany(snap, deltas)") {
+    import graft.operators.Merge
+    // a snapshot seeded from a PARTIAL landing, then the full landing as
+    // the tick's delta — exercises new ids, re-touched ids, and columns
+    // the snapshot has never seen
+    val t1 = lit("2025-04-06 00:00:00").cast("timestamp")
+    val seed = Landing(kev = Some(res("known_exploited_vulnerabilities.json")),
+      epss = Some(res("epss_scores.csv")))
+    val snap0 = CvePipeline.buildSnapshot(spark, seed, now = t0).drop("priority")
+    val viaMany = Merge.upsertMany(snap0,
+      CvePipeline.deltas(spark, landing), "id", t1)
+    val viaCombined = Merge.upsert(snap0,
+      CvePipeline.combinedDelta(spark, landing), "id", t1)
+      .select(viaMany.columns.map(col): _*)
+    // canonical JSON rows (debian carries a MAP column, which exceptAll
+    // rejects); map entry order is reader-determined, identical per plan
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(to_json(struct(df.columns.sorted.map(col): _*)))
+        .collect().map(_.getString(0)).sorted.toSeq
+    val (c, m) = (canon(viaCombined), canon(viaMany))
+    assert(c == m && m.nonEmpty)
+  }
+
   test("lossless vs fidelity: multi-row sources keep all vs last entries") {
     val lossless = CvePipeline.buildSnapshot(spark, landing, fidelity = false, now = t0)
     val n = lossless.filter(col("id") === "CVE-2024-0001")

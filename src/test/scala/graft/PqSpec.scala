@@ -37,6 +37,39 @@ class PqSpec extends SparkSpec {
     assert(recall >= 0.85, s"recall $recall")
   }
 
+  test("persisted artifacts: a fresh probe from disk equals the in-session build") {
+    import graft.operators.AnnIndex
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val work = java.nio.file.Files.createTempDirectory("graft_annidx_spec_")
+    val pqPath = work.resolve("pq").toString
+    val ivfPath = work.resolve("ivf").toString
+    val v1 = AnnIndex.buildPq(e, pqPath)
+    AnnIndex.buildIvf(e, ivfPath)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // probe purely from disk — nothing of the build's lineage survives
+    val fromDisk = AnnIndex.pqTopK(spark, pqPath, q, k = 5)
+    val inSession = Similarity.pqTopK(e, q, k = 5)
+    assert(rows(fromDisk) == rows(inSession) && fromDisk.count() > 0)
+    val assignDisk = AnnIndex.ivfAssign(spark, ivfPath, e)
+    val units = Similarity.unitVectors(e, Seq("vec_id" -> "id", "label" -> "cell"))
+    val assignMem = Similarity.assignCells(units,
+      Similarity.kmeansRefineExact(units, Similarity.exactCentroids(units), 1))
+    assert(rows(assignDisk) == rows(assignMem))
+    // params travel with the artifact
+    assert(AnnIndex.pqParams(spark, pqPath) == AnnIndex.PqParams(4, 16, 16))
+    // republish: readers pin the NEW version, old one pruned to one
+    val v2 = AnnIndex.buildPq(e, pqPath)
+    assert(v2 == v1 + 1)
+    assert(rows(AnnIndex.pqTopK(spark, pqPath, q, k = 5)) == rows(inSession))
+    // a PQ probe against an IVF artifact fails loudly, not garbage
+    val err = intercept[IllegalArgumentException] {
+      AnnIndex.pqParams(spark, ivfPath)
+    }
+    assert(err.getMessage.contains("not a PQ index"))
+  }
+
   test("PQ codes are drawn from the codebook and cover every (vector, subspace)") {
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val cu = Similarity.unitVectors(e, Seq("vec_id" -> "id"))

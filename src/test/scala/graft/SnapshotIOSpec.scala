@@ -45,7 +45,7 @@ class SnapshotIOSpec extends SparkSpec {
     assert(!SnapshotIO.recover(conf, s"$work/snap"))
   }
 
-  test("a mid-swap crash does not flip the next tick into an init rebuild") {
+  test("a mid-swap bucket crash does not flip the next tick into an init rebuild") {
     val work = java.nio.file.Files.createTempDirectory("rec2").toString
     val status = s"$work/status"
     val landing = Landing(
@@ -54,16 +54,22 @@ class SnapshotIOSpec extends SparkSpec {
       kev = Some(res("known_exploited_vulnerabilities.json")))
     CveJob.runTick(spark, landing, s"$work/snap", status,
       Timestamp.valueOf("2025-04-01 00:00:00"))
-    val created0 = spark.read.parquet(s"$work/snap")
+    val created0 = operators.PartitionedSnapshot.read(spark, s"$work/snap")
       .filter(col("id") === "CVE-2024-0001").select("created_at")
       .head().getTimestamp(0)
-    // Crash between the two renames of the NEXT swap.
+    // Crash between the two renames of a BUCKET swap (the bounded-merge
+    // crash state): one bucket directory sits at its backup name. The
+    // layout sidecar survives, so the next tick must heal the bucket and
+    // stay on the update path — never flip into a from-scratch rebuild.
     val fs = org.apache.hadoop.fs.FileSystem.get(conf)
-    fs.rename(new org.apache.hadoop.fs.Path(s"$work/snap"),
-      new org.apache.hadoop.fs.Path(s"$work/snap_bak"))
+    val bucket = new java.io.File(s"$work/snap").listFiles
+      .filter(_.getName.startsWith(operators.PartitionedSnapshot.BucketCol + "="))
+      .head.getName
+    fs.rename(new org.apache.hadoop.fs.Path(s"$work/snap/$bucket"),
+      new org.apache.hadoop.fs.Path(s"$work/snap/${bucket}_bak"))
     CveJob.runTick(spark, landing, s"$work/snap", status,
       Timestamp.valueOf("2025-04-02 00:00:00"))
-    val r = spark.read.parquet(s"$work/snap")
+    val r = operators.PartitionedSnapshot.read(spark, s"$work/snap")
       .filter(col("id") === "CVE-2024-0001")
       .select("created_at", "updated_at").head()
     assert(r.getTimestamp(0) == created0) // history survived the crash
@@ -82,7 +88,9 @@ class SnapshotIOSpec extends SparkSpec {
       Landing(exploitDb = Some(res("files_exploits.csv")),
         debian = Some(res("debian.json"))),
       s"$work/snap", status, Timestamp.valueOf("2025-04-02 00:00:00"))
-    val snap = spark.read.parquet(s"$work/snap")
+    // a widening delta adds columns only to TOUCHED buckets — the
+    // mergeSchema read is the layout's contract
+    val snap = operators.PartitionedSnapshot.read(spark, s"$work/snap")
     val r = snap.filter(col("id") === "CVE-2024-0001").head()
     assert(!r.isNullAt(r.fieldIndex("exploitdb")))
     assert(snap.select("id").distinct().count() == snap.count())
