@@ -296,30 +296,41 @@ object Multimodal {
         explode(sequence(lit(0L), col("meta.duration_ms") - 1, lit(everyMs))))
       .select(col("media_id"), col("frame_ms"))
 
-  /** Batched model-inference shape over decoded features: rows stream
-    * through `grouped(batchSize)` so a real model gets ONE forward call
-    * per batch (the amortization that makes GPU/accelerator inference
-    * viable at 100 TB), while per-row results stay independent of batch
+  /** Batched model-inference over decoded features: rows stream through
+    * `grouped(batchSize)` so a real model gets ONE forward call per
+    * batch (the amortization that makes GPU/accelerator inference viable
+    * at 100 TB), while per-row results stay independent of batch
     * boundaries — MultimodalSpec asserts batchSize/partitioning
-    * invariance. The "model" is a deterministic stub (weighted feature
-    * sum); swapping in a real one changes only the scoreBatch body and
-    * keeps the open-once-per-partition, batch-iterator shape. */
-  def batchScoreStub(decoded: DataFrame, batchSize: Int = 64): DataFrame = {
+    * invariance. The model is a real DETERMINISTIC linear probe —
+    * `score = Σ_d feature_d · weights_d + bias`, an ordered fold in
+    * double precision (float→double widening is exact), so the whole
+    * decode→score path is oracle-mirrorable where the features are
+    * (q122 gates it on the WAV rows, whose sample generator is plain
+    * integer arithmetic both engines compute). The weight vector is the
+    * "model" and is loaded once per partition; swapping in a neural
+    * scorer changes only the scoreBatch body and keeps the
+    * open-once-per-partition, batch-iterator shape. */
+  def batchScore(decoded: DataFrame, weights: Seq[Double], bias: Double = 0.0,
+                 batchSize: Int = 64): DataFrame = {
     require(batchSize > 0, s"batchSize must be positive: $batchSize")
     val spark = decoded.sparkSession
     import spark.implicits._
-    def scoreBatch(batch: Seq[(Long, Array[Float])]): Seq[(Long, Float)] =
+    val w = weights.toArray
+    def scoreBatch(batch: Seq[(Long, Array[Float])]): Seq[(Long, Double)] =
       // real impl: one model.forward(batch) here
       batch.map { case (id, f) =>
-        var s = 0.0f
+        require(f.length == w.length,
+          s"feature dim ${f.length} != weight dim ${w.length}")
+        var s = 0.0
         var i = 0
-        while (i < f.length) { s += f(i) * (i + 1); i += 1 }
-        (id, s)
+        while (i < f.length) { s += f(i).toDouble * w(i); i += 1 }
+        (id, s + bias) // bias LAST: score(w, b) == score(w, 0) + b exactly
       }
     decoded.select(col("media_id"), col("feature"))
       .as[(Long, Array[Float])]
       .mapPartitions { rows =>
-        // A real implementation loads the model ONCE here per partition.
+        // the model loads ONCE here per partition (for the linear probe
+        // that is the closed-over weight array)
         rows.grouped(batchSize).flatMap(scoreBatch)
       }
       .toDF("media_id", "score")

@@ -775,6 +775,28 @@ object Ext {
         .orderBy("media_id")
     }),
 
+    // The batched scorer (the model-inference stage) oracle-gated
+    // END-TO-END on the WAV slice of q46's media spec: encode (real RIFF
+    // writer) → decode (real javax.sound codec) → batchScore (linear
+    // probe, ordered double fold). The WAV sample generator is plain
+    // integer arithmetic, so DuckDB re-derives the decoded features —
+    // including the float32 rounding of each per-bucket mean — and the
+    // probe score, pinning codec + feature math + scorer in one hash.
+    // Image rows stay metadata-gated in q46 (their pixel path crosses
+    // the PNG container; same decode code, spec-gated bit-stability).
+    "q122_multimodal_batch_score" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val spec = t(s, dir, "documents")
+        .filter(col("doc_id") % 3 === 2) // q46's WAV rows
+        .select(col("doc_id").as("media_id"), lit("wav").as("kind"),
+                lit(0).as("w"), lit(0).as("h"),
+                (col("doc_id") % 50 + 10).cast("int").as("n"))
+      val decoded = Multimodal.decode(Multimodal.encodeMedia(spec), dim = 8)
+      Multimodal.batchScore(decoded, weights = (1 to 8).map(_.toDouble))
+        .select(col("media_id"), round(col("score"), 6).as("score"))
+        .orderBy("media_id")
+    }),
+
     // HLL distinct. At 100 TB this replaces count(distinct) everywhere
     // feasible. The sketch estimate itself is engine-specific, so the
     // OUTPUT is the bound check: exact distinct (cross-engine, DuckDB-
@@ -985,6 +1007,25 @@ object Ext {
            CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 50 + 10 ELSE 0 END AS BIGINT) AS n_samples,
            CAST(CASE WHEN doc_id % 3 = 2 THEN 8000 ELSE 0 END AS BIGINT) AS sample_rate
          FROM documents ORDER BY media_id""",
+
+    // Re-derives the WAV rows' decoded features (the sample generator is
+    // integer arithmetic; the float32 per-bucket mean is mirrored by
+    // CAST(... AS FLOAT)) and the linear-probe score over them.
+    "q122_multimodal_batch_score" ->
+      """WITH spec AS (
+           SELECT doc_id AS media_id, doc_id AS seed, doc_id % 50 + 10 AS n
+           FROM documents WHERE doc_id % 3 = 2),
+         samples AS (
+           SELECT media_id, g.i % 8 AS b,
+                  ABS(((seed * 131 + g.i * 7919) % 65536) - 32768) AS a
+           FROM spec CROSS JOIN (SELECT unnest(range(0, 59)) AS i) g
+           WHERE g.i < spec.n),
+         feats AS (
+           SELECT media_id, b,
+                  CAST(CAST(SUM(a) AS DOUBLE) / (32768.0 * COUNT(*)) AS FLOAT) AS f
+           FROM samples GROUP BY media_id, b)
+         SELECT media_id, ROUND(SUM(CAST(f AS DOUBLE) * (b + 1)), 6) AS score
+         FROM feats GROUP BY media_id ORDER BY media_id""",
 
     "q30_dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS copies

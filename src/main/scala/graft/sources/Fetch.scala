@@ -89,6 +89,41 @@ object Fetch {
     result
   }
 
+  /** One HTTP client per JVM — java.net.http.HttpClient is thread-safe
+    * and meant to be shared; living on the object (static access from
+    * executor closures) it is never serialized and opens once per
+    * executor, the "open the client once" site the mapPartitions shape
+    * reserves. */
+  @transient private lazy val httpClient: java.net.http.HttpClient =
+    java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(30)).build()
+
+  /** A REAL socket transport for [[fetchPages]] (JDK-native client, no
+    * extra deps): GET `urlFor(page)`; 200 → body, 403/503 → retryable
+    * [[TransientFetchException]] (the reference's retry statuses,
+    * `nvd_handler copy.py:72-82` — NVD rate-limits with 403), anything
+    * else fails the task loudly. `urlFor` is the page→URL map (the NVD
+    * shape is `...?resultsPerPage=N&startIndex=page*N`); the returned
+    * closure captures only it and is executor-serializable. Driven
+    * against a loopback server in FetchE2eSpec — the sandbox has no
+    * egress, but nothing here knows that. */
+  def httpTransport(urlFor: Long => String,
+                    timeoutMs: Long = 30000L): Long => String = { page =>
+    val req = java.net.http.HttpRequest
+      .newBuilder(java.net.URI.create(urlFor(page)))
+      .timeout(java.time.Duration.ofMillis(timeoutMs))
+      .GET().build()
+    val resp = httpClient.send(req,
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    resp.statusCode() match {
+      case 200 => resp.body()
+      case 403 | 503 =>
+        throw new TransientFetchException(s"HTTP ${resp.statusCode()} for page $page")
+      case other =>
+        throw new java.io.IOException(s"HTTP $other for page $page")
+    }
+  }
+
   /** The distributed fetch: one output row per page, pages spread over
     * `numPartitions` tasks, each task throttled independently. The
     * limiter and any transport session state live per-partition (the

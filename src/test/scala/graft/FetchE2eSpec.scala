@@ -98,6 +98,61 @@ class FetchE2eSpec extends SparkSpec {
     assert(fresh.getTimestamp(1) == t1)
   }
 
+  test("S1 e2e over a REAL socket: loopback HTTP server, 503 retried through the client") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val srvHits = new ConcurrentHashMap[Long, AtomicInteger]()
+    server.createContext("/rest/json/cves/2.0", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        val params = Option(ex.getRequestURI.getQuery).getOrElse("")
+          .split("&").filter(_.nonEmpty).map(_.split("=", 2))
+          .map(a => a(0) -> a.lift(1).getOrElse("")).toMap
+        val page = params("startIndex").toLong / PerPage
+        val n = srvHits.computeIfAbsent(page, _ => new AtomicInteger)
+          .incrementAndGet()
+        if (page == 1L && n == 1) { // first hit on page 1: rate-limit it
+          ex.sendResponseHeaders(503, -1); ex.close()
+        } else {
+          val body = pageBody(initRecs, page).getBytes("UTF-8")
+          ex.sendResponseHeaders(200, body.length.toLong)
+          ex.getResponseBody.write(body); ex.close()
+        }
+      }
+    })
+    server.setExecutor(null)
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val transport = Fetch.httpTransport(p =>
+        s"$base/rest/json/cves/2.0?resultsPerPage=$PerPage&startIndex=${p * PerPage}")
+      val policy = Policy(resultsPerPage = PerPage, retryDelayMs = 1L)
+      val work = java.nio.file.Files.createTempDirectory("fetch_http").toString
+      // probe → distributed fetch → landing → merge: the exact
+      // recorded-fixture pipeline above, now through a real socket
+      val total = parseTotal(
+        Fetch.fetchWithRetry(transport, 0L, policy, sleeper = _ => ()).body)
+      assert(total == 5L)
+      val landed = Landing.landPages(
+        Fetch.fetchPages(spark, total, policy, numPartitions = 2, transport),
+        s"$work/land")
+      assert(landed == 3L)
+      // the 503 went over the wire and the client-side retry re-fetched
+      assert(srvHits.get(1L).get() == 2)
+      CveJob.runTick(spark, CvePipeline.Landing(nvd = Some(s"$work/land")),
+        s"$work/snap", s"$work/status", ts("2025-04-01 00:00:00"))
+      val snap = spark.read.parquet(s"$work/snap")
+      assert(snap.count() == 5)
+      assert(snap.filter(col("id") === "CVE-2025-0001")
+        .select("nvd.vulnStatus").head().getString(0) == "Received")
+      // a non-retryable status fails loudly, not as a silent empty page
+      val err = intercept[java.io.IOException] {
+        Fetch.httpTransport(_ => s"$base/definitely/not/there")(0L)
+      }
+      assert(err.getMessage.contains("404"), err.getMessage)
+    } finally server.stop(0)
+  }
+
   test("landPages: empty fetch lands nothing and returns 0") {
     val work = java.nio.file.Files.createTempDirectory("fetch_e2e0").toString
     val n = Landing.landPages(

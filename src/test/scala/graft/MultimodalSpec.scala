@@ -135,12 +135,21 @@ class MultimodalSpec extends SparkSpec {
 
   test("batched scoring: results independent of batch size and partitioning") {
     val decoded = Multimodal.decode(realMedia)
+    val w = (1 to 8).map(_.toDouble)
     def scores(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => r.getLong(0) -> r.getFloat(1)).toMap
-    val one = scores(Multimodal.batchScoreStub(decoded, batchSize = 1))
-    val big = scores(Multimodal.batchScoreStub(decoded, batchSize = 64))
-    val rep = scores(Multimodal.batchScoreStub(decoded.repartition(7), batchSize = 2))
+      df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val one = scores(Multimodal.batchScore(decoded, w, batchSize = 1))
+    val big = scores(Multimodal.batchScore(decoded, w, batchSize = 64))
+    val rep = scores(Multimodal.batchScore(decoded.repartition(7), w, batchSize = 2))
     assert(one == big && one == rep)
     assert(one.nonEmpty && one.values.forall(s => !s.isNaN))
+    // bias shifts every score by exactly its value (double fold, no
+    // float re-rounding)
+    val biased = scores(Multimodal.batchScore(decoded, w, bias = 2.5))
+    assert(biased.forall { case (id, s) => s == one(id) + 2.5 })
+    // a weight/feature dim mismatch fails loudly, not silently truncated
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.batchScore(decoded, Seq(1.0, 2.0)).collect()
+    }
   }
 }
