@@ -1,0 +1,201 @@
+package graft
+
+import java.nio.file.{Files, Paths => JPaths}
+import java.sql.Timestamp
+import java.util.concurrent.atomic.AtomicBoolean
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.CvePipeline.Landing
+
+/** The CLI entry — the reference's `main.py` surface re-expressed over
+  * the Spark engine: `-d/--debug` and `-c/--config` flags
+  * (main.py:41-47), the startup banner (main.py:31-39), a scheduler that
+  * computes the first run's delay from the last committed run and the
+  * configured interval (calculate_initial_delay, main.py:107-117;
+  * setup_schedule, main.py:124-148), and graceful signal shutdown
+  * (handle_shutdown, main.py:160-169) via a JVM shutdown hook flipping
+  * the loop's cooperative stop flag.
+  *
+  * Where the reference fetches straight into Mongo, this engine's tick
+  * consumes a LANDED directory per tick (the zero-egress seam the fetch
+  * path writes into, sources/Fetch + sources/Landing): `main` probes
+  * `<root>/landing/<seq>/` for the upstreams' own filenames — the same
+  * names the reference downloads (`files_exploits.csv`,
+  * `modules_metadata_base.json`, `known_exploited_vulnerabilities.json`,
+  * …) — and hands DailyLoop whatever landed. Missing files simply mean
+  * "that source didn't land today" (the reference's per-handler
+  * try/except skip).
+  *
+  * Everything here is driver-side control plane: argument parsing, delay
+  * arithmetic, a directory probe. The data plane stays in DailyLoop /
+  * CveJob, already bounded per tick.
+  */
+object Main {
+
+  /** Parsed CLI flags — argparse surface plus the landing-root and
+    * run-mode knobs a fetchless deployment needs. */
+  final case class Args(
+      debug: Boolean = false,
+      config: String = "configuration.ini",
+      root: String = "graft-data",
+      once: Boolean = false,
+      help: Boolean = false)
+
+  val usage: String =
+    """usage: graft [-h] [-d] [-c CONFIG] [--root DIR] [--once]
+      |
+      |CVE Data Handling Script
+      |
+      |  -h, --help             show this help message and exit
+      |  -d, --debug            Set log level to DEBUG
+      |  -c, --config CONFIG    Specify a configuration file (default: configuration.ini)
+      |  --root DIR             Data root: snapshot, index, landing dirs (default: graft-data)
+      |  --once                 Run one tick immediately and exit (no scheduler loop)
+      |""".stripMargin
+
+  /** argparse analog: unknown flags and missing option values are
+    * errors (Left), not silent defaults. */
+  def parseArgs(argv: Seq[String]): Either[String, Args] = {
+    @annotation.tailrec
+    def go(rest: List[String], acc: Args): Either[String, Args] = rest match {
+      case Nil => Right(acc)
+      case ("-h" | "--help") :: t => go(t, acc.copy(help = true))
+      case ("-d" | "--debug") :: t => go(t, acc.copy(debug = true))
+      case ("-c" | "--config") :: v :: t if !v.startsWith("-") =>
+        go(t, acc.copy(config = v))
+      case ("-c" | "--config") :: _ =>
+        Left("argument -c/--config: expected one argument")
+      case "--root" :: v :: t if !v.startsWith("-") =>
+        go(t, acc.copy(root = v))
+      case "--root" :: _ => Left("argument --root: expected one argument")
+      case "--once" :: t => go(t, acc.copy(once = true))
+      case other :: _ => Left(s"unrecognized arguments: $other")
+    }
+    go(argv.toList, Args())
+  }
+
+  /** calculate_initial_delay (main.py:107-117): no last run → run now;
+    * more than one interval elapsed → run now; otherwise the remainder
+    * of the interval. Millis, never negative. */
+  def initialDelayMs(lastRun: Option[Timestamp], intervalHours: Double,
+                     now: Timestamp): Long = lastRun match {
+    case None => 0L
+    case Some(last) =>
+      val intervalMs = (intervalHours * 3600 * 1000).toLong
+      val elapsed = now.getTime - last.getTime
+      if (elapsed >= intervalMs) 0L else intervalMs - elapsed
+  }
+
+  /** convert_hours_to_hms (main.py:49-55) on millis, for log lines. */
+  def formatDelay(ms: Long): String = {
+    val h = ms / 3600000L
+    val m = (ms % 3600000L) / 60000L
+    val s = (ms % 60000L) / 1000L
+    s"${h}h ${m}min ${s}s"
+  }
+
+  /** Probe a landed tick directory for the upstreams' canonical
+    * filenames. EPSS may land gzipped (the upstream ships .csv.gz,
+    * epss_handler.py:21); first match wins. */
+  def landingFrom(dir: String): Landing = {
+    def f(names: String*): Option[String] =
+      names.map(n => JPaths.get(dir, n))
+        .find(Files.exists(_)).map(_.toString)
+    Landing(
+      nvd = f("nvd_page.json", "nvd.json"),
+      epss = f("epss_scores.csv.gz", "epss_scores.csv"),
+      exploitDb = f("files_exploits.csv"),
+      kev = f("known_exploited_vulnerabilities.json"),
+      metasploit = f("modules_metadata_base.json"),
+      debian = f("debian.json"),
+      cveOrgDir = f("cveorg").filter(p => Files.isDirectory(JPaths.get(p))),
+      redhat = f("redhat_page.json", "redhat.json"))
+  }
+
+  /** The tick's document delta: `documents.parquet` under the landed
+    * dir, or an empty (zero-row, correct-schema) delta when none landed
+    * — a CVE-only day still merges and commits. */
+  def docsDeltaFrom(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = JPaths.get(dir, "documents.parquet")
+    if (Files.exists(p)) spark.read.parquet(p.toString).select("doc_id", "text")
+    else Seq.empty[(Long, String)].toDF("doc_id", "text")
+  }
+
+  private val Banner =
+    """   ____ ____      _    _____ _____
+      |  / ___|  _ \    / \  |  ___|_   _|
+      | | |  _| |_) |  / _ \ | |_    | |
+      | | |_| |  _ <  / ___ \|  _|   | |
+      |  \____|_| \_\/_/   \_\_|     |_|   v0.1
+      |""".stripMargin
+
+  /** The scheduler run, factored for the spec: probes the marker clock,
+    * logs the reference's scheduler lines, and drives DailyLoop.loop
+    * until `stop` flips (or one tick in `once` mode). Returns ticks
+    * run. */
+  def run(spark: SparkSession, conf: Config.Conf, root: String,
+          once: Boolean, stop: AtomicBoolean,
+          clock: () => Timestamp = () => new Timestamp(System.currentTimeMillis()),
+          sleepMs: Long = 1000L): Int = {
+    val p = DailyLoop.Paths(root)
+    val intervalHours = conf.schedulerIntervalHours(default = 24)
+    val threshold = conf.get("dedup", "threshold").map(_.toDouble).getOrElse(0.8)
+    val maxChain = conf.getInt("dedup", "max_chain", Int.MaxValue)
+    def landing(seq: Long) = landingFrom(s"$root/landing/$seq")
+    def delta(seq: Long) = docsDeltaFrom(spark, s"$root/landing/$seq")
+
+    if (once) {
+      Log.info("[Job] Starting", "main")
+      val t0 = System.nanoTime()
+      val seq = DailyLoop.committedTick(spark, p)._1 + 1
+      DailyLoop.runTick(spark, landing(seq), delta(seq), p, clock(),
+        threshold, maxChain)
+      Log.success(f"[Job] Finished in ${(System.nanoTime() - t0) / 1e9}%.2f seconds.", "main")
+      1
+    } else {
+      val (_, last) = DailyLoop.committedTick(spark, p)
+      val delay = initialDelayMs(last, intervalHours.toDouble, clock())
+      if (delay > 0)
+        Log.info(s"[Scheduler] Initial job to run in ${formatDelay(delay)}.", "main")
+      Log.info(s"[Scheduler] Update frequency: every ${intervalHours}h", "main")
+      val ticks = DailyLoop.loop(spark, landing, delta, p, intervalHours,
+        shouldStop = () => stop.get(), clock = clock,
+        threshold = threshold, maxChain = maxChain, sleepMs = sleepMs)
+      Log.info("[Scheduler] Shutdown event detected. Exiting scheduler loop.", "main")
+      ticks
+    }
+  }
+
+  def main(argv: Array[String]): Unit = {
+    parseArgs(argv.toSeq) match {
+      case Left(err) =>
+        Console.err.println(s"error: $err"); Console.err.println(usage)
+        sys.exit(2)
+      case Right(a) if a.help =>
+        println(usage)
+      case Right(a) =>
+        println(Banner)
+        Log.setMaxLevel(if (a.debug) "DEBUG" else "INFO")
+        val conf =
+          if (Files.exists(JPaths.get(a.config)))
+            Config.parse(new String(Files.readAllBytes(JPaths.get(a.config))))
+          else {
+            Log.warning(s"config ${a.config} not found; using defaults", "main")
+            Config.parse("")
+          }
+        val stop = new AtomicBoolean(false)
+        // handle_shutdown analog: SIGINT/SIGTERM run JVM shutdown hooks;
+        // flipping the flag lets the loop finish its current tick
+        // (commit marker included) before the JVM exits.
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          Log.info("Shutdown signal received. Initiating graceful shutdown...", "main")
+          stop.set(true)
+        }))
+        val spark = GraftSession.build()
+        try run(spark, conf, a.root, a.once, stop)
+        finally spark.stop()
+    }
+  }
+}
