@@ -4,6 +4,8 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 /** Versioned on-disk ANN build artifacts — PQ codebooks + the encoded
   * corpus, and IVF (Lloyd-refined) centroids — published with the
@@ -78,29 +80,63 @@ object AnnIndex {
       s"ann artifact commit rename failed under $vd")
   }
 
-  /** Newest committed version's directory; loud when none exists — an
-    * unbuilt artifact store must never silently probe as empty. */
-  private def currentDir(spark: SparkSession, path: String): Path = {
+  /** Committed versions, newest first. */
+  private def committedVersions(spark: SparkSession, path: String): Seq[Int] = {
     val f = fs(spark, path)
-    val committed = versions(spark, path).distinct
-      .sorted(Ordering[Int].reverse)
-      .find(v => f.exists(new Path(vdir(path, v), MetaFile)))
+    versions(spark, path).distinct.sorted(Ordering[Int].reverse)
+      .filter(v => f.exists(new Path(vdir(path, v), MetaFile)))
+  }
+
+  /** Newest committed version; loud when none exists — an unbuilt
+    * artifact store must never silently probe as empty. */
+  private def currentVersion(spark: SparkSession, path: String): Int = {
+    val committed = committedVersions(spark, path)
     require(committed.nonEmpty,
       s"no committed ANN artifact version under $path — publish one with " +
-        "AnnIndex.buildPq/buildIvf")
-    vdir(path, committed.get)
+        "AnnIndex.buildPq/buildIvf/buildIvfPostings")
+    committed.head
+  }
+
+  private def currentDir(spark: SparkSession, path: String): Path =
+    vdir(path, currentVersion(spark, path))
+
+  private def metaTextOf(spark: SparkSession, path: String, v: Int): String = {
+    val f = fs(spark, path)
+    val in = f.open(new Path(vdir(path, v), MetaFile))
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+  }
+
+  /** The version chain rooted at `v`: `v` first, then parents down to
+    * the chain root (a full build). Non-layered artifacts (ivf/ivfp, a
+    * full pq build) are their own one-element chain. A broken parent
+    * pointer fails loudly — prune preserves whole chains, so a missing
+    * parent means external tampering, not normal lifecycle. */
+  private def chainOf(spark: SparkSession, path: String, v: Int): Seq[Int] = {
+    val buf = scala.collection.mutable.ArrayBuffer(v)
+    var cur = v
+    var meta = metaTextOf(spark, path, cur).split(" ")
+    while (meta(0) == "pq-delta") {
+      cur = meta(1).toInt
+      require(fs(spark, path).exists(new Path(vdir(path, cur), MetaFile)),
+        s"ann chain under $path broken: delta layer references missing " +
+          s"committed parent v$cur")
+      buf += cur
+      meta = metaTextOf(spark, path, cur).split(" ")
+    }
+    buf.toSeq
   }
 
   /** Sweep every version below the newly committed one except the newest
-    * committed predecessor (kept for probes in flight across a rebuild),
-    * including crashed builds' uncommitted junk. */
+    * committed predecessor's whole CHAIN (kept for probes in flight
+    * across a rebuild — a chained predecessor is only readable with its
+    * parents), including crashed builds' uncommitted junk. */
   private def prune(spark: SparkSession, path: String, next: Int): Unit = {
     val f = fs(spark, path)
-    val committedPrev = versions(spark, path).distinct.filter(_ < next)
-      .sorted(Ordering[Int].reverse)
-      .find(v => f.exists(new Path(vdir(path, v), MetaFile)))
+    val keep = committedVersions(spark, path).filter(_ < next).headOption
+      .map(v => chainOf(spark, path, v).toSet).getOrElse(Set.empty[Int])
     versions(spark, path).distinct
-      .filter(v => v < next && !committedPrev.contains(v))
+      .filter(v => v < next && !keep.contains(v))
       .foreach { v =>
         f.delete(vdir(path, v), true)
         f.delete(new Path(path, f".claim-$VersionPrefix$v%05d"), false)
@@ -137,6 +173,49 @@ object AnnIndex {
     next
   }
 
+  /** Ingest NEW vectors without touching the corpus: encode `delta`
+    * against the chain root's PINNED codebooks and publish the codes as
+    * a delta layer whose sidecar records its parent — FAISS `add()`
+    * semantics, and the ANN analog of BandIndex.append's O(delta) tick.
+    * At 100 TB this is the nightly ingest path: the corpus codes are
+    * never rewritten and nothing retrains; a full [[buildPq]] on the
+    * compaction cadence re-trains and collapses the chain (and prunes
+    * superseded layers).
+    *
+    * Contract: `delta` ids must be NEW — a changed vector needs the
+    * rebuild path, because its old codes live immutably in an earlier
+    * layer. `checkDisjoint` enforces this with one id-column scan of
+    * the chain (columnar: the probe-side cost class, not a raw-vector
+    * scan); disable it only when the caller's pipeline already
+    * guarantees disjointness (e.g. the monotone doc-id stream).
+    * Returns the committed version. */
+  def appendPq(delta: DataFrame, path: String,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               checkDisjoint: Boolean = true): Int = {
+    val spark = delta.sparkSession
+    val p = pqParams(spark, path) // also proves a committed pq chain exists
+    val parent = currentVersion(spark, path)
+    val books = pqBooks(spark, path)
+    val units = Similarity
+      .unitVectors(delta, Seq(idCol -> "id"), vecCol, "unit")
+    if (checkDisjoint) {
+      val dup = pqCodes(spark, path).select("id").distinct()
+        .join(org.apache.spark.sql.functions.broadcast(units.select("id")), "id")
+        .limit(1).count()
+      require(dup == 0L,
+        s"appendPq under $path: delta contains ids already encoded in the " +
+          "chain — changed vectors need a buildPq rebuild, not an append")
+    }
+    val next = claimVersion(spark, path)
+    val vd = vdir(path, next)
+    Similarity.pqEncode(units, books, p.m, p.subLen)
+      .write.mode("overwrite").parquet(new Path(vd, "codes").toString)
+    commitMeta(spark, vd, s"pq-delta $parent ${p.m} ${p.subLen} ${p.numCodes}")
+    // no prune: every ancestor layer stays live until the next full
+    // rebuild collapses the chain
+    next
+  }
+
   /** Train + publish an IVF centroid table (cell, centroid) from the
     * label-seeded exact Lloyd refinement (the q87 construction). */
   def buildIvf(corpus: DataFrame, path: String, refineIters: Int = 1,
@@ -156,21 +235,42 @@ object AnnIndex {
   }
 
   def pqParams(spark: SparkSession, path: String): PqParams = {
-    val f = fs(spark, path)
-    val in = f.open(new Path(currentDir(spark, path), MetaFile))
-    val parts =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.split(" ")
-      finally in.close()
-    require(parts.length == 4 && parts(0) == "pq",
-      s"artifact under $path is '${parts(0)}', not a PQ index")
-    PqParams(parts(1).toInt, parts(2).toInt, parts(3).toInt)
+    val parts = metaTextOf(spark, path, currentVersion(spark, path)).split(" ")
+    parts(0) match {
+      case "pq" =>
+        require(parts.length == 4,
+          s"malformed pq sidecar under $path: '${parts.mkString(" ")}'")
+        PqParams(parts(1).toInt, parts(2).toInt, parts(3).toInt)
+      case "pq-delta" =>
+        require(parts.length == 5,
+          s"malformed pq-delta sidecar under $path: '${parts.mkString(" ")}'")
+        PqParams(parts(2).toInt, parts(3).toInt, parts(4).toInt)
+      case other =>
+        throw new IllegalArgumentException(
+          s"artifact under $path is '$other', not a PQ index")
+    }
   }
 
-  def pqBooks(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(new Path(currentDir(spark, path), "books").toString)
+  /** The chain from the newest committed version down to its full-build
+    * root — one element for a freshly built index, root LAST. */
+  def pqChain(spark: SparkSession, path: String): Seq[Int] =
+    chainOf(spark, path, currentVersion(spark, path))
 
+  /** Codebooks live at the CHAIN ROOT: delta layers pin the books they
+    * were encoded against, so a probe mixing layers always ranks with
+    * one consistent quantizer. */
+  def pqBooks(spark: SparkSession, path: String): DataFrame = {
+    val root = pqChain(spark, path).last
+    spark.read.parquet(new Path(vdir(path, root), "books").toString)
+  }
+
+  /** The encoded corpus: the union of every layer's codes down the
+    * chain. Layers hold DISJOINT id sets by the [[appendPq]] contract,
+    * so the union IS the corpus — no dedup pass at probe time. */
   def pqCodes(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(new Path(currentDir(spark, path), "codes").toString)
+    pqChain(spark, path)
+      .map(v => spark.read.parquet(new Path(vdir(path, v), "codes").toString))
+      .reduce(_.unionByName(_))
 
   def ivfCentroids(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(new Path(currentDir(spark, path), "centroids").toString)
@@ -191,4 +291,88 @@ object AnnIndex {
     Similarity.assignCells(
       Similarity.unitVectors(corpus, Seq(idCol -> "id"), vecCol),
       ivfCentroids(spark, path))
+
+  /** Train refined centroids (the q87 construction) AND materialize the
+    * POSTING LISTS: the corpus assigned to its cells and written
+    * `partitionBy(cell)` — the inverted file of a disk IVF index. This
+    * is the piece that makes probes sub-corpus at 100 TB: a query's
+    * candidate read touches only its nprobe cell DIRECTORIES (static
+    * partition pruning, plan-visible), never the other
+    * (cells − nprobe)/cells of the corpus. Unit vectors are stored, so
+    * the probe also skips re-normalization. Returns the committed
+    * version. */
+  def buildIvfPostings(corpus: DataFrame, path: String, refineIters: Int = 1,
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       cellCol: String = "label"): Int = {
+    val spark = corpus.sparkSession
+    val units = Similarity.unitVectors(
+      corpus, Seq(idCol -> "id", cellCol -> "cell"), vecCol)
+      .localCheckpoint() // feeds train AND assignment (no-subplan-CSE)
+    val cents = Similarity.kmeansRefineExact(
+      units, Similarity.exactCentroids(units), refineIters)
+    val next = claimVersion(spark, path)
+    val vd = vdir(path, next)
+    cents.write.mode("overwrite").parquet(new Path(vd, "centroids").toString)
+    units.drop("cell")
+      .join(Similarity.assignCells(units, cents)
+        .select(col("id"), col("assigned_cell").as("cell")), "id")
+      // cluster each cell into one task before the partitioned write
+      // (the PartitionedSnapshot small-files reasoning)
+      .repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(new Path(vd, "postings").toString)
+    commitMeta(spark, vd, s"ivfp $refineIters")
+    prune(spark, path, next)
+    next
+  }
+
+  def ivfpCentroids(spark: SparkSession, path: String): DataFrame = {
+    val meta = metaTextOf(spark, path, currentVersion(spark, path))
+    require(meta.startsWith("ivfp "),
+      s"artifact under $path is '${meta.split(" ")(0)}', not an IVF posting store")
+    spark.read.parquet(new Path(currentDir(spark, path), "centroids").toString)
+  }
+
+  /** The posting relation (id, unit, cell), cell-partitioned on disk. */
+  def ivfpPostings(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(new Path(currentDir(spark, path), "postings").toString)
+
+  /** Multi-probe IVF top-k against the persisted posting lists —
+    * [[Similarity.cellTopKMultiProbe]]'s exact semantics (probe ranking
+    * by centroid similarity with cell-id tie-break; candidates exclude
+    * self; sim desc / cand asc top-k) but with the candidate scan
+    * PRUNED to the probed cell partitions. The probed cell set is
+    * control-plane (≤ min(queries × nprobe, cells) ids, and cells is
+    * bounded by the quantizer — centroids are already a broadcast-sized
+    * table) collected once to drive static partition pruning; the big
+    * side never shuffles and never reads an unprobed directory. */
+  def postingsTopK(spark: SparkSession, path: String, queries: DataFrame,
+                   k: Int, nprobe: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nprobe > 0, "postingsTopK: nprobe must be positive")
+    val cents = ivfpCentroids(spark, path)
+    val qu = Similarity.unitVectors(queries, Seq(idCol -> "query_id"), vecCol, "qu")
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("psim").desc, col("c_cell").asc)
+    val probes = qu.crossJoin(broadcast(
+        cents.select(col("cell").as("c_cell"), col("centroid"))))
+      .select(col("query_id"), col("qu"), col("c_cell"),
+              Similarity.dot(col("qu"), col("centroid")).as("psim"))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qu"), col("c_cell"))
+      .localCheckpoint() // feeds the cell collect AND the candidate join
+    val probedCells: Seq[Any] = probes.select(col("c_cell")).distinct()
+      .collect().map(_.get(0)).toSeq
+    val post = ivfpPostings(spark, path)
+      .filter(col("cell").isin(probedCells: _*)) // static partition pruning
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id").asc)
+    post.join(broadcast(probes),
+        col("cell") === col("c_cell") && col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("cand_id"),
+              Similarity.dot(col("qu"), col("unit")).as("sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

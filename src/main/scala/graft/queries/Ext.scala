@@ -725,6 +725,50 @@ object Ext {
         .orderBy("id")
     }),
 
+    // O(delta) ANN ingest: the PQ index built on HALF the corpus, the
+    // other half landed later through AnnIndex.appendPq — encoded
+    // against the chain root's PINNED codebooks and published as a
+    // delta layer (FAISS add() semantics; the ANN analog of q117's
+    // O(delta) band-index append). The probe unions the layers' codes;
+    // nothing retrains and no corpus codes are rewritten. The oracle
+    // re-derives exactly that lifecycle: books Lloyd-trained on the
+    // even half only, ALL vectors encoded with those books.
+    "q123_ann_pq_append" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idx = java.nio.file.Files.createTempDirectory("graft_annapp_")
+        .resolve("pq").toString
+      graft.operators.AnnIndex.buildPq(e.filter(col("vec_id") % 2 === 0),
+        idx, m = 4, subLen = 16, numCodes = 16, trainIters = 2)
+      graft.operators.AnnIndex.appendPq(e.filter(col("vec_id") % 2 === 1), idx)
+      graft.operators.AnnIndex
+        .pqTopK(s, idx, e.filter(col("vec_id") % 100 === 0), k = 5)
+        .select(col("query_id"), col("cand_id"), col("rank"),
+                round(col("approx_sim"), 6).as("approx_sim"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // The inverted file on disk: corpus assigned to its refined cells
+    // once at BUILD time and written partitionBy(cell)
+    // (AnnIndex.buildIvfPostings); the multi-probe top-k then reads
+    // ONLY the probed cell directories (static partition pruning,
+    // plan-asserted in PqSpec) — the piece that makes an IVF probe
+    // sub-corpus at 100 TB, vs q89's in-session variant that scans the
+    // full corpus relation per probe batch. Same semantics as
+    // cellTopKMultiProbe over the refined centroids; the oracle mirrors
+    // probe ranking and within-cell top-k from the q87 Lloyd CTEs.
+    "q124_ann_ivf_postings" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idx = java.nio.file.Files.createTempDirectory("graft_annpost_")
+        .resolve("ivfp").toString
+      graft.operators.AnnIndex.buildIvfPostings(e, idx, refineIters = 1)
+      graft.operators.AnnIndex
+        .postingsTopK(s, idx, e.filter(col("vec_id") % 100 === 0),
+          k = 3, nprobe = 2)
+        .select(col("query_id"), col("cand_id"),
+                round(col("sim"), 6).as("sim"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Coreset / diversity sampling over embeddings: after IVF assignment,
     // keep the k most-central vectors per cell — the centroid-stratified
     // sample a curation pipeline feeds to expensive downstream scoring.
@@ -906,17 +950,24 @@ object Ext {
     * exact-decimal per-dimension means; codes with no members keep their
     * previous centroid. Mirrors Similarity.pqTrain's loop body exactly. */
   private def lloydRoundSql(i: Int, prev: String): String =
+    lloydRoundSqlOn(i, prev, "subs")
+
+  /** [[lloydRoundSql]] with the TRAINING relation parameterized — the
+    * q123 oracle trains its books on the base half only (`tsubs`) while
+    * encoding the full corpus, mirroring AnnIndex.appendPq's pinned-
+    * codebook ingest. */
+  private def lloydRoundSqlOn(i: Int, prev: String, train: String): String =
     s"""a$i AS (
           SELECT vec_id, sub, code FROM (
             SELECT s.vec_id, s.sub, b.code,
                    ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
                                       ORDER BY ${foldDot("s.sv", "b.code_vec")} DESC,
                                                b.code ASC) AS rn
-            FROM subs s JOIN $prev b ON s.sub = b.sub)
+            FROM $train s JOIN $prev b ON s.sub = b.sub)
           WHERE rn = 1),
         f$i AS (SELECT a.sub, a.code, generate_subscripts(s.sv, 1) AS pos,
                        unnest(s.sv) AS val
-                FROM subs s JOIN a$i a ON s.vec_id = a.vec_id AND s.sub = a.sub),
+                FROM $train s JOIN a$i a ON s.vec_id = a.vec_id AND s.sub = a.sub),
         d$i AS (SELECT sub, code, pos,
                        CAST(SUM(CAST(val AS DECIMAL(28,16))) AS DOUBLE)
                          / CAST(COUNT(*) AS DOUBLE) AS cv
@@ -990,7 +1041,86 @@ object Ext {
     // Persisted-artifact probes must equal their in-session twins
     // bit-for-bit — same oracle, different lifecycle (see AnnIndex).
     "q120_ann_pq_persisted"  -> oracle0("q61_ann_pq"),
-    "q121_ann_ivf_persisted" -> oracle0("q87_kmeans_refine"))
+    "q121_ann_ivf_persisted" -> oracle0("q87_kmeans_refine"),
+
+    // q61's construction with the TRAINING set restricted to the even
+    // half (the base build) while the ENCODE covers every vector — the
+    // pinned-codebook delta-append lifecycle re-derived end-to-end.
+    "q123_ann_pq_append" ->
+      s"""WITH $unitCte,
+          subs AS (
+            SELECT vec_id, sub, u[sub*16+1 : sub*16+16] AS sv
+            FROM e, (SELECT unnest(range(0, 4)) AS sub)),
+          tsubs AS (SELECT * FROM subs WHERE vec_id % 2 = 0),
+          b0 AS (
+            SELECT sub, ROW_NUMBER() OVER (PARTITION BY sub ORDER BY vec_id) - 1
+                     AS code, sv AS code_vec
+            FROM tsubs
+            WHERE vec_id IN (SELECT vec_id FROM e WHERE vec_id % 2 = 0
+                             ORDER BY vec_id LIMIT 16)),
+          ${lloydRoundSqlOn(1, "b0", "tsubs")},
+          ${lloydRoundSqlOn(2, "b1", "tsubs")},
+          books AS (SELECT * FROM b2),
+          codes AS (
+            SELECT vec_id AS cand_id, sub, code FROM (
+              SELECT s.vec_id, s.sub, b.code,
+                     ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+                                        ORDER BY ${foldDot("s.sv", "b.code_vec")} DESC,
+                                                 b.code ASC) AS rn
+              FROM subs s JOIN books b ON s.sub = b.sub)
+            WHERE rn = 1),
+          lut AS (
+            SELECT q.vec_id AS query_id, b.sub, b.code,
+                   ${foldDot("q.sv", "b.code_vec")} AS l
+            FROM (SELECT * FROM subs WHERE vec_id % 100 = 0) q
+            JOIN books b ON q.sub = b.sub),
+          adc AS (
+            SELECT lut.query_id, c.cand_id,
+                   CAST(SUM(CAST(lut.l AS DECIMAL(28,16))) AS DOUBLE) AS approx_sim
+            FROM codes c JOIN lut ON c.sub = lut.sub AND c.code = lut.code
+            WHERE c.cand_id <> lut.query_id
+            GROUP BY 1, 2)
+          SELECT query_id, cand_id, CAST(rank AS BIGINT) AS rank,
+                 ROUND(approx_sim, 6) AS approx_sim
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY approx_sim DESC, cand_id ASC)
+                            AS rank
+                FROM adc)
+          WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // Multi-probe top-k from the q87 Lloyd CTEs: each query's two best
+    // refined cells (sim desc, cell asc — cellTopKMultiProbe's probe
+    // order), candidates = vectors ASSIGNED to a probed cell, ranked by
+    // the exact fold-dot within the probed union. Mirrors
+    // AnnIndex.postingsTopK including self-exclusion and tie-breaks.
+    "q124_ann_ivf_postings" ->
+      s"""WITH $unitCte,
+          $kmeansRefineCtes,
+          a1 AS (SELECT id, cell AS acell FROM (
+                   SELECT id, cell,
+                          ROW_NUMBER() OVER (PARTITION BY id
+                                             ORDER BY sim DESC, cell ASC) AS rn
+                   FROM sims1)
+                 WHERE rn = 1),
+          probes AS (SELECT id AS query_id, cell AS pcell FROM (
+                       SELECT id, cell,
+                              ROW_NUMBER() OVER (PARTITION BY id
+                                                 ORDER BY sim DESC, cell ASC) AS rn
+                       FROM sims1 WHERE id % 100 = 0)
+                     WHERE rn <= 2),
+          cand AS (SELECT p.query_id, c.vec_id AS cand_id,
+                          ${foldDot("q.u", "c.u")} AS sim
+                   FROM probes p
+                   JOIN e q ON q.vec_id = p.query_id
+                   JOIN a1 ON a1.acell = p.pcell
+                   JOIN e c ON c.vec_id = a1.id AND c.vec_id <> p.query_id)
+          SELECT query_id, cand_id, ROUND(sim, 6) AS sim,
+                 CAST(rank AS BIGINT) AS rank
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY sim DESC, cand_id ASC)
+                            AS rank
+                FROM cand)
+          WHERE rank <= 3 ORDER BY query_id, rank""")
 
   private lazy val oracle0: Map[String, String] = Map(
     // The oracle restates the q46 encode spec: the Spark side must push

@@ -70,6 +70,76 @@ class PqSpec extends SparkSpec {
     assert(err.getMessage.contains("not a PQ index"))
   }
 
+  test("appendPq: delta layers encode with pinned books; probe == one-shot encode") {
+    import graft.operators.AnnIndex
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val base = e.filter(col("vec_id") % 2 === 0)
+    val delta = e.filter(col("vec_id") % 2 === 1)
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val path = java.nio.file.Files.createTempDirectory("graft_annappend_")
+      .resolve("pq").toString
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val v1 = AnnIndex.buildPq(base, path)
+    val v2 = AnnIndex.appendPq(delta, path)
+    assert(v2 == v1 + 1 && AnnIndex.pqChain(spark, path) == Seq(v2, v1))
+    // layered probe == probing a one-shot encode of the FULL corpus with
+    // the SAME base-trained books (append must not change any answer)
+    val books = AnnIndex.pqBooks(spark, path)
+    val allUnits = Similarity.unitVectors(e, Seq("vec_id" -> "id"))
+    val oneShot = Similarity.pqTopKFrom(
+      books, Similarity.pqEncode(allUnits, books, 4, 16), q, k = 5)
+    assert(rows(AnnIndex.pqTopK(spark, path, q, k = 5)) == rows(oneShot)
+      && oneShot.count() > 0)
+    // re-appending ids that are already encoded fails loudly
+    val err = intercept[IllegalArgumentException] {
+      AnnIndex.appendPq(delta.limit(3), path)
+    }
+    assert(err.getMessage.contains("already encoded"))
+    // a full rebuild collapses the chain and prunes below the old HEAD's
+    // chain only after the NEXT publish supersedes it
+    val v3 = AnnIndex.buildPq(e, path)
+    assert(AnnIndex.pqChain(spark, path) == Seq(v3))
+    assert(rows(AnnIndex.pqTopK(spark, path, q, k = 5))
+      == rows(Similarity.pqTopK(e, q, k = 5)))
+  }
+
+  test("IVF posting store: pruned multi-probe == cellTopKMultiProbe; scan is partition-pruned") {
+    import graft.operators.AnnIndex
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val path = java.nio.file.Files.createTempDirectory("graft_annpost_")
+      .resolve("ivfp").toString
+    AnnIndex.buildIvfPostings(e, path, refineIters = 1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val probed = AnnIndex.postingsTopK(spark, path, q, k = 3, nprobe = 2)
+    // semantics: exactly cellTopKMultiProbe over the SAME refined
+    // centroids, with candidate cells re-derived from the posting store
+    val units = Similarity.unitVectors(e, Seq("vec_id" -> "id", "label" -> "cell"))
+    val cents = Similarity.kmeansRefineExact(
+      units, Similarity.exactCentroids(units), 1)
+    val corpusRefined = e.drop("label")
+      .join(Similarity.assignCells(units, cents)
+        .select(col("id").as("vec_id"), col("assigned_cell").as("label")), "vec_id")
+    val mem = Similarity.cellTopKMultiProbe(corpusRefined, q, cents,
+      k = 3, nprobe = 2)
+    assert(rows(probed) == rows(mem) && probed.count() > 0)
+    // the candidate read is partition-pruned: fewer files than the store
+    val post = AnnIndex.ivfpPostings(spark, path)
+    val allCells = post.select("cell").distinct().count()
+    val someCell = post.select("cell").distinct().head().get(0)
+    val pruned = post.filter(col("cell") === someCell)
+    pruned.collect()
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case s if s.metrics.contains("numFiles") =>
+          s.metrics("numFiles").value }.get
+    assert(allCells > 1)
+    assert(scannedFiles(pruned) < scannedFiles({ val a = post; a.collect(); a }))
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+  }
+
   test("PQ codes are drawn from the codebook and cover every (vector, subspace)") {
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val cu = Similarity.unitVectors(e, Seq("vec_id" -> "id"))
