@@ -16,9 +16,10 @@ import graft.streaming.DocsStream
   * compacts the index chain when it exceeds the cadence threshold — then
   * commits the tick atomically.
   *
-  * Crash model — ONE commit point per tick. A tick touches five stores
+  * Crash model — ONE commit point per tick. A tick touches six stores
   * (CVE snapshot, watermark table, pair snapshot, shingle store, band
-  * index); giving each its own "done" flag would create crash windows
+  * index, PQ ann index); giving each its own "done" flag would create
+  * crash windows
   * where half a tick is visible and the other half re-runs under a new
   * batch id (doubling shingle rows — exactly the corruption class the
   * round-8 verdict flagged in the old store). Instead a tick COMMITS by
@@ -50,6 +51,7 @@ object DailyLoop {
   sealed trait FailPoint
   case object AfterMerge extends FailPoint
   case object AfterDedup extends FailPoint
+  case object AfterAnn extends FailPoint
   case object AfterCompact extends FailPoint
   final class InjectedCrash(at: FailPoint)
     extends RuntimeException(s"injected crash $at")
@@ -61,6 +63,7 @@ object DailyLoop {
     val index    = s"$root/idx"        // layered band index
     val store    = s"$root/shingles"   // bucketed shingle store
     val pairs    = s"$root/pairs"      // verified near-dup pairs
+    val ann      = s"$root/ann"        // versioned PQ index (AnnIndex)
     val ticks    = s"$root/ticks"      // tick marker files (commit points)
   }
 
@@ -119,7 +122,9 @@ object DailyLoop {
   /** One daily tick. Steps, in order: (1) K1 merge of the landed CVE
     * sources into the snapshot + prioritize (CveJob.runTick without its
     * watermark stamp — the COMBINED tick owns commit), (2) the indexed
-    * dedup tick over the landed document delta, (3) compaction when the
+    * dedup tick over the landed document delta, (2b) the ANN ingest of
+    * the landed embedding delta (batch-stamped build/append +
+    * answer-invariant compaction, see below), (3) compaction when the
     * layer chain exceeds `maxChain` (full rebuild from the store under
     * the index's OWN layout — a compaction must never change the hash
     * family), (4) freshness stamp, (5) the marker commit. */
@@ -127,7 +132,9 @@ object DailyLoop {
               docsDelta: DataFrame, p: Paths, now: Timestamp,
               threshold: Double = 0.8, maxChain: Int = Int.MaxValue,
               failAt: Option[FailPoint] = None,
-              keepMarkers: Int = KeepMarkers): Unit = {
+              keepMarkers: Int = KeepMarkers,
+              embDelta: Option[DataFrame] = None,
+              annMaxChain: Int = Int.MaxValue): Unit = {
     val (committed, _) = committedTick(spark, p)
     val batchId = committed + 1
     // day-zero store dir: the verify read's fixed schema needs a path to
@@ -159,6 +166,31 @@ object DailyLoop {
     DocsStream.indexedDedupTick(docsDelta, batchId, p.index, p.store,
       p.pairs, threshold)
     if (failAt.contains(AfterDedup)) throw new InjectedCrash(AfterDedup)
+
+    // (2b) the ANN ingest, when an embedding delta landed: day zero
+    // TRAINS and publishes the base (the tick's delta is the training
+    // set — the pinned codebook every later append encodes against);
+    // after that each tick is an O(delta) pinned-codebook append, and
+    // the chain compacts on its own cadence WITHOUT retraining
+    // (AnnIndex.compactPq — answer-invariant, so compaction timing
+    // never changes probe results; a retraining refresh is a
+    // deliberate quality event outside the loop). Idempotence under
+    // the one-marker crash model comes from the batch stamp: a re-run
+    // whose batch already sits at the committed head skips the step —
+    // duplicate PQ codes would DOUBLE ADC sums, so this skip is load-
+    // bearing, not an optimization. checkDisjoint stays off: the loop's
+    // delta contract (new vec_ids only) is the stream's own invariant,
+    // and the O(corpus) id scan would break the tick's O(delta) claim.
+    embDelta.foreach { emb =>
+      if (!operators.AnnIndex.isBuilt(spark, p.ann))
+        operators.AnnIndex.buildPq(emb, p.ann, batchId = Some(batchId))
+      else if (!operators.AnnIndex.pqHeadBatch(spark, p.ann).contains(batchId))
+        operators.AnnIndex.appendPq(emb, p.ann, checkDisjoint = false,
+          batchId = Some(batchId))
+      if (operators.AnnIndex.pqChain(spark, p.ann).length > annMaxChain)
+        operators.AnnIndex.compactPq(spark, p.ann)
+    }
+    if (failAt.contains(AfterAnn)) throw new InjectedCrash(AfterAnn)
 
     // (3) compaction cadence: collapse the chain once probes would walk
     // more than maxChain layers — the store holds the full committed
@@ -212,13 +244,16 @@ object DailyLoop {
            intervalHours: Int, shouldStop: () => Boolean,
            clock: () => Timestamp,
            threshold: Double = 0.8, maxChain: Int = Int.MaxValue,
-           sleepMs: Long = 1000L): Int = {
+           sleepMs: Long = 1000L,
+           embDelta: Long => Option[DataFrame] = _ => None,
+           annMaxChain: Int = Int.MaxValue): Int = {
     var ticks = 0
     while (!shouldStop()) {
       val now = clock()
       if (isTickDue(spark, p, now, intervalHours)) {
         val seq = committedTick(spark, p)._1 + 1
-        runTick(spark, landing(seq), docsDelta(seq), p, now, threshold, maxChain)
+        runTick(spark, landing(seq), docsDelta(seq), p, now, threshold,
+          maxChain, embDelta = embDelta(seq), annMaxChain = annMaxChain)
         ticks += 1
       } else Thread.sleep(sleepMs)
     }

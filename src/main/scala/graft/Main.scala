@@ -123,6 +123,17 @@ object Main {
     else Seq.empty[(Long, String)].toDF("doc_id", "text")
   }
 
+  /** The tick's embedding delta (`embeddings.parquet`), None when none
+    * landed — unlike docs, an ABSENT delta must skip the ANN step
+    * entirely (a zero-row day-zero build would train an empty, useless
+    * codebook). */
+  def embDeltaFrom(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val p = JPaths.get(dir, "embeddings.parquet")
+    if (Files.exists(p))
+      Some(spark.read.parquet(p.toString).select("vec_id", "embedding"))
+    else None
+  }
+
   private val Banner =
     """   ____ ____      _    _____ _____
       |  / ___|  _ \    / \  |  ___|_   _|
@@ -143,15 +154,17 @@ object Main {
     val intervalHours = conf.schedulerIntervalHours(default = 24)
     val threshold = conf.get("dedup", "threshold").map(_.toDouble).getOrElse(0.8)
     val maxChain = conf.getInt("dedup", "max_chain", Int.MaxValue)
+    val annMaxChain = conf.getInt("dedup", "ann_max_chain", Int.MaxValue)
     def landing(seq: Long) = landingFrom(s"$root/landing/$seq")
     def delta(seq: Long) = docsDeltaFrom(spark, s"$root/landing/$seq")
+    def emb(seq: Long) = embDeltaFrom(spark, s"$root/landing/$seq")
 
     if (once) {
       Log.info("[Job] Starting", "main")
       val t0 = System.nanoTime()
       val seq = DailyLoop.committedTick(spark, p)._1 + 1
       DailyLoop.runTick(spark, landing(seq), delta(seq), p, clock(),
-        threshold, maxChain)
+        threshold, maxChain, embDelta = emb(seq), annMaxChain = annMaxChain)
       Log.success(f"[Job] Finished in ${(System.nanoTime() - t0) / 1e9}%.2f seconds.", "main")
       1
     } else {
@@ -162,7 +175,8 @@ object Main {
       Log.info(s"[Scheduler] Update frequency: every ${intervalHours}h", "main")
       val ticks = DailyLoop.loop(spark, landing, delta, p, intervalHours,
         shouldStop = () => stop.get(), clock = clock,
-        threshold = threshold, maxChain = maxChain, sleepMs = sleepMs)
+        threshold = threshold, maxChain = maxChain, sleepMs = sleepMs,
+        embDelta = emb, annMaxChain = annMaxChain)
       Log.info("[Scheduler] Shutdown event detected. Exiting scheduler loop.", "main")
       ticks
     }

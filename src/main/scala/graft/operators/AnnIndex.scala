@@ -152,9 +152,13 @@ object AnnIndex {
     * code_vec) and the encoded corpus (id, sub, code) — at scale the
     * m-small-ints-per-vector table that replaces the raw floats at query
     * time. Returns the committed version. */
+  private def batchSuffix(batchId: Option[Long]): String =
+    batchId.map(b => s" batch=$b").getOrElse("")
+
   def buildPq(corpus: DataFrame, path: String, m: Int = 4, subLen: Int = 16,
               numCodes: Int = 16, trainIters: Int = 2,
-              idCol: String = "vec_id", vecCol: String = "embedding"): Int = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              batchId: Option[Long] = None): Int = {
     val spark = corpus.sparkSession
     // units feed train AND encode; books feed encode AND their own write
     // (no-subplan-CSE: pin both)
@@ -168,7 +172,7 @@ object AnnIndex {
     books.write.mode("overwrite").parquet(new Path(vd, "books").toString)
     Similarity.pqEncode(units, books, m, subLen)
       .write.mode("overwrite").parquet(new Path(vd, "codes").toString)
-    commitMeta(spark, vd, s"pq $m $subLen $numCodes")
+    commitMeta(spark, vd, s"pq $m $subLen $numCodes${batchSuffix(batchId)}")
     prune(spark, path, next)
     next
   }
@@ -191,7 +195,8 @@ object AnnIndex {
     * Returns the committed version. */
   def appendPq(delta: DataFrame, path: String,
                idCol: String = "vec_id", vecCol: String = "embedding",
-               checkDisjoint: Boolean = true): Int = {
+               checkDisjoint: Boolean = true,
+               batchId: Option[Long] = None): Int = {
     val spark = delta.sparkSession
     val p = pqParams(spark, path) // also proves a committed pq chain exists
     val parent = currentVersion(spark, path)
@@ -210,9 +215,36 @@ object AnnIndex {
     val vd = vdir(path, next)
     Similarity.pqEncode(units, books, p.m, p.subLen)
       .write.mode("overwrite").parquet(new Path(vd, "codes").toString)
-    commitMeta(spark, vd, s"pq-delta $parent ${p.m} ${p.subLen} ${p.numCodes}")
+    commitMeta(spark, vd,
+      s"pq-delta $parent ${p.m} ${p.subLen} ${p.numCodes}${batchSuffix(batchId)}")
     // no prune: every ancestor layer stays live until the next full
     // rebuild collapses the chain
+    next
+  }
+
+  /** Collapse the layer chain WITHOUT retraining: the root's books and
+    * the union of every layer's codes republished as one base version.
+    * Answer-invariant by construction (probes see the identical books ×
+    * codes relation), which is what lets the daily loop compact on
+    * cadence under the same truth — unlike a [[buildPq]] refresh, whose
+    * retrained books legitimately CHANGE rankings and is therefore a
+    * quality event the operator schedules deliberately. Cost is
+    * O(corpus) over the m-small-ints codes representation (the LSM
+    * compaction cost class, never the raw floats). Carries the head's
+    * batch stamp forward so a tick that compacts stays idempotent
+    * under crash re-run. Returns the committed version. */
+  def compactPq(spark: SparkSession, path: String): Int = {
+    val p = pqParams(spark, path)
+    val batch = pqHeadBatch(spark, path)
+    val books = pqBooks(spark, path).localCheckpoint()
+    val codes = pqCodes(spark, path).localCheckpoint()
+    val next = claimVersion(spark, path)
+    val vd = vdir(path, next)
+    books.write.mode("overwrite").parquet(new Path(vd, "books").toString)
+    codes.write.mode("overwrite").parquet(new Path(vd, "codes").toString)
+    commitMeta(spark, vd,
+      s"pq ${p.m} ${p.subLen} ${p.numCodes}${batchSuffix(batch)}")
+    prune(spark, path, next)
     next
   }
 
@@ -234,8 +266,17 @@ object AnnIndex {
     next
   }
 
+  /** A sidecar may carry a trailing `batch=<id>` token — the daily-loop
+    * tick that published the version. The tick's crash re-run keys its
+    * skip-if-done decision on it (see [[pqHeadBatch]]). */
+  private def splitBatch(parts: Array[String]): (Array[String], Option[Long]) =
+    if (parts.nonEmpty && parts.last.startsWith("batch="))
+      (parts.init, parts.last.stripPrefix("batch=").toLongOption)
+    else (parts, None)
+
   def pqParams(spark: SparkSession, path: String): PqParams = {
-    val parts = metaTextOf(spark, path, currentVersion(spark, path)).split(" ")
+    val (parts, _) =
+      splitBatch(metaTextOf(spark, path, currentVersion(spark, path)).split(" "))
     parts(0) match {
       case "pq" =>
         require(parts.length == 4,
@@ -250,6 +291,19 @@ object AnnIndex {
           s"artifact under $path is '$other', not a PQ index")
     }
   }
+
+  /** Whether any version has ever committed — the day-zero probe. */
+  def isBuilt(spark: SparkSession, path: String): Boolean =
+    committedVersions(spark, path).nonEmpty
+
+  /** The batch id the committed HEAD was published under, if the writer
+    * recorded one. The loop's idempotence key: a tick re-running after a
+    * crash sees its own batch at the head and skips the ANN step
+    * instead of stacking duplicate codes (a double band-layer append is
+    * probe-distinct'ed away; duplicate PQ codes would double ADC sums —
+    * so the skip must be loud-and-early, not repaired downstream). */
+  def pqHeadBatch(spark: SparkSession, path: String): Option[Long] =
+    splitBatch(metaTextOf(spark, path, currentVersion(spark, path)).split(" "))._2
 
   /** The chain from the newest committed version down to its full-build
     * root — one element for a freshly built index, root LAST. */

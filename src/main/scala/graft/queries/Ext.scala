@@ -769,6 +769,33 @@ object Ext {
         .orderBy("query_id", "rank")
     }),
 
+    // The ANN lifecycle run INSIDE the operational loop (q119's
+    // machinery): three scheduler ticks land disjoint embedding deltas
+    // — tick 1 trains and publishes the base (day zero), later ticks
+    // are O(delta) pinned-codebook appends, and annMaxChain=1 forces an
+    // answer-invariant compactPq mid-sequence TWICE — then the probe of
+    // the surviving artifact must equal the no-loop truth: books
+    // trained on tick 1's third, every vector encoded. Orchestration,
+    // batch-stamped idempotence and compaction timing must all be
+    // invisible in the answer.
+    "q125_daily_loop_ann" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val work = java.nio.file.Files.createTempDirectory("graft_dailyann_")
+      val p = graft.DailyLoop.Paths(work.toString)
+      val emptyDocs = t(s, dir, "documents").select("doc_id", "text").limit(0)
+      (1 to 3).foreach { d =>
+        graft.DailyLoop.runTick(s, graft.CvePipeline.Landing(), emptyDocs, p,
+          java.sql.Timestamp.valueOf(f"2025-04-0$d%d 00:00:00"),
+          embDelta = Some(e.filter(col("vec_id") % 3 === lit(d - 1))),
+          annMaxChain = 1)
+      }
+      graft.operators.AnnIndex
+        .pqTopK(s, p.ann, e.filter(col("vec_id") % 100 === 0), k = 5)
+        .select(col("query_id"), col("cand_id"), col("rank"),
+                round(col("approx_sim"), 6).as("approx_sim"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Coreset / diversity sampling over embeddings: after IVF assignment,
     // keep the k most-central vectors per cell — the centroid-stratified
     // sample a curation pipeline feeds to expensive downstream scoring.
@@ -1057,6 +1084,51 @@ object Ext {
                      AS code, sv AS code_vec
             FROM tsubs
             WHERE vec_id IN (SELECT vec_id FROM e WHERE vec_id % 2 = 0
+                             ORDER BY vec_id LIMIT 16)),
+          ${lloydRoundSqlOn(1, "b0", "tsubs")},
+          ${lloydRoundSqlOn(2, "b1", "tsubs")},
+          books AS (SELECT * FROM b2),
+          codes AS (
+            SELECT vec_id AS cand_id, sub, code FROM (
+              SELECT s.vec_id, s.sub, b.code,
+                     ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+                                        ORDER BY ${foldDot("s.sv", "b.code_vec")} DESC,
+                                                 b.code ASC) AS rn
+              FROM subs s JOIN books b ON s.sub = b.sub)
+            WHERE rn = 1),
+          lut AS (
+            SELECT q.vec_id AS query_id, b.sub, b.code,
+                   ${foldDot("q.sv", "b.code_vec")} AS l
+            FROM (SELECT * FROM subs WHERE vec_id % 100 = 0) q
+            JOIN books b ON q.sub = b.sub),
+          adc AS (
+            SELECT lut.query_id, c.cand_id,
+                   CAST(SUM(CAST(lut.l AS DECIMAL(28,16))) AS DOUBLE) AS approx_sim
+            FROM codes c JOIN lut ON c.sub = lut.sub AND c.code = lut.code
+            WHERE c.cand_id <> lut.query_id
+            GROUP BY 1, 2)
+          SELECT query_id, cand_id, CAST(rank AS BIGINT) AS rank,
+                 ROUND(approx_sim, 6) AS approx_sim
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY approx_sim DESC, cand_id ASC)
+                            AS rank
+                FROM adc)
+          WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // q123's lifecycle under the LOOP's tick split: training set =
+    // tick 1's delta (vec_id % 3 = 0), encode = everything. The loop's
+    // appends and compactions must leave exactly this relation behind.
+    "q125_daily_loop_ann" ->
+      s"""WITH $unitCte,
+          subs AS (
+            SELECT vec_id, sub, u[sub*16+1 : sub*16+16] AS sv
+            FROM e, (SELECT unnest(range(0, 4)) AS sub)),
+          tsubs AS (SELECT * FROM subs WHERE vec_id % 3 = 0),
+          b0 AS (
+            SELECT sub, ROW_NUMBER() OVER (PARTITION BY sub ORDER BY vec_id) - 1
+                     AS code, sv AS code_vec
+            FROM tsubs
+            WHERE vec_id IN (SELECT vec_id FROM e WHERE vec_id % 3 = 0
                              ORDER BY vec_id LIMIT 16)),
           ${lloydRoundSqlOn(1, "b0", "tsubs")},
           ${lloydRoundSqlOn(2, "b1", "tsubs")},

@@ -224,4 +224,48 @@ class DailyLoopSpec extends SparkSpec {
       assert(snap.select("id").distinct().count() == snap.count())
     }
   }
+
+  test("ANN ingest in the loop: batch-stamped idempotence, compaction, loop == no-loop truth") {
+    import graft.operators.{AnnIndex, Similarity}
+    val p = DailyLoop.Paths(work())
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    def emb(d: Int) = e.filter(col("vec_id") % 3 === lit(d - 1))
+    val emptyDocs = docs.limit(0)
+    // tick 1 trains the base, then CRASHES after the ann step — the
+    // re-run must SKIP the build (its batch is at the committed head);
+    // duplicate PQ codes would double ADC sums, so this is load-bearing
+    intercept[DailyLoop.InjectedCrash] {
+      DailyLoop.runTick(spark, CvePipeline.Landing(), emptyDocs, p,
+        ts("2025-04-01 00:00:00"), embDelta = Some(emb(1)),
+        annMaxChain = 1, failAt = Some(DailyLoop.AfterAnn))
+    }
+    DailyLoop.runTick(spark, CvePipeline.Landing(), emptyDocs, p,
+      ts("2025-04-01 00:05:00"), embDelta = Some(emb(1)), annMaxChain = 1)
+    val m = AnnIndex.pqParams(spark, p.ann).m
+    assert(AnnIndex.pqCodes(spark, p.ann).count() == emb(1).count() * m)
+    assert(AnnIndex.pqHeadBatch(spark, p.ann).contains(1L))
+    // tick 2 appends and annMaxChain=1 compacts mid-sequence; tick 3
+    // appends onto the compacted base
+    DailyLoop.runTick(spark, CvePipeline.Landing(), emptyDocs, p,
+      ts("2025-04-02 00:00:00"), embDelta = Some(emb(2)), annMaxChain = 1)
+    assert(AnnIndex.pqChain(spark, p.ann).length == 1) // compacted
+    DailyLoop.runTick(spark, CvePipeline.Landing(), emptyDocs, p,
+      ts("2025-04-03 00:00:00"), embDelta = Some(emb(3)), annMaxChain = 1)
+    assert(AnnIndex.pqCodes(spark, p.ann).count() == e.count() * m)
+    // the loop's surviving artifact answers EXACTLY like the no-loop
+    // lifecycle: books trained on tick 1's delta, everything encoded
+    val q = e.filter(col("vec_id") % 100 === 0)
+    val books = Similarity.pqTrain(
+      Similarity.unitVectors(emb(1), Seq("vec_id" -> "id")), 4, 16, 16, 2)
+    val truth = Similarity.pqTopKFrom(books,
+      Similarity.pqEncode(Similarity.unitVectors(e, Seq("vec_id" -> "id")),
+        books, 4, 16), q, k = 5)
+    def rows(df: DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    assert(rows(AnnIndex.pqTopK(spark, p.ann, q, k = 5)) == rows(truth)
+      && truth.count() > 0)
+    // an embedding-free tick leaves the artifact untouched
+    DailyLoop.runTick(spark, CvePipeline.Landing(), emptyDocs, p,
+      ts("2025-04-04 00:00:00"))
+    assert(AnnIndex.pqHeadBatch(spark, p.ann).contains(3L))
+  }
 }

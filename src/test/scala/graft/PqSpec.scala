@@ -104,6 +104,29 @@ class PqSpec extends SparkSpec {
       == rows(Similarity.pqTopK(e, q, k = 5)))
   }
 
+  test("compactPq: chain collapses without retraining; answers and batch stamp survive") {
+    import graft.operators.AnnIndex
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val path = java.nio.file.Files.createTempDirectory("graft_anncompact_")
+      .resolve("pq").toString
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    AnnIndex.buildPq(e.filter(col("vec_id") % 2 === 0), path,
+      batchId = Some(1L))
+    AnnIndex.appendPq(e.filter(col("vec_id") % 2 === 1), path,
+      batchId = Some(2L))
+    val before = rows(AnnIndex.pqTopK(spark, path, q, k = 5))
+    val booksBefore = rows(AnnIndex.pqBooks(spark, path))
+    assert(AnnIndex.pqChain(spark, path).length == 2)
+    AnnIndex.compactPq(spark, path)
+    assert(AnnIndex.pqChain(spark, path).length == 1)
+    // identical books (no retrain), identical answers, stamp carried
+    assert(rows(AnnIndex.pqBooks(spark, path)) == booksBefore)
+    assert(rows(AnnIndex.pqTopK(spark, path, q, k = 5)) == before)
+    assert(AnnIndex.pqHeadBatch(spark, path).contains(2L))
+  }
+
   test("IVF posting store: pruned multi-probe == cellTopKMultiProbe; scan is partition-pruned") {
     import graft.operators.AnnIndex
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
