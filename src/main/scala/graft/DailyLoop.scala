@@ -181,7 +181,10 @@ object DailyLoop {
     // bearing, not an optimization. checkDisjoint stays off: the loop's
     // delta contract (new vec_ids only) is the stream's own invariant,
     // and the O(corpus) id scan would break the tick's O(delta) claim.
-    embDelta.foreach { emb =>
+    // A zero-row delta skips the whole step (one limit-1 probe): a
+    // day-zero build on it would train an EMPTY codebook and poison
+    // every later append; an append of it would only grow the chain.
+    embDelta.filter(!_.limit(1).isEmpty).foreach { emb =>
       if (!operators.AnnIndex.isBuilt(spark, p.ann))
         operators.AnnIndex.buildPq(emb, p.ann, batchId = Some(batchId))
       else if (!operators.AnnIndex.pqHeadBatch(spark, p.ann).contains(batchId))

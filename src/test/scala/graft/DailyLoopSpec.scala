@@ -263,9 +263,14 @@ class DailyLoopSpec extends SparkSpec {
     def rows(df: DataFrame) = df.collect().map(_.toString).sorted.toSeq
     assert(rows(AnnIndex.pqTopK(spark, p.ann, q, k = 5)) == rows(truth)
       && truth.count() > 0)
-    // an embedding-free tick leaves the artifact untouched
+    // an embedding-free tick leaves the artifact untouched, and so does
+    // a ZERO-ROW delta (a day-zero empty build would train an empty,
+    // poisonous codebook — the guard skips the step entirely)
     DailyLoop.runTick(spark, CvePipeline.Landing(), emptyDocs, p,
       ts("2025-04-04 00:00:00"))
+    DailyLoop.runTick(spark, CvePipeline.Landing(), emptyDocs, p,
+      ts("2025-04-05 00:00:00"), embDelta = Some(e.limit(0)))
     assert(AnnIndex.pqHeadBatch(spark, p.ann).contains(3L))
+    assert(AnnIndex.pqCodes(spark, p.ann).count() == e.count() * m)
   }
 }
