@@ -148,33 +148,37 @@ object AnnIndex {
     * artifact, never as caller-remembered constants. */
   final case class PqParams(m: Int, subLen: Int, numCodes: Int)
 
+  private def batchSuffix(batchId: Option[Long]): String =
+    batchId.map(b => s" batch=$b").getOrElse("")
+
   /** Train + encode + publish a PQ index version: codebooks (sub, code,
     * code_vec) and the encoded corpus (id, sub, code) — at scale the
     * m-small-ints-per-vector table that replaces the raw floats at query
     * time. Returns the committed version. */
-  private def batchSuffix(batchId: Option[Long]): String =
-    batchId.map(b => s" batch=$b").getOrElse("")
-
   def buildPq(corpus: DataFrame, path: String, m: Int = 4, subLen: Int = 16,
               numCodes: Int = 16, trainIters: Int = 2,
               idCol: String = "vec_id", vecCol: String = "embedding",
               batchId: Option[Long] = None): Int = {
     val spark = corpus.sparkSession
-    // units feed train AND encode; books feed encode AND their own write
-    // (no-subplan-CSE: pin both)
+    // units feed every train round AND the encode (no-subplan-CSE: pin
+    // once) — spill-friendly persist, NOT a localCheckpoint: this is
+    // the corpus-sized relation, and an executor-disk checkpoint copy
+    // of it is exactly the O(corpus) duplication a 100 TB build can't
+    // afford. books are tiny and pqTrain checkpoints them per round.
     val units = Similarity
       .unitVectors(corpus, Seq(idCol -> "id"), vecCol, "unit")
-      .localCheckpoint()
-    val books = Similarity.pqTrain(units, m, subLen, numCodes, trainIters)
-      .localCheckpoint()
-    val next = claimVersion(spark, path)
-    val vd = vdir(path, next)
-    books.write.mode("overwrite").parquet(new Path(vd, "books").toString)
-    Similarity.pqEncode(units, books, m, subLen)
-      .write.mode("overwrite").parquet(new Path(vd, "codes").toString)
-    commitMeta(spark, vd, s"pq $m $subLen $numCodes${batchSuffix(batchId)}")
-    prune(spark, path, next)
-    next
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val books = Similarity.pqTrain(units, m, subLen, numCodes, trainIters)
+      val next = claimVersion(spark, path)
+      val vd = vdir(path, next)
+      books.write.mode("overwrite").parquet(new Path(vd, "books").toString)
+      Similarity.pqEncode(units, books, m, subLen)
+        .write.mode("overwrite").parquet(new Path(vd, "codes").toString)
+      commitMeta(spark, vd, s"pq $m $subLen $numCodes${batchSuffix(batchId)}")
+      prune(spark, path, next)
+      next
+    } finally { units.unpersist(); () }
   }
 
   /** Ingest NEW vectors without touching the corpus: encode `delta`
@@ -236,8 +240,11 @@ object AnnIndex {
   def compactPq(spark: SparkSession, path: String): Int = {
     val p = pqParams(spark, path)
     val batch = pqHeadBatch(spark, path)
-    val books = pqBooks(spark, path).localCheckpoint()
-    val codes = pqCodes(spark, path).localCheckpoint()
+    // plain reads, no pinning: the source versions stay on disk (prune
+    // keeps the old head's chain), and each relation is consumed by
+    // exactly one write — a checkpoint here would be an O(corpus) copy
+    val books = pqBooks(spark, path)
+    val codes = pqCodes(spark, path)
     val next = claimVersion(spark, path)
     val vd = vdir(path, next)
     books.write.mode("overwrite").parquet(new Path(vd, "books").toString)
@@ -359,25 +366,30 @@ object AnnIndex {
                        idCol: String = "vec_id", vecCol: String = "embedding",
                        cellCol: String = "label"): Int = {
     val spark = corpus.sparkSession
+    // corpus-sized multi-consumer (every Lloyd round + the final
+    // assignment + the posting write) — spill-friendly persist, not an
+    // O(corpus) executor-disk checkpoint copy
     val units = Similarity.unitVectors(
       corpus, Seq(idCol -> "id", cellCol -> "cell"), vecCol)
-      .localCheckpoint() // feeds train AND assignment (no-subplan-CSE)
-    val cents = Similarity.kmeansRefineExact(
-      units, Similarity.exactCentroids(units), refineIters)
-    val next = claimVersion(spark, path)
-    val vd = vdir(path, next)
-    cents.write.mode("overwrite").parquet(new Path(vd, "centroids").toString)
-    units.drop("cell")
-      .join(Similarity.assignCells(units, cents)
-        .select(col("id"), col("assigned_cell").as("cell")), "id")
-      // cluster each cell into one task before the partitioned write
-      // (the PartitionedSnapshot small-files reasoning)
-      .repartition(col("cell"))
-      .write.partitionBy("cell").mode("overwrite")
-      .parquet(new Path(vd, "postings").toString)
-    commitMeta(spark, vd, s"ivfp $refineIters")
-    prune(spark, path, next)
-    next
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cents = Similarity.kmeansRefineExact(
+        units, Similarity.exactCentroids(units), refineIters)
+      val next = claimVersion(spark, path)
+      val vd = vdir(path, next)
+      cents.write.mode("overwrite").parquet(new Path(vd, "centroids").toString)
+      units.drop("cell")
+        .join(Similarity.assignCells(units, cents)
+          .select(col("id"), col("assigned_cell").as("cell")), "id")
+        // cluster each cell into one task before the partitioned write
+        // (the PartitionedSnapshot small-files reasoning)
+        .repartition(col("cell"))
+        .write.partitionBy("cell").mode("overwrite")
+        .parquet(new Path(vd, "postings").toString)
+      commitMeta(spark, vd, s"ivfp $refineIters")
+      prune(spark, path, next)
+      next
+    } finally { units.unpersist(); () }
   }
 
   def ivfpCentroids(spark: SparkSession, path: String): DataFrame = {
