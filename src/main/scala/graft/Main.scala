@@ -200,16 +200,24 @@ object Main {
             Config.parse("")
           }
         val stop = new AtomicBoolean(false)
-        // handle_shutdown analog: SIGINT/SIGTERM run JVM shutdown hooks;
-        // flipping the flag lets the loop finish its current tick
-        // (commit marker included) before the JVM exits.
+        val drained = new java.util.concurrent.CountDownLatch(1)
+        // handle_shutdown analog: SIGINT/SIGTERM run JVM shutdown hooks.
+        // Setting the flag alone would NOT finish the in-flight tick —
+        // the JVM halts every thread the moment its hooks return — so
+        // the hook also BLOCKS on the drain latch until the loop exits
+        // cooperatively (tick commit marker included), mirroring the
+        // reference's scheduler-thread join-on-event shutdown.
         Runtime.getRuntime.addShutdownHook(new Thread(() => {
           Log.info("Shutdown signal received. Initiating graceful shutdown...", "main")
           stop.set(true)
+          drained.await()
         }))
         val spark = GraftSession.build()
         try run(spark, conf, a.root, a.once, stop)
-        finally spark.stop()
+        finally {
+          spark.stop()
+          drained.countDown() // releases the hook: safe to halt now
+        }
     }
   }
 }
