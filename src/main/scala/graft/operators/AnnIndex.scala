@@ -116,7 +116,7 @@ object AnnIndex {
     val buf = scala.collection.mutable.ArrayBuffer(v)
     var cur = v
     var meta = metaTextOf(spark, path, cur).split(" ")
-    while (meta(0) == "pq-delta") {
+    while (meta(0).endsWith("-delta")) {
       cur = meta(1).toInt
       require(fs(spark, path).exists(new Path(vdir(path, cur), MetaFile)),
         s"ann chain under $path broken: delta layer references missing " +
@@ -392,16 +392,78 @@ object AnnIndex {
     } finally { units.unpersist(); () }
   }
 
-  def ivfpCentroids(spark: SparkSession, path: String): DataFrame = {
-    val meta = metaTextOf(spark, path, currentVersion(spark, path))
-    require(meta.startsWith("ivfp "),
-      s"artifact under $path is '${meta.split(" ")(0)}', not an IVF posting store")
-    spark.read.parquet(new Path(currentDir(spark, path), "centroids").toString)
+  /** The posting-store chain, head first, root (a full build) last —
+    * loud when the root is not an ivfp artifact. */
+  def ivfpChain(spark: SparkSession, path: String): Seq[Int] = {
+    val chain = chainOf(spark, path, currentVersion(spark, path))
+    val rootMeta = metaTextOf(spark, path, chain.last)
+    require(rootMeta.startsWith("ivfp "),
+      s"artifact under $path is '${rootMeta.split(" ")(0)}', " +
+        "not an IVF posting store")
+    chain
   }
 
-  /** The posting relation (id, unit, cell), cell-partitioned on disk. */
+  /** Centroids live at the CHAIN ROOT (the [[pqBooks]] rule): delta
+    * layers were assigned against them, so probes must rank with the
+    * same quantizer. */
+  def ivfpCentroids(spark: SparkSession, path: String): DataFrame = {
+    val root = ivfpChain(spark, path).last
+    spark.read.parquet(new Path(vdir(path, root), "centroids").toString)
+  }
+
+  /** The posting relation (id, unit, cell), cell-partitioned on disk —
+    * the union of every layer down the chain. Cell filters push through
+    * the union to each layer's scan, so partition pruning survives
+    * layering. */
   def ivfpPostings(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(new Path(currentDir(spark, path), "postings").toString)
+    ivfpChain(spark, path)
+      .map(v => spark.read.parquet(new Path(vdir(path, v), "postings").toString))
+      .reduce(_.unionByName(_))
+
+  /** O(delta) posting-store ingest: assign the delta against the chain
+    * ROOT's pinned centroids and publish its cell-partitioned postings
+    * as a parent-linked layer — [[appendPq]]'s semantics for the
+    * inverted file. New ids only (the appendPq contract); a changed
+    * vector needs the rebuild path. Returns the committed version. */
+  def appendIvfPostings(delta: DataFrame, path: String,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): Int = {
+    val spark = delta.sparkSession
+    val parent = ivfpChain(spark, path).head
+    val cents = ivfpCentroids(spark, path)
+    val units = Similarity.unitVectors(delta, Seq(idCol -> "id"), vecCol)
+    val next = claimVersion(spark, path)
+    val vd = vdir(path, next)
+    units.join(Similarity.assignCells(units, cents)
+        .select(col("id"), col("assigned_cell").as("cell")), "id")
+      .repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(new Path(vd, "postings").toString)
+    commitMeta(spark, vd, s"ivfp-delta $parent")
+    // no prune: ancestors stay live until a rebuild/compaction collapses
+    next
+  }
+
+  /** Collapse the posting chain WITHOUT retraining: root centroids +
+    * the union of every layer's postings republished as one base —
+    * answer-invariant (the [[compactPq]] rule; a buildIvfPostings
+    * refresh retrains and legitimately changes rankings). Returns the
+    * committed version. */
+  def compactIvfPostings(spark: SparkSession, path: String): Int = {
+    val chain = ivfpChain(spark, path)
+    val rootMeta = metaTextOf(spark, path, chain.last)
+    val cents = ivfpCentroids(spark, path)
+    val posts = ivfpPostings(spark, path)
+    val next = claimVersion(spark, path)
+    val vd = vdir(path, next)
+    cents.write.mode("overwrite").parquet(new Path(vd, "centroids").toString)
+    posts.repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(new Path(vd, "postings").toString)
+    commitMeta(spark, vd, rootMeta)
+    prune(spark, path, next)
+    next
+  }
 
   /** Multi-probe IVF top-k against the persisted posting lists —
     * [[Similarity.cellTopKMultiProbe]]'s exact semantics (probe ranking

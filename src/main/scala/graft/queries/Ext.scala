@@ -769,6 +769,31 @@ object Ext {
         .orderBy("query_id", "rank")
     }),
 
+    // The posting store's O(delta) ingest (q124's inverted file +
+    // q123's append semantics): centroids trained on the BASE half
+    // only, the other half landed later through appendIvfPostings —
+    // assigned against the pinned root centroids, published as a
+    // parent-linked cell-partitioned layer — then the chain compacted
+    // (answer-invariant, no retrain) before the probe. The oracle
+    // trains its Lloyd round on the even half (es filtered) and ranks
+    // probes corpus-wide, exactly the pinned-quantizer lifecycle.
+    "q126_ann_postings_append" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idx = java.nio.file.Files.createTempDirectory("graft_annpapp_")
+        .resolve("ivfp").toString
+      graft.operators.AnnIndex.buildIvfPostings(
+        e.filter(col("vec_id") % 2 === 0), idx, refineIters = 1)
+      graft.operators.AnnIndex.appendIvfPostings(
+        e.filter(col("vec_id") % 2 === 1), idx)
+      graft.operators.AnnIndex.compactIvfPostings(s, idx)
+      graft.operators.AnnIndex
+        .postingsTopK(s, idx, e.filter(col("vec_id") % 100 === 0),
+          k = 3, nprobe = 2)
+        .select(col("query_id"), col("cand_id"),
+                round(col("sim"), 6).as("sim"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // The ANN lifecycle run INSIDE the operational loop (q119's
     // machinery): three scheduler ticks land disjoint embedding deltas
     // — tick 1 trains and publishes the base (day zero), later ticks
@@ -1007,9 +1032,13 @@ object Ext {
   /** One exact-decimal Lloyd round over full vectors from an arbitrary
     * seed relation — mirrors Similarity.kmeansRefineExact(units,
     * exactCentroids, 1). Expects a CTE `es(vec_id, u, scell)` upstream;
-    * emits cents0/a0/cents1/sims1 (consumers rank sims1). The
-    * label-seeded [[kmeansRefineCtes]] and the auto-k q116 differ only
-    * in how `es` derives `scell`. */
+    * `es` is BOTH the seed source and the Lloyd TRAINING set (seeding,
+    * a0 assignment and the cents1 means all draw from it), while sims1
+    * ranks the FULL corpus `e` against the trained centroids — so a
+    * consumer that filters `es` (q126 trains on the even half) gets
+    * subset-trained centroids with corpus-wide probe rows, and the
+    * usual consumers (es = all of e: [[kmeansRefineCtes]], auto-k
+    * q116) are unchanged. Emits cents0/a0/cents1/sims1. */
   private val kmeansRefineFromSeeds: String =
     s"""flat AS (SELECT scell AS cell, generate_subscripts(u, 1) AS pos,
                         unnest(u) AS val FROM es),
@@ -1020,15 +1049,15 @@ object Ext {
         cents0 AS (SELECT cell, list(cv ORDER BY pos) AS centroid
                    FROM cdim GROUP BY cell),
         a0 AS (SELECT id, cell AS acell
-               FROM (SELECT e.vec_id AS id, c.cell,
-                            ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                              ORDER BY ${foldDot("e.u", "c.centroid")} DESC,
+               FROM (SELECT t.vec_id AS id, c.cell,
+                            ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                              ORDER BY ${foldDot("t.u", "c.centroid")} DESC,
                                        c.cell ASC) AS rn
-                     FROM e CROSS JOIN cents0 c)
+                     FROM es t CROSS JOIN cents0 c)
                WHERE rn = 1),
-        flat1 AS (SELECT a0.acell AS cell, generate_subscripts(e.u, 1) AS pos,
-                         unnest(e.u) AS val
-                  FROM e JOIN a0 ON e.vec_id = a0.id),
+        flat1 AS (SELECT a0.acell AS cell, generate_subscripts(t.u, 1) AS pos,
+                         unnest(t.u) AS val
+                  FROM es t JOIN a0 ON t.vec_id = a0.id),
         cdim1 AS (SELECT cell, pos,
                          CAST(SUM(CAST(val AS DECIMAL(28,16))) AS DOUBLE)
                            / CAST(COUNT(*) AS DOUBLE) AS cv
@@ -1159,6 +1188,39 @@ object Ext {
                             AS rank
                 FROM adc)
           WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // q124's probe over a SUBSET-trained quantizer: the Lloyd training
+    // relation (es) is the even half; sims1 still ranks every vector,
+    // so candidate assignment (a1) covers base + appended layers alike.
+    "q126_ann_postings_append" ->
+      s"""WITH $unitCte,
+          es AS (SELECT vec_id, u, label AS scell FROM e WHERE vec_id % 2 = 0),
+          $kmeansRefineFromSeeds,
+          a1 AS (SELECT id, cell AS acell FROM (
+                   SELECT id, cell,
+                          ROW_NUMBER() OVER (PARTITION BY id
+                                             ORDER BY sim DESC, cell ASC) AS rn
+                   FROM sims1)
+                 WHERE rn = 1),
+          probes AS (SELECT id AS query_id, cell AS pcell FROM (
+                       SELECT id, cell,
+                              ROW_NUMBER() OVER (PARTITION BY id
+                                                 ORDER BY sim DESC, cell ASC) AS rn
+                       FROM sims1 WHERE id % 100 = 0)
+                     WHERE rn <= 2),
+          cand AS (SELECT p.query_id, c.vec_id AS cand_id,
+                          ${foldDot("q.u", "c.u")} AS sim
+                   FROM probes p
+                   JOIN e q ON q.vec_id = p.query_id
+                   JOIN a1 ON a1.acell = p.pcell
+                   JOIN e c ON c.vec_id = a1.id AND c.vec_id <> p.query_id)
+          SELECT query_id, cand_id, ROUND(sim, 6) AS sim,
+                 CAST(rank AS BIGINT) AS rank
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY sim DESC, cand_id ASC)
+                            AS rank
+                FROM cand)
+          WHERE rank <= 3 ORDER BY query_id, rank""",
 
     // Multi-probe top-k from the q87 Lloyd CTEs: each query's two best
     // refined cells (sim desc, cell asc — cellTopKMultiProbe's probe

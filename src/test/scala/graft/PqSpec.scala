@@ -163,6 +163,39 @@ class PqSpec extends SparkSpec {
     assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
   }
 
+  test("posting-store appends: pinned-centroid layers == one-shot build; compact invariant") {
+    import graft.operators.AnnIndex
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val base = e.filter(col("vec_id") % 2 === 0)
+    val delta = e.filter(col("vec_id") % 2 === 1)
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val path = java.nio.file.Files.createTempDirectory("graft_annpapp_spec_")
+      .resolve("ivfp").toString
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    AnnIndex.buildIvfPostings(base, path, refineIters = 1)
+    AnnIndex.appendIvfPostings(delta, path)
+    assert(AnnIndex.ivfpChain(spark, path).length == 2)
+    // layered probe == in-session multiprobe over the SAME base-trained
+    // centroids with the FULL corpus assigned to them
+    val units = Similarity.unitVectors(base, Seq("vec_id" -> "id", "label" -> "cell"))
+    val cents = Similarity.kmeansRefineExact(
+      units, Similarity.exactCentroids(units), 1)
+    val allUnits = Similarity.unitVectors(e, Seq("vec_id" -> "id"))
+    val corpusAssigned = e.drop("label")
+      .join(Similarity.assignCells(allUnits, cents)
+        .select(col("id").as("vec_id"), col("assigned_cell").as("label")), "vec_id")
+    val mem = Similarity.cellTopKMultiProbe(corpusAssigned, q, cents,
+      k = 3, nprobe = 2)
+    val layered = AnnIndex.postingsTopK(spark, path, q, k = 3, nprobe = 2)
+    assert(rows(layered) == rows(mem) && mem.count() > 0)
+    // compaction collapses the chain and changes nothing
+    AnnIndex.compactIvfPostings(spark, path)
+    assert(AnnIndex.ivfpChain(spark, path).length == 1)
+    assert(rows(AnnIndex.postingsTopK(spark, path, q, k = 3, nprobe = 2))
+      == rows(mem))
+  }
+
   test("PQ codes are drawn from the codebook and cover every (vector, subspace)") {
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val cu = Similarity.unitVectors(e, Seq("vec_id" -> "id"))
