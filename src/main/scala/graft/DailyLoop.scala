@@ -64,6 +64,7 @@ object DailyLoop {
     val store    = s"$root/shingles"   // bucketed shingle store
     val pairs    = s"$root/pairs"      // verified near-dup pairs
     val ann      = s"$root/ann"        // versioned PQ index (AnnIndex)
+    val annPost  = s"$root/annpost"    // IVF posting store (AnnIndex)
     val ticks    = s"$root/ticks"      // tick marker files (commit points)
   }
 
@@ -187,11 +188,28 @@ object DailyLoop {
     embDelta.filter(!_.limit(1).isEmpty).foreach { emb =>
       if (!operators.AnnIndex.isBuilt(spark, p.ann))
         operators.AnnIndex.buildPq(emb, p.ann, batchId = Some(batchId))
-      else if (!operators.AnnIndex.pqHeadBatch(spark, p.ann).contains(batchId))
+      else if (!operators.AnnIndex.headBatch(spark, p.ann).contains(batchId))
         operators.AnnIndex.appendPq(emb, p.ann, checkDisjoint = false,
           batchId = Some(batchId))
       if (operators.AnnIndex.pqChain(spark, p.ann).length > annMaxChain)
         operators.AnnIndex.compactPq(spark, p.ann)
+
+      // (2c) the IVF posting store, same lifecycle — but its day-zero
+      // TRAIN needs a seed-cell column, so it runs only when the delta
+      // carries `label`; a label-free embedding pipeline keeps the PQ
+      // index alone. Batch-stamp idempotence and answer-invariant
+      // compaction are identical to 2b (duplicate postings would double
+      // candidates, the same class of corruption as duplicate codes).
+      if (emb.columns.contains("label")) {
+        if (!operators.AnnIndex.isBuilt(spark, p.annPost))
+          operators.AnnIndex.buildIvfPostings(emb, p.annPost,
+            batchId = Some(batchId))
+        else if (!operators.AnnIndex.headBatch(spark, p.annPost).contains(batchId))
+          operators.AnnIndex.appendIvfPostings(emb, p.annPost,
+            batchId = Some(batchId))
+        if (operators.AnnIndex.ivfpChain(spark, p.annPost).length > annMaxChain)
+          operators.AnnIndex.compactIvfPostings(spark, p.annPost)
+      }
     }
     if (failAt.contains(AfterAnn)) throw new InjectedCrash(AfterAnn)
 

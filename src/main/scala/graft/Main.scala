@@ -126,12 +126,16 @@ object Main {
   /** The tick's embedding delta (`embeddings.parquet`), None when none
     * landed — unlike docs, an ABSENT delta must skip the ANN step
     * entirely (a zero-row day-zero build would train an empty, useless
-    * codebook). */
+    * codebook). `label` rides along when present: it is what lets the
+    * tick also maintain the IVF posting store (DailyLoop step 2c). */
   def embDeltaFrom(spark: SparkSession, dir: String): Option[DataFrame] = {
     val p = JPaths.get(dir, "embeddings.parquet")
-    if (Files.exists(p))
-      Some(spark.read.parquet(p.toString).select("vec_id", "embedding"))
-    else None
+    if (Files.exists(p)) {
+      val df = spark.read.parquet(p.toString)
+      val cols = Seq("vec_id", "embedding") ++
+        (if (df.columns.contains("label")) Seq("label") else Nil)
+      Some(df.select(cols.map(org.apache.spark.sql.functions.col): _*))
+    } else None
   }
 
   private val Banner =

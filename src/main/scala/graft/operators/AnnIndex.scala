@@ -304,13 +304,18 @@ object AnnIndex {
     committedVersions(spark, path).nonEmpty
 
   /** The batch id the committed HEAD was published under, if the writer
-    * recorded one. The loop's idempotence key: a tick re-running after a
-    * crash sees its own batch at the head and skips the ANN step
-    * instead of stacking duplicate codes (a double band-layer append is
-    * probe-distinct'ed away; duplicate PQ codes would double ADC sums —
-    * so the skip must be loud-and-early, not repaired downstream). */
-  def pqHeadBatch(spark: SparkSession, path: String): Option[Long] =
+    * recorded one — artifact-kind-agnostic. The loop's idempotence key:
+    * a tick re-running after a crash sees its own batch at the head and
+    * skips the ANN step instead of stacking duplicate codes/postings (a
+    * double band-layer append is probe-distinct'ed away; duplicate PQ
+    * codes would double ADC sums and duplicate postings would double
+    * candidates — so the skip must be loud-and-early, not repaired
+    * downstream). */
+  def headBatch(spark: SparkSession, path: String): Option[Long] =
     splitBatch(metaTextOf(spark, path, currentVersion(spark, path)).split(" "))._2
+
+  def pqHeadBatch(spark: SparkSession, path: String): Option[Long] =
+    headBatch(spark, path)
 
   /** The chain from the newest committed version down to its full-build
     * root — one element for a freshly built index, root LAST. */
@@ -364,7 +369,8 @@ object AnnIndex {
     * version. */
   def buildIvfPostings(corpus: DataFrame, path: String, refineIters: Int = 1,
                        idCol: String = "vec_id", vecCol: String = "embedding",
-                       cellCol: String = "label"): Int = {
+                       cellCol: String = "label",
+                       batchId: Option[Long] = None): Int = {
     val spark = corpus.sparkSession
     // corpus-sized multi-consumer (every Lloyd round + the final
     // assignment + the posting write) — spill-friendly persist, not an
@@ -386,7 +392,7 @@ object AnnIndex {
         .repartition(col("cell"))
         .write.partitionBy("cell").mode("overwrite")
         .parquet(new Path(vd, "postings").toString)
-      commitMeta(spark, vd, s"ivfp $refineIters")
+      commitMeta(spark, vd, s"ivfp $refineIters${batchSuffix(batchId)}")
       prune(spark, path, next)
       next
     } finally { units.unpersist(); () }
@@ -427,7 +433,8 @@ object AnnIndex {
     * vector needs the rebuild path. Returns the committed version. */
   def appendIvfPostings(delta: DataFrame, path: String,
                         idCol: String = "vec_id",
-                        vecCol: String = "embedding"): Int = {
+                        vecCol: String = "embedding",
+                        batchId: Option[Long] = None): Int = {
     val spark = delta.sparkSession
     val parent = ivfpChain(spark, path).head
     val cents = ivfpCentroids(spark, path)
@@ -439,7 +446,7 @@ object AnnIndex {
       .repartition(col("cell"))
       .write.partitionBy("cell").mode("overwrite")
       .parquet(new Path(vd, "postings").toString)
-    commitMeta(spark, vd, s"ivfp-delta $parent")
+    commitMeta(spark, vd, s"ivfp-delta $parent${batchSuffix(batchId)}")
     // no prune: ancestors stay live until a rebuild/compaction collapses
     next
   }
@@ -451,7 +458,11 @@ object AnnIndex {
     * committed version. */
   def compactIvfPostings(spark: SparkSession, path: String): Int = {
     val chain = ivfpChain(spark, path)
-    val rootMeta = metaTextOf(spark, path, chain.last)
+    // params from the ROOT sidecar, batch stamp from the HEAD (the
+    // compactPq rule: a compacting tick must stay idempotent on re-run)
+    val (rootParts, _) =
+      splitBatch(metaTextOf(spark, path, chain.last).split(" "))
+    val batch = headBatch(spark, path)
     val cents = ivfpCentroids(spark, path)
     val posts = ivfpPostings(spark, path)
     val next = claimVersion(spark, path)
@@ -460,7 +471,8 @@ object AnnIndex {
     posts.repartition(col("cell"))
       .write.partitionBy("cell").mode("overwrite")
       .parquet(new Path(vd, "postings").toString)
-    commitMeta(spark, vd, rootMeta)
+    commitMeta(spark, vd,
+      s"${rootParts.mkString(" ")}${batchSuffix(batch)}")
     prune(spark, path, next)
     next
   }

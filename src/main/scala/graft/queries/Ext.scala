@@ -811,13 +811,41 @@ object Ext {
       (1 to 3).foreach { d =>
         graft.DailyLoop.runTick(s, graft.CvePipeline.Landing(), emptyDocs, p,
           java.sql.Timestamp.valueOf(f"2025-04-0$d%d 00:00:00"),
-          embDelta = Some(e.filter(col("vec_id") % 3 === lit(d - 1))),
+          // label dropped: this entry gates the PQ side of the tick;
+          // the label-carrying posting-store side is q127's job
+          embDelta = Some(e.select("vec_id", "embedding")
+            .filter(col("vec_id") % 3 === lit(d - 1))),
           annMaxChain = 1)
       }
       graft.operators.AnnIndex
         .pqTopK(s, p.ann, e.filter(col("vec_id") % 100 === 0), k = 5)
         .select(col("query_id"), col("cand_id"), col("rank"),
                 round(col("approx_sim"), 6).as("approx_sim"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // q125's loop with the posting store engaged: the embedding deltas
+    // carry `label`, so each tick ALSO maintains the inverted file —
+    // day zero trains centroids on tick 1's third, later ticks append
+    // pinned-centroid layers, annMaxChain=1 compacts mid-sequence —
+    // and the probe of the surviving store must equal the no-loop
+    // truth (q126's SQL under the tick split).
+    "q127_daily_loop_postings" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val work = java.nio.file.Files.createTempDirectory("graft_dailypost_")
+      val p = graft.DailyLoop.Paths(work.toString)
+      val emptyDocs = t(s, dir, "documents").select("doc_id", "text").limit(0)
+      (1 to 3).foreach { d =>
+        graft.DailyLoop.runTick(s, graft.CvePipeline.Landing(), emptyDocs, p,
+          java.sql.Timestamp.valueOf(f"2025-04-0$d%d 00:00:00"),
+          embDelta = Some(e.filter(col("vec_id") % 3 === lit(d - 1))),
+          annMaxChain = 1)
+      }
+      graft.operators.AnnIndex
+        .postingsTopK(s, p.annPost, e.filter(col("vec_id") % 100 === 0),
+          k = 3, nprobe = 2)
+        .select(col("query_id"), col("cand_id"),
+                round(col("sim"), 6).as("sim"), col("rank"))
         .orderBy("query_id", "rank")
     }),
 
@@ -1195,6 +1223,38 @@ object Ext {
     "q126_ann_postings_append" ->
       s"""WITH $unitCte,
           es AS (SELECT vec_id, u, label AS scell FROM e WHERE vec_id % 2 = 0),
+          $kmeansRefineFromSeeds,
+          a1 AS (SELECT id, cell AS acell FROM (
+                   SELECT id, cell,
+                          ROW_NUMBER() OVER (PARTITION BY id
+                                             ORDER BY sim DESC, cell ASC) AS rn
+                   FROM sims1)
+                 WHERE rn = 1),
+          probes AS (SELECT id AS query_id, cell AS pcell FROM (
+                       SELECT id, cell,
+                              ROW_NUMBER() OVER (PARTITION BY id
+                                                 ORDER BY sim DESC, cell ASC) AS rn
+                       FROM sims1 WHERE id % 100 = 0)
+                     WHERE rn <= 2),
+          cand AS (SELECT p.query_id, c.vec_id AS cand_id,
+                          ${foldDot("q.u", "c.u")} AS sim
+                   FROM probes p
+                   JOIN e q ON q.vec_id = p.query_id
+                   JOIN a1 ON a1.acell = p.pcell
+                   JOIN e c ON c.vec_id = a1.id AND c.vec_id <> p.query_id)
+          SELECT query_id, cand_id, ROUND(sim, 6) AS sim,
+                 CAST(rank AS BIGINT) AS rank
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY sim DESC, cand_id ASC)
+                            AS rank
+                FROM cand)
+          WHERE rank <= 3 ORDER BY query_id, rank""",
+
+    // q126's subset-trained probe under the loop's tick split: the
+    // training relation is tick 1's third.
+    "q127_daily_loop_postings" ->
+      s"""WITH $unitCte,
+          es AS (SELECT vec_id, u, label AS scell FROM e WHERE vec_id % 3 = 0),
           $kmeansRefineFromSeeds,
           a1 AS (SELECT id, cell AS acell FROM (
                    SELECT id, cell,

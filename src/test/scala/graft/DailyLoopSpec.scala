@@ -263,7 +263,22 @@ class DailyLoopSpec extends SparkSpec {
     def rows(df: DataFrame) = df.collect().map(_.toString).sorted.toSeq
     assert(rows(AnnIndex.pqTopK(spark, p.ann, q, k = 5)) == rows(truth)
       && truth.count() > 0)
-    // an embedding-free tick leaves the artifact untouched, and so does
+    // the deltas carried `label`, so the tick ALSO maintained the IVF
+    // posting store: compacted chain, full coverage, and the probe
+    // equals the no-loop truth (centroids trained on tick 1's third)
+    assert(AnnIndex.ivfpChain(spark, p.annPost).length == 1)
+    assert(AnnIndex.ivfpPostings(spark, p.annPost).count() == e.count())
+    val unitsB = Similarity.unitVectors(emb(1), Seq("vec_id" -> "id", "label" -> "cell"))
+    val centsB = Similarity.kmeansRefineExact(
+      unitsB, Similarity.exactCentroids(unitsB), 1)
+    val corpusAssigned = e.drop("label")
+      .join(Similarity.assignCells(
+          Similarity.unitVectors(e, Seq("vec_id" -> "id")), centsB)
+        .select(col("id").as("vec_id"), col("assigned_cell").as("label")), "vec_id")
+    assert(rows(AnnIndex.postingsTopK(spark, p.annPost, q, k = 3, nprobe = 2))
+      == rows(Similarity.cellTopKMultiProbe(corpusAssigned, q, centsB,
+                k = 3, nprobe = 2)))
+    // an embedding-free tick leaves the artifacts untouched, and so does
     // a ZERO-ROW delta (a day-zero empty build would train an empty,
     // poisonous codebook — the guard skips the step entirely)
     DailyLoop.runTick(spark, CvePipeline.Landing(), emptyDocs, p,
@@ -271,6 +286,7 @@ class DailyLoopSpec extends SparkSpec {
     DailyLoop.runTick(spark, CvePipeline.Landing(), emptyDocs, p,
       ts("2025-04-05 00:00:00"), embDelta = Some(e.limit(0)))
     assert(AnnIndex.pqHeadBatch(spark, p.ann).contains(3L))
+    assert(AnnIndex.headBatch(spark, p.annPost).contains(3L))
     assert(AnnIndex.pqCodes(spark, p.ann).count() == e.count() * m)
   }
 }
