@@ -194,22 +194,24 @@ object DailyLoop {
       if (operators.AnnIndex.pqChain(spark, p.ann).length > annMaxChain)
         operators.AnnIndex.compactPq(spark, p.ann)
 
-      // (2c) the IVF posting store, same lifecycle — but its day-zero
-      // TRAIN needs a seed-cell column, so it runs only when the delta
-      // carries `label`; a label-free embedding pipeline keeps the PQ
-      // index alone. Batch-stamp idempotence and answer-invariant
-      // compaction are identical to 2b (duplicate postings would double
-      // candidates, the same class of corruption as duplicate codes).
-      if (emb.columns.contains("label")) {
-        if (!operators.AnnIndex.isBuilt(spark, p.annPost))
-          operators.AnnIndex.buildIvfPostings(emb, p.annPost,
-            batchId = Some(batchId))
-        else if (!operators.AnnIndex.headBatch(spark, p.annPost).contains(batchId))
+      // (2c) the IVF posting store, same lifecycle. Only the day-zero
+      // TRAIN needs a seed-cell column — a label-free pipeline keeps
+      // the PQ index alone until a labeled delta seeds the store; once
+      // LIVE, every delta appends (assignment needs only the pinned
+      // centroids), so the store can never silently fall behind the PQ
+      // index over a label-less day. Batch-stamp idempotence and
+      // answer-invariant compaction are identical to 2b (duplicate
+      // postings would double candidates, the same corruption class as
+      // duplicate codes).
+      if (operators.AnnIndex.isBuilt(spark, p.annPost)) {
+        if (!operators.AnnIndex.headBatch(spark, p.annPost).contains(batchId))
           operators.AnnIndex.appendIvfPostings(emb, p.annPost,
             batchId = Some(batchId))
         if (operators.AnnIndex.ivfpChain(spark, p.annPost).length > annMaxChain)
           operators.AnnIndex.compactIvfPostings(spark, p.annPost)
-      }
+      } else if (emb.columns.contains("label"))
+        operators.AnnIndex.buildIvfPostings(emb, p.annPost,
+          batchId = Some(batchId))
     }
     if (failAt.contains(AfterAnn)) throw new InjectedCrash(AfterAnn)
 

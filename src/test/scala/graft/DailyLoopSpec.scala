@@ -288,5 +288,15 @@ class DailyLoopSpec extends SparkSpec {
     assert(AnnIndex.pqHeadBatch(spark, p.ann).contains(3L))
     assert(AnnIndex.headBatch(spark, p.annPost).contains(3L))
     assert(AnnIndex.pqCodes(spark, p.ann).count() == e.count() * m)
+    // a LABEL-LESS delta of new ids still maintains BOTH artifacts once
+    // they are live — the posting append assigns against the pinned
+    // centroids, so the store never silently falls behind the PQ index
+    val fresh = e.limit(5).select(
+      (col("vec_id") + lit(100000L)).as("vec_id"), col("embedding"))
+    DailyLoop.runTick(spark, CvePipeline.Landing(), emptyDocs, p,
+      ts("2025-04-06 00:00:00"), embDelta = Some(fresh))
+    assert(AnnIndex.pqCodes(spark, p.ann).count() == (e.count() + 5) * m)
+    assert(AnnIndex.ivfpPostings(spark, p.annPost).count() == e.count() + 5)
+    assert(AnnIndex.headBatch(spark, p.annPost).contains(6L))
   }
 }
