@@ -206,7 +206,7 @@ object DailyLoop {
       if (operators.AnnIndex.isBuilt(spark, p.annPost)) {
         if (!operators.AnnIndex.headBatch(spark, p.annPost).contains(batchId))
           operators.AnnIndex.appendIvfPostings(emb, p.annPost,
-            batchId = Some(batchId))
+            batchId = Some(batchId), checkDisjoint = false)
         if (operators.AnnIndex.ivfpChain(spark, p.annPost).length > annMaxChain)
           operators.AnnIndex.compactIvfPostings(spark, p.annPost)
       } else if (emb.columns.contains("label"))

@@ -434,11 +434,23 @@ object AnnIndex {
   def appendIvfPostings(delta: DataFrame, path: String,
                         idCol: String = "vec_id",
                         vecCol: String = "embedding",
-                        batchId: Option[Long] = None): Int = {
+                        batchId: Option[Long] = None,
+                        checkDisjoint: Boolean = true): Int = {
     val spark = delta.sparkSession
     val parent = ivfpChain(spark, path).head
     val cents = ivfpCentroids(spark, path)
     val units = Similarity.unitVectors(delta, Seq(idCol -> "id"), vecCol)
+    if (checkDisjoint) {
+      // the appendPq contract: a re-appended id would surface the same
+      // candidate at two ranks in every probe — loud reject, id-column
+      // scan of the chain (opt out when the pipeline owns disjointness)
+      val dup = ivfpPostings(spark, path).select("id")
+        .join(broadcast(units.select("id")), "id")
+        .limit(1).count()
+      require(dup == 0L,
+        s"appendIvfPostings under $path: delta contains ids already in " +
+          "the posting chain — changed vectors need a rebuild, not an append")
+    }
     val next = claimVersion(spark, path)
     val vd = vdir(path, next)
     units.join(Similarity.assignCells(units, cents)

@@ -189,6 +189,12 @@ class PqSpec extends SparkSpec {
       k = 3, nprobe = 2)
     val layered = AnnIndex.postingsTopK(spark, path, q, k = 3, nprobe = 2)
     assert(rows(layered) == rows(mem) && mem.count() > 0)
+    // re-appending ids already in the chain fails loudly — a duplicate
+    // posting would rank the same candidate twice in every probe
+    val err = intercept[IllegalArgumentException] {
+      AnnIndex.appendIvfPostings(delta.limit(3), path)
+    }
+    assert(err.getMessage.contains("already in"))
     // compaction collapses the chain and changes nothing
     AnnIndex.compactIvfPostings(spark, path)
     assert(AnnIndex.ivfpChain(spark, path).length == 1)
