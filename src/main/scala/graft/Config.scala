@@ -43,9 +43,11 @@ object Config {
       get(section, key).map(_.toInt).getOrElse(default)
 
     /** [cvemate] scheduler — tick interval in hours
-      * (configuration.ini.template:4; main.py scheduler loop). */
-    def schedulerIntervalHours(default: Int = 6): Int =
-      getInt("cvemate", "scheduler", default)
+      * (configuration.ini.template:4; main.py scheduler loop). FLOAT
+      * hours, matching `float(cvemate_config.get('scheduler', 4))`
+      * (main.py:210): a `scheduler: 0.5` config means every 30 min. */
+    def schedulerIntervalHours(default: Double = 6): Double =
+      get("cvemate", "scheduler").map(_.toDouble).getOrElse(default)
 
     /** A source section's fetch policy (nvd_handler.py:44-49): the rate
       * limit picks the keyed tier only when an apikey is present. */

@@ -94,13 +94,15 @@ object DailyLoop {
   }
 
   /** T3 catch-up semantics on the marker clock: due when no tick has
-    * ever committed or elapsed ≥ interval. */
+    * ever committed or elapsed ≥ interval. FLOAT hours (the reference's
+    * `float(...)` scheduler semantics, main.py:210) — sub-hour intervals
+    * are representable; millis conversion happens once, here. */
   def isTickDue(spark: SparkSession, p: Paths, now: Timestamp,
-                intervalHours: Int = 24): Boolean =
+                intervalHours: Double = 24): Boolean =
     committedTick(spark, p)._2 match {
       case None => true
       case Some(last) =>
-        now.getTime - last.getTime >= intervalHours * 3600L * 1000L
+        now.getTime - last.getTime >= (intervalHours * 3600 * 1000).toLong
     }
 
   /** Sweep shingle-store partitions above the committed seq: they can
@@ -264,7 +266,7 @@ object DailyLoop {
     * wasted work and stale data). */
   def loop(spark: SparkSession, landing: Long => CvePipeline.Landing,
            docsDelta: Long => DataFrame, p: Paths,
-           intervalHours: Int, shouldStop: () => Boolean,
+           intervalHours: Double, shouldStop: () => Boolean,
            clock: () => Timestamp,
            threshold: Double = 0.8, maxChain: Int = Int.MaxValue,
            sleepMs: Long = 1000L,

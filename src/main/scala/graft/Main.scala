@@ -173,10 +173,14 @@ object Main {
       1
     } else {
       val (_, last) = DailyLoop.committedTick(spark, p)
-      val delay = initialDelayMs(last, intervalHours.toDouble, clock())
+      val delay = initialDelayMs(last, intervalHours, clock())
       if (delay > 0)
         Log.info(s"[Scheduler] Initial job to run in ${formatDelay(delay)}.", "main")
-      Log.info(s"[Scheduler] Update frequency: every ${intervalHours}h", "main")
+      // whole hours log as "24h", fractional as-is ("0.5h") — the float
+      // scheduler semantics of main.py:210
+      val ih = if (intervalHours == intervalHours.toLong.toDouble)
+        intervalHours.toLong.toString else intervalHours.toString
+      Log.info(s"[Scheduler] Update frequency: every ${ih}h", "main")
       val ticks = DailyLoop.loop(spark, landing, delta, p, intervalHours,
         shouldStop = () => stop.get(), clock = clock,
         threshold = threshold, maxChain = maxChain, sleepMs = sleepMs,

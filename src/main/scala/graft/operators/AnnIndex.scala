@@ -2,6 +2,8 @@ package graft.operators
 
 import java.nio.charset.StandardCharsets
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -117,7 +119,14 @@ object AnnIndex {
     var cur = v
     var meta = metaTextOf(spark, path, cur).split(" ")
     while (meta(0).endsWith("-delta")) {
-      cur = meta(1).toInt
+      val parent = meta(1).toInt
+      // claims are monotone, so a legal parent is always strictly older —
+      // anything else is a tampered/corrupted sidecar, and following it
+      // could walk a cycle forever instead of failing loudly
+      require(parent < cur,
+        s"ann chain under $path corrupt: delta layer v$cur references " +
+          s"parent v$parent (parents must be strictly older)")
+      cur = parent
       require(fs(spark, path).exists(new Path(vdir(path, cur), MetaFile)),
         s"ann chain under $path broken: delta layer references missing " +
           s"committed parent v$cur")
@@ -358,6 +367,53 @@ object AnnIndex {
       Similarity.unitVectors(corpus, Seq(idCol -> "id"), vecCol),
       ivfCentroids(spark, path))
 
+  /** Rows per write task within one posting cell. One task per cell is
+    * the small-files optimum — until a HOT cell (skewed quantizer, or a
+    * corpus whose mass concentrates in few cells) turns that one task
+    * into the write straggler: at 100 TB a cell holding 1% of the corpus
+    * is a terabyte in a single task. Cells above the cap are salted
+    * across ceil(rows/cap) write tasks; the salt exists only during the
+    * shuffle and never reaches the directory layout, so probes still
+    * prune on `cell` alone and read every file of a probed cell exactly
+    * as before. */
+  val PostingCellTaskCap = 1000000L
+
+  /** The posting write: cluster rows by cell for the partitionBy, but
+    * cap any one cell's share of a task — small cells stay one file,
+    * hot cells fan out over `ceil(rows/cap)` salted tasks. The shuffle
+    * gets an EXPLICIT task count (the sum of per-cell splits — the work
+    * decomposition itself) so AQE cannot coalesce the fan-out away: the
+    * whole point is that no single task owns a hot cell. `posts` is
+    * consumed twice (per-cell counts + the write), so it is pinned for
+    * the duration; the count table is one row per cell — control-plane,
+    * bounded by the quantizer. */
+  private def writePostings(posts: DataFrame, dir: Path,
+                            cap: Long): Unit = {
+    require(cap > 0, s"posting cell task cap must be positive: $cap")
+    val pinned = posts
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val splits = pinned.groupBy("cell").agg(count(lit(1)).as("cell_rows"))
+        .select(col("cell"), greatest(lit(1L),
+          ceil(col("cell_rows").cast("double") / cap).cast("long"))
+          .as("cell_splits"))
+        .collect().map(r => (r.get(0), r.getLong(1)))
+      val tasks = math.min(splits.map(_._2).sum.max(1L), 1L << 20).toInt
+      val splitsDf = posts.sparkSession
+        .createDataFrame(splits.map(t => org.apache.spark.sql.Row(t._1, t._2)).toList.asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("cell",
+              pinned.schema("cell").dataType),
+            org.apache.spark.sql.types.StructField("cell_splits",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+      pinned.join(broadcast(splitsDf), "cell")
+        .withColumn("salt", pmod(xxhash64(col("id")), col("cell_splits")))
+        .drop("cell_splits")
+        .repartition(tasks, col("cell"), col("salt")).drop("salt")
+        .write.partitionBy("cell").mode("overwrite").parquet(dir.toString)
+    } finally { pinned.unpersist(); () }
+  }
+
   /** Train refined centroids (the q87 construction) AND materialize the
     * POSTING LISTS: the corpus assigned to its cells and written
     * `partitionBy(cell)` — the inverted file of a disk IVF index. This
@@ -370,7 +426,8 @@ object AnnIndex {
   def buildIvfPostings(corpus: DataFrame, path: String, refineIters: Int = 1,
                        idCol: String = "vec_id", vecCol: String = "embedding",
                        cellCol: String = "label",
-                       batchId: Option[Long] = None): Int = {
+                       batchId: Option[Long] = None,
+                       cellTaskCap: Long = PostingCellTaskCap): Int = {
     val spark = corpus.sparkSession
     // corpus-sized multi-consumer (every Lloyd round + the final
     // assignment + the posting write) — spill-friendly persist, not an
@@ -384,14 +441,10 @@ object AnnIndex {
       val next = claimVersion(spark, path)
       val vd = vdir(path, next)
       cents.write.mode("overwrite").parquet(new Path(vd, "centroids").toString)
-      units.drop("cell")
+      writePostings(units.drop("cell")
         .join(Similarity.assignCells(units, cents)
-          .select(col("id"), col("assigned_cell").as("cell")), "id")
-        // cluster each cell into one task before the partitioned write
-        // (the PartitionedSnapshot small-files reasoning)
-        .repartition(col("cell"))
-        .write.partitionBy("cell").mode("overwrite")
-        .parquet(new Path(vd, "postings").toString)
+          .select(col("id"), col("assigned_cell").as("cell")), "id"),
+        new Path(vd, "postings"), cellTaskCap)
       commitMeta(spark, vd, s"ivfp $refineIters${batchSuffix(batchId)}")
       prune(spark, path, next)
       next
@@ -435,7 +488,8 @@ object AnnIndex {
                         idCol: String = "vec_id",
                         vecCol: String = "embedding",
                         batchId: Option[Long] = None,
-                        checkDisjoint: Boolean = true): Int = {
+                        checkDisjoint: Boolean = true,
+                        cellTaskCap: Long = PostingCellTaskCap): Int = {
     val spark = delta.sparkSession
     val parent = ivfpChain(spark, path).head
     val cents = ivfpCentroids(spark, path)
@@ -453,11 +507,9 @@ object AnnIndex {
     }
     val next = claimVersion(spark, path)
     val vd = vdir(path, next)
-    units.join(Similarity.assignCells(units, cents)
-        .select(col("id"), col("assigned_cell").as("cell")), "id")
-      .repartition(col("cell"))
-      .write.partitionBy("cell").mode("overwrite")
-      .parquet(new Path(vd, "postings").toString)
+    writePostings(units.join(Similarity.assignCells(units, cents)
+        .select(col("id"), col("assigned_cell").as("cell")), "id"),
+      new Path(vd, "postings"), cellTaskCap)
     commitMeta(spark, vd, s"ivfp-delta $parent${batchSuffix(batchId)}")
     // no prune: ancestors stay live until a rebuild/compaction collapses
     next
@@ -468,7 +520,8 @@ object AnnIndex {
     * answer-invariant (the [[compactPq]] rule; a buildIvfPostings
     * refresh retrains and legitimately changes rankings). Returns the
     * committed version. */
-  def compactIvfPostings(spark: SparkSession, path: String): Int = {
+  def compactIvfPostings(spark: SparkSession, path: String,
+                         cellTaskCap: Long = PostingCellTaskCap): Int = {
     val chain = ivfpChain(spark, path)
     // params from the ROOT sidecar, batch stamp from the HEAD (the
     // compactPq rule: a compacting tick must stay idempotent on re-run)
@@ -480,9 +533,7 @@ object AnnIndex {
     val next = claimVersion(spark, path)
     val vd = vdir(path, next)
     cents.write.mode("overwrite").parquet(new Path(vd, "centroids").toString)
-    posts.repartition(col("cell"))
-      .write.partitionBy("cell").mode("overwrite")
-      .parquet(new Path(vd, "postings").toString)
+    writePostings(posts, new Path(vd, "postings"), cellTaskCap)
     commitMeta(spark, vd,
       s"${rootParts.mkString(" ")}${batchSuffix(batch)}")
     prune(spark, path, next)

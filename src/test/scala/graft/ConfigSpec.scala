@@ -64,6 +64,10 @@ class ConfigSpec extends AnyFunSuite {
   test("scheduler interval and fetch policy; apikey selects the keyed rate tier") {
     val c = conf()
     assert(c.schedulerIntervalHours() == 6)
+    // FLOAT hours, the reference's float(...) semantics (main.py:210):
+    // sub-hour intervals are representable, not truncated
+    assert(Config.parse("[cvemate]\nscheduler: 0.5")
+      .schedulerIntervalHours() == 0.5)
     val nvd = c.fetchPolicy("nvd")
     assert(nvd == graft.sources.Fetch.Policy(2000, 3, 30000L, 5, 30000L)) // blank key → public tier
     val rh = c.fetchPolicy("redhat")

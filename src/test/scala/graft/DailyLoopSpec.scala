@@ -67,6 +67,11 @@ class DailyLoopSpec extends SparkSpec {
       .contains(ts("2025-04-03 00:00:00")))
     // not-due probe did not tick
     assert(!DailyLoop.isTickDue(spark, p, ts("2025-04-03 12:00:00")))
+    // fractional (sub-hour) intervals: due exactly at the half-hour mark
+    assert(!DailyLoop.isTickDue(spark, p, ts("2025-04-03 00:29:00"),
+      intervalHours = 0.5))
+    assert(DailyLoop.isTickDue(spark, p, ts("2025-04-03 00:30:00"),
+      intervalHours = 0.5))
   }
 
   test("compaction cadence: the chain is collapsed in-loop and pairs are unchanged") {

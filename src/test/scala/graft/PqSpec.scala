@@ -202,6 +202,75 @@ class PqSpec extends SparkSpec {
       == rows(mem))
   }
 
+  test("hot posting cells are salted across write tasks; answers and pruning survive") {
+    import graft.operators.AnnIndex
+    import spark.implicits._
+    // skewed clustered corpus: cell 0 holds ~40× the rows of cells 1/2
+    // (tight clusters so Lloyd assignment keeps the skew)
+    val rnd = new scala.util.Random(11)
+    def around(base: Array[Float]) =
+      base.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+    val bases = Array.fill(3)(Array.fill(32)(rnd.nextGaussian().toFloat))
+    val rows = (0 until 400).map(i => (i.toLong, 0, around(bases(0)))) ++
+      (0 until 10).map(i => (400L + i, 1, around(bases(1)))) ++
+      (0 until 10).map(i => (410L + i, 2, around(bases(2))))
+    val corpus = rows.toDF("vec_id", "label", "embedding")
+    val q = corpus.filter($"vec_id" % 40 === 0)
+    val work = java.nio.file.Files.createTempDirectory("graft_annskew_")
+    val salted = work.resolve("salted").toString
+    val plain = work.resolve("plain").toString
+    // cap 50 → the hot cell must fan out across ~8 write tasks; the
+    // small cells stay single-file
+    AnnIndex.buildIvfPostings(corpus, salted, refineIters = 1, cellTaskCap = 50)
+    AnnIndex.buildIvfPostings(corpus, plain, refineIters = 1)
+    def partFiles(root: String, cell: String): Int = {
+      val vdir = new java.io.File(root).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("v-")).head
+      new java.io.File(vdir, s"postings/cell=$cell").listFiles()
+        .count(_.getName.startsWith("part-"))
+    }
+    val cellOf = AnnIndex.ivfpPostings(spark, salted)
+      .groupBy("cell").count().collect()
+      .map(r => (r.get(0).toString, r.getLong(1))).toMap
+    val hot = cellOf.maxBy(_._2)._1
+    val cold = cellOf.minBy(_._2)._1
+    assert(cellOf(hot) >= 300 && cellOf(cold) <= 20) // the skew took
+    assert(partFiles(salted, hot) > 1, "hot cell should span several files")
+    assert(partFiles(salted, cold) == 1, "small cells stay one file")
+    // the salt is invisible to probes: answers == the unsalted build,
+    // and the candidate scan still prunes on cell alone
+    def rows2(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val probed = AnnIndex.postingsTopK(spark, salted, q, k = 3, nprobe = 2)
+    assert(rows2(probed) == rows2(
+      AnnIndex.postingsTopK(spark, plain, q, k = 3, nprobe = 2)))
+    assert(probed.count() > 0)
+    val post = AnnIndex.ivfpPostings(spark, salted)
+    val pruned = post.filter(col("cell") === hot)
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+  }
+
+  test("a cyclic parent pointer in a tampered sidecar fails loudly, never loops") {
+    import graft.operators.AnnIndex
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val work = java.nio.file.Files.createTempDirectory("graft_anncycle_")
+    val path = work.resolve("pq").toString
+    AnnIndex.buildPq(e.filter(col("vec_id") % 2 === 0), path)
+    val v2 = AnnIndex.appendPq(e.filter(col("vec_id") % 2 === 1), path)
+    // tamper: the delta layer now names ITSELF as parent — a naive chain
+    // walk would spin forever instead of surfacing the corruption
+    val meta = java.nio.file.Paths.get(path, f"v-$v2%05d", "_graft_ann")
+    java.nio.file.Files.write(meta,
+      s"pq-delta $v2 4 16 16".getBytes("UTF-8"))
+    // drop the local-FS checksum sidecar the out-of-band write broke
+    java.nio.file.Files.deleteIfExists(
+      meta.resolveSibling("._graft_ann.crc"))
+    val err = intercept[IllegalArgumentException] {
+      AnnIndex.pqChain(spark, path)
+    }
+    assert(err.getMessage.contains("strictly older"))
+  }
+
   test("PQ codes are drawn from the codebook and cover every (vector, subspace)") {
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val cu = Similarity.unitVectors(e, Seq("vec_id" -> "id"))
