@@ -1,5 +1,6 @@
 package graft
 
+import java.nio.charset.StandardCharsets
 import java.sql.Timestamp
 
 import org.apache.hadoop.fs.Path
@@ -65,7 +66,66 @@ object DailyLoop {
     val pairs    = s"$root/pairs"      // verified near-dup pairs
     val ann      = s"$root/ann"        // versioned PQ index (AnnIndex)
     val annPost  = s"$root/annpost"    // IVF posting store (AnnIndex)
+    val vecs     = s"$root/vecs"       // batch-partitioned raw-vector store
     val ticks    = s"$root/ticks"      // tick marker files (commit points)
+  }
+
+  /** On-disk schema of the raw-vector store — the landed embedding
+    * deltas, one `batch=<id>` directory per tick (the shingle-store
+    * pattern: idempotent wholesale overwrite of the tick's own
+    * partition, partials above the committed seq swept at tick start).
+    * This store is the ANN artifacts' REBUILD SOURCE: PQ codes are
+    * lossy and postings pin their quantizer, so posting-store seeding
+    * (which must cover vectors from label-less EARLIER ticks, not just
+    * the seeding delta) and any retraining refresh read raw vectors
+    * from here — the ANN analog of the shingle store feeding index
+    * compaction. `label` is nullable: a label-less delta stores null. */
+  val VecsSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.types.StructField("label",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("batch",
+        org.apache.spark.sql.types.LongType)))
+
+  /** Full-corpus read of the raw-vector store: committed batches up to
+    * `upToBatch`, latest stored batch per vec_id (the LWW supersede rule
+    * of [[DocsStream.storeShingles]]). */
+  def storeVectors(spark: SparkSession, vecs: String,
+                   upToBatch: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+    spark.read.schema(VecsSchema).parquet(vecs)
+      .filter(col("batch") <= lit(upToBatch))
+      .withColumn("latest", max("batch").over(w))
+      .filter(col("batch") === col("latest"))
+      // a vec whose latest row is the null-embedding tombstone is
+      // deleted (the shingle store's LWW delete rule); re-landing the
+      // id later supersedes the tombstone
+      .filter(col("embedding").isNotNull)
+      .select("vec_id", "embedding", "label")
+  }
+
+  /** Vector-store consolidation (the physical vec delete): live rows —
+    * latest version per id, tombstoned ids gone — republished as ONE
+    * partition stamped with the COMMITTED batch (committed partitions
+    * are never swept as partials; the in-flight tick's own partition
+    * rides on top and the LWW read dedups a crash re-run). Same
+    * crash-safe whole-dir swap as the shingle store's
+    * [[DocsStream.consolidateStore]]; rides the ANN compaction
+    * cadence. */
+  private def consolidateVecs(spark: SparkSession, p: Paths,
+                              committedBatch: Long, upToBatch: Long): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tmp = p.vecs + "_rebuild_tmp"
+    val f = fs(spark, tmp)
+    f.delete(new Path(tmp), true)
+    storeVectors(spark, p.vecs, upToBatch)
+      .write.mode("overwrite").parquet(s"$tmp/batch=$committedBatch")
+    SnapshotIO.swap(conf, tmp, p.vecs)
   }
 
   private def fs(spark: SparkSession, dir: String) =
@@ -105,22 +165,24 @@ object DailyLoop {
         now.getTime - last.getTime >= (intervalHours * 3600 * 1000).toLong
     }
 
-  /** Sweep shingle-store partitions above the committed seq: they can
-    * only be a crashed attempt's partial append (a committed tick's
-    * partition is by construction ≤ its marker's seq). */
-  private def sweepPartials(spark: SparkSession, p: Paths, committed: Long): Unit = {
-    val f = fs(spark, p.store)
-    val dir = new Path(p.store)
-    if (f.exists(dir)) f.listStatus(dir).toSeq
-      .filter(_.isDirectory).map(_.getPath)
-      .filter { d =>
-        d.getName.split("=", 2) match {
-          case Array("batch", v) => scala.util.Try(v.toLong).toOption.exists(_ > committed)
-          case _ => false
+  /** Sweep shingle- and vector-store partitions above the committed
+    * seq: they can only be a crashed attempt's partial append (a
+    * committed tick's partition is by construction ≤ its marker's
+    * seq). */
+  private def sweepPartials(spark: SparkSession, p: Paths, committed: Long): Unit =
+    Seq(p.store, p.vecs).foreach { store =>
+      val f = fs(spark, store)
+      val dir = new Path(store)
+      if (f.exists(dir)) f.listStatus(dir).toSeq
+        .filter(_.isDirectory).map(_.getPath)
+        .filter { d =>
+          d.getName.split("=", 2) match {
+            case Array("batch", v) => scala.util.Try(v.toLong).toOption.exists(_ > committed)
+            case _ => false
+          }
         }
-      }
-      .foreach(f.delete(_, true))
-  }
+        .foreach(f.delete(_, true))
+    }
 
   /** One daily tick. Steps, in order: (1) K1 merge of the landed CVE
     * sources into the snapshot + prioritize (CveJob.runTick without its
@@ -137,9 +199,17 @@ object DailyLoop {
               failAt: Option[FailPoint] = None,
               keepMarkers: Int = KeepMarkers,
               embDelta: Option[DataFrame] = None,
-              annMaxChain: Int = Int.MaxValue): Unit = {
+              annMaxChain: Int = Int.MaxValue,
+              docRemovals: Option[DataFrame] = None,
+              vecRemovals: Option[DataFrame] = None,
+              pairRebuildEvery: Int = 0,
+              annRefreshEvery: Int = 0): Unit = {
     val (committed, _) = committedTick(spark, p)
     val batchId = committed + 1
+    // heal stores a crashed compaction consolidation left mid-swap —
+    // BEFORE the sweep lists them or any layout probe reads them
+    SnapshotIO.recover(spark.sparkContext.hadoopConfiguration, p.store)
+    SnapshotIO.recover(spark.sparkContext.hadoopConfiguration, p.vecs)
     // day-zero store dir: the verify read's fixed schema needs a path to
     // exist even before the first partition lands
     fs(spark, p.store).mkdirs(new Path(p.store))
@@ -167,7 +237,7 @@ object DailyLoop {
       BandIndex.write(operators.Dedup.explodedShingles(
         operators.Dedup.shingleSets(docsDelta.limit(0))), p.index)
     DocsStream.indexedDedupTick(docsDelta, batchId, p.index, p.store,
-      p.pairs, threshold)
+      p.pairs, threshold, removals = docRemovals)
     if (failAt.contains(AfterDedup)) throw new InjectedCrash(AfterDedup)
 
     // (2b) the ANN ingest, when an embedding delta landed: day zero
@@ -181,59 +251,158 @@ object DailyLoop {
     // the one-marker crash model comes from the batch stamp: a re-run
     // whose batch already sits at the committed head skips the step —
     // duplicate PQ codes would DOUBLE ADC sums, so this skip is load-
-    // bearing, not an optimization. checkDisjoint stays off: the loop's
-    // delta contract (new vec_ids only) is the stream's own invariant,
-    // and the O(corpus) id scan would break the tick's O(delta) claim.
+    // bearing, not an optimization. checkDisjoint stays off — the
+    // loop's delta contract (new vec_ids only) is the stream's own
+    // invariant, and the O(corpus) id scan would break the tick's
+    // O(delta) claim — but the contract is still SELF-ENFORCING: the
+    // append probes the delta against the chain's per-layer id blooms
+    // (O(delta), map-only) and a violation aborts the tick loudly
+    // instead of silently doubling sums (AnnIndex.guardDisjoint).
     // A zero-row delta skips the whole step (one limit-1 probe): a
     // day-zero build on it would train an EMPTY codebook and poison
     // every later append; an append of it would only grow the chain.
-    embDelta.filter(!_.limit(1).isEmpty).foreach { emb =>
-      if (!operators.AnnIndex.isBuilt(spark, p.ann))
-        operators.AnnIndex.buildPq(emb, p.ann, batchId = Some(batchId))
-      else if (!operators.AnnIndex.headBatch(spark, p.ann).contains(batchId))
-        operators.AnnIndex.appendPq(emb, p.ann, checkDisjoint = false,
-          batchId = Some(batchId))
-      if (operators.AnnIndex.pqChain(spark, p.ann).length > annMaxChain)
+    val annDelta = embDelta.filter(!_.limit(1).isEmpty)
+    val annRem = vecRemovals.map(_.select("vec_id").distinct())
+      .filter(!_.limit(1).isEmpty)
+    if (annDelta.nonEmpty || annRem.nonEmpty) {
+      val emb = annDelta.getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(VecsSchema.take(2))))
+      // a vec id both landed and removed this tick: the removal WINS
+      // (the doc-side rule); replace-in-place is expressed as remove in
+      // tick N, re-land in tick N+1
+      val liveEmb = annRem
+        .map(r => emb.join(r, Seq("vec_id"), "left_anti")).getOrElse(emb)
+      // (2a') the raw-vector store FIRST: the live delta plus one
+      // null-embedding tombstone row per removed vec lands wholesale in
+      // the tick's own batch partition (idempotent overwrite; partials
+      // swept at tick start), so the ANN steps below — and any later
+      // seed or retraining rebuild — read one consistent live corpus
+      // that includes this tick. O(delta) per tick; the store as a
+      // whole is the corpus's vector table, the rebuild source PQ
+      // codes (lossy) and postings (quantizer-pinned) cannot be.
+      val stamped = liveEmb.withColumn("label",
+          (if (liveEmb.columns.contains("label")) col("label")
+           else lit(null)).cast("int"))
+        .select("vec_id", "embedding", "label")
+      annRem.map(r => stamped.unionByName(r.select(col("vec_id"),
+          lit(null).cast("array<float>").as("embedding"),
+          lit(null).cast("int").as("label"))))
+        .getOrElse(stamped)
+        .write.mode("overwrite").parquet(s"${p.vecs}/batch=$batchId")
+      // a REFRESH tick (batch-keyed cadence) is the deliberate quality
+      // event compactPq's answer-invariance contrasts against: retrain
+      // the quantizer on the LIVE corpus read back from the vector
+      // store (the tick's delta is already in it; deletes are already
+      // out of it) and publish a fresh root — the chain collapses and
+      // rankings legitimately change. Idempotent under crash re-run via
+      // the same batch stamp as the append it replaces.
+      val refreshDue = annRefreshEvery > 0 && batchId % annRefreshEvery == 0
+      if (!operators.AnnIndex.isBuilt(spark, p.ann)) {
+        // removals against an unbuilt index are vacuous; day zero only
+        // TRAINS when the tick actually landed vectors
+        if (!liveEmb.limit(1).isEmpty)
+          operators.AnnIndex.buildPq(liveEmb, p.ann, batchId = Some(batchId))
+      } else if (!operators.AnnIndex.headBatch(spark, p.ann).contains(batchId)) {
+        if (refreshDue)
+          operators.AnnIndex.buildPq(storeVectors(spark, p.vecs, batchId),
+            p.ann, batchId = Some(batchId))
+        else
+          operators.AnnIndex.appendPq(liveEmb, p.ann, checkDisjoint = false,
+            batchId = Some(batchId), removals = annRem)
+      }
+      if (operators.AnnIndex.isBuilt(spark, p.ann) &&
+          operators.AnnIndex.pqChain(spark, p.ann).length > annMaxChain) {
         operators.AnnIndex.compactPq(spark, p.ann)
+        // the vector store consolidates on the same cadence: live rows
+        // republished as ONE committed-stamped partition, tombstones
+        // and removed vectors physically gone (crash-safe whole-dir
+        // swap, healed at tick start)
+        consolidateVecs(spark, p, committed, batchId)
+      }
 
       // (2c) the IVF posting store, same lifecycle. Only the day-zero
-      // TRAIN needs a seed-cell column — a label-free pipeline keeps
-      // the PQ index alone until a labeled delta seeds the store; once
-      // LIVE, every delta appends (assignment needs only the pinned
-      // centroids), so the store can never silently fall behind the PQ
-      // index over a label-less day. Batch-stamp idempotence and
+      // TRAIN needs seed-cell labels — a label-free pipeline keeps the
+      // PQ index alone until a labeled delta arrives; that first seed
+      // then trains centroids on the LABELED rows but builds postings
+      // from the FULL vector store, so vectors landed over the earlier
+      // label-less ticks are covered from day one (without this, the
+      // store would serve incomplete candidates forever while pqTopK
+      // served the whole corpus). Once LIVE, every delta appends
+      // (assignment needs only the pinned centroids), so the store
+      // never falls behind again. Batch-stamp idempotence and
       // answer-invariant compaction are identical to 2b (duplicate
       // postings would double candidates, the same corruption class as
       // duplicate codes).
       if (operators.AnnIndex.isBuilt(spark, p.annPost)) {
-        if (!operators.AnnIndex.headBatch(spark, p.annPost).contains(batchId))
-          operators.AnnIndex.appendIvfPostings(emb, p.annPost,
-            batchId = Some(batchId), checkDisjoint = false)
+        if (!operators.AnnIndex.headBatch(spark, p.annPost).contains(batchId)) {
+          // the refresh event retrains the posting store's quantizer
+          // too, when the live store still has labeled seed rows
+          val refreshCorpus =
+            if (refreshDue) Some(storeVectors(spark, p.vecs, batchId))
+            else None
+          val labeled = refreshCorpus.map(_.filter(col("label").isNotNull))
+          if (refreshCorpus.nonEmpty && !labeled.get.limit(1).isEmpty)
+            operators.AnnIndex.buildIvfPostings(refreshCorpus.get, p.annPost,
+              batchId = Some(batchId), trainOn = labeled)
+          else
+            operators.AnnIndex.appendIvfPostings(liveEmb, p.annPost,
+              batchId = Some(batchId), checkDisjoint = false,
+              removals = annRem)
+        }
         if (operators.AnnIndex.ivfpChain(spark, p.annPost).length > annMaxChain)
           operators.AnnIndex.compactIvfPostings(spark, p.annPost)
-      } else if (emb.columns.contains("label"))
-        operators.AnnIndex.buildIvfPostings(emb, p.annPost,
-          batchId = Some(batchId))
+      } else if (liveEmb.columns.contains("label") &&
+                 !liveEmb.limit(1).isEmpty) {
+        val corpus = storeVectors(spark, p.vecs, batchId)
+        operators.AnnIndex.buildIvfPostings(corpus, p.annPost,
+          batchId = Some(batchId),
+          trainOn = Some(corpus.filter(col("label").isNotNull)))
+      }
     }
     if (failAt.contains(AfterAnn)) throw new InjectedCrash(AfterAnn)
 
     // (3) compaction cadence: collapse the chain once probes would walk
     // more than maxChain layers — the store holds the full committed
     // corpus (this tick's partition included), so the rebuild needs no
-    // other input. The PAIR snapshot is rebuilt on the same cadence
-    // (retention: drifted-apart pairs expire, DocsStream.rebuildPairs)
-    // and FIRST — the chain stays > maxChain until the index rebuild
-    // commits, so a crash anywhere inside this step re-runs the whole
-    // compaction instead of leaving the pair rebuild silently skipped.
+    // other input. By default the PAIR snapshot is rebuilt on the same
+    // cadence (retention: drifted-apart pairs expire,
+    // DocsStream.rebuildPairs) and FIRST — the chain stays > maxChain
+    // until the index rebuild commits, so a crash anywhere inside this
+    // step re-runs the whole compaction instead of leaving the pair
+    // rebuild silently skipped. A positive `pairRebuildEvery` DECOUPLES
+    // the two O(corpus) passes: compaction then skips the pair rebuild
+    // and retention runs on its own batch-keyed cadence (step 3b) —
+    // the knob that stops a frequent index compaction from paying the
+    // pair-verification pass every time.
     if (BandIndex.chainLength(spark, p.index) > maxChain) {
       val l = BandIndex.layout(spark, p.index)
       val corpusSh = DocsStream.storeShingles(spark, p.store, batchId)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        DocsStream.rebuildPairs(corpusSh, p.pairs, threshold,
-          l.numHashes, l.bands, lit(now.toString).cast("timestamp"))
+        if (pairRebuildEvery <= 0)
+          DocsStream.rebuildPairs(corpusSh, p.pairs, threshold,
+            l.numHashes, l.bands, lit(now.toString).cast("timestamp"))
+        // store consolidation between the pair and index rebuilds: all
+        // three read the same live-corpus frame (tombstoned docs gone —
+        // this is where deletion becomes PHYSICAL in store, pairs and
+        // index alike), and the index write stays LAST so the chain
+        // stays > maxChain until the whole compaction has committed
+        DocsStream.consolidateStore(corpusSh, p.store, committed)
         BandIndex.write(corpusSh, p.index, l.numHashes, l.bands, l.buckets)
       } finally { corpusSh.unpersist(); () }
+    }
+    // (3b) decoupled pair retention: keyed on the BATCH id, not the
+    // chain state, so a crash between the index rebuild and this pass
+    // re-triggers it deterministically on re-run (idempotent full
+    // recompute + atomic swap).
+    if (pairRebuildEvery > 0 && batchId % pairRebuildEvery == 0) {
+      val l = BandIndex.layout(spark, p.index)
+      val corpusSh = DocsStream.storeShingles(spark, p.store, batchId)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try DocsStream.rebuildPairs(corpusSh, p.pairs, threshold,
+        l.numHashes, l.bands, lit(now.toString).cast("timestamp"))
+      finally { corpusSh.unpersist(); () }
     }
     if (failAt.contains(AfterCompact)) throw new InjectedCrash(AfterCompact)
 
@@ -258,6 +427,62 @@ object DailyLoop {
     * stretch of ticks; the committed seq is always the max marker). */
   val KeepMarkers = 32
 
+  /** A heartbeat older than this marks the lease abandoned (a crashed
+    * holder cannot release) and breakable by the next acquirer. */
+  val LeaseStaleMs: Long = 30L * 60 * 1000
+
+  private def leasePath(p: Paths) = new Path(p.root, "lease")
+
+  /** Advisory single-writer lease over the loop root. Every store under
+    * it assumes ONE nightly writer by contract (the AnnIndex/BandIndex
+    * claim scheme makes a second writer burn version numbers rather
+    * than corrupt committed state — but it would still duplicate work
+    * and interleave batch stamps confusingly). The lease turns that
+    * contract loud: acquisition is an atomic claim-file create, a live
+    * holder's heartbeat (file mtime, refreshed every loop pass) blocks
+    * contenders with an IllegalStateException, and a heartbeat older
+    * than `staleMs` is a crash leftover the next acquirer breaks. */
+  def acquireLease(spark: SparkSession, p: Paths, holder: String,
+                   staleMs: Long = LeaseStaleMs): Unit = {
+    val f = fs(spark, p.root)
+    f.mkdirs(new Path(p.root))
+    val lp = leasePath(p)
+    if (f.exists(lp)) {
+      val st = f.getFileStatus(lp)
+      val age = System.currentTimeMillis() - st.getModificationTime
+      if (age < staleMs) {
+        val who = scala.util.Try {
+          val in = f.open(lp)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        }.getOrElse("<unknown>")
+        throw new IllegalStateException(
+          s"daily-loop root ${p.root} is leased by '$who' " +
+            s"(heartbeat ${age / 1000}s ago) — refusing to run a second " +
+            "writer; stop it or wait for the lease to go stale")
+      }
+      f.delete(lp, false) // abandoned: break it
+    }
+    try {
+      val out = f.create(lp, false)
+      try out.write(holder.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    } catch { // atomic-create lost a race with another acquirer
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"daily-loop root ${p.root}: lost the lease race to another writer")
+    }
+  }
+
+  /** Refresh the lease heartbeat (mtime). */
+  def heartbeatLease(spark: SparkSession, p: Paths): Unit =
+    fs(spark, p.root).setTimes(leasePath(p), System.currentTimeMillis(), -1)
+
+  def releaseLease(spark: SparkSession, p: Paths): Unit = {
+    fs(spark, p.root).delete(leasePath(p), false); ()
+  }
+
   /** The scheduler loop (T1/T6 shape, marker clock): tick when due,
     * sleep otherwise, stop cooperatively. Returns ticks run. BOTH
     * inputs are per-tick functions of the tick seq — a long-running
@@ -271,17 +496,33 @@ object DailyLoop {
            threshold: Double = 0.8, maxChain: Int = Int.MaxValue,
            sleepMs: Long = 1000L,
            embDelta: Long => Option[DataFrame] = _ => None,
-           annMaxChain: Int = Int.MaxValue): Int = {
+           annMaxChain: Int = Int.MaxValue,
+           docRemovals: Long => Option[DataFrame] = _ => None,
+           vecRemovals: Long => Option[DataFrame] = _ => None,
+           pairRebuildEvery: Int = 0,
+           leaseStaleMs: Long = LeaseStaleMs,
+           annRefreshEvery: Int = 0): Int = {
+    // single-writer lease: a second contending loop fails HERE, loudly,
+    // before touching any store; heartbeat every pass, release on exit
+    val holder = java.net.InetAddress.getLocalHost.getHostName +
+      ":" + ProcessHandle.current().pid()
+    acquireLease(spark, p, holder, leaseStaleMs)
     var ticks = 0
-    while (!shouldStop()) {
-      val now = clock()
-      if (isTickDue(spark, p, now, intervalHours)) {
-        val seq = committedTick(spark, p)._1 + 1
-        runTick(spark, landing(seq), docsDelta(seq), p, now, threshold,
-          maxChain, embDelta = embDelta(seq), annMaxChain = annMaxChain)
-        ticks += 1
-      } else Thread.sleep(sleepMs)
-    }
+    try {
+      while (!shouldStop()) {
+        heartbeatLease(spark, p)
+        val now = clock()
+        if (isTickDue(spark, p, now, intervalHours)) {
+          val seq = committedTick(spark, p)._1 + 1
+          runTick(spark, landing(seq), docsDelta(seq), p, now, threshold,
+            maxChain, embDelta = embDelta(seq), annMaxChain = annMaxChain,
+            docRemovals = docRemovals(seq), vecRemovals = vecRemovals(seq),
+            pairRebuildEvery = pairRebuildEvery,
+            annRefreshEvery = annRefreshEvery)
+          ticks += 1
+        } else Thread.sleep(sleepMs)
+      }
+    } finally releaseLease(spark, p)
     ticks
   }
 }

@@ -40,10 +40,11 @@ object Main {
       config: String = "configuration.ini",
       root: String = "graft-data",
       once: Boolean = false,
+      fetch: Boolean = false,
       help: Boolean = false)
 
   val usage: String =
-    """usage: graft [-h] [-d] [-c CONFIG] [--root DIR] [--once]
+    """usage: graft [-h] [-d] [-c CONFIG] [--root DIR] [--once] [--fetch]
       |
       |CVE Data Handling Script
       |
@@ -52,6 +53,7 @@ object Main {
       |  -c, --config CONFIG    Specify a configuration file (default: configuration.ini)
       |  --root DIR             Data root: snapshot, index, landing dirs (default: graft-data)
       |  --once                 Run one tick immediately and exit (no scheduler loop)
+      |  --fetch                Fetch configured HTTP sources into the landing dir before each tick
       |""".stripMargin
 
   /** argparse analog: unknown flags and missing option values are
@@ -70,6 +72,7 @@ object Main {
         go(t, acc.copy(root = v))
       case "--root" :: _ => Left("argument --root: expected one argument")
       case "--once" :: t => go(t, acc.copy(once = true))
+      case "--fetch" :: t => go(t, acc.copy(fetch = true))
       case other :: _ => Left(s"unrecognized arguments: $other")
     }
     go(argv.toList, Args())
@@ -95,15 +98,40 @@ object Main {
     s"${h}h ${m}min ${s}s"
   }
 
+  /** The in-process networked fetch (--fetch): pull each configured
+    * HTTP source into the tick's landing dir BEFORE the tick consumes
+    * it — the reference's main.py:64-89 shape, where fetching and
+    * merging live in one process. A source fetches when its config
+    * section carries a `url`; NVD is the paginated one (probe page 0
+    * for totalResults, ceil-div into pages, distributed rate-limited
+    * pull — the whole Fetch/Landing S1 machinery over a real socket). */
+  def fetchLanding(spark: SparkSession, conf: Config.Conf, dir: String): Unit =
+    conf.get("nvd", "url").foreach { base =>
+      val policy = conf.fetchPolicy("nvd")
+      val transport = graft.sources.Fetch.httpTransport(p =>
+        s"$base?resultsPerPage=${policy.resultsPerPage}" +
+          s"&startIndex=${p * policy.resultsPerPage}")
+      val total = graft.sources.Fetch.parseTotalResults(
+        graft.sources.Fetch.fetchWithRetry(transport, 0L, policy).body)
+      val landed = graft.sources.Landing.landPages(
+        graft.sources.Fetch.fetchPages(spark, total, policy,
+          numPartitions = conf.getInt("nvd", "fetch_partitions", 2),
+          transport),
+        s"$dir/nvd_pages")
+      Log.info(s"[nvd] Landed $landed pages ($total results) into $dir/nvd_pages", "main")
+    }
+
   /** Probe a landed tick directory for the upstreams' canonical
     * filenames. EPSS may land gzipped (the upstream ships .csv.gz,
-    * epss_handler.py:21); first match wins. */
+    * epss_handler.py:21); first match wins. NVD may also be a landed
+    * PAGES directory — what [[fetchLanding]] writes. */
   def landingFrom(dir: String): Landing = {
     def f(names: String*): Option[String] =
       names.map(n => JPaths.get(dir, n))
         .find(Files.exists(_)).map(_.toString)
     Landing(
-      nvd = f("nvd_page.json", "nvd.json"),
+      nvd = f("nvd_page.json", "nvd.json")
+        .orElse(f("nvd_pages").filter(p => Files.isDirectory(JPaths.get(p)))),
       epss = f("epss_scores.csv.gz", "epss_scores.csv"),
       exploitDb = f("files_exploits.csv"),
       kev = f("known_exploited_vulnerabilities.json"),
@@ -121,6 +149,17 @@ object Main {
     val p = JPaths.get(dir, "documents.parquet")
     if (Files.exists(p)) spark.read.parquet(p.toString).select("doc_id", "text")
     else Seq.empty[(Long, String)].toDF("doc_id", "text")
+  }
+
+  /** The tick's removal sets: `removals.parquet` (doc_id) deletes
+    * documents, `vec_removals.parquet` (vec_id) deletes embeddings —
+    * both propagate as tombstones through every persisted store
+    * (DailyLoop's delete lifecycle). Absent file = nothing removed. */
+  def removalsFrom(spark: SparkSession, dir: String,
+                   file: String, idCol: String): Option[DataFrame] = {
+    val p = JPaths.get(dir, file)
+    if (Files.exists(p)) Some(spark.read.parquet(p.toString).select(idCol))
+    else None
   }
 
   /** The tick's embedding delta (`embeddings.parquet`), None when none
@@ -153,22 +192,35 @@ object Main {
   def run(spark: SparkSession, conf: Config.Conf, root: String,
           once: Boolean, stop: AtomicBoolean,
           clock: () => Timestamp = () => new Timestamp(System.currentTimeMillis()),
-          sleepMs: Long = 1000L): Int = {
+          sleepMs: Long = 1000L, fetch: Boolean = false): Int = {
     val p = DailyLoop.Paths(root)
     val intervalHours = conf.schedulerIntervalHours(default = 24)
     val threshold = conf.get("dedup", "threshold").map(_.toDouble).getOrElse(0.8)
     val maxChain = conf.getInt("dedup", "max_chain", Int.MaxValue)
     val annMaxChain = conf.getInt("dedup", "ann_max_chain", Int.MaxValue)
-    def landing(seq: Long) = landingFrom(s"$root/landing/$seq")
+    val pairRebuildEvery = conf.getInt("dedup", "pair_rebuild_every", 0)
+    val annRefreshEvery = conf.getInt("dedup", "ann_refresh_every", 0)
+    def landing(seq: Long) = {
+      val dir = s"$root/landing/$seq"
+      if (fetch) fetchLanding(spark, conf, dir)
+      landingFrom(dir)
+    }
     def delta(seq: Long) = docsDeltaFrom(spark, s"$root/landing/$seq")
     def emb(seq: Long) = embDeltaFrom(spark, s"$root/landing/$seq")
+    def docRem(seq: Long) = removalsFrom(spark, s"$root/landing/$seq",
+      "removals.parquet", "doc_id")
+    def vecRem(seq: Long) = removalsFrom(spark, s"$root/landing/$seq",
+      "vec_removals.parquet", "vec_id")
 
     if (once) {
       Log.info("[Job] Starting", "main")
       val t0 = System.nanoTime()
       val seq = DailyLoop.committedTick(spark, p)._1 + 1
       DailyLoop.runTick(spark, landing(seq), delta(seq), p, clock(),
-        threshold, maxChain, embDelta = emb(seq), annMaxChain = annMaxChain)
+        threshold, maxChain, embDelta = emb(seq), annMaxChain = annMaxChain,
+        docRemovals = docRem(seq), vecRemovals = vecRem(seq),
+        pairRebuildEvery = pairRebuildEvery,
+        annRefreshEvery = annRefreshEvery)
       Log.success(f"[Job] Finished in ${(System.nanoTime() - t0) / 1e9}%.2f seconds.", "main")
       1
     } else {
@@ -184,7 +236,10 @@ object Main {
       val ticks = DailyLoop.loop(spark, landing, delta, p, intervalHours,
         shouldStop = () => stop.get(), clock = clock,
         threshold = threshold, maxChain = maxChain, sleepMs = sleepMs,
-        embDelta = emb, annMaxChain = annMaxChain)
+        embDelta = emb, annMaxChain = annMaxChain,
+        docRemovals = docRem, vecRemovals = vecRem,
+        pairRebuildEvery = pairRebuildEvery,
+        annRefreshEvery = annRefreshEvery)
       Log.info("[Scheduler] Shutdown event detected. Exiting scheduler loop.", "main")
       ticks
     }
@@ -221,7 +276,7 @@ object Main {
           drained.await()
         }))
         val spark = GraftSession.build()
-        try run(spark, conf, a.root, a.once, stop)
+        try run(spark, conf, a.root, a.once, stop, fetch = a.fetch)
         finally {
           spark.stop()
           drained.countDown() // releases the hook: safe to halt now

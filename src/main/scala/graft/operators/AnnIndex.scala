@@ -35,6 +35,7 @@ import org.apache.spark.sql.functions._
   */
 object AnnIndex {
   private val MetaFile = "_graft_ann"
+  private val BloomFile = "idbloom"
   private val VersionPrefix = "v-"
 
   private def fs(spark: SparkSession, path: String) =
@@ -157,6 +158,73 @@ object AnnIndex {
     * artifact, never as caller-remembered constants. */
   final case class PqParams(m: Int, subLen: Int, numCodes: Int)
 
+  /** Publish the layer's id-membership Bloom filter beside its data
+    * (BEFORE the sidecar commit — a committed layer always has one).
+    * This is what makes the append-disjointness contract SELF-ENFORCING
+    * at O(delta): a `checkDisjoint = false` append probes the delta's
+    * ids against the chain's blooms (a map-only filter over the delta)
+    * and only a hit — real or the filter's bounded false-positive —
+    * pays the exact id scan. Geometry scales with the layer (~12
+    * bits/key, clamped to [2^20, 2^28] bits = 16 KiB–32 MiB): a layer
+    * past the cap saturates and DEGRADES the guard to the exact scan,
+    * never to silence. Ids are read back from the just-written parquet
+    * (one columnar id scan), not recomputed from lineage. */
+  private def writeIdBloom(spark: SparkSession, vd: Path,
+                           ids: DataFrame): Unit = {
+    val n = math.max(ids.count(), 1L)
+    val numBits = {
+      val want = n * 12L
+      val clamped = math.min(math.max(want, 1L << 20), 1L << 28)
+      ((clamped + 63) / 64 * 64).toInt
+    }
+    val bits = Bloom.build(ids, "id", numBits, Bloom.DefaultHashes)
+    val f = fs(spark, vd.toString)
+    val out = new java.io.DataOutputStream(f.create(new Path(vd, BloomFile), true))
+    try {
+      out.writeInt(numBits); out.writeInt(Bloom.DefaultHashes)
+      bits.foreach(out.writeLong)
+    } finally out.close()
+  }
+
+  /** A layer's bloom (bits, numBits, k) — None for layers published
+    * before blooms existed, which forces the guard to the exact scan. */
+  private def readIdBloom(spark: SparkSession, path: String,
+                          v: Int): Option[(Array[Long], Int, Int)] = {
+    val f = fs(spark, path)
+    val p = new Path(vdir(path, v), BloomFile)
+    if (!f.exists(p)) None
+    else {
+      val in = new java.io.DataInputStream(f.open(p))
+      try {
+        val numBits = in.readInt(); val k = in.readInt()
+        val bits = Array.fill(numBits / 64)(in.readLong())
+        Some((bits, numBits, k))
+      } finally in.close()
+    }
+  }
+
+  /** The O(delta) disjointness guard for `checkDisjoint = false`
+    * appends: bloom-prefilter the delta's ids against every chain
+    * layer; only a suspicious id (or a bloom-less legacy layer) runs
+    * `exact` — the chain id scan — and a REAL duplicate fails loudly.
+    * A violated monotone-stream contract can therefore no longer
+    * silently double ADC sums or posting candidates; the clean common
+    * case stays one map-only pass over the delta. */
+  private def guardDisjoint(spark: SparkSession, path: String,
+                            chain: Seq[Int], ids: DataFrame,
+                            exact: => Long, what: String): Unit = {
+    val blooms = chain.map(v => readIdBloom(spark, path, v))
+    val suspicious =
+      if (blooms.forall(_.isDefined))
+        ids.filter(blooms.flatten.map { case (bits, nb, k) =>
+          Bloom.mightContain(bits, col("id"), nb, k)
+        }.reduce(_ || _)).limit(1).count() > 0
+      else true // legacy layer without a bloom: no prefilter available
+    if (suspicious) require(exact == 0L,
+      s"$what under $path: delta contains ids already in the chain — " +
+        "changed vectors need a rebuild, not an append")
+  }
+
   private def batchSuffix(batchId: Option[Long]): String =
     batchId.map(b => s" batch=$b").getOrElse("")
 
@@ -184,6 +252,8 @@ object AnnIndex {
       books.write.mode("overwrite").parquet(new Path(vd, "books").toString)
       Similarity.pqEncode(units, books, m, subLen)
         .write.mode("overwrite").parquet(new Path(vd, "codes").toString)
+      writeIdBloom(spark, vd, spark.read
+        .parquet(new Path(vd, "codes").toString).select("id").distinct())
       commitMeta(spark, vd, s"pq $m $subLen $numCodes${batchSuffix(batchId)}")
       prune(spark, path, next)
       next
@@ -199,35 +269,53 @@ object AnnIndex {
     * compaction cadence re-trains and collapses the chain (and prunes
     * superseded layers).
     *
-    * Contract: `delta` ids must be NEW — a changed vector needs the
-    * rebuild path, because its old codes live immutably in an earlier
-    * layer. `checkDisjoint` enforces this with one id-column scan of
-    * the chain (columnar: the probe-side cost class, not a raw-vector
-    * scan); disable it only when the caller's pipeline already
-    * guarantees disjointness (e.g. the monotone doc-id stream).
+    * Contract: `delta` ids must not be LIVE in the chain. A changed or
+    * deleted vector goes through `removals` — the layer's TOMBSTONE
+    * set, which deletes those ids from every layer below it
+    * ([[foldLayers]]); a changed vector is therefore `removals` +
+    * `delta` carrying the same id in ONE call (the LSM delete+put),
+    * and a deleted id may be re-appended by any later layer.
+    * `checkDisjoint` enforces liveness-disjointness with one id-column
+    * scan of the chain (columnar: the probe-side cost class, not a
+    * raw-vector scan); disabling it switches to the O(delta) bloom
+    * guard rather than to trust ([[guardDisjoint]]).
     * Returns the committed version. */
   def appendPq(delta: DataFrame, path: String,
                idCol: String = "vec_id", vecCol: String = "embedding",
                checkDisjoint: Boolean = true,
-               batchId: Option[Long] = None): Int = {
+               batchId: Option[Long] = None,
+               removals: Option[DataFrame] = None): Int = {
     val spark = delta.sparkSession
     val p = pqParams(spark, path) // also proves a committed pq chain exists
     val parent = currentVersion(spark, path)
     val books = pqBooks(spark, path)
     val units = Similarity
       .unitVectors(delta, Seq(idCol -> "id"), vecCol, "unit")
-    if (checkDisjoint) {
-      val dup = pqCodes(spark, path).select("id").distinct()
-        .join(org.apache.spark.sql.functions.broadcast(units.select("id")), "id")
-        .limit(1).count()
-      require(dup == 0L,
-        s"appendPq under $path: delta contains ids already encoded in the " +
-          "chain — changed vectors need a buildPq rebuild, not an append")
+    val rem = removals.map(_.select(col(idCol).as("id")).distinct())
+    // ids tombstoned by THIS layer are legal to re-add in it — exclude
+    // them from the liveness scan (the delete+put flow)
+    def liveIds = {
+      val ids = pqCodes(spark, path).select("id").distinct()
+      rem.map(r => ids.join(broadcast(r), Seq("id"), "left_anti")).getOrElse(ids)
     }
+    def exactDup = liveIds
+      .join(org.apache.spark.sql.functions.broadcast(units.select("id")), "id")
+      .limit(1).count()
+    if (checkDisjoint)
+      require(exactDup == 0L,
+        s"appendPq under $path: delta contains ids already encoded in the " +
+          "chain — replace them via the removals tombstone set")
+    else // the caller's pipeline claims disjointness — verify it cheaply
+      guardDisjoint(spark, path, pqChain(spark, path), units.select("id"),
+        exactDup, "appendPq")
     val next = claimVersion(spark, path)
     val vd = vdir(path, next)
     Similarity.pqEncode(units, books, p.m, p.subLen)
       .write.mode("overwrite").parquet(new Path(vd, "codes").toString)
+    rem.foreach(_.write.mode("overwrite")
+      .parquet(new Path(vd, "tombs").toString))
+    writeIdBloom(spark, vd, spark.read
+      .parquet(new Path(vd, "codes").toString).select("id").distinct())
     commitMeta(spark, vd,
       s"pq-delta $parent ${p.m} ${p.subLen} ${p.numCodes}${batchSuffix(batchId)}")
     // no prune: every ancestor layer stays live until the next full
@@ -258,6 +346,8 @@ object AnnIndex {
     val vd = vdir(path, next)
     books.write.mode("overwrite").parquet(new Path(vd, "books").toString)
     codes.write.mode("overwrite").parquet(new Path(vd, "codes").toString)
+    writeIdBloom(spark, vd, spark.read
+      .parquet(new Path(vd, "codes").toString).select("id").distinct())
     commitMeta(spark, vd,
       s"pq ${p.m} ${p.subLen} ${p.numCodes}${batchSuffix(batch)}")
     prune(spark, path, next)
@@ -339,13 +429,44 @@ object AnnIndex {
     spark.read.parquet(new Path(vdir(path, root), "books").toString)
   }
 
-  /** The encoded corpus: the union of every layer's codes down the
-    * chain. Layers hold DISJOINT id sets by the [[appendPq]] contract,
-    * so the union IS the corpus — no dedup pass at probe time. */
+  /** A layer's optional dataset (codes/postings/tombs) — delta layers
+    * may carry any subset; a chain root always carries its data. */
+  private def layerData(spark: SparkSession, path: String, v: Int,
+                        name: String): Option[DataFrame] = {
+    val p = new Path(vdir(path, v), name)
+    if (fs(spark, path).exists(p)) Some(spark.read.parquet(p.toString))
+    else None
+  }
+
+  /** LSM assembly of a layered id-keyed relation: walk the chain ROOT →
+    * HEAD; each layer's tombstones anti-join (delete from) everything
+    * below it, then its own rows union in — so a tombstone kills ids in
+    * OLDER layers only, and an append above a tombstone (or in the same
+    * layer) legitimately re-adds the id. Tombstone sets are removal-
+    * sized: each anti-join is a broadcast-class probe-side map, bounded
+    * by the chain length, and compaction republishes the surviving rows
+    * with no tombs at all — the physical delete. */
+  private def foldLayers(spark: SparkSession, path: String,
+                         chain: Seq[Int], name: String): DataFrame =
+    chain.reverse.foldLeft(Option.empty[DataFrame]) { (acc, v) =>
+      val afterTombs = layerData(spark, path, v, "tombs") match {
+        case Some(t) => acc.map(_.join(broadcast(t), Seq("id"), "left_anti"))
+        case None => acc
+      }
+      (afterTombs, layerData(spark, path, v, name)) match {
+        case (Some(a), Some(d)) => Some(a.unionByName(d))
+        case (None, d) => d
+        case (a, None) => a
+      }
+    }.getOrElse(throw new IllegalArgumentException(
+      s"ann chain under $path has no '$name' data at its root"))
+
+  /** The encoded corpus: every layer's codes down the chain, minus ids
+    * tombstoned by a LATER layer ([[foldLayers]] semantics). Live ids
+    * are unique by the [[appendPq]] contract, so no dedup pass at probe
+    * time. */
   def pqCodes(spark: SparkSession, path: String): DataFrame =
-    pqChain(spark, path)
-      .map(v => spark.read.parquet(new Path(vdir(path, v), "codes").toString))
-      .reduce(_.unionByName(_))
+    foldLayers(spark, path, pqChain(spark, path), "codes")
 
   def ivfCentroids(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(new Path(currentDir(spark, path), "centroids").toString)
@@ -427,17 +548,29 @@ object AnnIndex {
                        idCol: String = "vec_id", vecCol: String = "embedding",
                        cellCol: String = "label",
                        batchId: Option[Long] = None,
-                       cellTaskCap: Long = PostingCellTaskCap): Int = {
+                       cellTaskCap: Long = PostingCellTaskCap,
+                       trainOn: Option[DataFrame] = None): Int = {
     val spark = corpus.sparkSession
     // corpus-sized multi-consumer (every Lloyd round + the final
     // assignment + the posting write) — spill-friendly persist, not an
-    // O(corpus) executor-disk checkpoint copy
-    val units = Similarity.unitVectors(
-      corpus, Seq(idCol -> "id", cellCol -> "cell"), vecCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // O(corpus) executor-disk checkpoint copy. When `trainOn` is given,
+    // the quantizer trains on IT (its `cellCol` labels seed the Lloyd
+    // refinement) while the postings cover all of `corpus`, whose own
+    // labels — if any — are ignored: the seed path for a store whose
+    // corpus is only partially labeled (DailyLoop's vector store after
+    // label-less ticks).
+    val units = (trainOn match {
+      case None => Similarity.unitVectors(
+        corpus, Seq(idCol -> "id", cellCol -> "cell"), vecCol)
+      case Some(_) => Similarity.unitVectors(corpus, Seq(idCol -> "id"), vecCol)
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seedPinned = trainOn.map(t => Similarity.unitVectors(
+      t, Seq(idCol -> "id", cellCol -> "cell"), vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     try {
+      val seed = seedPinned.getOrElse(units)
       val cents = Similarity.kmeansRefineExact(
-        units, Similarity.exactCentroids(units), refineIters)
+        seed, Similarity.exactCentroids(seed), refineIters)
       val next = claimVersion(spark, path)
       val vd = vdir(path, next)
       cents.write.mode("overwrite").parquet(new Path(vd, "centroids").toString)
@@ -445,10 +578,12 @@ object AnnIndex {
         .join(Similarity.assignCells(units, cents)
           .select(col("id"), col("assigned_cell").as("cell")), "id"),
         new Path(vd, "postings"), cellTaskCap)
+      writeIdBloom(spark, vd, spark.read
+        .parquet(new Path(vd, "postings").toString).select("id"))
       commitMeta(spark, vd, s"ivfp $refineIters${batchSuffix(batchId)}")
       prune(spark, path, next)
       next
-    } finally { units.unpersist(); () }
+    } finally { units.unpersist(); seedPinned.foreach(_.unpersist()); () }
   }
 
   /** The posting-store chain, head first, root (a full build) last —
@@ -471,13 +606,12 @@ object AnnIndex {
   }
 
   /** The posting relation (id, unit, cell), cell-partitioned on disk —
-    * the union of every layer down the chain. Cell filters push through
-    * the union to each layer's scan, so partition pruning survives
-    * layering. */
+    * every layer down the chain, minus ids tombstoned by a later layer
+    * ([[foldLayers]]). Cell filters push through the unions and the
+    * anti-joins' probe side to each layer's scan, so partition pruning
+    * survives both layering and deletion. */
   def ivfpPostings(spark: SparkSession, path: String): DataFrame =
-    ivfpChain(spark, path)
-      .map(v => spark.read.parquet(new Path(vdir(path, v), "postings").toString))
-      .reduce(_.unionByName(_))
+    foldLayers(spark, path, ivfpChain(spark, path), "postings")
 
   /** O(delta) posting-store ingest: assign the delta against the chain
     * ROOT's pinned centroids and publish its cell-partitioned postings
@@ -489,27 +623,40 @@ object AnnIndex {
                         vecCol: String = "embedding",
                         batchId: Option[Long] = None,
                         checkDisjoint: Boolean = true,
-                        cellTaskCap: Long = PostingCellTaskCap): Int = {
+                        cellTaskCap: Long = PostingCellTaskCap,
+                        removals: Option[DataFrame] = None): Int = {
     val spark = delta.sparkSession
     val parent = ivfpChain(spark, path).head
     val cents = ivfpCentroids(spark, path)
     val units = Similarity.unitVectors(delta, Seq(idCol -> "id"), vecCol)
-    if (checkDisjoint) {
-      // the appendPq contract: a re-appended id would surface the same
-      // candidate at two ranks in every probe — loud reject, id-column
-      // scan of the chain (opt out when the pipeline owns disjointness)
-      val dup = ivfpPostings(spark, path).select("id")
-        .join(broadcast(units.select("id")), "id")
-        .limit(1).count()
-      require(dup == 0L,
-        s"appendIvfPostings under $path: delta contains ids already in " +
-          "the posting chain — changed vectors need a rebuild, not an append")
+    val rem = removals.map(_.select(col(idCol).as("id")).distinct())
+    // the appendPq contract: a LIVE re-appended id would surface the
+    // same candidate at two ranks in every probe — loud reject; ids
+    // tombstoned by this very layer are the delete+put flow and legal.
+    // Exact scan when checkDisjoint; the O(delta) bloom guard otherwise.
+    def liveIds = {
+      val ids = ivfpPostings(spark, path).select("id")
+      rem.map(r => ids.join(broadcast(r), Seq("id"), "left_anti")).getOrElse(ids)
     }
+    def exactDup = liveIds
+      .join(broadcast(units.select("id")), "id")
+      .limit(1).count()
+    if (checkDisjoint)
+      require(exactDup == 0L,
+        s"appendIvfPostings under $path: delta contains ids already in " +
+          "the posting chain — replace them via the removals tombstone set")
+    else
+      guardDisjoint(spark, path, ivfpChain(spark, path), units.select("id"),
+        exactDup, "appendIvfPostings")
     val next = claimVersion(spark, path)
     val vd = vdir(path, next)
     writePostings(units.join(Similarity.assignCells(units, cents)
         .select(col("id"), col("assigned_cell").as("cell")), "id"),
       new Path(vd, "postings"), cellTaskCap)
+    rem.foreach(_.write.mode("overwrite")
+      .parquet(new Path(vd, "tombs").toString))
+    writeIdBloom(spark, vd, spark.read
+      .parquet(new Path(vd, "postings").toString).select("id"))
     commitMeta(spark, vd, s"ivfp-delta $parent${batchSuffix(batchId)}")
     // no prune: ancestors stay live until a rebuild/compaction collapses
     next
@@ -534,6 +681,8 @@ object AnnIndex {
     val vd = vdir(path, next)
     cents.write.mode("overwrite").parquet(new Path(vd, "centroids").toString)
     writePostings(posts, new Path(vd, "postings"), cellTaskCap)
+    writeIdBloom(spark, vd, spark.read
+      .parquet(new Path(vd, "postings").toString).select("id"))
     commitMeta(spark, vd,
       s"${rootParts.mkString(" ")}${batchSuffix(batch)}")
     prune(spark, path, next)

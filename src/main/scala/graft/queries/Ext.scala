@@ -849,6 +849,110 @@ object Ext {
         .orderBy("query_id", "rank")
     }),
 
+    // The DELETE lifecycle through the dedup stores (q119's loop +
+    // removals): three ticks land the corpus, tick 4 REMOVES
+    // doc_id % 7 = 0 (tombstones: pairs touching them vanish from the
+    // live view that very tick), tick 5 compacts (the deletion becomes
+    // physical in store, index and pair snapshot alike). The probe is
+    // the live-pair view; the oracle is the pair set over the REMAINING
+    // corpus — tombstoning, compaction timing and physical drops must
+    // all be invisible in the answer.
+    "q128_daily_loop_delete" -> ((s, dir) => {
+      val work = java.nio.file.Files.createTempDirectory("graft_dailydel_")
+      val p = graft.DailyLoop.Paths(work.toString)
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      (1 to 3).foreach { d =>
+        graft.DailyLoop.runTick(s, graft.CvePipeline.Landing(),
+          docs.filter(col("doc_id") % 3 === lit(d - 1)), p,
+          java.sql.Timestamp.valueOf(f"2025-04-0$d%d 00:00:00"),
+          threshold = JaccardThreshold)
+      }
+      graft.DailyLoop.runTick(s, graft.CvePipeline.Landing(), docs.limit(0),
+        p, java.sql.Timestamp.valueOf("2025-04-04 00:00:00"),
+        threshold = JaccardThreshold,
+        docRemovals = Some(docs.filter(col("doc_id") % 7 === 0)
+          .select("doc_id")))
+      graft.DailyLoop.runTick(s, graft.CvePipeline.Landing(), docs.limit(0),
+        p, java.sql.Timestamp.valueOf("2025-04-05 00:00:00"),
+        threshold = JaccardThreshold, maxChain = 1)
+      graft.streaming.DocsStream.livePairs(s, p.pairs, p.store, 5L)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // The DELETE lifecycle through the PQ chain: build on the even
+    // half, one append lands the odd half AND tombstones vec_id % 10
+    // = 0 (the LSM delete), then compaction physically drops the dead
+    // codes. Probe truth: books trained on the evens, codes covering
+    // everything except the dead ids — deletes must change candidate
+    // sets exactly, never rankings of survivors.
+    "q129_ann_pq_delete" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idx = java.nio.file.Files.createTempDirectory("graft_annpqdel_")
+        .resolve("pq").toString
+      graft.operators.AnnIndex.buildPq(e.filter(col("vec_id") % 2 === 0),
+        idx, m = 4, subLen = 16, numCodes = 16, trainIters = 2)
+      graft.operators.AnnIndex.appendPq(e.filter(col("vec_id") % 2 === 1),
+        idx, removals = Some(e.filter(col("vec_id") % 10 === 0)
+          .select("vec_id")))
+      graft.operators.AnnIndex.compactPq(s, idx)
+      graft.operators.AnnIndex
+        .pqTopK(s, idx, e.filter(col("vec_id") % 100 === 0), k = 5)
+        .select(col("query_id"), col("cand_id"), col("rank"),
+                round(col("approx_sim"), 6).as("approx_sim"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // The DELETE lifecycle through the posting store: q126's pinned-
+    // centroid append additionally tombstones vec_id % 10 = 0, then the
+    // chain compacts — dead ids never surface as candidates and the
+    // compacted parquet no longer holds them (PqSpec asserts the
+    // physical side; here the oracle gates the answer).
+    "q130_ann_postings_delete" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idx = java.nio.file.Files.createTempDirectory("graft_annpodel_")
+        .resolve("ivfp").toString
+      graft.operators.AnnIndex.buildIvfPostings(
+        e.filter(col("vec_id") % 2 === 0), idx, refineIters = 1)
+      graft.operators.AnnIndex.appendIvfPostings(
+        e.filter(col("vec_id") % 2 === 1), idx,
+        removals = Some(e.filter(col("vec_id") % 10 === 0)
+          .select("vec_id")))
+      graft.operators.AnnIndex.compactIvfPostings(s, idx)
+      graft.operators.AnnIndex
+        .postingsTopK(s, idx, e.filter(col("vec_id") % 100 === 0),
+          k = 3, nprobe = 2)
+        .select(col("query_id"), col("cand_id"),
+                round(col("sim"), 6).as("sim"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // The RETRAINING REFRESH as a scheduled quality event (the
+    // deliberate re-ranking compactPq's answer-invariance contrasts
+    // against): annRefreshEvery=2 makes tick 2 retrain the codebooks
+    // from the vector store's live corpus (ticks 1+2) and collapse the
+    // chain to a fresh root; tick 3 then appends against the REFRESHED
+    // books. Truth: books Lloyd-trained on thirds 0+1, every vector
+    // encoded with them — the refresh cadence, the store read-back and
+    // the chain collapse must leave exactly that relation.
+    "q131_daily_loop_refresh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val work = java.nio.file.Files.createTempDirectory("graft_dailyref_")
+      val p = graft.DailyLoop.Paths(work.toString)
+      val emptyDocs = t(s, dir, "documents").select("doc_id", "text").limit(0)
+      (1 to 3).foreach { d =>
+        graft.DailyLoop.runTick(s, graft.CvePipeline.Landing(), emptyDocs, p,
+          java.sql.Timestamp.valueOf(f"2025-04-0$d%d 00:00:00"),
+          embDelta = Some(e.select("vec_id", "embedding")
+            .filter(col("vec_id") % 3 === lit(d - 1))),
+          annRefreshEvery = 2)
+      }
+      graft.operators.AnnIndex
+        .pqTopK(s, p.ann, e.filter(col("vec_id") % 100 === 0), k = 5)
+        .select(col("query_id"), col("cand_id"), col("rank"),
+                round(col("approx_sim"), 6).as("approx_sim"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Coreset / diversity sampling over embeddings: after IVF assignment,
     // keep the k most-central vectors per cell — the centroid-stratified
     // sample a curation pipeline feeds to expensive downstream scoring.
@@ -1121,7 +1225,7 @@ object Ext {
 
   // oracle0 is declared below oracle in the source — lazy breaks the
   // object-init ordering dependency.
-  val oracle: Map[String, String] = oracle0 ++ Map(
+  val oracle: Map[String, String] = withDeleteOracles(oracle0 ++ Map(
     // Persisted-artifact probes must equal their in-session twins
     // bit-for-bit — same oracle, different lifecycle (see AnnIndex).
     "q120_ann_pq_persisted"  -> oracle0("q61_ann_pq"),
@@ -1314,7 +1418,33 @@ object Ext {
                                              ORDER BY sim DESC, cand_id ASC)
                             AS rank
                 FROM cand)
-          WHERE rank <= 3 ORDER BY query_id, rank""")
+          WHERE rank <= 3 ORDER BY query_id, rank"""))
+
+  /** The delete-lifecycle oracles are their parents' constructions over
+    * a RESTRICTED relation — q128 is q119's pair truth with the removed
+    * docs gone from the corpus, q129/q130 are q123/q126 with the dead
+    * ids gone from the encoded/assigned side (training sets unchanged:
+    * the quantizers were built before the deletes). Deriving them
+    * textually from the parent SQL keeps the single source of truth —
+    * a drift in the parent construction cannot silently diverge from
+    * its delete twin. */
+  private def withDeleteOracles(base: Map[String, String]): Map[String, String] =
+    base ++ Map(
+      "q128_daily_loop_delete" -> base("q119_daily_loop_dedup").replace(
+        "FROM documents)",
+        "FROM (SELECT * FROM documents WHERE doc_id % 7 <> 0))"),
+      "q129_ann_pq_delete" -> base("q123_ann_pq_append").replace(
+        "FROM subs s JOIN books b ON s.sub = b.sub)",
+        "FROM subs s JOIN books b ON s.sub = b.sub WHERE s.vec_id % 10 <> 0)"),
+      "q130_ann_postings_delete" -> base("q126_ann_postings_append").replace(
+        "JOIN e c ON c.vec_id = a1.id AND c.vec_id <> p.query_id",
+        "JOIN e c ON c.vec_id = a1.id AND c.vec_id <> p.query_id " +
+          "AND c.vec_id % 10 <> 0"),
+      // the refresh truth is q125's lifecycle with the TRAINING set
+      // widened to the refresh tick's live corpus (thirds 0+1); the
+      // encode still covers everything
+      "q131_daily_loop_refresh" -> base("q125_daily_loop_ann").replace(
+        "vec_id % 3 = 0", "vec_id % 3 <> 2"))
 
   private lazy val oracle0: Map[String, String] = Map(
     // The oracle restates the q46 encode spec: the Spark side must push

@@ -44,6 +44,16 @@ object Fetch {
   def numPages(totalResults: Long, resultsPerPage: Int): Long =
     (totalResults + resultsPerPage - 1) / resultsPerPage
 
+  /** The `totalResults` field of a paginated envelope body — the probe
+    * that sizes the distributed fetch (the reference reads it off the
+    * first response, nvd_handler `copy.py:156`). Loud on a body without
+    * one: silently fetching zero pages is the failure mode this guards. */
+  private val TotalRe = """"totalResults"\s*:\s*(\d+)""".r
+  def parseTotalResults(body: String): Long =
+    TotalRe.findFirstMatchIn(body).map(_.group(1).toLong).getOrElse(
+      throw new IllegalArgumentException(
+        "paginated response body carries no totalResults field"))
+
   /** Rolling-window rate limiter: at most `maxRequests` acquisitions per
     * trailing `windowMs`. One instance per partition (constructed inside
     * mapPartitions — never serialized, never shared across executors).

@@ -201,6 +201,10 @@ object DocsStream {
               col("doc_bucket").isin(buckets: _*))
       .withColumn("latest", max("batch").over(w))
       .filter(col("batch") === col("latest"))
+      // a doc whose latest row is the NULL-shingle tombstone is deleted:
+      // it contributes no shingles, so verification can never emit a
+      // pair for it (the LWW rule doubling as the delete rule)
+      .filter(col("shingle").isNotNull)
       .select("doc_id", "shingle")
   }
 
@@ -215,7 +219,70 @@ object DocsStream {
       .filter(col("batch") <= lit(upToBatch))
       .withColumn("latest", max("batch").over(w))
       .filter(col("batch") === col("latest"))
+      // tombstoned docs (latest row = null shingle) are not part of the
+      // corpus: compaction rebuilds from this read, so the index, the
+      // pair snapshot and the consolidated store all physically drop
+      // them on the compaction cadence
+      .filter(col("shingle").isNotNull)
       .select("doc_id", "shingle")
+  }
+
+  /** Doc ids whose LATEST stored batch is a removal tombstone — the
+    * delete set live consumers anti-join between compactions. A
+    * tombstone batch writes exactly ONE null-shingle row per removed
+    * doc (and a removed doc's re-arrival supersedes its tombstone), so
+    * "latest batch is null" is exact. After a store consolidation the
+    * set is empty by construction — deletions became physical. */
+  def deletedDocs(spark: org.apache.spark.sql.SparkSession, store: String,
+                  upToBatch: Long): DataFrame =
+    spark.read.schema(StoreSchema).parquet(store)
+      .filter(col("batch") <= lit(upToBatch))
+      .groupBy("doc_id")
+      .agg(max("batch").as("latest"),
+           max(when(col("shingle").isNull, col("batch"))).as("tomb"))
+      .filter(col("tomb").isNotNull && col("tomb") === col("latest"))
+      .select("doc_id")
+
+  /** The LIVE pair view: verified pairs both of whose endpoints are
+    * live (un-tombstoned) docs. This is what makes a delete VISIBLE the
+    * tick it lands — the snapshot's own upsert sink has no delete path
+    * by design (K1 semantics); the anti-join hides dead pairs until the
+    * compaction rebuild drops them physically. */
+  def livePairs(spark: org.apache.spark.sql.SparkSession, snap: String,
+                store: String, upToBatch: Long): DataFrame = {
+    val dels = deletedDocs(spark, store, upToBatch)
+    readPairs(spark, snap)
+      .join(dels.select(col("doc_id").as("a_id")), Seq("a_id"), "left_anti")
+      .join(dels.select(col("doc_id").as("b_id")), Seq("b_id"), "left_anti")
+      .select("a_id", "b_id", "jaccard") // joins moved their keys first
+  }
+
+  /** Shingle-store CONSOLIDATION (the physical doc delete, and the
+    * partition-count bound): the live corpus — latest version of every
+    * doc, tombstoned docs GONE — republished as ONE batch partition
+    * stamped with the COMMITTED batch id. Committed partitions are
+    * never swept as partials, so a crash re-run of the in-flight tick
+    * simply re-appends its own delta partition on top and the LWW read
+    * dedups; the whole-dir swap is the [[rebuildPairs]] crash-safe
+    * pattern (healed by `SnapshotIO.recover` at tick start). Rides the
+    * index-compaction cadence and reuses its pinned corpus frame —
+    * after it, [[deletedDocs]] is empty by construction and years of
+    * daily partitions collapse to one directory. */
+  def consolidateStore(corpusSh: DataFrame, store: String,
+                       committedBatch: Long): Unit = {
+    import graft.operators.PartitionedSnapshot
+    val spark = corpusSh.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tmp = store + "_rebuild_tmp"
+    val f = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
+    f.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    corpusSh
+      .withColumn("doc_bucket",
+        PartitionedSnapshot.bucketOf(col("doc_id"), StoreBuckets))
+      .repartition(StoreBuckets, col("doc_bucket"))
+      .write.partitionBy("doc_bucket").mode("overwrite")
+      .parquet(s"$tmp/batch=$committedBatch")
+    graft.SnapshotIO.swap(conf, tmp, store)
   }
 
   /** ONE probe→verify→upsert→append tick of the indexed streaming dedup
@@ -246,12 +313,24 @@ object DocsStream {
     * the compacted corpus. */
   def indexedDedupTick(batch: DataFrame, batchId: Long, idx: String,
                        store: String, snap: String,
-                       threshold: Double): Unit = {
+                       threshold: Double,
+                       removals: Option[DataFrame] = None): Unit = {
     import graft.operators.{BandIndex, Dedup, Merge, PartitionedSnapshot}
     val s = batch.sparkSession
+    // the tick's removal set (doc ids to delete): within the tick a
+    // removal WINS over a same-id delta row; deletion materializes as a
+    // single NULL-shingle tombstone row in the tick's own batch
+    // partition — the LWW supersede rule then hides every earlier
+    // shingle of the doc, and a later re-arrival supersedes the
+    // tombstone (deletes are reversible by re-landing the doc).
+    // Multi-consumer and control-plane-small — pinned for the tick.
+    val rem = removals.map(_.select("doc_id").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val live = rem.map(r => batch.join(r, Seq("doc_id"), "left_anti"))
+      .getOrElse(batch)
     // multi-consumer (probe join, self-join, touched collect, two
     // appends) — persisted for the tick, released before the next
-    val bsh = Dedup.explodedShingles(Dedup.shingleSets(batch))
+    val bsh = Dedup.explodedShingles(Dedup.shingleSets(live))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // one pinned tick: the batch is banded ONCE, serving both
@@ -267,9 +346,14 @@ object DocsStream {
       // a doc in the CURRENT batch supersedes any stored copy of itself
       // (earlierShingles already keeps only the latest STORED batch per
       // doc; this anti-join applies the same LWW rule to the in-flight
-      // version) — without it a re-arriving doc counts double in verify
-      val earlier = earlierShingles(s, store, batchId, touched)
+      // version) — without it a re-arriving doc counts double in verify.
+      // Docs REMOVED this tick are excluded the same way: their
+      // tombstone is not stored yet at verify time, and a dead doc must
+      // not seed new pairs in the very tick that deletes it.
+      val earlier0 = earlierShingles(s, store, batchId, touched)
         .join(bsh.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      val earlier = rem.map(r => earlier0.join(r, Seq("doc_id"), "left_anti"))
+        .getOrElse(earlier0)
       // the verify plan is the tick's expensive stage and the bounded
       // merge consumes it twice (touched-bucket collect + merge write) —
       // persist for the sink's lifetime (the no-subplan-CSE pitfall)
@@ -291,14 +375,19 @@ object DocsStream {
         PartitionedSnapshot.mergeDelta(s, snap, pairs, "pk")
       } finally pairs.unpersist()
       tick.append() // the O(batch) daily layer, same band rows
-      // idempotent O(batch) store append: cluster each bucket into one
-      // task first (same small-files reasoning as BandIndex.write)
-      bsh.withColumn("doc_bucket",
+      // idempotent O(batch) store append: the live shingles PLUS one
+      // null-shingle tombstone row per removed doc, clustered per
+      // bucket into one task (same small-files reasoning as
+      // BandIndex.write)
+      val tombRows = rem.map(_.select(col("doc_id"),
+          lit(null).cast("long").as("shingle")))
+      tombRows.map(bsh.unionByName(_)).getOrElse(bsh)
+        .withColumn("doc_bucket",
           PartitionedSnapshot.bucketOf(col("doc_id"), StoreBuckets))
         .repartition(StoreBuckets, col("doc_bucket"))
         .write.partitionBy("doc_bucket").mode("overwrite")
         .parquet(s"$store/batch=$batchId")
-    } finally bsh.unpersist()
+    } finally { bsh.unpersist(); rem.foreach(_.unpersist()); () }
     ()
   }
 

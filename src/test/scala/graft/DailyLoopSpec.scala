@@ -125,6 +125,63 @@ class DailyLoopSpec extends SparkSpec {
     assert(pairs() == Set((1L, 2L)))
   }
 
+  test("pairRebuildEvery decouples retention from compaction cadence") {
+    import spark.implicits._
+    val p = DailyLoop.Paths(work())
+    val textA = "the quick brown fox jumps over the lazy dog again and again today"
+    def pairs() = graft.streaming.DocsStream.readPairs(spark, p.pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def tick(seq: Int, delta: org.apache.spark.sql.DataFrame): Unit =
+      DailyLoop.runTick(spark, CvePipeline.Landing(), delta, p,
+        ts(f"2025-04-0$seq%d 00:00:00"), maxChain = 1,
+        pairRebuildEvery = 4)
+    // tick 1: identical docs pair up; tick 2: doc 2 drifts away
+    tick(1, Seq((1L, textA), (2L, textA)).toDF("doc_id", "text"))
+    tick(2, Seq((2L, "entirely unrelated zebra content sharing no trigram shingles whatsoever with anything"))
+      .toDF("doc_id", "text"))
+    // tick 3 COMPACTS (maxChain=1) but retention is decoupled — the
+    // stale pair survives the index rebuild
+    tick(3, Seq((3L, "a third document with its own fresh words nothing in common here"))
+      .toDF("doc_id", "text"))
+    assert(graft.operators.BandIndex.chainLength(spark, p.index) <= 2,
+      "index must have compacted")
+    assert(pairs() == Set((1L, 2L)), "retention must NOT ride compaction")
+    // tick 4 hits the retention cadence (batch 4 % 4 == 0): the
+    // drifted-apart pair expires on ITS schedule
+    tick(4, Seq((4L, "completely different words once more for the fourth daily delta here"))
+      .toDF("doc_id", "text"))
+    assert(pairs().isEmpty, "retention must fire on its own cadence")
+  }
+
+  test("single-writer lease: a second contending loop aborts loudly; stale leases break") {
+    val p = DailyLoop.Paths(work())
+    // writer A holds the lease with a fresh heartbeat → a second loop
+    // must refuse to start (two interleaved nightly writers would burn
+    // version numbers and duplicate every tick's work)
+    DailyLoop.acquireLease(spark, p, "writer-a")
+    val err = intercept[IllegalStateException] {
+      DailyLoop.loop(spark, _ => landing, delta, p, intervalHours = 24,
+        shouldStop = () => true, clock = () => ts("2025-04-01 00:00:00"))
+    }
+    assert(err.getMessage.contains("leased by 'writer-a'"))
+    // a crashed holder never releases — but its heartbeat goes stale
+    // and the next acquirer breaks the lease and proceeds
+    val err2 = intercept[IllegalStateException] {
+      DailyLoop.acquireLease(spark, p, "writer-b") // still fresh
+    }
+    assert(err2.getMessage.contains("refusing"))
+    DailyLoop.acquireLease(spark, p, "writer-b", staleMs = 0) // stale now
+    // the loop releases on exit: a fresh run right after one finishes
+    // must acquire cleanly
+    DailyLoop.releaseLease(spark, p)
+    val ticks = DailyLoop.loop(spark, _ => landing, delta, p,
+      intervalHours = 24, shouldStop = () => true,
+      clock = () => ts("2025-04-01 00:00:00"))
+    assert(ticks == 0)
+    DailyLoop.loop(spark, _ => landing, delta, p, intervalHours = 24,
+      shouldStop = () => true, clock = () => ts("2025-04-01 00:00:00"))
+  }
+
   test("marker retention: old tick markers prune, the committed seq never moves") {
     val p = DailyLoop.Paths(work())
     (1 to 3).foreach { d =>
@@ -303,5 +360,127 @@ class DailyLoopSpec extends SparkSpec {
     assert(AnnIndex.pqCodes(spark, p.ann).count() == (e.count() + 5) * m)
     assert(AnnIndex.ivfpPostings(spark, p.annPost).count() == e.count() + 5)
     assert(AnnIndex.headBatch(spark, p.annPost).contains(6L))
+    // a re-DELIVERED id across ticks (a NEW batch id, so the batch
+    // stamp cannot catch it) ABORTS the tick loudly via the per-layer
+    // bloom guard instead of silently doubling ADC sums — and the
+    // aborted tick commits no marker
+    val before = DailyLoop.committedTick(spark, p)._1
+    val err = intercept[IllegalArgumentException] {
+      DailyLoop.runTick(spark, CvePipeline.Landing(), emptyDocs, p,
+        ts("2025-04-07 00:00:00"), embDelta = Some(e.limit(3)))
+    }
+    assert(err.getMessage.contains("already in the chain"))
+    assert(DailyLoop.committedTick(spark, p)._1 == before)
+  }
+
+  test("doc removals: pairs hidden the same tick, dropped physically at compaction, re-add revives") {
+    import graft.streaming.DocsStream
+    val p = DailyLoop.Paths(work())
+    (1 to 3).foreach { d =>
+      DailyLoop.runTick(spark, Landing(), delta(d), p,
+        ts(f"2025-04-0$d%d 00:00:00"))
+    }
+    def livePairSet(upTo: Long) =
+      DocsStream.livePairs(spark, p.pairs, p.store, upTo).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(livePairSet(3) == batchTruth)
+    // tick 4 deletes doc_id % 7 == 0: every pair touching a removed doc
+    // vanishes from the LIVE view that very tick — while the raw
+    // snapshot still holds it (the delete is logical until compaction)
+    val removed = docs.filter(col("doc_id") % 7 === 0).select("doc_id")
+    DailyLoop.runTick(spark, Landing(), docs.limit(0), p,
+      ts("2025-04-04 00:00:00"), docRemovals = Some(removed))
+    val truthAfter = Dedup.minhashDupPairs(
+        docs.filter(col("doc_id") % 7 =!= 0), 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(truthAfter != batchTruth, "fixture must lose pairs on delete")
+    assert(livePairSet(4) == truthAfter)
+    assert(pairSet(p) == batchTruth) // raw view unchanged pre-compaction
+    // tick 5 compacts (maxChain=1): deletion becomes PHYSICAL — the
+    // pair snapshot, the shingle store and the tombstone set itself
+    DailyLoop.runTick(spark, Landing(), docs.limit(0), p,
+      ts("2025-04-05 00:00:00"), maxChain = 1)
+    assert(pairSet(p) == truthAfter)
+    val rawStore = spark.read.schema(DocsStream.StoreSchema)
+      .parquet(p.store)
+    assert(rawStore.join(removed, Seq("doc_id")).count() == 0)
+    assert(DocsStream.deletedDocs(spark, p.store, 5).count() == 0)
+    // and the store consolidated to ONE committed batch partition
+    assert(rawStore.select("batch").distinct().count() == 1)
+    // tick 6 re-lands the removed docs: deletion is reversible — the
+    // full-corpus truth comes back
+    DailyLoop.runTick(spark, Landing(),
+      docs.filter(col("doc_id") % 7 === 0), p, ts("2025-04-06 00:00:00"))
+    assert(livePairSet(6) == batchTruth)
+    assert(pairSet(p) == batchTruth)
+  }
+
+  test("annRefreshEvery: the refresh tick retrains from the vector store and collapses the chain") {
+    import graft.operators.AnnIndex
+    val p = DailyLoop.Paths(work())
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    def emb(d: Int) = e.select("vec_id", "embedding")
+      .filter(col("vec_id") % 3 === lit(d - 1))
+    val emptyDocs = docs.limit(0)
+    def tick(d: Int): Unit =
+      DailyLoop.runTick(spark, CvePipeline.Landing(), emptyDocs, p,
+        ts(f"2025-04-0$d%d 00:00:00"), embDelta = Some(emb(d)),
+        annRefreshEvery = 2)
+    def books() = AnnIndex.pqBooks(spark, p.ann).collect()
+      .map(_.toString).sorted.toSeq
+    tick(1) // day zero trains on third 0
+    val b1 = books()
+    tick(2) // REFRESH: retrain on thirds 0+1 from the vector store
+    // a fresh ROOT, not an append: one-element chain, head batch 2
+    assert(AnnIndex.pqChain(spark, p.ann).length == 1)
+    assert(AnnIndex.pqHeadBatch(spark, p.ann).contains(2L))
+    // and the quantizer genuinely changed — this is the deliberate
+    // quality event, not an answer-invariant compaction
+    assert(books() != b1)
+    val m = AnnIndex.pqParams(spark, p.ann).m
+    assert(AnnIndex.pqCodes(spark, p.ann).count()
+      == e.filter(col("vec_id") % 3 =!= 2).count() * m)
+    tick(3) // back to the O(delta) append, pinned to the refreshed books
+    assert(AnnIndex.pqChain(spark, p.ann).length == 2)
+    assert(AnnIndex.pqCodes(spark, p.ann).count() == e.count() * m)
+  }
+
+  test("posting store seeded at tick N>1 covers label-less earlier ticks' vectors") {
+    import graft.operators.{AnnIndex, Similarity}
+    val p = DailyLoop.Paths(work())
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    def emb(d: Int) = e.filter(col("vec_id") % 3 === lit(d - 1))
+    val emptyDocs = docs.limit(0)
+    // ticks 1–2 land LABEL-LESS deltas: PQ index lives, posting store
+    // does not exist yet
+    (1 to 2).foreach { d =>
+      DailyLoop.runTick(spark, CvePipeline.Landing(), emptyDocs, p,
+        ts(f"2025-04-0$d%d 00:00:00"),
+        embDelta = Some(emb(d).select("vec_id", "embedding")))
+    }
+    assert(!AnnIndex.isBuilt(spark, p.annPost))
+    // tick 3's delta carries labels and SEEDS the store — which must
+    // cover the WHOLE corpus (ticks 1–3), not just the seeding delta:
+    // a delta-only seed would silently serve incomplete candidates
+    // forever while pqTopK served everything
+    DailyLoop.runTick(spark, CvePipeline.Landing(), emptyDocs, p,
+      ts("2025-04-03 00:00:00"), embDelta = Some(emb(3)))
+    assert(AnnIndex.ivfpPostings(spark, p.annPost).count() == e.count())
+    // and the probe equals the no-loop truth: centroids trained on the
+    // labeled (tick-3) rows, the full corpus assigned against them
+    val q = e.filter(col("vec_id") % 100 === 0)
+    val seedUnits = Similarity.unitVectors(emb(3),
+      Seq("vec_id" -> "id", "label" -> "cell"))
+    val cents = Similarity.kmeansRefineExact(
+      seedUnits, Similarity.exactCentroids(seedUnits), 1)
+    val corpusAssigned = e.drop("label")
+      .join(Similarity.assignCells(
+          Similarity.unitVectors(e, Seq("vec_id" -> "id")), cents)
+        .select(col("id").as("vec_id"), col("assigned_cell").as("label")),
+        "vec_id")
+    def rows(df: DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    assert(rows(AnnIndex.postingsTopK(spark, p.annPost, q, k = 3, nprobe = 2))
+      == rows(Similarity.cellTopKMultiProbe(corpusAssigned, q, cents,
+                k = 3, nprobe = 2)))
   }
 }

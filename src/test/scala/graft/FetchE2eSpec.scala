@@ -153,6 +153,47 @@ class FetchE2eSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("--once --fetch: Main lands pages over a real socket, then the tick merges them") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/rest/json/cves/2.0", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        val params = Option(ex.getRequestURI.getQuery).getOrElse("")
+          .split("&").filter(_.nonEmpty).map(_.split("=", 2))
+          .map(a => a(0) -> a.lift(1).getOrElse("")).toMap
+        val page = params("startIndex").toLong / PerPage
+        val body = pageBody(initRecs, page).getBytes("UTF-8")
+        ex.sendResponseHeaders(200, body.length.toLong)
+        ex.getResponseBody.write(body); ex.close()
+      }
+    })
+    server.setExecutor(null)
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val root = java.nio.file.Files.createTempDirectory("main_fetch_")
+        .resolve("root").toString
+      // the reference's in-process fetch+merge (main.py:64-89), one flag:
+      // the tick's landing dir starts EMPTY and the fetch step fills it
+      val conf = Config.parse(
+        s"""[nvd]
+           |url: $base/rest/json/cves/2.0
+           |results_per_page: $PerPage
+           |retry_delay: 0
+           |""".stripMargin)
+      val ticks = Main.run(spark, conf, root, once = true,
+        stop = new java.util.concurrent.atomic.AtomicBoolean(false),
+        clock = () => ts("2025-04-01 00:00:00"), fetch = true)
+      assert(ticks == 1)
+      val snap = spark.read.parquet(s"$root/snapshot")
+      assert(snap.count() == 5)
+      assert(snap.filter(col("id") === "CVE-2025-0001")
+        .select("nvd.vulnStatus").head().getString(0) == "Received")
+      assert(DailyLoop.committedTick(spark, DailyLoop.Paths(root))._1 == 1L)
+    } finally server.stop(0)
+  }
+
   test("landPages: empty fetch lands nothing and returns 0") {
     val work = java.nio.file.Files.createTempDirectory("fetch_e2e0").toString
     val n = Landing.landPages(

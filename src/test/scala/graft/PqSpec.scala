@@ -250,6 +250,93 @@ class PqSpec extends SparkSpec {
     assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
   }
 
+  test("checkDisjoint=false appends still reject duplicate ids via the bloom guard") {
+    import graft.operators.AnnIndex
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val base = e.filter(col("vec_id") % 2 === 0)
+    val delta = e.filter(col("vec_id") % 2 === 1)
+    val work = java.nio.file.Files.createTempDirectory("graft_annbloom_")
+    val pq = work.resolve("pq").toString
+    val ivfp = work.resolve("ivfp").toString
+    AnnIndex.buildPq(base, pq)
+    AnnIndex.buildIvfPostings(base, ivfp, refineIters = 1)
+    // a clean disjoint delta passes without the exact chain scan
+    AnnIndex.appendPq(delta, pq, checkDisjoint = false)
+    AnnIndex.appendIvfPostings(delta, ivfp, checkDisjoint = false)
+    // a violated contract — re-appending ids the chain already holds —
+    // fails LOUDLY even with the exact check opted out: this is the
+    // silent-ADC-doubling class the guard exists for
+    val e1 = intercept[IllegalArgumentException] {
+      AnnIndex.appendPq(base.limit(5), pq, checkDisjoint = false)
+    }
+    assert(e1.getMessage.contains("already in the chain"))
+    val e2 = intercept[IllegalArgumentException] {
+      AnnIndex.appendIvfPostings(delta.limit(5), ivfp, checkDisjoint = false)
+    }
+    assert(e2.getMessage.contains("already in the chain"))
+  }
+
+  test("tombstone layers: deletes hide ids at probe, replace in one call, drop physically at compaction, re-add revives") {
+    import graft.operators.AnnIndex
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val evens = e.filter(col("vec_id") % 2 === 0)
+    val odds = e.filter(col("vec_id") % 2 === 1)
+    val dead = e.filter(col("vec_id") % 10 === 0) // ⊂ evens
+    val q = e.filter(col("vec_id") % 50 === 1)
+    val work = java.nio.file.Files.createTempDirectory("graft_anndel_")
+    val pq = work.resolve("pq").toString
+    val ivfp = work.resolve("ivfp").toString
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    def deadIds = dead.select("vec_id")
+
+    // PQ: build on evens, append odds WITH a tombstone set — probes
+    // must equal a one-shot encode of (all minus dead) under the same
+    // base-trained books
+    AnnIndex.buildPq(evens, pq)
+    AnnIndex.appendPq(odds, pq, removals = Some(deadIds))
+    val books = AnnIndex.pqBooks(spark, pq)
+    val liveCorpus = e.join(deadIds, Seq("vec_id"), "left_anti")
+    val liveUnits = Similarity.unitVectors(liveCorpus, Seq("vec_id" -> "id"))
+    val truth = Similarity.pqTopKFrom(books,
+      Similarity.pqEncode(liveUnits, books, 4, 16), q, k = 5)
+    assert(rows(AnnIndex.pqTopK(spark, pq, q, k = 5)) == rows(truth)
+      && truth.count() > 0)
+    // compaction drops the dead ids PHYSICALLY: the compacted head's
+    // codes table no longer contains them, and answers are unchanged
+    AnnIndex.compactPq(spark, pq)
+    assert(AnnIndex.pqChain(spark, pq).length == 1)
+    val headDir = new java.io.File(pq).listFiles()
+      .filter(_.getName.startsWith("v-")).map(_.getName).max
+    val headCodes = spark.read.parquet(s"$pq/$headDir/codes")
+    assert(headCodes.join(deadIds.withColumnRenamed("vec_id", "id"),
+      Seq("id")).count() == 0)
+    assert(rows(AnnIndex.pqTopK(spark, pq, q, k = 5)) == rows(truth))
+    // a deleted id is legal to re-append — the LSM re-add
+    AnnIndex.appendPq(dead, pq)
+    val allUnits = Similarity.unitVectors(e, Seq("vec_id" -> "id"))
+    assert(rows(AnnIndex.pqTopK(spark, pq, q, k = 5)) == rows(
+      Similarity.pqTopKFrom(books,
+        Similarity.pqEncode(allUnits, books, 4, 16), q, k = 5)))
+
+    // posting store: same lifecycle — tombstoned ids never surface as
+    // candidates, compaction drops them from the parquet itself
+    AnnIndex.buildIvfPostings(evens, ivfp, refineIters = 1)
+    AnnIndex.appendIvfPostings(odds, ivfp, removals = Some(deadIds))
+    val probed = AnnIndex.postingsTopK(spark, ivfp, q, k = 3, nprobe = 2)
+    assert(probed.join(deadIds.withColumnRenamed("vec_id", "cand_id"),
+      Seq("cand_id")).count() == 0 && probed.count() > 0)
+    val before = rows(probed)
+    AnnIndex.compactIvfPostings(spark, ivfp)
+    val pHeadDir = new java.io.File(ivfp).listFiles()
+      .filter(_.getName.startsWith("v-")).map(_.getName).max
+    assert(spark.read.parquet(s"$ivfp/$pHeadDir/postings")
+      .join(deadIds.withColumnRenamed("vec_id", "id"), Seq("id"))
+      .count() == 0)
+    assert(rows(AnnIndex.postingsTopK(spark, ivfp, q, k = 3, nprobe = 2))
+      == before)
+  }
+
   test("a cyclic parent pointer in a tampered sidecar fails loudly, never loops") {
     import graft.operators.AnnIndex
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
