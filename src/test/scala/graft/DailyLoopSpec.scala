@@ -415,6 +415,50 @@ class DailyLoopSpec extends SparkSpec {
     assert(pairSet(p) == batchTruth)
   }
 
+  test("a crash after ANY step of a REMOVAL tick converges too (tombstones + consolidation)") {
+    import DailyLoop._
+    val removed = docs.filter(col("doc_id") % 7 === 0).select("doc_id")
+    def rawStore(p: Paths) = spark.read
+      .schema(graft.streaming.DocsStream.StoreSchema).parquet(p.store)
+      .select("doc_id", "shingle").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def seq(p: Paths, failAt4: Option[FailPoint]): Unit = {
+      (1 to 3).foreach(d => runTick(spark, landing, delta(d), p,
+        ts(f"2025-04-0$d%d 00:00:00"), maxChain = 1))
+      failAt4 match {
+        case Some(fp) =>
+          intercept[InjectedCrash] {
+            runTick(spark, landing, docs.limit(0), p,
+              ts("2025-04-04 00:00:00"), maxChain = 1,
+              docRemovals = Some(removed), failAt = Some(fp))
+          }
+          // the marker never landed; the re-run must converge even
+          // though tombstones, pair rebuild and store consolidation
+          // may each have partially or fully happened
+          assert(committedTick(spark, p)._1 == 3L)
+          runTick(spark, landing, docs.limit(0), p,
+            ts("2025-04-04 00:05:00"), maxChain = 1,
+            docRemovals = Some(removed))
+        case None =>
+          runTick(spark, landing, docs.limit(0), p,
+            ts("2025-04-04 00:00:00"), maxChain = 1,
+            docRemovals = Some(removed))
+      }
+    }
+    val ref = Paths(work())
+    seq(ref, None)
+    val refPairs = pairSet(ref)
+    val refStore = rawStore(ref)
+    assert(refStore.nonEmpty && refPairs.nonEmpty)
+    for (fp <- Seq(AfterDedup, AfterCompact)) {
+      val p = Paths(work())
+      seq(p, Some(fp))
+      assert(pairSet(p) == refPairs, s"pairs diverged after crash $fp")
+      assert(rawStore(p) == refStore, s"store diverged after crash $fp")
+      assert(committedTick(spark, p)._1 == 4L)
+    }
+  }
+
   test("annRefreshEvery: the refresh tick retrains from the vector store and collapses the chain") {
     import graft.operators.AnnIndex
     val p = DailyLoop.Paths(work())
