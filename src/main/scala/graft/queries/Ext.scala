@@ -953,6 +953,25 @@ object Ext {
         .orderBy("query_id", "rank")
     }),
 
+    // q124's probe with a FIXED-SIZE query batch (first 600 ids): the
+    // %100 entries' query COUNT grows with the corpus, so their totals
+    // scale ~N²/100 by construction — this entry isolates the claim
+    // that actually matters at 100 TB, per-query probe cost: a fixed
+    // batch against a growing corpus reads only its nprobe cell
+    // directories, so the trend should track cell size, not N².
+    "q132_ann_postings_fixedq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idx = java.nio.file.Files.createTempDirectory("graft_annfixq_")
+        .resolve("ivfp").toString
+      graft.operators.AnnIndex.buildIvfPostings(e, idx, refineIters = 1)
+      graft.operators.AnnIndex
+        .postingsTopK(s, idx, e.orderBy("vec_id").limit(600),
+          k = 3, nprobe = 2)
+        .select(col("query_id"), col("cand_id"),
+                round(col("sim"), 6).as("sim"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Coreset / diversity sampling over embeddings: after IVF assignment,
     // keep the k most-central vectors per cell — the centroid-stratified
     // sample a curation pipeline feeds to expensive downstream scoring.
@@ -1444,7 +1463,13 @@ object Ext {
       // widened to the refresh tick's live corpus (thirds 0+1); the
       // encode still covers everything
       "q131_daily_loop_refresh" -> base("q125_daily_loop_ann").replace(
-        "vec_id % 3 = 0", "vec_id % 3 <> 2"))
+        "vec_id % 3 = 0", "vec_id % 3 <> 2"),
+      // q124's probe truth with the query set fixed to the first 600
+      // ids instead of the corpus-proportional %100 sample
+      "q132_ann_postings_fixedq" -> base("q124_ann_ivf_postings").replace(
+        "FROM sims1 WHERE id % 100 = 0",
+        "FROM sims1 WHERE id IN (SELECT vec_id FROM e " +
+          "ORDER BY vec_id LIMIT 600)"))
 
   private lazy val oracle0: Map[String, String] = Map(
     // The oracle restates the q46 encode spec: the Spark side must push
