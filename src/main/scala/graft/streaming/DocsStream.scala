@@ -231,17 +231,28 @@ object DocsStream {
     * delete set live consumers anti-join between compactions. A
     * tombstone batch writes exactly ONE null-shingle row per removed
     * doc (and a removed doc's re-arrival supersedes its tombstone), so
-    * "latest batch is null" is exact. After a store consolidation the
-    * set is empty by construction — deletions became physical. */
+    * "latest batch is null" is exact. Cost is O(tombstoned buckets),
+    * not O(store): the tombstone rows alone are found by a columnar
+    * null scan (parquet null-count stats skip clean pages), their
+    * doc_buckets collected (control-plane, ≤ StoreBuckets values), and
+    * only those buckets' files are read for the latest-batch decision.
+    * After a store consolidation there are no tombstone rows at all —
+    * deletions became physical and this returns empty from metadata. */
   def deletedDocs(spark: org.apache.spark.sql.SparkSession, store: String,
-                  upToBatch: Long): DataFrame =
-    spark.read.schema(StoreSchema).parquet(store)
+                  upToBatch: Long): DataFrame = {
+    val raw = spark.read.schema(StoreSchema).parquet(store)
       .filter(col("batch") <= lit(upToBatch))
+    val buckets = raw.filter(col("shingle").isNull)
+      .select("doc_bucket").distinct().collect().map(_.getLong(0)).toSeq
+    if (buckets.isEmpty)
+      spark.range(0).select(col("id").as("doc_id"))
+    else raw.filter(col("doc_bucket").isin(buckets: _*))
       .groupBy("doc_id")
       .agg(max("batch").as("latest"),
            max(when(col("shingle").isNull, col("batch"))).as("tomb"))
       .filter(col("tomb").isNotNull && col("tomb") === col("latest"))
       .select("doc_id")
+  }
 
   /** The LIVE pair view: verified pairs both of whose endpoints are
     * live (un-tombstoned) docs. This is what makes a delete VISIBLE the

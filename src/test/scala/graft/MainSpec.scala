@@ -21,6 +21,8 @@ class MainSpec extends SparkSpec {
     assert(Main.parseArgs(Seq("--config", "y.ini")).exists(_.config == "y.ini"))
     assert(Main.parseArgs(Seq("--root", "/tmp/r", "--once"))
       .exists(a => a.root == "/tmp/r" && a.once))
+    assert(Main.parseArgs(Seq("--once", "--fetch"))
+      .exists(a => a.once && a.fetch))
     assert(Main.parseArgs(Seq("-h")).exists(_.help))
     assert(Main.parseArgs(Seq("--bogus")).isLeft)
     assert(Main.parseArgs(Seq("-c")).isLeft)       // missing value

@@ -323,6 +323,17 @@ class PqSpec extends SparkSpec {
     // candidates, compaction drops them from the parquet itself
     AnnIndex.buildIvfPostings(evens, ivfp, refineIters = 1)
     AnnIndex.appendIvfPostings(odds, ivfp, removals = Some(deadIds))
+    // partition pruning survives the tombstone fold: a cell filter on
+    // the layered+anti-joined relation still reaches every layer's
+    // scan as a PARTITION filter (the probe side of postingsTopK)
+    val folded = AnnIndex.ivfpPostings(spark, ivfp)
+    val someCell = folded.select("cell").distinct().head().get(0)
+    val planStr = folded.filter(col("cell") === someCell)
+      .queryExecution.executedPlan.toString
+    val cellPartFilters =
+      """PartitionFilters: \[[^\]]*cell""".r.findAllIn(planStr).size
+    assert(cellPartFilters >= 2, // one per code/posting layer scan
+      s"cell filter did not prune the layered scans:\n${planStr.take(1200)}")
     val probed = AnnIndex.postingsTopK(spark, ivfp, q, k = 3, nprobe = 2)
     assert(probed.join(deadIds.withColumnRenamed("vec_id", "cand_id"),
       Seq("cand_id")).count() == 0 && probed.count() > 0)
