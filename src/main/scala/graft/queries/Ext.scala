@@ -953,6 +953,61 @@ object Ext {
         .orderBy("query_id", "rank")
     }),
 
+    // The vec-DELETE lifecycle INSIDE the operational loop (q125's
+    // ticks + q129's tombstones): three ticks land embedding thirds,
+    // tick 3 ALSO removes vec_id % 10 = 0 — the tick's append carries
+    // the tombstone set, annMaxChain=1 compacts the dead codes away
+    // mid-sequence. PQ probe truth: books trained on tick 1's third
+    // (removal happens later — training is already published), codes =
+    // everything except the dead ids.
+    "q133_daily_loop_vec_delete" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val work = java.nio.file.Files.createTempDirectory("graft_dailyvdel_")
+      val p = graft.DailyLoop.Paths(work.toString)
+      val emptyDocs = t(s, dir, "documents").select("doc_id", "text").limit(0)
+      (1 to 3).foreach { d =>
+        graft.DailyLoop.runTick(s, graft.CvePipeline.Landing(), emptyDocs, p,
+          java.sql.Timestamp.valueOf(f"2025-04-0$d%d 00:00:00"),
+          embDelta = Some(e.select("vec_id", "embedding")
+            .filter(col("vec_id") % 3 === lit(d - 1))),
+          annMaxChain = 1,
+          vecRemovals = if (d == 3)
+            Some(e.filter(col("vec_id") % 10 === 0).select("vec_id"))
+          else None)
+      }
+      graft.operators.AnnIndex
+        .pqTopK(s, p.ann, e.filter(col("vec_id") % 100 === 1), k = 5)
+        .select(col("query_id"), col("cand_id"), col("rank"),
+                round(col("approx_sim"), 6).as("approx_sim"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // q133's posting-store side: the labeled deltas maintain the
+    // inverted file, tick 3's tombstones remove vec_id % 10 = 0 from
+    // it, compaction drops them physically — the probe must equal
+    // q127's truth restricted to the surviving ids.
+    "q134_daily_loop_postings_delete" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val work = java.nio.file.Files.createTempDirectory("graft_dailypdel_")
+      val p = graft.DailyLoop.Paths(work.toString)
+      val emptyDocs = t(s, dir, "documents").select("doc_id", "text").limit(0)
+      (1 to 3).foreach { d =>
+        graft.DailyLoop.runTick(s, graft.CvePipeline.Landing(), emptyDocs, p,
+          java.sql.Timestamp.valueOf(f"2025-04-0$d%d 00:00:00"),
+          embDelta = Some(e.filter(col("vec_id") % 3 === lit(d - 1))),
+          annMaxChain = 1,
+          vecRemovals = if (d == 3)
+            Some(e.filter(col("vec_id") % 10 === 0).select("vec_id"))
+          else None)
+      }
+      graft.operators.AnnIndex
+        .postingsTopK(s, p.annPost, e.filter(col("vec_id") % 100 === 1),
+          k = 3, nprobe = 2)
+        .select(col("query_id"), col("cand_id"),
+                round(col("sim"), 6).as("sim"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // q124's probe with a FIXED-SIZE query batch (first 600 ids): the
     // %100 entries' query COUNT grows with the corpus, so their totals
     // scale ~N²/100 by construction — this entry isolates the claim
@@ -1469,7 +1524,22 @@ object Ext {
       "q132_ann_postings_fixedq" -> base("q124_ann_ivf_postings").replace(
         "FROM sims1 WHERE id % 100 = 0",
         "FROM sims1 WHERE id IN (SELECT vec_id FROM e " +
-          "ORDER BY vec_id LIMIT 600)"))
+          "ORDER BY vec_id LIMIT 600)"),
+      // the loop's vec-delete truths: q125/q127 with the dead ids gone
+      // from the encoded/assigned side (training published before the
+      // delete, so it is unchanged) and the query sample moved off the
+      // removed residue class
+      "q133_daily_loop_vec_delete" -> base("q125_daily_loop_ann")
+        .replace("FROM subs s JOIN books b ON s.sub = b.sub)",
+          "FROM subs s JOIN books b ON s.sub = b.sub " +
+            "WHERE s.vec_id % 10 <> 0)")
+        .replace("WHERE vec_id % 100 = 0", "WHERE vec_id % 100 = 1"),
+      "q134_daily_loop_postings_delete" -> base("q127_daily_loop_postings")
+        .replace("JOIN e c ON c.vec_id = a1.id AND c.vec_id <> p.query_id",
+          "JOIN e c ON c.vec_id = a1.id AND c.vec_id <> p.query_id " +
+            "AND c.vec_id % 10 <> 0")
+        .replace("FROM sims1 WHERE id % 100 = 0",
+          "FROM sims1 WHERE id % 100 = 1"))
 
   private lazy val oracle0: Map[String, String] = Map(
     // The oracle restates the q46 encode spec: the Spark side must push

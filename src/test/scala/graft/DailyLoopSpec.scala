@@ -459,6 +459,44 @@ class DailyLoopSpec extends SparkSpec {
     }
   }
 
+  test("vec removals in the loop: tombstoned, hidden at probe, dropped physically, vecs store consolidated") {
+    import graft.operators.AnnIndex
+    val p = DailyLoop.Paths(work())
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val dead = e.filter(col("vec_id") % 10 === 0).select("vec_id")
+    val emptyDocs = docs.limit(0)
+    (1 to 3).foreach { d =>
+      DailyLoop.runTick(spark, CvePipeline.Landing(), emptyDocs, p,
+        ts(f"2025-04-0$d%d 00:00:00"),
+        embDelta = Some(e.filter(col("vec_id") % 3 === lit(d - 1))),
+        annMaxChain = 1,
+        vecRemovals = if (d == 3) Some(dead) else None)
+    }
+    val m = AnnIndex.pqParams(spark, p.ann).m
+    val liveN = e.join(dead, Seq("vec_id"), "left_anti").count()
+    // the live fold excludes every dead id — PQ codes and postings
+    assert(AnnIndex.pqCodes(spark, p.ann).count() == liveN * m)
+    assert(AnnIndex.ivfpPostings(spark, p.annPost).count() == liveN)
+    // tick 3 compacted (annMaxChain=1): the dead ids are PHYSICALLY
+    // out of the head version's parquet, not just folded away
+    def headDir(root: String) = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("v-")).map(_.getName).max
+    assert(spark.read.parquet(s"${p.ann}/${headDir(p.ann)}/codes")
+      .join(dead.withColumnRenamed("vec_id", "id"), Seq("id")).count() == 0)
+    // and the consolidated vector store no longer holds them either
+    assert(DailyLoop.storeVectors(spark, p.vecs, 3).count() == liveN)
+    assert(spark.read.schema(DailyLoop.VecsSchema).parquet(p.vecs)
+      .join(dead, Seq("vec_id"), "left_semi").count() == 0)
+    // a removed id re-lands in a later tick: live again everywhere
+    DailyLoop.runTick(spark, CvePipeline.Landing(), emptyDocs, p,
+      ts("2025-04-04 00:00:00"),
+      embDelta = Some(e.join(dead, Seq("vec_id"), "left_semi")),
+      annMaxChain = 1)
+    assert(AnnIndex.pqCodes(spark, p.ann).count() == e.count() * m)
+    assert(AnnIndex.ivfpPostings(spark, p.annPost).count() == e.count())
+    assert(DailyLoop.storeVectors(spark, p.vecs, 4).count() == e.count())
+  }
+
   test("annRefreshEvery: the refresh tick retrains from the vector store and collapses the chain") {
     import graft.operators.AnnIndex
     val p = DailyLoop.Paths(work())
