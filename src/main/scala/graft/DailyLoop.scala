@@ -304,12 +304,20 @@ object DailyLoop {
         if (!liveEmb.limit(1).isEmpty)
           operators.AnnIndex.buildPq(liveEmb, p.ann, batchId = Some(batchId))
       } else if (!operators.AnnIndex.headBatch(spark, p.ann).contains(batchId)) {
-        if (refreshDue)
-          operators.AnnIndex.buildPq(storeVectors(spark, p.vecs, batchId),
-            p.ann, batchId = Some(batchId))
-        else
-          operators.AnnIndex.appendPq(liveEmb, p.ann, checkDisjoint = false,
-            batchId = Some(batchId), removals = annRem)
+        // the refresh degrades to a plain append when the live store is
+        // empty (everything deleted): training on zero rows would
+        // publish a poison empty codebook — the day-zero guard's rule
+        val refreshCorpusPq =
+          if (refreshDue) Some(storeVectors(spark, p.vecs, batchId))
+            .filter(!_.limit(1).isEmpty)
+          else None
+        refreshCorpusPq match {
+          case Some(corpus) =>
+            operators.AnnIndex.buildPq(corpus, p.ann, batchId = Some(batchId))
+          case None =>
+            operators.AnnIndex.appendPq(liveEmb, p.ann, checkDisjoint = false,
+              batchId = Some(batchId), removals = annRem)
+        }
       }
       if (operators.AnnIndex.isBuilt(spark, p.ann) &&
           operators.AnnIndex.pqChain(spark, p.ann).length > annMaxChain) {
