@@ -388,29 +388,39 @@ object DailyLoop {
       val corpusSh = DocsStream.storeShingles(spark, p.store, batchId)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        if (pairRebuildEvery <= 0)
+        if (pairRebuildEvery <= 0) {
           DocsStream.rebuildPairs(corpusSh, p.pairs, threshold,
             l.numHashes, l.bands, lit(now.toString).cast("timestamp"))
-        // store consolidation between the pair and index rebuilds: all
-        // three read the same live-corpus frame (tombstoned docs gone —
-        // this is where deletion becomes PHYSICAL in store, pairs and
-        // index alike), and the index write stays LAST so the chain
-        // stays > maxChain until the whole compaction has committed
-        DocsStream.consolidateStore(corpusSh, p.store, committed)
+          // store consolidation between the pair and index rebuilds:
+          // all three read the same live-corpus frame (tombstoned docs
+          // gone — this is where deletion becomes PHYSICAL in store,
+          // pairs and index alike). Consolidation must NEVER outrun
+          // the pair rebuild: it erases the tombstones livePairs
+          // anti-joins, so dropping them while dead pairs still sit in
+          // the snapshot would RESURRECT those pairs until the next
+          // retention pass — hence it rides whichever cadence rebuilds
+          // pairs (here, or 3b when decoupled).
+          DocsStream.consolidateStore(corpusSh, p.store, committed)
+        }
+        // the index write stays LAST so the chain stays > maxChain
+        // until the whole compaction has committed
         BandIndex.write(corpusSh, p.index, l.numHashes, l.bands, l.buckets)
       } finally { corpusSh.unpersist(); () }
     }
     // (3b) decoupled pair retention: keyed on the BATCH id, not the
     // chain state, so a crash between the index rebuild and this pass
     // re-triggers it deterministically on re-run (idempotent full
-    // recompute + atomic swap).
+    // recompute + atomic swap). Store consolidation rides THIS cadence
+    // when retention is decoupled (see the invariant above).
     if (pairRebuildEvery > 0 && batchId % pairRebuildEvery == 0) {
       val l = BandIndex.layout(spark, p.index)
       val corpusSh = DocsStream.storeShingles(spark, p.store, batchId)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try DocsStream.rebuildPairs(corpusSh, p.pairs, threshold,
-        l.numHashes, l.bands, lit(now.toString).cast("timestamp"))
-      finally { corpusSh.unpersist(); () }
+      try {
+        DocsStream.rebuildPairs(corpusSh, p.pairs, threshold,
+          l.numHashes, l.bands, lit(now.toString).cast("timestamp"))
+        DocsStream.consolidateStore(corpusSh, p.store, committed)
+      } finally { corpusSh.unpersist(); () }
     }
     if (failAt.contains(AfterCompact)) throw new InjectedCrash(AfterCompact)
 

@@ -182,6 +182,40 @@ class DailyLoopSpec extends SparkSpec {
       shouldStop = () => true, clock = () => ts("2025-04-01 00:00:00"))
   }
 
+  test("decoupled retention never resurrects deleted pairs at consolidation") {
+    import spark.implicits._
+    import graft.streaming.DocsStream
+    val p = DailyLoop.Paths(work())
+    val textA = "the quick brown fox jumps over the lazy dog again and again today"
+    def tick(seq: Int, delta: org.apache.spark.sql.DataFrame,
+             rem: Option[org.apache.spark.sql.DataFrame] = None): Unit =
+      DailyLoop.runTick(spark, CvePipeline.Landing(), delta, p,
+        ts(f"2025-04-0$seq%d 00:00:00"), maxChain = 1,
+        pairRebuildEvery = 4, docRemovals = rem)
+    def live(upTo: Long) = DocsStream.livePairs(spark, p.pairs, p.store, upTo)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    tick(1, Seq((1L, textA), (2L, textA)).toDF("doc_id", "text"))
+    assert(live(1) == Set((1L, 2L)))
+    // tick 2 DELETES doc 2 and compacts (maxChain=1) WITHOUT a pair
+    // rebuild (retention decoupled). Consolidation must be deferred:
+    // were the tombstones erased now, the dead pair — still sitting in
+    // the un-rebuilt snapshot — would come back from the dead.
+    tick(2, Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      rem = Some(Seq(2L).toDF("doc_id")))
+    assert(live(2).isEmpty, "deleted pair resurrected after compaction")
+    assert(DocsStream.deletedDocs(spark, p.store, 2).count() == 1,
+      "tombstone must survive a retention-less consolidation window")
+    // ticks 3-4: tick 4 hits the retention cadence — pairs rebuilt
+    // WITHOUT the dead doc, and only then does the store consolidate
+    tick(3, Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    tick(4, Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    assert(live(4).isEmpty)
+    assert(DocsStream.readPairs(spark, p.pairs).count() == 0,
+      "retention must drop the dead pair physically")
+    assert(DocsStream.deletedDocs(spark, p.store, 4).count() == 0,
+      "consolidation on the retention tick makes the delete physical")
+  }
+
   test("marker retention: old tick markers prune, the committed seq never moves") {
     val p = DailyLoop.Paths(work())
     (1 to 3).foreach { d =>
