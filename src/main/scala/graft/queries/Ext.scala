@@ -1008,6 +1008,38 @@ object Ext {
         .orderBy("query_id", "rank")
     }),
 
+    // REFRESH × DELETE interaction: tick 2 both removes vec_id % 10 = 0
+    // AND hits the refresh cadence — the retrain must read the vector
+    // store AFTER the tick's tombstones land (ordering inside the
+    // tick), so the fresh books are trained on the LIVE thirds 0+1 and
+    // the dead ids are out of the chain without any tombs layer. Tick 3
+    // appends the (upstream-respecting) live remainder against the
+    // refreshed books. Truth: books on live thirds 0+1, codes = all
+    // live vectors.
+    "q135_daily_loop_refresh_delete" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val dead = e.filter(col("vec_id") % 10 === 0).select("vec_id")
+      val work = java.nio.file.Files.createTempDirectory("graft_dailyrefdel_")
+      val p = graft.DailyLoop.Paths(work.toString)
+      val emptyDocs = t(s, dir, "documents").select("doc_id", "text").limit(0)
+      (1 to 3).foreach { d =>
+        val third = e.select("vec_id", "embedding")
+          .filter(col("vec_id") % 3 === lit(d - 1))
+        graft.DailyLoop.runTick(s, graft.CvePipeline.Landing(), emptyDocs, p,
+          java.sql.Timestamp.valueOf(f"2025-04-0$d%d 00:00:00"),
+          embDelta = Some(
+            if (d == 3) third.join(dead, Seq("vec_id"), "left_anti")
+            else third),
+          annRefreshEvery = 2,
+          vecRemovals = if (d == 2) Some(dead) else None)
+      }
+      graft.operators.AnnIndex
+        .pqTopK(s, p.ann, e.filter(col("vec_id") % 100 === 1), k = 5)
+        .select(col("query_id"), col("cand_id"), col("rank"),
+                round(col("approx_sim"), 6).as("approx_sim"))
+        .orderBy("query_id", "rank")
+    }),
+
     // q124's probe with a FIXED-SIZE query batch (first 600 ids): the
     // %100 entries' query COUNT grows with the corpus, so their totals
     // scale ~N²/100 by construction — this entry isolates the claim
@@ -1502,8 +1534,22 @@ object Ext {
     * textually from the parent SQL keeps the single source of truth —
     * a drift in the parent construction cannot silently diverge from
     * its delete twin. */
-  private def withDeleteOracles(base: Map[String, String]): Map[String, String] =
+  private def withDeleteOracles(base: Map[String, String]): Map[String, String] = {
+    // the refresh truth is q125's lifecycle with the training set
+    // widened to the refresh tick's live corpus (thirds 0+1)
+    val refreshSql = base("q125_daily_loop_ann")
+      .replace("vec_id % 3 = 0", "vec_id % 3 <> 2")
     base ++ Map(
+      // refresh × delete: training restricted to the LIVE thirds 0+1
+      // (the tick's tombstones land before the retrain reads the
+      // store), codes restricted to live ids, query sample off the
+      // removed residue class
+      "q135_daily_loop_refresh_delete" -> refreshSql
+        .replace("vec_id % 3 <> 2", "vec_id % 3 <> 2 AND vec_id % 10 <> 0")
+        .replace("FROM subs s JOIN books b ON s.sub = b.sub)",
+          "FROM subs s JOIN books b ON s.sub = b.sub " +
+            "WHERE s.vec_id % 10 <> 0)")
+        .replace("WHERE vec_id % 100 = 0", "WHERE vec_id % 100 = 1"),
       "q128_daily_loop_delete" -> base("q119_daily_loop_dedup").replace(
         "FROM documents)",
         "FROM (SELECT * FROM documents WHERE doc_id % 7 <> 0))"),
@@ -1517,8 +1563,7 @@ object Ext {
       // the refresh truth is q125's lifecycle with the TRAINING set
       // widened to the refresh tick's live corpus (thirds 0+1); the
       // encode still covers everything
-      "q131_daily_loop_refresh" -> base("q125_daily_loop_ann").replace(
-        "vec_id % 3 = 0", "vec_id % 3 <> 2"),
+      "q131_daily_loop_refresh" -> refreshSql,
       // q124's probe truth with the query set fixed to the first 600
       // ids instead of the corpus-proportional %100 sample
       "q132_ann_postings_fixedq" -> base("q124_ann_ivf_postings").replace(
@@ -1540,6 +1585,7 @@ object Ext {
             "AND c.vec_id % 10 <> 0")
         .replace("FROM sims1 WHERE id % 100 = 0",
           "FROM sims1 WHERE id % 100 = 1"))
+  }
 
   private lazy val oracle0: Map[String, String] = Map(
     // The oracle restates the q46 encode spec: the Spark side must push
