@@ -194,6 +194,63 @@ class FetchE2eSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("--fetch in LOOP mode: every due tick re-fetches into its own landing dir") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val hits = new AtomicInteger
+    server.createContext("/rest/json/cves/2.0", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        hits.incrementAndGet()
+        val params = Option(ex.getRequestURI.getQuery).getOrElse("")
+          .split("&").filter(_.nonEmpty).map(_.split("=", 2))
+          .map(a => a(0) -> a.lift(1).getOrElse("")).toMap
+        val body = pageBody(initRecs,
+          params("startIndex").toLong / PerPage).getBytes("UTF-8")
+        ex.sendResponseHeaders(200, body.length.toLong)
+        ex.getResponseBody.write(body); ex.close()
+      }
+    })
+    server.setExecutor(null)
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val root = java.nio.file.Files.createTempDirectory("main_fetchloop_")
+        .resolve("root").toString
+      val conf = Config.parse(
+        s"""[nvd]
+           |url: $base/rest/json/cves/2.0
+           |results_per_page: $PerPage
+           |retry_delay: 0
+           |[cvemate]
+           |scheduler: 24
+           |""".stripMargin)
+      // two due ticks on an injected clock, then stop: each must fetch
+      // ITS OWN landing dir over the wire (a fixed landing would serve
+      // day one's pages forever — the staleness the per-seq dir model
+      // exists to prevent)
+      var calls = 0
+      // first entry feeds Main.run's initial-delay probe, the rest the
+      // loop's tick clock
+      val clocks = Seq(ts("2025-04-01 00:00:00"), ts("2025-04-01 00:00:00"),
+        ts("2025-04-02 00:00:00"), ts("2025-04-02 00:00:01"))
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val ticks = Main.run(spark, conf, root, once = false, stop = stop,
+        clock = () => {
+          val t = clocks(math.min(calls, clocks.length - 1))
+          calls += 1
+          if (calls >= clocks.length) stop.set(true)
+          t
+        }, sleepMs = 1L, fetch = true)
+      assert(ticks == 2)
+      assert(new java.io.File(s"$root/landing/1/nvd_pages").isDirectory)
+      assert(new java.io.File(s"$root/landing/2/nvd_pages").isDirectory)
+      // each tick paid its own probe + pages over the socket
+      assert(hits.get() >= 8, s"expected two full fetches, saw ${hits.get()}")
+      assert(spark.read.parquet(s"$root/snapshot").count() == 5)
+    } finally server.stop(0)
+  }
+
   test("landPages: empty fetch lands nothing and returns 0") {
     val work = java.nio.file.Files.createTempDirectory("fetch_e2e0").toString
     val n = Landing.landPages(
