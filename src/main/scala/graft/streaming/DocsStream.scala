@@ -347,7 +347,20 @@ object DocsStream {
       // one pinned tick: the batch is banded ONCE, serving both
       // the chain probe and the layer append below
       val tick = new BandIndex.DeltaTick(idx, bsh)
-      val cand = tick.candidates
+      // candidates referencing docs deleted in EARLIER ticks are dead
+      // on arrival — their shingles are tombstoned, so verify would
+      // drop them anyway — but left in they inflate the touched-bucket
+      // collect and the pruned store read below. deletedDocs is
+      // O(tombstoned buckets) between compactions and empty-from-
+      // metadata after one, so this pre-prune is near-free. (The
+      // CURRENT tick's removals are handled by the `rem` anti-joins —
+      // their tombstones are not stored yet at probe time.)
+      val dels = deletedDocs(s, store, batchId)
+      val cand0 = tick.candidates
+      val cand = cand0
+        .join(dels.select(col("doc_id").as("a_id")), Seq("a_id"), "left_anti")
+        .join(dels.select(col("doc_id").as("b_id")), Seq("b_id"), "left_anti")
+        .select(cand0.columns.map(col).toSeq: _*)
       // control-plane: which store buckets hold candidate docs
       // (≤ StoreBuckets values)
       val touched = cand.select(col("a_id").as("doc_id"))
