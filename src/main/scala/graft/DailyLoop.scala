@@ -38,6 +38,14 @@ import graft.streaming.DocsStream
   * (DailyLoopSpec injects a crash after every step and asserts exactly
   * that); crash after the marker → the tick is complete.
   *
+  * The model's one input contract: a tick's DELTA IS A FUNCTION OF ITS
+  * SEQ — a re-run must consume the same landed files the crashed
+  * attempt saw (idempotence is only meaningful against a fixed input).
+  * `--fetch` enforces this itself with the landing dir's completion
+  * marker (Main.LandedMarker: fetch once per seq, re-runs reuse);
+  * fetchless deployments own it by not swapping a seq's landed files
+  * between attempts.
+  *
   * 100 TB shape: per tick the corpus-sized relations are touched only
   * through the partition-pruned index probe and the bucket-pruned store
   * read (see [[DocsStream.indexedDedupTick]]); the compaction rebuild
@@ -109,22 +117,33 @@ object DailyLoop {
       .select("vec_id", "embedding", "label")
   }
 
-  /** Vector-store consolidation (the physical vec delete): live rows —
-    * latest version per id, tombstoned ids gone — republished as ONE
-    * partition stamped with the COMMITTED batch (committed partitions
-    * are never swept as partials; the in-flight tick's own partition
-    * rides on top and the LWW read dedups a crash re-run). Same
-    * crash-safe whole-dir swap as the shingle store's
-    * [[DocsStream.consolidateStore]]; rides the ANN compaction
+  /** Vector-store consolidation (the physical vec delete): the
+    * COMMITTED live rows — latest committed version per id, ids whose
+    * committed tombstone is newest gone — republished as ONE partition
+    * stamped with the committed batch, while the IN-FLIGHT tick's own
+    * partition is carried across the swap VERBATIM (tombstone rows
+    * included). Consolidating only committed data is what keeps the
+    * partial-sweep invariant honest: a tick that crashes before its
+    * marker and re-runs with a different delta finds every one of its
+    * rows still in a sweepable `batch=` partition, never baked into
+    * committed-looking data ([[DocsStream.consolidateStore]]'s rule).
+    * Same crash-safe whole-dir swap; rides the ANN compaction
     * cadence. */
   private def consolidateVecs(spark: SparkSession, p: Paths,
-                              committedBatch: Long, upToBatch: Long): Unit = {
+                              committedBatch: Long, inflightBatch: Long): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val tmp = p.vecs + "_rebuild_tmp"
     val f = fs(spark, tmp)
     f.delete(new Path(tmp), true)
-    storeVectors(spark, p.vecs, upToBatch)
-      .write.mode("overwrite").parquet(s"$tmp/batch=$committedBatch")
+    f.mkdirs(new Path(tmp))
+    val live = storeVectors(spark, p.vecs, committedBatch)
+    if (!live.limit(1).isEmpty)
+      live.write.mode("overwrite").parquet(s"$tmp/batch=$committedBatch")
+    val inflight = spark.read.schema(VecsSchema).parquet(p.vecs)
+      .filter(col("batch") === lit(inflightBatch))
+    if (!inflight.limit(1).isEmpty)
+      inflight.select("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$tmp/batch=$inflightBatch")
     SnapshotIO.swap(conf, tmp, p.vecs)
   }
 
@@ -313,7 +332,15 @@ object DailyLoop {
           else None
         refreshCorpusPq match {
           case Some(corpus) =>
-            operators.AnnIndex.buildPq(corpus, p.ann, batchId = Some(batchId))
+            // retrain under the chain's COMMITTED geometry (sidecar, the
+            // compactPq rule) — an index built outside the loop with
+            // custom (m, subLen, numCodes) must refresh to the same
+            // shape, not silently to the build defaults. trainIters is
+            // not recorded in the sidecar and stays the build default.
+            val prm = operators.AnnIndex.pqParams(spark, p.ann)
+            operators.AnnIndex.buildPq(corpus, p.ann, m = prm.m,
+              subLen = prm.subLen, numCodes = prm.numCodes,
+              batchId = Some(batchId))
           case None =>
             operators.AnnIndex.appendPq(liveEmb, p.ann, checkDisjoint = false,
               batchId = Some(batchId), removals = annRem)
@@ -352,6 +379,7 @@ object DailyLoop {
           val labeled = refreshCorpus.map(_.filter(col("label").isNotNull))
           if (refreshCorpus.nonEmpty && !labeled.get.limit(1).isEmpty)
             operators.AnnIndex.buildIvfPostings(refreshCorpus.get, p.annPost,
+              refineIters = operators.AnnIndex.ivfpRefineIters(spark, p.annPost),
               batchId = Some(batchId), trainOn = labeled)
           else
             operators.AnnIndex.appendIvfPostings(liveEmb, p.annPost,
@@ -392,15 +420,16 @@ object DailyLoop {
           DocsStream.rebuildPairs(corpusSh, p.pairs, threshold,
             l.numHashes, l.bands, lit(now.toString).cast("timestamp"))
           // store consolidation between the pair and index rebuilds:
-          // all three read the same live-corpus frame (tombstoned docs
-          // gone — this is where deletion becomes PHYSICAL in store,
-          // pairs and index alike). Consolidation must NEVER outrun
-          // the pair rebuild: it erases the tombstones livePairs
+          // committed deletions become PHYSICAL in store, pairs and
+          // index alike (the in-flight tick's own partition — its
+          // tombstones included — rides across the swap sweepable, see
+          // consolidateStore). Consolidation must NEVER outrun the
+          // pair rebuild: it erases the committed tombstones livePairs
           // anti-joins, so dropping them while dead pairs still sit in
           // the snapshot would RESURRECT those pairs until the next
           // retention pass — hence it rides whichever cadence rebuilds
           // pairs (here, or 3b when decoupled).
-          DocsStream.consolidateStore(corpusSh, p.store, committed)
+          DocsStream.consolidateStore(spark, p.store, committed, batchId)
         }
         // the index write stays LAST so the chain stays > maxChain
         // until the whole compaction has committed
@@ -419,7 +448,7 @@ object DailyLoop {
       try {
         DocsStream.rebuildPairs(corpusSh, p.pairs, threshold,
           l.numHashes, l.bands, lit(now.toString).cast("timestamp"))
-        DocsStream.consolidateStore(corpusSh, p.store, committed)
+        DocsStream.consolidateStore(spark, p.store, committed, batchId)
       } finally { corpusSh.unpersist(); () }
     }
     if (failAt.contains(AfterCompact)) throw new InjectedCrash(AfterCompact)
@@ -451,51 +480,152 @@ object DailyLoop {
 
   private def leasePath(p: Paths) = new Path(p.root, "lease")
 
+  private def readLeaseHolder(f: org.apache.hadoop.fs.FileSystem,
+                              lp: Path): String =
+    scala.util.Try {
+      val in = f.open(lp)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }.getOrElse("<unknown>")
+
   /** Advisory single-writer lease over the loop root. Every store under
     * it assumes ONE nightly writer by contract (the AnnIndex/BandIndex
     * claim scheme makes a second writer burn version numbers rather
-    * than corrupt committed state — but it would still duplicate work
-    * and interleave batch stamps confusingly). The lease turns that
-    * contract loud: acquisition is an atomic claim-file create, a live
-    * holder's heartbeat (file mtime, refreshed every loop pass) blocks
-    * contenders with an IllegalStateException, and a heartbeat older
-    * than `staleMs` is a crash leftover the next acquirer breaks. */
+    * than corrupt committed state — but it would still duplicate work,
+    * and a whole-dir consolidation swap racing a concurrent append can
+    * drop the other writer's partition). The lease turns that contract
+    * loud: acquisition is an atomic claim-file create, a live holder's
+    * heartbeat (file mtime, refreshed by [[LeaseHeartbeat]] WITHIN long
+    * ticks, not just between them) blocks contenders with an
+    * IllegalStateException, and a heartbeat older than `staleMs` is a
+    * crash leftover the next acquirer breaks.
+    *
+    * Breaking a stale lease is an atomic RENAME to a contender-unique
+    * tombstone name — exactly one of N racing contenders wins the
+    * rename (delete-then-create would let contender B delete A's
+    * freshly created lease after both observed the same stale file).
+    * The renamer then verifies what it captured really was the stale
+    * file it observed (rename preserves mtime): capturing a FRESH file
+    * means the pathological interleave — another contender already
+    * broke the stale lease and claimed — so the capture is restored
+    * and the contender aborts. A final read-back verifies ownership
+    * after the create, closing any remaining window loudly. */
   def acquireLease(spark: SparkSession, p: Paths, holder: String,
                    staleMs: Long = LeaseStaleMs): Unit = {
     val f = fs(spark, p.root)
     f.mkdirs(new Path(p.root))
     val lp = leasePath(p)
-    if (f.exists(lp)) {
-      val st = f.getFileStatus(lp)
-      val age = System.currentTimeMillis() - st.getModificationTime
-      if (age < staleMs) {
-        val who = scala.util.Try {
-          val in = f.open(lp)
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-          finally in.close()
-        }.getOrElse("<unknown>")
-        throw new IllegalStateException(
-          s"daily-loop root ${p.root} is leased by '$who' " +
-            s"(heartbeat ${age / 1000}s ago) — refusing to run a second " +
-            "writer; stop it or wait for the lease to go stale")
+    var attempts = 0
+    while (attempts < 3) {
+      attempts += 1
+      if (f.exists(lp)) {
+        val st = scala.util.Try(f.getFileStatus(lp)).toOption
+        st.foreach { s =>
+          val age = System.currentTimeMillis() - s.getModificationTime
+          if (age < staleMs)
+            throw new IllegalStateException(
+              s"daily-loop root ${p.root} is leased by " +
+                s"'${readLeaseHolder(f, lp)}' (heartbeat ${age / 1000}s " +
+                "ago) — refusing to run a second writer; stop it or wait " +
+                "for the lease to go stale")
+          // abandoned: break it by atomic rename — only one renamer wins
+          val broken = new Path(p.root,
+            s"lease.broken-${java.util.UUID.randomUUID()}")
+          if (f.rename(lp, broken)) {
+            val capturedAge = System.currentTimeMillis() -
+              f.getFileStatus(broken).getModificationTime
+            if (capturedAge < staleMs) {
+              // we captured a FRESH lease (a racer broke-and-claimed
+              // between our stat and our rename): put it back and abort
+              if (!f.rename(broken, lp)) f.delete(broken, false)
+              throw new IllegalStateException(
+                s"daily-loop root ${p.root}: lost the lease race to " +
+                  "another writer")
+            }
+            f.delete(broken, false)
+          }
+          // rename lost: a racer already broke it — fall through to the
+          // atomic create, which decides the winner
+        }
       }
-      f.delete(lp, false) // abandoned: break it
+      try {
+        val out = f.create(lp, false)
+        try out.write(holder.getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        // read-back ownership verify: belt over the rename-break braces.
+        // One bounded re-read: a LOSING contender may transiently rename
+        // this fresh lease away before restoring it (its capture-verify
+        // path) — a mismatch that heals on re-read is that transient,
+        // a persistent one is a real usurper.
+        if (readLeaseHolder(f, lp) != holder) {
+          Thread.sleep(100L)
+          if (readLeaseHolder(f, lp) != holder)
+            throw new IllegalStateException(
+              s"daily-loop root ${p.root}: lost the lease race to another writer")
+        }
+        return
+      } catch { // atomic-create lost a race with another acquirer
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: java.nio.file.FileAlreadyExistsException =>
+          throw new IllegalStateException(
+            s"daily-loop root ${p.root}: lost the lease race to another writer")
+        case _: java.io.FileNotFoundException => () // parent raced away; retry
+      }
     }
-    try {
-      val out = f.create(lp, false)
-      try out.write(holder.getBytes(StandardCharsets.UTF_8))
-      finally out.close()
-    } catch { // atomic-create lost a race with another acquirer
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-           _: java.nio.file.FileAlreadyExistsException =>
-        throw new IllegalStateException(
-          s"daily-loop root ${p.root}: lost the lease race to another writer")
-    }
+    throw new IllegalStateException(
+      s"daily-loop root ${p.root}: could not acquire the lease after " +
+        s"$attempts attempts")
   }
 
-  /** Refresh the lease heartbeat (mtime). */
-  def heartbeatLease(spark: SparkSession, p: Paths): Unit =
-    fs(spark, p.root).setTimes(leasePath(p), System.currentTimeMillis(), -1)
+  /** Refresh the lease heartbeat (mtime), verifying ownership when the
+    * holder is known: a heartbeat against a lease someone else now
+    * holds (or none at all) means this writer lost its lease — a
+    * contender legally broke it while a tick overran the stale window
+    * without heartbeating — and must stop LOUDLY rather than race the
+    * new holder's consolidation swaps. */
+  def heartbeatLease(spark: SparkSession, p: Paths,
+                     holder: Option[String] = None): Unit = {
+    val f = fs(spark, p.root)
+    val lp = leasePath(p)
+    holder.foreach { h =>
+      val cur = if (f.exists(lp)) readLeaseHolder(f, lp) else "<missing>"
+      if (cur != h)
+        throw new IllegalStateException(
+          s"daily-loop root ${p.root}: lease lost to '$cur' — stopping " +
+            "this writer (its heartbeat went stale mid-tick)")
+    }
+    f.setTimes(lp, System.currentTimeMillis(), -1)
+  }
+
+  /** Background heartbeat for the duration of a loop: refreshes the
+    * lease mtime every `staleMs / 3` from a daemon thread so a tick
+    * longer than the stale window (an O(corpus) compaction or refresh
+    * tick at scale) cannot make a LIVE holder look abandoned. A failed
+    * heartbeat (lease lost) is surfaced on the next [[check]] — the
+    * loop calls it every pass and aborts instead of writing
+    * concurrently with the usurper. */
+  final class LeaseHeartbeat(spark: SparkSession, p: Paths, holder: String,
+                             staleMs: Long) extends AutoCloseable {
+    @volatile private var failure: Option[Throwable] = None
+    @volatile private var running = true
+    private val t = new Thread(() => {
+      val interval = math.max(staleMs / 3, 50L)
+      while (running && failure.isEmpty) {
+        try heartbeatLease(spark, p, Some(holder))
+        catch { case e: Throwable => failure = Some(e) }
+        val deadline = System.currentTimeMillis() + interval
+        try {
+          while (running && System.currentTimeMillis() < deadline)
+            Thread.sleep(math.min(50L, interval))
+        } catch { case _: InterruptedException => running = false }
+      }
+    }, s"graft-lease-heartbeat-${p.root.hashCode}")
+    t.setDaemon(true)
+    t.start()
+    /** Throws if the background heartbeat observed a lost lease. */
+    def check(): Unit = failure.foreach(e => throw e)
+    def close(): Unit = { running = false; t.interrupt(); t.join(1000L) }
+  }
 
   def releaseLease(spark: SparkSession, p: Paths): Unit = {
     fs(spark, p.root).delete(leasePath(p), false); ()
@@ -521,14 +651,19 @@ object DailyLoop {
            leaseStaleMs: Long = LeaseStaleMs,
            annRefreshEvery: Int = 0): Int = {
     // single-writer lease: a second contending loop fails HERE, loudly,
-    // before touching any store; heartbeat every pass, release on exit
+    // before touching any store; a daemon heartbeat keeps the lease
+    // fresh THROUGH long ticks (an O(corpus) compaction tick must not
+    // look abandoned mid-run), checked every pass; release on exit
     val holder = java.net.InetAddress.getLocalHost.getHostName +
-      ":" + ProcessHandle.current().pid()
+      ":" + ProcessHandle.current().pid() +
+      ":" + java.util.UUID.randomUUID()
     acquireLease(spark, p, holder, leaseStaleMs)
+    val hb = new LeaseHeartbeat(spark, p, holder, leaseStaleMs)
     var ticks = 0
     try {
       while (!shouldStop()) {
-        heartbeatLease(spark, p)
+        hb.check()
+        heartbeatLease(spark, p, Some(holder))
         val now = clock()
         if (isTickDue(spark, p, now, intervalHours)) {
           val seq = committedTick(spark, p)._1 + 1
@@ -540,7 +675,7 @@ object DailyLoop {
           ticks += 1
         } else Thread.sleep(sleepMs)
       }
-    } finally releaseLease(spark, p)
+    } finally { hb.close(); releaseLease(spark, p) }
     ticks
   }
 }

@@ -98,14 +98,50 @@ object Main {
     s"${h}h ${m}min ${s}s"
   }
 
+  /** Completion marker a finished fetch writes into its landing dir:
+    * the tick's delta must be a FUNCTION OF ITS SEQ for the one-marker
+    * crash model to hold (every pre-commit step is idempotent only
+    * under a re-run with the SAME delta). A re-fetch on a crash re-run
+    * would pull LIVE upstream data that may differ between attempts —
+    * so a landed dir is fetched exactly once, and re-runs consume the
+    * identical files the crashed attempt saw. Crash MID-fetch leaves
+    * no marker and the re-run re-fetches from scratch (landPages wipes
+    * its dir; single-file lands overwrite). */
+  val LandedMarker = "_LANDED"
+
+  /** The single-file sources the reference's job fetches besides NVD
+    * (main.py:64-89: ExploitDB, Metasploit, CWE, EPSS, CISA KEV —
+    * downloads via handlers/utils.py:56-141), each mapped to its
+    * canonical landing filename (the names [[landingFrom]] probes;
+    * CWE lands as the archive plus its extracted XML for the S10/J4
+    * cross-ref consumer — it enriches no snapshot envelope). */
+  val SingleFileSources: Seq[(String, String)] = Seq(
+    "exploitdb" -> "files_exploits.csv",
+    "metasploit" -> "modules_metadata_base.json",
+    "cwe" -> "cwec_latest.xml.zip",
+    "epss" -> "epss_scores.csv.gz",
+    "cisa" -> "known_exploited_vulnerabilities.json")
+
   /** The in-process networked fetch (--fetch): pull each configured
     * HTTP source into the tick's landing dir BEFORE the tick consumes
     * it — the reference's main.py:64-89 shape, where fetching and
     * merging live in one process. A source fetches when its config
     * section carries a `url`; NVD is the paginated one (probe page 0
     * for totalResults, ceil-div into pages, distributed rate-limited
-    * pull — the whole Fetch/Landing S1 machinery over a real socket). */
-  def fetchLanding(spark: SparkSession, conf: Config.Conf, dir: String): Unit =
+    * pull — the whole Fetch/Landing S1 machinery over a real socket);
+    * the other five are driver-side single-file GETs with the same
+    * bounded-retry policy. Gzip sources land compressed (Hadoop codecs
+    * decompress on read); zip sources additionally extract their
+    * single member beside the archive (the reference's transparent
+    * decompress, handlers/utils.py:105-124). An already-landed dir
+    * (marker present) is reused verbatim — see [[LandedMarker]]. */
+  def fetchLanding(spark: SparkSession, conf: Config.Conf, dir: String): Unit = {
+    val marker = JPaths.get(dir, LandedMarker)
+    if (Files.exists(marker)) {
+      Log.info(s"[fetch] $dir already landed — re-run consumes the " +
+        "identical delta (no re-fetch)", "main")
+      return
+    }
     conf.get("nvd", "url").foreach { base =>
       val policy = conf.fetchPolicy("nvd")
       val transport = graft.sources.Fetch.httpTransport(p =>
@@ -120,6 +156,24 @@ object Main {
         s"$dir/nvd_pages")
       Log.info(s"[nvd] Landed $landed pages ($total results) into $dir/nvd_pages", "main")
     }
+    SingleFileSources.foreach { case (section, name) =>
+      conf.get(section, "url").foreach { url =>
+        val bytes = graft.sources.Fetch.fetchFileWithRetry(
+          url, conf.fetchPolicy(section))
+        val landed = graft.sources.Landing.landBytes(dir, name, bytes)
+        if (name.endsWith(".zip")) {
+          val member = graft.sources.Landing.extractSingleMemberZip(landed, dir)
+          val canonical = JPaths.get(dir, name.stripSuffix(".zip"))
+          if (JPaths.get(member) != canonical)
+            Files.move(JPaths.get(member), canonical,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+        Log.info(s"[$section] Landed $name (${bytes.length} bytes) into $dir", "main")
+      }
+    }
+    Files.createDirectories(JPaths.get(dir))
+    Files.createFile(marker); ()
+  }
 
   /** Probe a landed tick directory for the upstreams' canonical
     * filenames. EPSS may land gzipped (the upstream ships .csv.gz,

@@ -310,12 +310,24 @@ object AnnIndex {
         exactDup, "appendPq")
     val next = claimVersion(spark, path)
     val vd = vdir(path, next)
-    Similarity.pqEncode(units, books, p.m, p.subLen)
-      .write.mode("overwrite").parquet(new Path(vd, "codes").toString)
+    // A REMOVAL-ONLY layer (empty delta + tombstones — the daily loop's
+    // vec_removals-without-embeddings tick) writes NO codes dataset at
+    // all: a zero-row dynamic write would leave a directory holding only
+    // _SUCCESS, and the bloom read-back (and every later chain fold)
+    // would die on parquet schema inference — permanently wedging the
+    // tick that hit it. layerData's existence probe already treats a
+    // codes-less layer as tombs-only; the bloom is built from the empty
+    // id set directly so later O(delta) guards stay bloom-backed.
+    val hasData = !units.limit(1).isEmpty
+    if (hasData)
+      Similarity.pqEncode(units, books, p.m, p.subLen)
+        .write.mode("overwrite").parquet(new Path(vd, "codes").toString)
     rem.foreach(_.write.mode("overwrite")
       .parquet(new Path(vd, "tombs").toString))
-    writeIdBloom(spark, vd, spark.read
-      .parquet(new Path(vd, "codes").toString).select("id").distinct())
+    writeIdBloom(spark, vd,
+      if (hasData) spark.read
+        .parquet(new Path(vd, "codes").toString).select("id").distinct()
+      else units.select("id"))
     commitMeta(spark, vd,
       s"pq-delta $parent ${p.m} ${p.subLen} ${p.numCodes}${batchSuffix(batchId)}")
     // no prune: every ancestor layer stays live until the next full
@@ -438,28 +450,38 @@ object AnnIndex {
     else None
   }
 
-  /** LSM assembly of a layered id-keyed relation: walk the chain ROOT →
-    * HEAD; each layer's tombstones anti-join (delete from) everything
-    * below it, then its own rows union in — so a tombstone kills ids in
+  /** LSM assembly of a layered id-keyed relation. Semantics: a row in
+    * layer `u` survives iff NO tombstone set published by a strictly
+    * NEWER layer `v > u` contains its id — a tombstone kills ids in
     * OLDER layers only, and an append above a tombstone (or in the same
-    * layer) legitimately re-adds the id. Tombstone sets are removal-
-    * sized: each anti-join is a broadcast-class probe-side map, bounded
-    * by the chain length, and compaction republishes the surviving rows
-    * with no tombs at all — the physical delete. */
+    * layer) legitimately re-adds the id. Rather than one anti-join per
+    * tomb-carrying layer (O(tomb layers) joins — the cost the round-12
+    * verdict flagged for LONG chains), every tomb set is stamped with
+    * its layer version and the whole fold is ONE broadcast anti-join:
+    * `data(id, layer) LEFT ANTI tombs(id, tlayer) ON id match AND
+    * tlayer > layer`. The tomb union is removal-sized (deletes since
+    * the last compaction — broadcast-class by the delete-cadence
+    * contract), the data side never shuffles, and cell/partition
+    * filters still push through the union and the anti-join's left
+    * side to each layer's scan. Compaction republishes survivors with
+    * no tombs at all — the physical delete. */
   private def foldLayers(spark: SparkSession, path: String,
-                         chain: Seq[Int], name: String): DataFrame =
-    chain.reverse.foldLeft(Option.empty[DataFrame]) { (acc, v) =>
-      val afterTombs = layerData(spark, path, v, "tombs") match {
-        case Some(t) => acc.map(_.join(broadcast(t), Seq("id"), "left_anti"))
-        case None => acc
-      }
-      (afterTombs, layerData(spark, path, v, name)) match {
-        case (Some(a), Some(d)) => Some(a.unionByName(d))
-        case (None, d) => d
-        case (a, None) => a
-      }
-    }.getOrElse(throw new IllegalArgumentException(
-      s"ann chain under $path has no '$name' data at its root"))
+                         chain: Seq[Int], name: String): DataFrame = {
+    val layers = chain.flatMap(v =>
+      layerData(spark, path, v, name).map(d => d.withColumn("_layer", lit(v))))
+    if (layers.isEmpty) throw new IllegalArgumentException(
+      s"ann chain under $path has no '$name' data at its root")
+    val data = layers.reduce(_ unionByName _)
+    val tombs = chain.flatMap(v => layerData(spark, path, v, "tombs")
+      .map(_.select(col("id").as("_tomb_id")).withColumn("_tomb_layer", lit(v))))
+    val folded = tombs.reduceOption(_ unionByName _) match {
+      case None => data
+      case Some(t) => data.join(broadcast(t),
+        col("id") === col("_tomb_id") && col("_tomb_layer") > col("_layer"),
+        "left_anti")
+    }
+    folded.drop("_layer")
+  }
 
   /** The encoded corpus: every layer's codes down the chain, minus ids
     * tombstoned by a LATER layer ([[foldLayers]] semantics). Live ids
@@ -597,6 +619,17 @@ object AnnIndex {
     chain
   }
 
+  /** The posting store's committed Lloyd refinement depth, read from the
+    * chain ROOT's sidecar — the geometry a retraining refresh must
+    * REUSE (the compactIvfPostings rule): a refresh that silently fell
+    * back to the build default would rebuild a custom-geometry store
+    * with different centroid quality on its first cadence hit. */
+  def ivfpRefineIters(spark: SparkSession, path: String): Int = {
+    val (parts, _) =
+      splitBatch(metaTextOf(spark, path, ivfpChain(spark, path).last).split(" "))
+    parts(1).toInt
+  }
+
   /** Centroids live at the CHAIN ROOT (the [[pqBooks]] rule): delta
     * layers were assigned against them, so probes must rank with the
     * same quantizer. */
@@ -650,13 +683,21 @@ object AnnIndex {
         exactDup, "appendIvfPostings")
     val next = claimVersion(spark, path)
     val vd = vdir(path, next)
-    writePostings(units.join(Similarity.assignCells(units, cents)
-        .select(col("id"), col("assigned_cell").as("cell")), "id"),
-      new Path(vd, "postings"), cellTaskCap)
+    // removal-only layer: skip the postings dataset entirely (the
+    // appendPq rule — a zero-row dynamic-partitioned write would leave
+    // an inference-poison _SUCCESS-only directory) and bloom the empty
+    // id set so later O(delta) guards stay bloom-backed
+    val hasData = !units.limit(1).isEmpty
+    if (hasData)
+      writePostings(units.join(Similarity.assignCells(units, cents)
+          .select(col("id"), col("assigned_cell").as("cell")), "id"),
+        new Path(vd, "postings"), cellTaskCap)
     rem.foreach(_.write.mode("overwrite")
       .parquet(new Path(vd, "tombs").toString))
-    writeIdBloom(spark, vd, spark.read
-      .parquet(new Path(vd, "postings").toString).select("id"))
+    writeIdBloom(spark, vd,
+      if (hasData) spark.read
+        .parquet(new Path(vd, "postings").toString).select("id")
+      else units.select("id"))
     commitMeta(spark, vd, s"ivfp-delta $parent${batchSuffix(batchId)}")
     // no prune: ancestors stay live until a rebuild/compaction collapses
     next

@@ -1040,6 +1040,39 @@ object Ext {
         .orderBy("query_id", "rank")
     }),
 
+    // q135's POSTING-STORE side — the refresh × delete interaction on
+    // the inverted file (the one surface q135 left ungated): the
+    // labeled deltas maintain the posting store; tick 2 both removes
+    // vec_id % 10 = 0 AND hits the refresh cadence, so the retrain
+    // must read the vector store AFTER the tick's tombstones land —
+    // centroids re-seeded from the LIVE labeled rows (thirds 0+1 minus
+    // dead) and postings rebuilt over exactly the live corpus, dead
+    // ids out without any tombs layer. Tick 3 appends the live
+    // remainder against the refreshed centroids.
+    "q136_daily_loop_postings_refresh_delete" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val dead = e.filter(col("vec_id") % 10 === 0).select("vec_id")
+      val work = java.nio.file.Files.createTempDirectory("graft_dailyprefdel_")
+      val p = graft.DailyLoop.Paths(work.toString)
+      val emptyDocs = t(s, dir, "documents").select("doc_id", "text").limit(0)
+      (1 to 3).foreach { d =>
+        val third = e.filter(col("vec_id") % 3 === lit(d - 1))
+        graft.DailyLoop.runTick(s, graft.CvePipeline.Landing(), emptyDocs, p,
+          java.sql.Timestamp.valueOf(f"2025-04-0$d%d 00:00:00"),
+          embDelta = Some(
+            if (d == 3) third.join(dead, Seq("vec_id"), "left_anti")
+            else third),
+          annRefreshEvery = 2,
+          vecRemovals = if (d == 2) Some(dead) else None)
+      }
+      graft.operators.AnnIndex
+        .postingsTopK(s, p.annPost, e.filter(col("vec_id") % 100 === 1),
+          k = 3, nprobe = 2)
+        .select(col("query_id"), col("cand_id"),
+                round(col("sim"), 6).as("sim"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // q124's probe with a FIXED-SIZE query batch (first 600 ids): the
     // %100 entries' query COUNT grows with the corpus, so their totals
     // scale ~N²/100 by construction — this entry isolates the claim
@@ -1584,7 +1617,22 @@ object Ext {
           "JOIN e c ON c.vec_id = a1.id AND c.vec_id <> p.query_id " +
             "AND c.vec_id % 10 <> 0")
         .replace("FROM sims1 WHERE id % 100 = 0",
-          "FROM sims1 WHERE id % 100 = 1"))
+          "FROM sims1 WHERE id % 100 = 1"),
+      // the posting-side refresh × delete truth: q127's construction
+      // with the centroid TRAINING relation widened to the refresh
+      // tick's live labeled corpus (thirds 0+1 minus the dead ids —
+      // the retrain reads the store after the tick's tombstones land),
+      // candidates restricted to live ids, query sample off the
+      // removed residue class
+      "q136_daily_loop_postings_refresh_delete" ->
+        base("q127_daily_loop_postings")
+          .replace("FROM e WHERE vec_id % 3 = 0",
+            "FROM e WHERE vec_id % 3 <> 2 AND vec_id % 10 <> 0")
+          .replace("JOIN e c ON c.vec_id = a1.id AND c.vec_id <> p.query_id",
+            "JOIN e c ON c.vec_id = a1.id AND c.vec_id <> p.query_id " +
+              "AND c.vec_id % 10 <> 0")
+          .replace("FROM sims1 WHERE id % 100 = 0",
+            "FROM sims1 WHERE id % 100 = 1"))
   }
 
   private lazy val oracle0: Map[String, String] = Map(

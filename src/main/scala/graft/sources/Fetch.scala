@@ -134,6 +134,49 @@ object Fetch {
     }
   }
 
+  /** Single-file GET returning raw BYTES — EPSS ships `.csv.gz` and CWE
+    * `.xml.zip`, and a String round-trip would corrupt either
+    * (handlers/utils.py:87 reads `response.content` for the same
+    * reason). Same status contract as [[httpTransport]]: 200 → body,
+    * 403/503 → retryable, anything else loud. */
+  def httpBytes(url: String, timeoutMs: Long = 30000L): Array[Byte] = {
+    val req = java.net.http.HttpRequest
+      .newBuilder(java.net.URI.create(url))
+      .timeout(java.time.Duration.ofMillis(timeoutMs))
+      .GET().build()
+    val resp = httpClient.send(req,
+      java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+    resp.statusCode() match {
+      case 200 => resp.body()
+      case 403 | 503 =>
+        throw new TransientFetchException(s"HTTP ${resp.statusCode()} for $url")
+      case other =>
+        throw new java.io.IOException(s"HTTP $other for $url")
+    }
+  }
+
+  /** The reference's single-file download with bounded retry
+    * (handlers/utils.py:56-141 download_file + the per-handler retry
+    * policy): driver-side control plane — these sources arrive as ONE
+    * file per tick, never through executors. `get` injectable so specs
+    * drive it transport-free. */
+  def fetchFileWithRetry(url: String, policy: Policy,
+                         sleeper: Long => Unit = Thread.sleep,
+                         get: String => Array[Byte] = httpBytes(_)): Array[Byte] = {
+    var attempt = 0
+    var out: Array[Byte] = null
+    while (out == null) {
+      attempt += 1
+      try out = get(url)
+      catch {
+        case e: TransientFetchException =>
+          if (attempt >= policy.retryLimit) throw e
+          sleeper(policy.retryDelayMs)
+      }
+    }
+    out
+  }
+
   /** The distributed fetch: one output row per page, pages spread over
     * `numPartitions` tasks, each task throttled independently. The
     * limiter and any transport session state live per-partition (the

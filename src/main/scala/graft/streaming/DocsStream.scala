@@ -236,8 +236,18 @@ object DocsStream {
     * null scan (parquet null-count stats skip clean pages), their
     * doc_buckets collected (control-plane, ≤ StoreBuckets values), and
     * only those buckets' files are read for the latest-batch decision.
-    * After a store consolidation there are no tombstone rows at all —
-    * deletions became physical and this returns empty from metadata. */
+    * After a store consolidation there are no COMMITTED tombstone rows
+    * left — those deletions became physical and the null scan skips
+    * clean pages from metadata.
+    *
+    * CONTRACT on the consolidation cadence: the null scan lists and
+    * footer-probes every `batch=` partition, so its control-plane cost
+    * is O(ticks since the last consolidation). [[consolidateStore]]
+    * (riding the compaction / retention cadence in DailyLoop) is what
+    * bounds that count; a deployment that disables consolidation
+    * entirely (maxChain = ∞ AND pairRebuildEvery = 0) keeps exact
+    * answers but pays a listing that grows one partition per tick —
+    * run a consolidation cadence in any long-lived deployment. */
   def deletedDocs(spark: org.apache.spark.sql.SparkSession, store: String,
                   upToBatch: Long): DataFrame = {
     val raw = spark.read.schema(StoreSchema).parquet(store)
@@ -269,30 +279,45 @@ object DocsStream {
   }
 
   /** Shingle-store CONSOLIDATION (the physical doc delete, and the
-    * partition-count bound): the live corpus — latest version of every
-    * doc, tombstoned docs GONE — republished as ONE batch partition
-    * stamped with the COMMITTED batch id. Committed partitions are
-    * never swept as partials, so a crash re-run of the in-flight tick
-    * simply re-appends its own delta partition on top and the LWW read
-    * dedups; the whole-dir swap is the [[rebuildPairs]] crash-safe
-    * pattern (healed by `SnapshotIO.recover` at tick start). Rides the
-    * index-compaction cadence and reuses its pinned corpus frame —
-    * after it, [[deletedDocs]] is empty by construction and years of
-    * daily partitions collapse to one directory. */
-  def consolidateStore(corpusSh: DataFrame, store: String,
-                       committedBatch: Long): Unit = {
+    * partition-count bound): the COMMITTED live corpus — latest
+    * committed version of every doc, docs whose committed tombstone is
+    * newest GONE — republished as ONE batch partition stamped with the
+    * committed batch id, while the IN-FLIGHT tick's own `batch=`
+    * partition is carried over UNCHANGED (raw rows, tombstones
+    * included). The split is what keeps the partial-sweep invariant
+    * honest: everything above the committed seq stays in a sweepable
+    * partition, so a tick that crashes before its marker and re-runs
+    * with a DIFFERENT delta (legal when the landing is refreshed
+    * between attempts) cannot leave ghost rows — or ghost deletes —
+    * baked into committed-looking data. A crash re-run simply re-lands
+    * its own partition on top and the LWW read dedups; the whole-dir
+    * swap is the [[rebuildPairs]] crash-safe pattern (healed by
+    * `SnapshotIO.recover` at tick start). Rides the index-compaction /
+    * retention cadence; after it, committed tombstones are physical
+    * and years of daily partitions collapse to two directories. */
+  def consolidateStore(spark: org.apache.spark.sql.SparkSession, store: String,
+                       committedBatch: Long, inflightBatch: Long): Unit = {
     import graft.operators.PartitionedSnapshot
-    val spark = corpusSh.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val tmp = store + "_rebuild_tmp"
     val f = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
     f.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    corpusSh
-      .withColumn("doc_bucket",
-        PartitionedSnapshot.bucketOf(col("doc_id"), StoreBuckets))
-      .repartition(StoreBuckets, col("doc_bucket"))
-      .write.partitionBy("doc_bucket").mode("overwrite")
-      .parquet(s"$tmp/batch=$committedBatch")
+    f.mkdirs(new org.apache.hadoop.fs.Path(tmp))
+    val live = storeShingles(spark, store, committedBatch)
+    if (!live.limit(1).isEmpty)
+      live.withColumn("doc_bucket",
+          PartitionedSnapshot.bucketOf(col("doc_id"), StoreBuckets))
+        .repartition(StoreBuckets, col("doc_bucket"))
+        .write.partitionBy("doc_bucket").mode("overwrite")
+        .parquet(s"$tmp/batch=$committedBatch")
+    // O(delta): the in-flight partition rides across the swap verbatim
+    val inflight = spark.read.schema(StoreSchema).parquet(store)
+      .filter(col("batch") === lit(inflightBatch))
+    if (!inflight.limit(1).isEmpty)
+      inflight.select("doc_id", "shingle", "doc_bucket")
+        .repartition(StoreBuckets, col("doc_bucket"))
+        .write.partitionBy("doc_bucket").mode("overwrite")
+        .parquet(s"$tmp/batch=$inflightBatch")
     graft.SnapshotIO.swap(conf, tmp, store)
   }
 
@@ -355,7 +380,14 @@ object DocsStream {
       // metadata after one, so this pre-prune is near-free. (The
       // CURRENT tick's removals are handled by the `rem` anti-joins —
       // their tombstones are not stored yet at probe time.)
+      // A doc deleted earlier that RE-LANDS in this very batch is NOT
+      // dead: its re-landing row supersedes the tombstone this tick, so
+      // its candidate pairs must survive the prune — dropping them here
+      // would leave the doc live in the store with its pairs silently
+      // missing until the next full pair rebuild (which may never run).
+      // Only docs deleted earlier AND absent from this batch are pruned.
       val dels = deletedDocs(s, store, batchId)
+        .join(bsh.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
       val cand0 = tick.candidates
       val cand = cand0
         .join(dels.select(col("doc_id").as("a_id")), Seq("a_id"), "left_anti")

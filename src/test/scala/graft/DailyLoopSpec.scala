@@ -452,10 +452,19 @@ class DailyLoopSpec extends SparkSpec {
   test("a crash after ANY step of a REMOVAL tick converges too (tombstones + consolidation)") {
     import DailyLoop._
     val removed = docs.filter(col("doc_id") % 7 === 0).select("doc_id")
-    def rawStore(p: Paths) = spark.read
-      .schema(graft.streaming.DocsStream.StoreSchema).parquet(p.store)
-      .select("doc_id", "shingle").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // data rows and tombstone rows compared separately — the removal
+    // tick's own tombstones legitimately persist in its (now
+    // committed) batch partition until the NEXT consolidation covers
+    // them, so the raw store carries null-shingle rows here
+    def rawStore(p: Paths) = {
+      val raw = spark.read
+        .schema(graft.streaming.DocsStream.StoreSchema).parquet(p.store)
+      (raw.filter(col("shingle").isNotNull)
+         .select("doc_id", "shingle").collect()
+         .map(r => (r.getLong(0), r.getLong(1))).toSet,
+       raw.filter(col("shingle").isNull)
+         .select("doc_id").collect().map(_.getLong(0)).toSet)
+    }
     def seq(p: Paths, failAt4: Option[FailPoint]): Unit = {
       (1 to 3).foreach(d => runTick(spark, landing, delta(d), p,
         ts(f"2025-04-0$d%d 00:00:00"), maxChain = 1))
@@ -483,7 +492,7 @@ class DailyLoopSpec extends SparkSpec {
     seq(ref, None)
     val refPairs = pairSet(ref)
     val refStore = rawStore(ref)
-    assert(refStore.nonEmpty && refPairs.nonEmpty)
+    assert(refStore._1.nonEmpty && refStore._2.nonEmpty && refPairs.nonEmpty)
     for (fp <- Seq(AfterDedup, AfterCompact)) {
       val p = Paths(work())
       seq(p, Some(fp))
@@ -517,11 +526,22 @@ class DailyLoopSpec extends SparkSpec {
       .filter(_.getName.startsWith("v-")).map(_.getName).max
     assert(spark.read.parquet(s"${p.ann}/${headDir(p.ann)}/codes")
       .join(dead.withColumnRenamed("vec_id", "id"), Seq("id")).count() == 0)
-    // and the consolidated vector store no longer holds them either
+    // the vector store hides them too (LWW over the tombstones). The
+    // delete is still IN-FLIGHT at tick 3, so consolidation — which
+    // covers committed data only, keeping every uncommitted row
+    // sweepable — must NOT yet have baked it in: the tombstones ride
+    // in tick 3's own batch partition and the committed prefix still
+    // physically holds the dead rows it committed
     assert(DailyLoop.storeVectors(spark, p.vecs, 3).count() == liveN)
-    assert(spark.read.schema(DailyLoop.VecsSchema).parquet(p.vecs)
-      .join(dead, Seq("vec_id"), "left_semi").count() == 0)
-    // a removed id re-lands in a later tick: live again everywhere
+    val rawVecs = spark.read.schema(DailyLoop.VecsSchema).parquet(p.vecs)
+    assert(rawVecs.filter(col("batch") === 3 && col("embedding").isNull)
+      .count() == dead.count())
+    assert(rawVecs.filter(col("batch") < 3)
+      .join(dead, Seq("vec_id"), "left_semi").count() > 0,
+      "an uncommitted delete must not be physical in committed data")
+    // a removed id re-lands in a later tick: live again everywhere —
+    // and THAT tick's consolidation (annMaxChain=1 again) makes tick
+    // 3's now-committed tombstones physical
     DailyLoop.runTick(spark, CvePipeline.Landing(), emptyDocs, p,
       ts("2025-04-04 00:00:00"),
       embDelta = Some(e.join(dead, Seq("vec_id"), "left_semi")),
@@ -529,6 +549,9 @@ class DailyLoopSpec extends SparkSpec {
     assert(AnnIndex.pqCodes(spark, p.ann).count() == e.count() * m)
     assert(AnnIndex.ivfpPostings(spark, p.annPost).count() == e.count())
     assert(DailyLoop.storeVectors(spark, p.vecs, 4).count() == e.count())
+    assert(spark.read.schema(DailyLoop.VecsSchema).parquet(p.vecs)
+      .filter(col("batch") <= 3).join(dead, Seq("vec_id"), "left_semi")
+      .count() == 0, "committed tombstones must be physical after the next consolidation")
   }
 
   test("annRefreshEvery: the refresh tick retrains from the vector store and collapses the chain") {
@@ -559,6 +582,166 @@ class DailyLoopSpec extends SparkSpec {
     tick(3) // back to the O(delta) append, pinned to the refreshed books
     assert(AnnIndex.pqChain(spark, p.ann).length == 2)
     assert(AnnIndex.pqCodes(spark, p.ann).count() == e.count() * m)
+  }
+
+  test("a doc deleted in an earlier tick that RE-LANDS recovers its pairs the same tick") {
+    import spark.implicits._
+    import graft.streaming.DocsStream
+    val p = DailyLoop.Paths(work())
+    val textA = "the quick brown fox jumps over the lazy dog again and again today"
+    def live(upTo: Long) = DocsStream.livePairs(spark, p.pairs, p.store, upTo)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // tick 1: identical docs 1 and 2 pair up
+    DailyLoop.runTick(spark, CvePipeline.Landing(),
+      Seq((1L, textA), (2L, textA)).toDF("doc_id", "text"), p,
+      ts("2025-04-01 00:00:00"))
+    assert(live(1) == Set((1L, 2L)))
+    // tick 2 deletes doc 2 — the pair vanishes from the live view
+    DailyLoop.runTick(spark, CvePipeline.Landing(),
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), p,
+      ts("2025-04-02 00:00:00"), docRemovals = Some(Seq(2L).toDF("doc_id")))
+    assert(live(2).isEmpty)
+    // tick 3 RE-LANDS doc 2 while its tombstone is still in the store
+    // (no compaction, no pair rebuild configured — the defaults). The
+    // dead-on-arrival pre-prune must NOT treat the re-landing doc as
+    // deleted: its pairs have to come back THIS tick, not at a pair
+    // rebuild that may never run.
+    DailyLoop.runTick(spark, CvePipeline.Landing(),
+      Seq((2L, textA)).toDF("doc_id", "text"), p,
+      ts("2025-04-03 00:00:00"))
+    assert(live(3) == Set((1L, 2L)),
+      "re-landed doc's pairs must be rediscovered the same tick")
+    // the re-landing superseded the tombstone: nothing reads as deleted
+    assert(DocsStream.deletedDocs(spark, p.store, 3).count() == 0)
+  }
+
+  test("a removal-only embedding tick (vec_removals, NO delta) completes and the loop stays live") {
+    import graft.operators.AnnIndex
+    val p = DailyLoop.Paths(work())
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    def emb(d: Int) = e.filter(col("vec_id") % 3 === lit(d - 1))
+    val dead = e.filter(col("vec_id") % 30 === 0).select("vec_id") // ⊂ third 0
+    val emptyDocs = docs.limit(0)
+    // tick 1 lands third 0 WITH labels: PQ index + posting store live
+    DailyLoop.runTick(spark, CvePipeline.Landing(), emptyDocs, p,
+      ts("2025-04-01 00:00:00"), embDelta = Some(emb(1)), annMaxChain = 1)
+    // tick 2 is a REMOVAL-ONLY tick: vec_removals landed, embeddings
+    // did not (DailyLoop synthesizes the empty delta). Both chains gain
+    // a tombs-only layer with NO data dataset — the append, the bloom
+    // sidecar, the fold read-back and the annMaxChain=1 compaction must
+    // all survive it (a zero-row dynamic write used to leave a
+    // _SUCCESS-only directory that wedged every later read of the
+    // layer, permanently crashing the re-run loop).
+    DailyLoop.runTick(spark, CvePipeline.Landing(), emptyDocs, p,
+      ts("2025-04-02 00:00:00"), embDelta = None,
+      vecRemovals = Some(dead), annMaxChain = 1)
+    assert(DailyLoop.committedTick(spark, p)._1 == 2L)
+    val m = AnnIndex.pqParams(spark, p.ann).m
+    val liveN = emb(1).join(dead, Seq("vec_id"), "left_anti").count()
+    assert(AnnIndex.pqCodes(spark, p.ann).count() == liveN * m)
+    assert(AnnIndex.ivfpPostings(spark, p.annPost).count() == liveN)
+    assert(AnnIndex.pqCodes(spark, p.ann)
+      .join(dead.withColumnRenamed("vec_id", "id"), Seq("id")).count() == 0)
+    // the loop is not wedged: tick 3 appends a normal delta on top
+    DailyLoop.runTick(spark, CvePipeline.Landing(), emptyDocs, p,
+      ts("2025-04-03 00:00:00"), embDelta = Some(emb(2)), annMaxChain = 1)
+    assert(AnnIndex.pqCodes(spark, p.ann).count()
+      == (liveN + emb(2).count()) * m)
+    assert(AnnIndex.ivfpPostings(spark, p.annPost).count()
+      == liveN + emb(2).count())
+  }
+
+  test("racing one stale lease: exactly one of two contenders acquires") {
+    val p = DailyLoop.Paths(work())
+    // plant an ABANDONED lease (stale heartbeat)
+    DailyLoop.acquireLease(spark, p, "crashed-writer")
+    val f = new org.apache.hadoop.fs.Path(p.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.setTimes(new org.apache.hadoop.fs.Path(p.root, "lease"),
+      System.currentTimeMillis() - 600000L, -1)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val outcomes = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    val threads = (1 to 2).map { i =>
+      val t = new Thread(() => {
+        start.await()
+        try {
+          DailyLoop.acquireLease(spark, p, s"contender-$i", staleMs = 60000L)
+          outcomes.put(s"contender-$i", "acquired")
+        } catch {
+          case e: IllegalStateException => outcomes.put(s"contender-$i", e.getMessage)
+        }
+      })
+      t.start(); t
+    }
+    start.countDown()
+    threads.foreach(_.join(30000L))
+    val winners = outcomes.entrySet().toArray.toSeq
+      .map(_.asInstanceOf[java.util.Map.Entry[String, String]])
+      .filter(_.getValue == "acquired").map(_.getKey)
+    assert(winners.size == 1,
+      s"exactly one contender must win a stale-lease race, got $outcomes")
+    // the surviving lease belongs to the winner (no delete-then-create
+    // window where the loser erases the winner's fresh lease)
+    val in = f.open(new org.apache.hadoop.fs.Path(p.root, "lease"))
+    val holder = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    assert(holder == winners.head)
+    DailyLoop.releaseLease(spark, p)
+  }
+
+  test("a tick longer than the stale window keeps its lease via the background heartbeat") {
+    val p = DailyLoop.Paths(work())
+    val holder = "long-tick-writer"
+    DailyLoop.acquireLease(spark, p, holder, staleMs = 400L)
+    val hb = new DailyLoop.LeaseHeartbeat(spark, p, holder, 400L)
+    try {
+      Thread.sleep(1200L) // 3× the stale window — a tick still running
+      val err = intercept[IllegalStateException] {
+        DailyLoop.acquireLease(spark, p, "contender", staleMs = 400L)
+      }
+      assert(err.getMessage.contains("leased by"),
+        s"live holder's heartbeat must block contenders: ${err.getMessage}")
+      hb.check() // and the holder never observed a lost lease
+    } finally { hb.close(); DailyLoop.releaseLease(spark, p) }
+  }
+
+  test("a crashed tick re-run with a DIFFERENT delta leaves no ghost rows or ghost deletes") {
+    import DailyLoop._
+    import graft.streaming.DocsStream
+    // The crash model's input contract is delta-as-function-of-seq
+    // (--fetch enforces it with the landing marker). This spec pins the
+    // FALLBACK when it is violated: the swept stores never carry the
+    // crashed attempt's rows — or its deletes — as committed-looking
+    // data, and the re-run's own compaction heals the derived pair
+    // snapshot and index in the same pass.
+    val deltaA = docs.filter(col("doc_id") % 3 === 1) // crashed attempt's delta
+    val deltaB = docs.filter(col("doc_id") % 3 === 2) // re-run's delta
+    val removedX = delta(1).select("doc_id").limit(1) // ghost-delete target
+    def docSet(p: Paths) = DocsStream.storeShingles(spark, p.store, 2)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    // reference: tick 2 runs deltaB with no removals, crash-free
+    val ref = Paths(work())
+    runTick(spark, landing, delta(1), ref, ts("2025-04-01 00:00:00"), maxChain = 1)
+    runTick(spark, landing, deltaB, ref, ts("2025-04-02 00:00:00"), maxChain = 1)
+    // crash run: tick 2 first attempts (deltaA + removal), dies after
+    // compaction — consolidation has already swapped the store
+    val p = Paths(work())
+    runTick(spark, landing, delta(1), p, ts("2025-04-01 00:00:00"), maxChain = 1)
+    intercept[InjectedCrash] {
+      runTick(spark, landing, deltaA, p, ts("2025-04-02 00:00:00"),
+        maxChain = 1, docRemovals = Some(removedX),
+        failAt = Some(AfterCompact))
+    }
+    runTick(spark, landing, deltaB, p, ts("2025-04-02 00:05:00"), maxChain = 1)
+    // stores converged: deltaA's rows swept, the uncommitted delete of
+    // X never stuck, nothing reads as deleted
+    assert(docSet(p) == docSet(ref))
+    assert(DocsStream.deletedDocs(spark, p.store, 2).count() == 0)
+    assert(removedX.join(DocsStream.storeShingles(spark, p.store, 2),
+      Seq("doc_id"), "left_semi").count() == 1,
+      "the crashed attempt's delete must not survive its failed tick")
+    // and the re-run's own rebuild expired the ghost pairs
+    assert(pairSet(p) == pairSet(ref))
   }
 
   test("posting store seeded at tick N>1 covers label-less earlier ticks' vectors") {

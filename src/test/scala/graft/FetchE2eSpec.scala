@@ -251,6 +251,111 @@ class FetchE2eSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("--fetch parity: all six sources land canonically; the marker makes re-runs fetch-free") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val hits = new AtomicInteger
+    def bytesOf(resource: String): Array[Byte] =
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(res(resource)))
+    // a REAL single-member zip around the CWE XML fixture, member name
+    // versioned like the upstream's (cwec_v4.x.xml) so the extract
+    // step's rename-to-canonical branch is exercised
+    val cweZip = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val zos = new java.util.zip.ZipOutputStream(bos)
+      zos.putNextEntry(new java.util.zip.ZipEntry("cwec_v4.12.xml"))
+      zos.write(bytesOf("cwec_mini.xml"))
+      zos.closeEntry(); zos.close()
+      bos.toByteArray
+    }
+    def serve(path: String, body: () => Array[Byte]): Unit =
+      server.createContext(path, new HttpHandler {
+        def handle(ex: HttpExchange): Unit = {
+          hits.incrementAndGet()
+          val b = body()
+          ex.sendResponseHeaders(200, b.length.toLong)
+          ex.getResponseBody.write(b); ex.close()
+        }
+      })
+    server.createContext("/rest/json/cves/2.0", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        hits.incrementAndGet()
+        val params = Option(ex.getRequestURI.getQuery).getOrElse("")
+          .split("&").filter(_.nonEmpty).map(_.split("=", 2))
+          .map(a => a(0) -> a.lift(1).getOrElse("")).toMap
+        val body = pageBody(initRecs,
+          params("startIndex").toLong / PerPage).getBytes("UTF-8")
+        ex.sendResponseHeaders(200, body.length.toLong)
+        ex.getResponseBody.write(body); ex.close()
+      }
+    })
+    serve("/exploitdb/files_exploits.csv", () => bytesOf("files_exploits.csv"))
+    serve("/metasploit/modules_metadata_base.json",
+      () => bytesOf("modules_metadata_base.json"))
+    serve("/cwe/cwec_latest.xml.zip", () => cweZip)
+    serve("/epss/epss_scores-current.csv.gz", () => bytesOf("epss_scores.csv.gz"))
+    serve("/cisa/known_exploited_vulnerabilities.json",
+      () => bytesOf("known_exploited_vulnerabilities.json"))
+    server.setExecutor(null)
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val root = java.nio.file.Files.createTempDirectory("main_fetch6_")
+        .resolve("root").toString
+      // the reference's full job fetch set (main.py:64-89): NVD paginated
+      // plus five single-file sources, each keyed by its config section
+      val conf = Config.parse(
+        s"""[nvd]
+           |url: $base/rest/json/cves/2.0
+           |results_per_page: $PerPage
+           |retry_delay: 0
+           |[exploitdb]
+           |url: $base/exploitdb/files_exploits.csv
+           |[metasploit]
+           |url: $base/metasploit/modules_metadata_base.json
+           |[cwe]
+           |url: $base/cwe/cwec_latest.xml.zip
+           |[epss]
+           |url: $base/epss/epss_scores-current.csv.gz
+           |[cisa]
+           |url: $base/cisa/known_exploited_vulnerabilities.json
+           |""".stripMargin)
+      val ticks = Main.run(spark, conf, root, once = true,
+        stop = new java.util.concurrent.atomic.AtomicBoolean(false),
+        clock = () => ts("2025-04-01 00:00:00"), fetch = true)
+      assert(ticks == 1)
+      // every canonical filename landed (the names landingFrom probes),
+      // the zip's single member extracted to the canonical XML, and the
+      // completion marker committed the landing
+      val land = s"$root/landing/1"
+      assert(new java.io.File(s"$land/nvd_pages").isDirectory)
+      for (n <- Seq("files_exploits.csv", "modules_metadata_base.json",
+                    "cwec_latest.xml.zip", "cwec_latest.xml",
+                    "epss_scores.csv.gz", "known_exploited_vulnerabilities.json",
+                    Main.LandedMarker))
+        assert(new java.io.File(s"$land/$n").isFile, s"$n must land")
+      // the merged snapshot carries every enrichment envelope (CWE is a
+      // standalone cross-ref table, not a snapshot envelope)
+      val snap = spark.read.parquet(s"$root/snapshot")
+      for (env <- Seq("nvd", "epss", "exploitdb", "metasploit", "kev")) {
+        assert(snap.columns.contains(env), s"missing envelope $env")
+        assert(snap.filter(col(env).isNotNull).count() > 0,
+          s"envelope $env carries no rows")
+      }
+      // and the landed gzip really was binary-preserved end-to-end: the
+      // Hadoop codec read it (epss rows merged) — spot-check one value
+      assert(snap.filter(col("epss").isNotNull)
+        .select("epss.epss_score").head().getDouble(0) > 0.0)
+      // a re-run of the SAME seq's fetch is a no-op (the _LANDED marker:
+      // crash re-runs must consume the identical delta, never re-pull
+      // live data that may have changed between attempts)
+      val before = hits.get()
+      Main.fetchLanding(spark, conf, land)
+      assert(hits.get() == before, "a landed dir must never re-fetch")
+    } finally server.stop(0)
+  }
+
   test("landPages: empty fetch lands nothing and returns 0") {
     val work = java.nio.file.Files.createTempDirectory("fetch_e2e0").toString
     val n = Landing.landPages(

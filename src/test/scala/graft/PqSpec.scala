@@ -348,6 +348,73 @@ class PqSpec extends SparkSpec {
       == before)
   }
 
+  test("long tomb chains: one anti-join probe per data row, LSM re-adds and answers survive") {
+    import graft.operators.AnnIndex
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    def slice(d: Int) = e.filter(col("vec_id") % 5 === d)
+    val work = java.nio.file.Files.createTempDirectory("graft_anntombchain_")
+    val pq = work.resolve("pq").toString
+    // root on slice 0, then three appends EACH carrying a tombstone set
+    // — layer 3 RE-ADDS the ids layer 1 tombstoned (legal LSM re-add:
+    // a tomb kills strictly-older layers only) — then a REMOVAL-ONLY
+    // layer on top (empty delta + tombs, the daily loop's
+    // vec_removals-without-embeddings shape)
+    val r1 = slice(0).filter(col("vec_id") % 10 === 0)
+    val r2 = slice(1).filter(col("vec_id") % 10 === 1)
+    val r3 = slice(2).filter(col("vec_id") % 10 === 2)
+    val r4 = slice(3).filter(col("vec_id") % 10 === 3)
+    AnnIndex.buildPq(slice(0), pq)
+    AnnIndex.appendPq(slice(1), pq, removals = Some(r1.select("vec_id")))
+    AnnIndex.appendPq(slice(2), pq, removals = Some(r2.select("vec_id")))
+    AnnIndex.appendPq(r1, pq, removals = Some(r3.select("vec_id")))
+    AnnIndex.appendPq(e.limit(0), pq, removals = Some(r4.select("vec_id")))
+    assert(AnnIndex.pqChain(spark, pq).length == 5)
+    // the fold expresses ALL tomb layers as one layer-stamped anti-join
+    // — Catalyst then pushes it below the layer Union and constant-
+    // folds each child's `tomb_layer > layer` predicate down to just
+    // the tombs NEWER than that child, so every data row is probed by
+    // exactly ONE anti-join against one (tiny, removal-sized) hashed
+    // relation. The old per-tomb-layer fold STACKED k sequential
+    // anti-joins on the data path and probed every row k times —
+    // assert structurally that no anti-join feeds another's data side
+    val codes = AnnIndex.pqCodes(spark, pq)
+    val lp = codes.queryExecution.optimizedPlan
+    val antis = lp.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+    }
+    assert(antis.nonEmpty, "tomb layers must fold through an anti-join")
+    antis.foreach { j =>
+      val stacked = j.left.collect {
+        case jj: org.apache.spark.sql.catalyst.plans.logical.Join
+          if jj.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => jj
+      }
+      assert(stacked.isEmpty,
+        s"anti-joins stack on the data path (rows probed more than once):\n$lp")
+    }
+    // answers equal a one-shot encode of the surviving live set under
+    // the root books: slice 0 whole (its r1 tombs were re-added by a
+    // NEWER layer and the re-add survives r1's older tombstone),
+    // slices 1/2 minus their later tombs, slice 3 absent
+    val live = slice(0)
+      .unionByName(slice(1).join(r2.select("vec_id"), Seq("vec_id"), "left_anti"))
+      .unionByName(slice(2).join(r3.select("vec_id"), Seq("vec_id"), "left_anti"))
+    val q = e.filter(col("vec_id") % 50 === 1)
+    val books = AnnIndex.pqBooks(spark, pq)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val truth = Similarity.pqTopKFrom(books,
+      Similarity.pqEncode(
+        Similarity.unitVectors(live, Seq("vec_id" -> "id")), books, 4, 16),
+      q, k = 5)
+    assert(rows(AnnIndex.pqTopK(spark, pq, q, k = 5)) == rows(truth)
+      && truth.count() > 0)
+    // compaction collapses the whole thing and answers still hold
+    AnnIndex.compactPq(spark, pq)
+    assert(AnnIndex.pqChain(spark, pq).length == 1)
+    assert(rows(AnnIndex.pqTopK(spark, pq, q, k = 5)) == rows(truth))
+  }
+
   test("a cyclic parent pointer in a tampered sidecar fails loudly, never loops") {
     import graft.operators.AnnIndex
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
