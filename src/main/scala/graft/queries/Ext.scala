@@ -1073,6 +1073,33 @@ object Ext {
         .orderBy("query_id", "rank")
     }),
 
+    // A LONG uncompacted chain under continuous deletion — the shape
+    // the per-layer tombstone cost question is about: root + 8 delta
+    // layers, EVERY append carrying a tombstone set (layer d removes
+    // the %10=3 residue of slice d-1), probed with no compaction ever.
+    // The fold must stay one anti-join probe per data row (PqSpec
+    // asserts the plan shape; this entry pins the measured cost trend
+    // in PLANS.md) and the answer must equal a one-shot encode of the
+    // survivors: every id except the tombstoned residue classes.
+    "q137_ann_pq_chain8" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idx = java.nio.file.Files.createTempDirectory("graft_annchain8_")
+        .resolve("pq").toString
+      graft.operators.AnnIndex.buildPq(e.filter(col("vec_id") % 9 === 0),
+        idx, m = 4, subLen = 16, numCodes = 16, trainIters = 2)
+      (1 to 8).foreach { d =>
+        graft.operators.AnnIndex.appendPq(
+          e.filter(col("vec_id") % 9 === d), idx,
+          removals = Some(e.filter(col("vec_id") % 9 === (d - 1) &&
+            col("vec_id") % 10 === 3).select("vec_id")))
+      }
+      graft.operators.AnnIndex
+        .pqTopK(s, idx, e.filter(col("vec_id") % 100 === 0), k = 5)
+        .select(col("query_id"), col("cand_id"), col("rank"),
+                round(col("approx_sim"), 6).as("approx_sim"))
+        .orderBy("query_id", "rank")
+    }),
+
     // q124's probe with a FIXED-SIZE query batch (first 600 ids): the
     // %100 entries' query COUNT grows with the corpus, so their totals
     // scale ~N²/100 by construction — this entry isolates the claim
@@ -1589,6 +1616,15 @@ object Ext {
       "q129_ann_pq_delete" -> base("q123_ann_pq_append").replace(
         "FROM subs s JOIN books b ON s.sub = b.sub)",
         "FROM subs s JOIN books b ON s.sub = b.sub WHERE s.vec_id % 10 <> 0)"),
+      // the long-chain truth: q123's construction trained on slice
+      // %9=0, codes = survivors of eight per-layer tombstone sets —
+      // dead iff the id sits in slices 0..7 AND the %10=3 residue
+      // (slice 8's residue is never tombstoned by a newer layer)
+      "q137_ann_pq_chain8" -> base("q123_ann_pq_append")
+        .replace("vec_id % 2 = 0", "vec_id % 9 = 0")
+        .replace("FROM subs s JOIN books b ON s.sub = b.sub)",
+          "FROM subs s JOIN books b ON s.sub = b.sub " +
+            "WHERE s.vec_id % 9 = 8 OR s.vec_id % 10 <> 3)"),
       "q130_ann_postings_delete" -> base("q126_ann_postings_append").replace(
         "JOIN e c ON c.vec_id = a1.id AND c.vec_id <> p.query_id",
         "JOIN e c ON c.vec_id = a1.id AND c.vec_id <> p.query_id " +
