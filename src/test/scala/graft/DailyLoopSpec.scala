@@ -651,6 +651,40 @@ class DailyLoopSpec extends SparkSpec {
       == liveN + emb(2).count())
   }
 
+  test("consolidation OFF: deletedDocs stays exact across many tombstone ticks") {
+    import spark.implicits._
+    import graft.streaming.DocsStream
+    // the documented contract: with no consolidation cadence at all
+    // (maxChain = ∞, pairRebuildEvery = 0) the null scan pays an
+    // O(ticks) listing but the DELETE SET stays exact — tombstones
+    // accumulate, re-lands supersede, nothing is ever resurrected
+    val p = DailyLoop.Paths(work())
+    val textA = "the quick brown fox jumps over the lazy dog again and again today"
+    val textB = "pack my box with five dozen liquor jugs said the sphinx of quartz"
+    def tick(seq: Int, delta: org.apache.spark.sql.DataFrame,
+             rem: Option[org.apache.spark.sql.DataFrame] = None): Unit =
+      DailyLoop.runTick(spark, CvePipeline.Landing(), delta, p,
+        ts(f"2025-04-0$seq%d 00:00:00"), docRemovals = rem)
+    def deleted(upTo: Long) = DocsStream.deletedDocs(spark, p.store, upTo)
+      .collect().map(_.getLong(0)).toSet
+    tick(1, Seq((1L, textA), (2L, textA), (3L, textB)).toDF("doc_id", "text"))
+    tick(2, Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      rem = Some(Seq(1L).toDF("doc_id")))
+    tick(3, Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    tick(4, Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      rem = Some(Seq(3L).toDF("doc_id")))
+    tick(5, Seq((1L, textA)).toDF("doc_id", "text")) // re-land supersedes
+    assert(deleted(5) == Set(3L))
+    // the store still holds one batch partition per tick (nothing
+    // consolidated — the listing the cadence contract bounds)
+    val batches = spark.read.schema(DocsStream.StoreSchema)
+      .parquet(p.store).select("batch").distinct().count()
+    assert(batches >= 4, s"expected per-tick partitions, got $batches")
+    // and the live view agrees: docs 1+2 pair back up, doc 3 is gone
+    assert(DocsStream.livePairs(spark, p.pairs, p.store, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
   test("racing one stale lease: exactly one of two contenders acquires") {
     val p = DailyLoop.Paths(work())
     // plant an ABANDONED lease (stale heartbeat)
