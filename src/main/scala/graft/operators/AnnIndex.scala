@@ -541,6 +541,17 @@ object AnnIndex {
           ceil(col("cell_rows").cast("double") / cap).cast("long"))
           .as("cell_splits"))
         .collect().map(r => (r.get(0), r.getLong(1)))
+      if (splits.isEmpty) {
+        // ZERO posting rows (a compaction of a fully-tombstoned chain):
+        // a dynamic-partitioned write of nothing leaves a directory
+        // holding only _SUCCESS — schema-inference poison for every
+        // later read of the artifact. A plain write of the empty frame
+        // lands one schema-carrying file instead (`cell` becomes a
+        // data column; the relation is empty, so cell filters and
+        // layer unions are unaffected) and the store stays readable.
+        pinned.write.mode("overwrite").parquet(dir.toString)
+        return
+      }
       val tasks = math.min(splits.map(_._2).sum.max(1L), 1L << 20).toInt
       val splitsDf = posts.sparkSession
         .createDataFrame(splits.map(t => org.apache.spark.sql.Row(t._1, t._2)).toList.asJava,

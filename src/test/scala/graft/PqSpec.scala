@@ -415,6 +415,39 @@ class PqSpec extends SparkSpec {
     assert(rows(AnnIndex.pqTopK(spark, pq, q, k = 5)) == rows(truth))
   }
 
+  test("compacting a fully-tombstoned chain stays readable; a later append revives it") {
+    import graft.operators.AnnIndex
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val evens = e.filter(col("vec_id") % 2 === 0)
+    val odds = e.filter(col("vec_id") % 2 === 1)
+    val q = e.filter(col("vec_id") % 50 === 1)
+    val work = java.nio.file.Files.createTempDirectory("graft_annempty_")
+    val pq = work.resolve("pq").toString
+    val ivfp = work.resolve("ivfp").toString
+    // delete EVERYTHING, then compact: the compacted root carries zero
+    // rows but must stay a readable, probe-able artifact (the posting
+    // side's dynamic-partitioned write of nothing used to leave an
+    // unreadable _SUCCESS-only directory)
+    AnnIndex.buildPq(evens, pq)
+    AnnIndex.appendPq(e.limit(0), pq, removals = Some(evens.select("vec_id")))
+    AnnIndex.compactPq(spark, pq)
+    assert(AnnIndex.pqCodes(spark, pq).count() == 0)
+    assert(AnnIndex.pqTopK(spark, pq, q, k = 5).count() == 0)
+    AnnIndex.buildIvfPostings(evens, ivfp, refineIters = 1)
+    AnnIndex.appendIvfPostings(e.limit(0), ivfp,
+      removals = Some(evens.select("vec_id")))
+    AnnIndex.compactIvfPostings(spark, ivfp)
+    assert(AnnIndex.ivfpPostings(spark, ivfp).count() == 0)
+    assert(AnnIndex.postingsTopK(spark, ivfp, q, k = 3, nprobe = 2).count() == 0)
+    // total deletion is not the end of the store: the root's quantizer
+    // survives, so a later delta appends and probes normally
+    AnnIndex.appendPq(odds, pq)
+    assert(AnnIndex.pqTopK(spark, pq, q, k = 5).count() > 0)
+    AnnIndex.appendIvfPostings(odds, ivfp)
+    assert(AnnIndex.ivfpPostings(spark, ivfp).count() == odds.count())
+    assert(AnnIndex.postingsTopK(spark, ivfp, q, k = 3, nprobe = 2).count() > 0)
+  }
+
   test("a cyclic parent pointer in a tampered sidecar fails loudly, never loops") {
     import graft.operators.AnnIndex
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
