@@ -269,12 +269,24 @@ object Main {
     if (once) {
       Log.info("[Job] Starting", "main")
       val t0 = System.nanoTime()
-      val seq = DailyLoop.committedTick(spark, p)._1 + 1
-      DailyLoop.runTick(spark, landing(seq), delta(seq), p, clock(),
-        threshold, maxChain, embDelta = emb(seq), annMaxChain = annMaxChain,
-        docRemovals = docRem(seq), vecRemovals = vecRem(seq),
-        pairRebuildEvery = pairRebuildEvery,
-        annRefreshEvery = annRefreshEvery)
+      // --once is still a WRITER: it takes the same single-writer lease
+      // as the loop (with a heartbeat through the tick), so a one-shot
+      // run can neither interleave with a running loop nor with a
+      // second concurrent --once against the same root
+      val holder = java.net.InetAddress.getLocalHost.getHostName +
+        ":" + ProcessHandle.current().pid() + ":once:" +
+        java.util.UUID.randomUUID()
+      DailyLoop.acquireLease(spark, p, holder)
+      val hb = new DailyLoop.LeaseHeartbeat(spark, p, holder,
+        DailyLoop.LeaseStaleMs)
+      try {
+        val seq = DailyLoop.committedTick(spark, p)._1 + 1
+        DailyLoop.runTick(spark, landing(seq), delta(seq), p, clock(),
+          threshold, maxChain, embDelta = emb(seq), annMaxChain = annMaxChain,
+          docRemovals = docRem(seq), vecRemovals = vecRem(seq),
+          pairRebuildEvery = pairRebuildEvery,
+          annRefreshEvery = annRefreshEvery)
+      } finally { hb.close(); DailyLoop.releaseLease(spark, p) }
       Log.success(f"[Job] Finished in ${(System.nanoTime() - t0) / 1e9}%.2f seconds.", "main")
       1
     } else {

@@ -108,5 +108,17 @@ class MainSpec extends SparkSpec {
     val ticks2 = Main.run(spark, conf, root, once = false,
       stop = new AtomicBoolean(true), clock = () => ts("2025-04-01 01:00:00"))
     assert(ticks2 == 0)
+    // --once is a writer too: while another holder's lease is fresh it
+    // must refuse to run (a one-shot tick interleaving with a running
+    // loop would burn version numbers and race consolidation swaps) —
+    // and the lease released on its way out, so the refusal is not
+    // because the earlier --once leaked its own
+    DailyLoop.acquireLease(spark, p, "other-writer")
+    val err = intercept[IllegalStateException] {
+      Main.run(spark, conf, root, once = true,
+        stop = new AtomicBoolean(false), clock = () => ts("2025-04-02 00:00:00"))
+    }
+    assert(err.getMessage.contains("leased by 'other-writer'"))
+    DailyLoop.releaseLease(spark, p)
   }
 }
