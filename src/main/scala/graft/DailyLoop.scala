@@ -515,6 +515,16 @@ object DailyLoop {
     val f = fs(spark, p.root)
     f.mkdirs(new Path(p.root))
     val lp = leasePath(p)
+    // reclaim crash-stranded capture files: a `lease.broken-<uuid>`
+    // older than the stale window holds no claim (its break-dance
+    // either restored or aborted long ago; a freshly stranded capture
+    // keeps its fresh mtime and survives until its holder has noticed)
+    scala.util.Try {
+      f.listStatus(new Path(p.root)).toSeq
+        .filter(_.getPath.getName.startsWith("lease.broken-"))
+        .filter(st => System.currentTimeMillis() - st.getModificationTime >= staleMs)
+        .foreach(st => f.delete(st.getPath, false))
+    }
     var attempts = 0
     while (attempts < 3) {
       attempts += 1
@@ -536,8 +546,13 @@ object DailyLoop {
               f.getFileStatus(broken).getModificationTime
             if (capturedAge < staleMs) {
               // we captured a FRESH lease (a racer broke-and-claimed
-              // between our stat and our rename): put it back and abort
-              if (!f.rename(broken, lp)) f.delete(broken, false)
+              // between our stat and our rename): put it back and abort.
+              // If the restore loses (a third contender already created
+              // a new lease), LEAVE the capture on disk — deleting it
+              // would erase the live holder's identity; the holder's
+              // own heartbeat verify surfaces the loss loudly, and the
+              // age sweep below reclaims the stranded file later.
+              f.rename(broken, lp)
               throw new IllegalStateException(
                 s"daily-loop root ${p.root}: lost the lease race to " +
                   "another writer")
@@ -553,15 +568,17 @@ object DailyLoop {
         try out.write(holder.getBytes(StandardCharsets.UTF_8))
         finally out.close()
         // read-back ownership verify: belt over the rename-break braces.
-        // One bounded re-read: a LOSING contender may transiently rename
+        // Bounded re-reads: a LOSING contender may transiently rename
         // this fresh lease away before restoring it (its capture-verify
-        // path) — a mismatch that heals on re-read is that transient,
-        // a persistent one is a real usurper.
-        if (readLeaseHolder(f, lp) != holder) {
-          Thread.sleep(100L)
-          if (readLeaseHolder(f, lp) != holder)
+        // path) — a mismatch that heals within the window is that
+        // transient, a persistent one is a real usurper.
+        var verifies = 0
+        while (readLeaseHolder(f, lp) != holder) {
+          verifies += 1
+          if (verifies >= 5)
             throw new IllegalStateException(
               s"daily-loop root ${p.root}: lost the lease race to another writer")
+          Thread.sleep(100L)
         }
         return
       } catch { // atomic-create lost a race with another acquirer
@@ -588,11 +605,18 @@ object DailyLoop {
     val f = fs(spark, p.root)
     val lp = leasePath(p)
     holder.foreach { h =>
-      val cur = if (f.exists(lp)) readLeaseHolder(f, lp) else "<missing>"
-      if (cur != h)
-        throw new IllegalStateException(
-          s"daily-loop root ${p.root}: lease lost to '$cur' — stopping " +
-            "this writer (its heartbeat went stale mid-tick)")
+      def cur() = if (f.exists(lp)) readLeaseHolder(f, lp) else "<missing>"
+      if (cur() != h) {
+        // one bounded re-read (the acquireLease rule): a transient read
+        // failure, or a losing contender's capture-restore dance, heals
+        // here; a persistent mismatch is a real usurper
+        Thread.sleep(100L)
+        val c = cur()
+        if (c != h)
+          throw new IllegalStateException(
+            s"daily-loop root ${p.root}: lease lost to '$c' — stopping " +
+              "this writer (its heartbeat went stale mid-tick)")
+      }
     }
     f.setTimes(lp, System.currentTimeMillis(), -1)
   }
@@ -610,9 +634,20 @@ object DailyLoop {
     @volatile private var running = true
     private val t = new Thread(() => {
       val interval = math.max(staleMs / 3, 50L)
+      var strikes = 0
       while (running && failure.isEmpty) {
-        try heartbeatLease(spark, p, Some(holder))
-        catch { case e: Throwable => failure = Some(e) }
+        try { heartbeatLease(spark, p, Some(holder)); strikes = 0 }
+        catch {
+          // ownership loss is FATAL immediately; a transient FS error is
+          // retried — giving up on the first hiccup would silently stop
+          // heartbeating mid-tick and let a contender legally break a
+          // live holder (the exact failure this thread exists to prevent)
+          case e: IllegalStateException => failure = Some(e)
+          case _: InterruptedException => running = false
+          case e: Throwable =>
+            strikes += 1
+            if (strikes >= 3) failure = Some(e)
+        }
         val deadline = System.currentTimeMillis() + interval
         try {
           while (running && System.currentTimeMillis() < deadline)
@@ -627,8 +662,17 @@ object DailyLoop {
     def close(): Unit = { running = false; t.interrupt(); t.join(1000L) }
   }
 
-  def releaseLease(spark: SparkSession, p: Paths): Unit = {
-    fs(spark, p.root).delete(leasePath(p), false); ()
+  /** Release the lease IF it is still this holder's (compare-then-
+    * delete): an unconditional delete would erase a USURPER's live
+    * lease exactly when this writer is exiting because it lost its own
+    * — re-opening the dual-writer window the lease exists to close.
+    * No holder given = unconditional (operator override / specs). */
+  def releaseLease(spark: SparkSession, p: Paths,
+                   holder: Option[String] = None): Unit = {
+    val f = fs(spark, p.root)
+    val lp = leasePath(p)
+    val mine = holder.forall(h => f.exists(lp) && readLeaseHolder(f, lp) == h)
+    if (mine) { f.delete(lp, false); () }
   }
 
   /** The scheduler loop (T1/T6 shape, marker clock): tick when due,
@@ -662,8 +706,11 @@ object DailyLoop {
     var ticks = 0
     try {
       while (!shouldStop()) {
+        // liveness is the background heartbeat's job (it refreshes and
+        // ownership-verifies every staleMs/3); the loop only surfaces
+        // a loss it observed — a per-pass foreground read here would
+        // pay an open+read every sleepMs for nothing
         hb.check()
-        heartbeatLease(spark, p, Some(holder))
         val now = clock()
         if (isTickDue(spark, p, now, intervalHours)) {
           val seq = committedTick(spark, p)._1 + 1
@@ -675,7 +722,7 @@ object DailyLoop {
           ticks += 1
         } else Thread.sleep(sleepMs)
       }
-    } finally { hb.close(); releaseLease(spark, p) }
+    } finally { hb.close(); releaseLease(spark, p, Some(holder)) }
     ticks
   }
 }

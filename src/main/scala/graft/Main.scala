@@ -286,7 +286,7 @@ object Main {
           docRemovals = docRem(seq), vecRemovals = vecRem(seq),
           pairRebuildEvery = pairRebuildEvery,
           annRefreshEvery = annRefreshEvery)
-      } finally { hb.close(); DailyLoop.releaseLease(spark, p) }
+      } finally { hb.close(); DailyLoop.releaseLease(spark, p, Some(holder)) }
       Log.success(f"[Job] Finished in ${(System.nanoTime() - t0) / 1e9}%.2f seconds.", "main")
       1
     } else {

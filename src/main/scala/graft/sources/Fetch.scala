@@ -80,23 +80,31 @@ object Fetch {
     }
   }
 
-  /** One page with the reference's bounded retry loop: sleep
-    * `retryDelayMs` after a transient failure, give up after
-    * `retryLimit` attempts. */
-  def fetchWithRetry(transport: Long => String, page: Long, policy: Policy,
-                     sleeper: Long => Unit = Thread.sleep): FetchedPage = {
+  /** THE bounded retry loop — one implementation of the policy's
+    * semantics (total attempts = retryLimit, sleep retryDelayMs after
+    * a transient failure only), shared by the paginated and
+    * single-file paths so they cannot drift. Returns the value and
+    * the attempt count that produced it. */
+  private def retrying[T](policy: Policy, sleeper: Long => Unit)
+                         (op: => T): (T, Int) = {
     var attempt = 0
-    var result: FetchedPage = null
-    while (result == null) {
+    while (true) {
       attempt += 1
-      try result = FetchedPage(page, attempt, transport(page))
+      try return (op, attempt)
       catch {
         case e: TransientFetchException =>
           if (attempt >= policy.retryLimit) throw e
           sleeper(policy.retryDelayMs)
       }
     }
-    result
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** One page with the reference's bounded retry loop. */
+  def fetchWithRetry(transport: Long => String, page: Long, policy: Policy,
+                     sleeper: Long => Unit = Thread.sleep): FetchedPage = {
+    val (body, attempts) = retrying(policy, sleeper)(transport(page))
+    FetchedPage(page, attempts, body)
   }
 
   /** One HTTP client per JVM — java.net.http.HttpClient is thread-safe
@@ -162,20 +170,8 @@ object Fetch {
     * drive it transport-free. */
   def fetchFileWithRetry(url: String, policy: Policy,
                          sleeper: Long => Unit = Thread.sleep,
-                         get: String => Array[Byte] = httpBytes(_)): Array[Byte] = {
-    var attempt = 0
-    var out: Array[Byte] = null
-    while (out == null) {
-      attempt += 1
-      try out = get(url)
-      catch {
-        case e: TransientFetchException =>
-          if (attempt >= policy.retryLimit) throw e
-          sleeper(policy.retryDelayMs)
-      }
-    }
-    out
-  }
+                         get: String => Array[Byte] = httpBytes(_)): Array[Byte] =
+    retrying(policy, sleeper)(get(url))._1
 
   /** The distributed fetch: one output row per page, pages spread over
     * `numPartitions` tasks, each task throttled independently. The

@@ -723,6 +723,22 @@ class DailyLoopSpec extends SparkSpec {
     DailyLoop.releaseLease(spark, p)
   }
 
+  test("releaseLease deletes only its own lease — a lost writer cannot erase the usurper's") {
+    val p = DailyLoop.Paths(work())
+    DailyLoop.acquireLease(spark, p, "usurper")
+    // a writer exiting BECAUSE it lost its lease must not take the new
+    // holder's lease down with it (compare-then-delete)
+    DailyLoop.releaseLease(spark, p, Some("previous-writer"))
+    val err = intercept[IllegalStateException] {
+      DailyLoop.acquireLease(spark, p, "third-writer")
+    }
+    assert(err.getMessage.contains("leased by 'usurper'"))
+    // the rightful holder's release does delete
+    DailyLoop.releaseLease(spark, p, Some("usurper"))
+    DailyLoop.acquireLease(spark, p, "third-writer")
+    DailyLoop.releaseLease(spark, p)
+  }
+
   test("a tick longer than the stale window keeps its lease via the background heartbeat") {
     val p = DailyLoop.Paths(work())
     val holder = "long-tick-writer"
