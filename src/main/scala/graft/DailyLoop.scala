@@ -136,14 +136,15 @@ object DailyLoop {
     val f = fs(spark, tmp)
     f.delete(new Path(tmp), true)
     f.mkdirs(new Path(tmp))
-    val live = storeVectors(spark, p.vecs, committedBatch)
-    if (!live.limit(1).isEmpty)
-      live.write.mode("overwrite").parquet(s"$tmp/batch=$committedBatch")
-    val inflight = spark.read.schema(VecsSchema).parquet(p.vecs)
+    // unconditional writes (the consolidateStore rule): an emptiness
+    // probe would run the O(corpus) LWW window twice, and empty
+    // partitions are harmless under the fixed-schema reads
+    storeVectors(spark, p.vecs, committedBatch)
+      .write.mode("overwrite").parquet(s"$tmp/batch=$committedBatch")
+    spark.read.schema(VecsSchema).parquet(p.vecs)
       .filter(col("batch") === lit(inflightBatch))
-    if (!inflight.limit(1).isEmpty)
-      inflight.select("vec_id", "embedding", "label")
-        .write.mode("overwrite").parquet(s"$tmp/batch=$inflightBatch")
+      .select("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/batch=$inflightBatch")
     SnapshotIO.swap(conf, tmp, p.vecs)
   }
 
@@ -283,7 +284,14 @@ object DailyLoop {
     val annDelta = embDelta.filter(!_.limit(1).isEmpty)
     val annRem = vecRemovals.map(_.select("vec_id").distinct())
       .filter(!_.limit(1).isEmpty)
-    if (annDelta.nonEmpty || annRem.nonEmpty) {
+    // the refresh cadence is an exact batch-key match retraining FROM
+    // THE STORE — it must fire even on a tick that lands neither
+    // vectors nor removals, or a vector-less day silently defers the
+    // quality event a whole period (the store has a full corpus to
+    // retrain on regardless of what today landed)
+    val refreshDue = annRefreshEvery > 0 && batchId % annRefreshEvery == 0
+    if (annDelta.nonEmpty || annRem.nonEmpty ||
+        (refreshDue && operators.AnnIndex.isBuilt(spark, p.ann))) {
       val emb = annDelta.getOrElse(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(VecsSchema.take(2))))
@@ -316,7 +324,6 @@ object DailyLoop {
       // out of it) and publish a fresh root — the chain collapses and
       // rankings legitimately change. Idempotent under crash re-run via
       // the same batch stamp as the append it replaces.
-      val refreshDue = annRefreshEvery > 0 && batchId % annRefreshEvery == 0
       if (!operators.AnnIndex.isBuilt(spark, p.ann)) {
         // removals against an unbuilt index are vacuous; day zero only
         // TRAINS when the tick actually landed vectors
@@ -342,8 +349,12 @@ object DailyLoop {
               subLen = prm.subLen, numCodes = prm.numCodes,
               batchId = Some(batchId))
           case None =>
-            operators.AnnIndex.appendPq(liveEmb, p.ann, checkDisjoint = false,
-              batchId = Some(batchId), removals = annRem)
+            // only append when the tick actually landed something — a
+            // refresh-only tick whose store emptied out (the degrade
+            // case) must not publish a pointless empty layer
+            if (annDelta.nonEmpty || annRem.nonEmpty)
+              operators.AnnIndex.appendPq(liveEmb, p.ann, checkDisjoint = false,
+                batchId = Some(batchId), removals = annRem)
         }
       }
       if (operators.AnnIndex.isBuilt(spark, p.ann) &&
@@ -381,7 +392,7 @@ object DailyLoop {
             operators.AnnIndex.buildIvfPostings(refreshCorpus.get, p.annPost,
               refineIters = operators.AnnIndex.ivfpRefineIters(spark, p.annPost),
               batchId = Some(batchId), trainOn = labeled)
-          else
+          else if (annDelta.nonEmpty || annRem.nonEmpty)
             operators.AnnIndex.appendIvfPostings(liveEmb, p.annPost,
               batchId = Some(batchId), checkDisjoint = false,
               removals = annRem)
@@ -416,24 +427,28 @@ object DailyLoop {
       val corpusSh = DocsStream.storeShingles(spark, p.store, batchId)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        if (pairRebuildEvery <= 0) {
+        if (pairRebuildEvery <= 0)
           DocsStream.rebuildPairs(corpusSh, p.pairs, threshold,
             l.numHashes, l.bands, lit(now.toString).cast("timestamp"))
-          // store consolidation between the pair and index rebuilds:
-          // committed deletions become PHYSICAL in store, pairs and
-          // index alike (the in-flight tick's own partition — its
-          // tombstones included — rides across the swap sweepable, see
-          // consolidateStore). Consolidation must NEVER outrun the
-          // pair rebuild: it erases the committed tombstones livePairs
-          // anti-joins, so dropping them while dead pairs still sit in
-          // the snapshot would RESURRECT those pairs until the next
-          // retention pass — hence it rides whichever cadence rebuilds
-          // pairs (here, or 3b when decoupled).
-          DocsStream.consolidateStore(spark, p.store, committed, batchId)
-        }
-        // the index write stays LAST so the chain stays > maxChain
-        // until the whole compaction has committed
+        // the index write stays after the pair rebuild so the chain
+        // stays > maxChain until the whole compaction has committed
         BandIndex.write(corpusSh, p.index, l.numHashes, l.bands, l.buckets)
+        // store consolidation LAST — after every consumer of the
+        // pinned corpus frame: the swap DELETES the old batch=*
+        // files, and a lost-executor recompute of corpusSh mid-write
+        // would otherwise chase them. Committed deletions become
+        // PHYSICAL here (the in-flight partition — its tombstones
+        // included — rides across the swap sweepable, see
+        // consolidateStore). Consolidation must NEVER outrun the pair
+        // rebuild: it erases the committed tombstones livePairs
+        // anti-joins, so dropping them while dead pairs still sit in
+        // the snapshot would RESURRECT those pairs until the next
+        // retention pass — hence it rides whichever cadence rebuilds
+        // pairs (here, or 3b when decoupled); a crash between the
+        // index write and this swap merely defers it to that next
+        // cadence, tombstones intact.
+        if (pairRebuildEvery <= 0)
+          DocsStream.consolidateStore(spark, p.store, committed, batchId)
       } finally { corpusSh.unpersist(); () }
     }
     // (3b) decoupled pair retention: keyed on the BATCH id, not the

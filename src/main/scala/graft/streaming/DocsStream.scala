@@ -286,10 +286,14 @@ object DocsStream {
     * partition is carried over UNCHANGED (raw rows, tombstones
     * included). The split is what keeps the partial-sweep invariant
     * honest: everything above the committed seq stays in a sweepable
-    * partition, so a tick that crashes before its marker and re-runs
-    * with a DIFFERENT delta (legal when the landing is refreshed
-    * between attempts) cannot leave ghost rows — or ghost deletes —
-    * baked into committed-looking data. A crash re-run simply re-lands
+    * partition. A re-run that VIOLATES the delta-as-function-of-seq
+    * contract (DailyLoop's crash model; `--fetch` enforces it with the
+    * landing marker) therefore cannot leave ghost rows — or ghost
+    * deletes — baked into committed-looking STORE data; derived
+    * artifacts rebuilt from the store (pair snapshot, band index, ANN
+    * chains) converge at their next rebuild cadence, which is the
+    * bounded blast radius of a contract violation, not a supported
+    * flow. A crash re-run simply re-lands
     * its own partition on top and the LWW read dedups; the whole-dir
     * swap is the [[rebuildPairs]] crash-safe pattern (healed by
     * `SnapshotIO.recover` at tick start). Rides the index-compaction /
@@ -303,21 +307,23 @@ object DocsStream {
     val f = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
     f.delete(new org.apache.hadoop.fs.Path(tmp), true)
     f.mkdirs(new org.apache.hadoop.fs.Path(tmp))
-    val live = storeShingles(spark, store, committedBatch)
-    if (!live.limit(1).isEmpty)
-      live.withColumn("doc_bucket",
-          PartitionedSnapshot.bucketOf(col("doc_id"), StoreBuckets))
-        .repartition(StoreBuckets, col("doc_bucket"))
-        .write.partitionBy("doc_bucket").mode("overwrite")
-        .parquet(s"$tmp/batch=$committedBatch")
+    // written UNCONDITIONALLY: an emptiness pre-probe would evaluate
+    // the O(corpus) LWW window twice (limit(1) cannot push below the
+    // window), and an empty partition dir is harmless — every store
+    // read uses the fixed StoreSchema, never inference
+    storeShingles(spark, store, committedBatch)
+      .withColumn("doc_bucket",
+        PartitionedSnapshot.bucketOf(col("doc_id"), StoreBuckets))
+      .repartition(StoreBuckets, col("doc_bucket"))
+      .write.partitionBy("doc_bucket").mode("overwrite")
+      .parquet(s"$tmp/batch=$committedBatch")
     // O(delta): the in-flight partition rides across the swap verbatim
-    val inflight = spark.read.schema(StoreSchema).parquet(store)
+    spark.read.schema(StoreSchema).parquet(store)
       .filter(col("batch") === lit(inflightBatch))
-    if (!inflight.limit(1).isEmpty)
-      inflight.select("doc_id", "shingle", "doc_bucket")
-        .repartition(StoreBuckets, col("doc_bucket"))
-        .write.partitionBy("doc_bucket").mode("overwrite")
-        .parquet(s"$tmp/batch=$inflightBatch")
+      .select("doc_id", "shingle", "doc_bucket")
+      .repartition(StoreBuckets, col("doc_bucket"))
+      .write.partitionBy("doc_bucket").mode("overwrite")
+      .parquet(s"$tmp/batch=$inflightBatch")
     graft.SnapshotIO.swap(conf, tmp, store)
   }
 

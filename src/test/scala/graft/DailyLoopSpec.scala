@@ -794,6 +794,37 @@ class DailyLoopSpec extends SparkSpec {
     assert(pairSet(p) == pairSet(ref))
   }
 
+  test("a refresh-cadence hit fires on a tick that lands NO vectors (retrains from the store)") {
+    import graft.operators.AnnIndex
+    val p = DailyLoop.Paths(work())
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val emptyDocs = docs.limit(0)
+    def tick(d: Int, emb: Option[org.apache.spark.sql.DataFrame]): Unit =
+      DailyLoop.runTick(spark, CvePipeline.Landing(), emptyDocs, p,
+        ts(f"2025-04-0$d%d 00:00:00"), embDelta = emb, annRefreshEvery = 2)
+    tick(1, Some(e.filter(col("vec_id") % 3 === 0))) // day zero, labeled
+    val b1 = AnnIndex.pqBooks(spark, p.ann).collect().map(_.toString).sorted.toSeq
+    // tick 2 hits the cadence with NOTHING landed: the retrain reads
+    // the STORE, so it must fire anyway — an exact batch-key match
+    // skipped here would defer the quality event a whole period
+    tick(2, None)
+    assert(AnnIndex.pqHeadBatch(spark, p.ann).contains(2L),
+      "a vector-less refresh tick must still retrain")
+    assert(AnnIndex.pqChain(spark, p.ann).length == 1)
+    assert(AnnIndex.headBatch(spark, p.annPost).contains(2L))
+    // same corpus, fresh Lloyd seed order can differ — the event ran;
+    // the chain collapse and head stamp above are the real assertions
+    val m = AnnIndex.pqParams(spark, p.ann).m
+    assert(AnnIndex.pqCodes(spark, p.ann).count()
+      == e.filter(col("vec_id") % 3 === 0).count() * m)
+    // and a later delta still appends against the refreshed root
+    tick(3, Some(e.filter(col("vec_id") % 3 === 1)
+      .select("vec_id", "embedding")))
+    assert(AnnIndex.pqCodes(spark, p.ann).count()
+      == e.filter(col("vec_id") % 3 =!= 2).count() * m)
+    assert(b1.nonEmpty) // silence unused warning; b1 pins tick-1 ran
+  }
+
   test("posting store seeded at tick N>1 covers label-less earlier ticks' vectors") {
     import graft.operators.{AnnIndex, Similarity}
     val p = DailyLoop.Paths(work())
