@@ -223,7 +223,15 @@ object DailyLoop {
               docRemovals: Option[DataFrame] = None,
               vecRemovals: Option[DataFrame] = None,
               pairRebuildEvery: Int = 0,
-              annRefreshEvery: Int = 0): Unit = {
+              annRefreshEvery: Int = 0,
+              leaseCheck: () => Unit = () => ()): Unit = {
+    // `leaseCheck` (typically LeaseHeartbeat.check) runs at every step
+    // boundary — in particular right before the whole-dir consolidation
+    // swaps and before the commit marker — so a lease loss the
+    // background heartbeat observed aborts the tick within ONE step
+    // instead of letting it keep writing concurrently with a usurper
+    // until tick end (round-13 advice)
+    leaseCheck()
     val (committed, _) = committedTick(spark, p)
     val batchId = committed + 1
     // heal stores a crashed compaction consolidation left mid-swap —
@@ -248,6 +256,7 @@ object DailyLoop {
     if (!landing.isEmpty)
       CveJob.mergeLanded(spark, landing, p.snapshot, now)
     if (failAt.contains(AfterMerge)) throw new InjectedCrash(AfterMerge)
+    leaseCheck()
 
     // (2) probe → verify → pair upsert → layer + store append.
     // Day zero: commit an EMPTY base version so the first delta probes
@@ -259,6 +268,7 @@ object DailyLoop {
     DocsStream.indexedDedupTick(docsDelta, batchId, p.index, p.store,
       p.pairs, threshold, removals = docRemovals)
     if (failAt.contains(AfterDedup)) throw new InjectedCrash(AfterDedup)
+    leaseCheck()
 
     // (2b) the ANN ingest, when an embedding delta landed: day zero
     // TRAINS and publishes the base (the tick's delta is the training
@@ -339,15 +349,15 @@ object DailyLoop {
           else None
         refreshCorpusPq match {
           case Some(corpus) =>
-            // retrain under the chain's COMMITTED geometry (sidecar, the
-            // compactPq rule) — an index built outside the loop with
-            // custom (m, subLen, numCodes) must refresh to the same
-            // shape, not silently to the build defaults. trainIters is
-            // not recorded in the sidecar and stays the build default.
+            // retrain under the chain's COMMITTED geometry AND training
+            // depth (sidecar, the compactPq rule) — an index built
+            // outside the loop with custom (m, subLen, numCodes,
+            // trainIters) must refresh to the same shape and quality,
+            // not silently to the build defaults
             val prm = operators.AnnIndex.pqParams(spark, p.ann)
             operators.AnnIndex.buildPq(corpus, p.ann, m = prm.m,
               subLen = prm.subLen, numCodes = prm.numCodes,
-              batchId = Some(batchId))
+              trainIters = prm.trainIters, batchId = Some(batchId))
           case None =>
             // only append when the tick actually landed something — a
             // refresh-only tick whose store emptied out (the degrade
@@ -408,6 +418,9 @@ object DailyLoop {
       }
     }
     if (failAt.contains(AfterAnn)) throw new InjectedCrash(AfterAnn)
+    // verify ownership right before the compaction whole-dir swaps —
+    // the writes a usurper's concurrent swap could actually clobber
+    leaseCheck()
 
     // (3) compaction cadence: collapse the chain once probes would walk
     // more than maxChain layers — the store holds the full committed
@@ -467,6 +480,7 @@ object DailyLoop {
       } finally { corpusSh.unpersist(); () }
     }
     if (failAt.contains(AfterCompact)) throw new InjectedCrash(AfterCompact)
+    leaseCheck()
 
     // (4) freshness metadata for P11 consumers (idempotent re-stamp)
     operators.Watermarks.upsert(spark, p.status, CveJob.JobSource, now)
@@ -494,14 +508,26 @@ object DailyLoop {
   val LeaseStaleMs: Long = 30L * 60 * 1000
 
   private def leasePath(p: Paths) = new Path(p.root, "lease")
+  private def breakerPath(p: Paths) = new Path(p.root, "lease.breaker")
 
+  /** Best-effort holder read for error MESSAGES only — swallows read
+    * failures into "<unknown>". Ownership decisions go through
+    * [[readLeaseHolderChecked]], which keeps transient read errors
+    * distinguishable from a genuine holder mismatch. */
   private def readLeaseHolder(f: org.apache.hadoop.fs.FileSystem,
                               lp: Path): String =
-    scala.util.Try {
-      val in = f.open(lp)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-    }.getOrElse("<unknown>")
+    scala.util.Try(readLeaseHolderChecked(f, lp)).getOrElse("<unknown>")
+
+  /** Holder read that lets IO failures PROPAGATE: the heartbeat's
+    * 3-strike retry policy absorbs a filesystem hiccup instead of
+    * misreading it as a lost lease (fail-safe, but an availability
+    * bug the round-13 advice flagged). */
+  private def readLeaseHolderChecked(f: org.apache.hadoop.fs.FileSystem,
+                                     lp: Path): String = {
+    val in = f.open(lp)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+  }
 
   /** Advisory single-writer lease over the loop root. Every store under
     * it assumes ONE nightly writer by contract (the AnnIndex/BandIndex
@@ -515,37 +541,41 @@ object DailyLoop {
     * IllegalStateException, and a heartbeat older than `staleMs` is a
     * crash leftover the next acquirer breaks.
     *
-    * Breaking a stale lease is an atomic RENAME to a contender-unique
-    * tombstone name — exactly one of N racing contenders wins the
-    * rename (delete-then-create would let contender B delete A's
-    * freshly created lease after both observed the same stale file).
-    * The renamer then verifies what it captured really was the stale
-    * file it observed (rename preserves mtime): capturing a FRESH file
-    * means the pathological interleave — another contender already
-    * broke the stale lease and claimed — so the capture is restored
-    * and the contender aborts. A final read-back verifies ownership
-    * after the create, closing any remaining window loudly. */
+    * Breaking a stale lease is serialized through a BREAKER MUTEX —
+    * `lease.breaker`, claimed by atomic exclusive create: the stale
+    * lease is deleted only while holding the mutex AND after
+    * re-verifying, under it, that the lease is still stale. A fresh
+    * lease is therefore never deleted (and never renamed — the old
+    * capture-restore dance is gone), which is what lets the post-create
+    * ownership verify be a single read with no timing assumption: any
+    * mismatch is a genuine race loss, immediately fatal. The create
+    * itself stays the winner-decider — contenders that found no live
+    * lease race the exclusive create and exactly one wins. A breaker
+    * stranded by a crashed contender blocks breaks only until it is
+    * itself older than `staleMs` (the next acquirer sweeps it — one
+    * extra stale window worst-case before an abandoned root is
+    * reclaimable, the same currency the lease itself is priced in).
+    *
+    * Residual window, by design: a holder that genuinely lets its
+    * lease go stale (heartbeat thread dead, tick overrunning with no
+    * [[LeaseHeartbeat]]) can be legally broken mid-step; the holder
+    * learns at its next heartbeat or [[runTick]] step-boundary
+    * `leaseCheck`, so the dual-writer exposure is bounded by one tick
+    * step, not a whole tick. */
   def acquireLease(spark: SparkSession, p: Paths, holder: String,
                    staleMs: Long = LeaseStaleMs): Unit = {
     val f = fs(spark, p.root)
     f.mkdirs(new Path(p.root))
     val lp = leasePath(p)
-    // reclaim crash-stranded capture files: a `lease.broken-<uuid>`
-    // older than the stale window holds no claim (its break-dance
-    // either restored or aborted long ago; a freshly stranded capture
-    // keeps its fresh mtime and survives until its holder has noticed)
-    scala.util.Try {
-      f.listStatus(new Path(p.root)).toSeq
-        .filter(_.getPath.getName.startsWith("lease.broken-"))
-        .filter(st => System.currentTimeMillis() - st.getModificationTime >= staleMs)
-        .foreach(st => f.delete(st.getPath, false))
-    }
+    val bp = breakerPath(p)
+    def lostRace = new IllegalStateException(
+      s"daily-loop root ${p.root}: lost the lease race to another writer")
     var attempts = 0
     while (attempts < 3) {
       attempts += 1
+      var sweptBreaker = false
       if (f.exists(lp)) {
-        val st = scala.util.Try(f.getFileStatus(lp)).toOption
-        st.foreach { s =>
+        scala.util.Try(f.getFileStatus(lp)).toOption.foreach { s =>
           val age = System.currentTimeMillis() - s.getModificationTime
           if (age < staleMs)
             throw new IllegalStateException(
@@ -553,55 +583,53 @@ object DailyLoop {
                 s"'${readLeaseHolder(f, lp)}' (heartbeat ${age / 1000}s " +
                 "ago) — refusing to run a second writer; stop it or wait " +
                 "for the lease to go stale")
-          // abandoned: break it by atomic rename — only one renamer wins
-          val broken = new Path(p.root,
-            s"lease.broken-${java.util.UUID.randomUUID()}")
-          if (f.rename(lp, broken)) {
-            val capturedAge = System.currentTimeMillis() -
-              f.getFileStatus(broken).getModificationTime
-            if (capturedAge < staleMs) {
-              // we captured a FRESH lease (a racer broke-and-claimed
-              // between our stat and our rename): put it back and abort.
-              // If the restore loses (a third contender already created
-              // a new lease), LEAVE the capture on disk — deleting it
-              // would erase the live holder's identity; the holder's
-              // own heartbeat verify surfaces the loss loudly, and the
-              // age sweep below reclaims the stranded file later.
-              f.rename(broken, lp)
-              throw new IllegalStateException(
-                s"daily-loop root ${p.root}: lost the lease race to " +
-                  "another writer")
+          // stale: claim the breaker mutex, or learn who beat us to it
+          val claimed =
+            try { f.create(bp, false).close(); true }
+            catch {
+              case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+                   _: java.nio.file.FileAlreadyExistsException =>
+                val bAge = scala.util.Try(f.getFileStatus(bp)).toOption
+                  .map(b => System.currentTimeMillis() - b.getModificationTime)
+                if (bAge.forall(_ >= staleMs)) {
+                  // stranded by a crashed breaker (or already gone):
+                  // sweep and re-run the whole acquire pass
+                  if (bAge.nonEmpty) f.delete(bp, false)
+                  sweptBreaker = true; false
+                } else throw lostRace // a live contender is mid-break
             }
-            f.delete(broken, false)
+          if (claimed) {
+            try {
+              // re-verify staleness UNDER the mutex: a racer may have
+              // broken and re-claimed between our stat and our create
+              scala.util.Try(f.getFileStatus(lp)).toOption.foreach { c =>
+                if (System.currentTimeMillis() - c.getModificationTime < staleMs)
+                  throw lostRace
+                f.delete(lp, false); ()
+              }
+            } finally { f.delete(bp, false); () }
           }
-          // rename lost: a racer already broke it — fall through to the
-          // atomic create, which decides the winner
         }
       }
-      try {
-        val out = f.create(lp, false)
-        try out.write(holder.getBytes(StandardCharsets.UTF_8))
-        finally out.close()
-        // read-back ownership verify: belt over the rename-break braces.
-        // Bounded re-reads: a LOSING contender may transiently rename
-        // this fresh lease away before restoring it (its capture-verify
-        // path) — a mismatch that heals within the window is that
-        // transient, a persistent one is a real usurper.
-        var verifies = 0
-        while (readLeaseHolder(f, lp) != holder) {
-          verifies += 1
-          if (verifies >= 5)
-            throw new IllegalStateException(
-              s"daily-loop root ${p.root}: lost the lease race to another writer")
-          Thread.sleep(100L)
+      if (sweptBreaker) {
+        // loop back: the stale lease is still there and must be broken
+        // under a freshly claimed mutex
+      } else {
+        try {
+          val out = f.create(lp, false)
+          try out.write(holder.getBytes(StandardCharsets.UTF_8))
+          finally out.close()
+          // single read-back verify, no retry loop: the protocol never
+          // deletes or renames a fresh lease, so there is no transient
+          // state to wait out — a mismatch IS a race loss
+          if (readLeaseHolder(f, lp) != holder) throw lostRace
+          return
+        } catch { // atomic-create lost a race with another acquirer
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+               _: java.nio.file.FileAlreadyExistsException =>
+            throw lostRace
+          case _: java.io.FileNotFoundException => () // parent raced away; retry
         }
-        return
-      } catch { // atomic-create lost a race with another acquirer
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-             _: java.nio.file.FileAlreadyExistsException =>
-          throw new IllegalStateException(
-            s"daily-loop root ${p.root}: lost the lease race to another writer")
-        case _: java.io.FileNotFoundException => () // parent raced away; retry
       }
     }
     throw new IllegalStateException(
@@ -610,28 +638,27 @@ object DailyLoop {
   }
 
   /** Refresh the lease heartbeat (mtime), verifying ownership when the
-    * holder is known: a heartbeat against a lease someone else now
-    * holds (or none at all) means this writer lost its lease — a
-    * contender legally broke it while a tick overran the stale window
-    * without heartbeating — and must stop LOUDLY rather than race the
-    * new holder's consolidation swaps. */
+    * holder is known: a CLEAN read of a missing lease or another
+    * holder's id means this writer lost its lease — a contender legally
+    * broke it while a tick overran the stale window without
+    * heartbeating — and must stop LOUDLY rather than race the new
+    * holder's consolidation swaps. Nothing in the acquire protocol
+    * deletes or renames a FRESH lease, so there is no transient state
+    * to re-read past: ownership loss is decided on one clean read. A
+    * read ERROR, by contrast, propagates as-is (IOException) so the
+    * [[LeaseHeartbeat]] thread's 3-strike policy can absorb a
+    * filesystem hiccup instead of killing a healthy writer. */
   def heartbeatLease(spark: SparkSession, p: Paths,
                      holder: Option[String] = None): Unit = {
     val f = fs(spark, p.root)
     val lp = leasePath(p)
     holder.foreach { h =>
-      def cur() = if (f.exists(lp)) readLeaseHolder(f, lp) else "<missing>"
-      if (cur() != h) {
-        // one bounded re-read (the acquireLease rule): a transient read
-        // failure, or a losing contender's capture-restore dance, heals
-        // here; a persistent mismatch is a real usurper
-        Thread.sleep(100L)
-        val c = cur()
-        if (c != h)
-          throw new IllegalStateException(
-            s"daily-loop root ${p.root}: lease lost to '$c' — stopping " +
-              "this writer (its heartbeat went stale mid-tick)")
-      }
+      val cur =
+        if (f.exists(lp)) readLeaseHolderChecked(f, lp) else "<missing>"
+      if (cur != h)
+        throw new IllegalStateException(
+          s"daily-loop root ${p.root}: lease lost to '$cur' — stopping " +
+            "this writer (its heartbeat went stale mid-tick)")
     }
     f.setTimes(lp, System.currentTimeMillis(), -1)
   }
@@ -733,7 +760,8 @@ object DailyLoop {
             maxChain, embDelta = embDelta(seq), annMaxChain = annMaxChain,
             docRemovals = docRemovals(seq), vecRemovals = vecRemovals(seq),
             pairRebuildEvery = pairRebuildEvery,
-            annRefreshEvery = annRefreshEvery)
+            annRefreshEvery = annRefreshEvery,
+            leaseCheck = () => hb.check())
           ticks += 1
         } else Thread.sleep(sleepMs)
       }

@@ -285,7 +285,11 @@ object Main {
           threshold, maxChain, embDelta = emb(seq), annMaxChain = annMaxChain,
           docRemovals = docRem(seq), vecRemovals = vecRem(seq),
           pairRebuildEvery = pairRebuildEvery,
-          annRefreshEvery = annRefreshEvery)
+          annRefreshEvery = annRefreshEvery,
+          leaseCheck = () => hb.check())
+        // surface a loss the heartbeat observed during the tick's last
+        // step loudly, even though the tick itself is already done
+        hb.check()
       } finally { hb.close(); DailyLoop.releaseLease(spark, p, Some(holder)) }
       Log.success(f"[Job] Finished in ${(System.nanoTime() - t0) / 1e9}%.2f seconds.", "main")
       1

@@ -153,10 +153,19 @@ object AnnIndex {
       }
   }
 
+  /** [[buildPq]]'s training-depth default — also what [[pqParams]]
+    * reports for a sidecar written before the `ti=` token existed
+    * (those indexes WERE trained at this default). */
+  val DefaultTrainIters = 2
+
   /** The published PQ hyper-parameters; probes must use the SAME (m,
     * subLen) the codebooks were trained with, so they travel with the
-    * artifact, never as caller-remembered constants. */
-  final case class PqParams(m: Int, subLen: Int, numCodes: Int)
+    * artifact, never as caller-remembered constants. `trainIters` rides
+    * along for the same reason in the other direction: it shapes no
+    * probe, but a retraining REFRESH must retrain at the depth the
+    * index was built with, not silently at the build default. */
+  final case class PqParams(m: Int, subLen: Int, numCodes: Int,
+                            trainIters: Int = DefaultTrainIters)
 
   /** Publish the layer's id-membership Bloom filter beside its data
     * (BEFORE the sidecar commit — a committed layer always has one).
@@ -233,7 +242,7 @@ object AnnIndex {
     * m-small-ints-per-vector table that replaces the raw floats at query
     * time. Returns the committed version. */
   def buildPq(corpus: DataFrame, path: String, m: Int = 4, subLen: Int = 16,
-              numCodes: Int = 16, trainIters: Int = 2,
+              numCodes: Int = 16, trainIters: Int = DefaultTrainIters,
               idCol: String = "vec_id", vecCol: String = "embedding",
               batchId: Option[Long] = None): Int = {
     val spark = corpus.sparkSession
@@ -254,7 +263,8 @@ object AnnIndex {
         .write.mode("overwrite").parquet(new Path(vd, "codes").toString)
       writeIdBloom(spark, vd, spark.read
         .parquet(new Path(vd, "codes").toString).select("id").distinct())
-      commitMeta(spark, vd, s"pq $m $subLen $numCodes${batchSuffix(batchId)}")
+      commitMeta(spark, vd,
+        s"pq $m $subLen $numCodes ti=$trainIters${batchSuffix(batchId)}")
       prune(spark, path, next)
       next
     } finally { units.unpersist(); () }
@@ -329,7 +339,8 @@ object AnnIndex {
         .parquet(new Path(vd, "codes").toString).select("id").distinct()
       else units.select("id"))
     commitMeta(spark, vd,
-      s"pq-delta $parent ${p.m} ${p.subLen} ${p.numCodes}${batchSuffix(batchId)}")
+      s"pq-delta $parent ${p.m} ${p.subLen} ${p.numCodes} " +
+        s"ti=${p.trainIters}${batchSuffix(batchId)}")
     // no prune: every ancestor layer stays live until the next full
     // rebuild collapses the chain
     next
@@ -361,7 +372,7 @@ object AnnIndex {
     writeIdBloom(spark, vd, spark.read
       .parquet(new Path(vd, "codes").toString).select("id").distinct())
     commitMeta(spark, vd,
-      s"pq ${p.m} ${p.subLen} ${p.numCodes}${batchSuffix(batch)}")
+      s"pq ${p.m} ${p.subLen} ${p.numCodes} ti=${p.trainIters}${batchSuffix(batch)}")
     prune(spark, path, next)
     next
   }
@@ -384,26 +395,39 @@ object AnnIndex {
     next
   }
 
-  /** A sidecar may carry a trailing `batch=<id>` token — the daily-loop
-    * tick that published the version. The tick's crash re-run keys its
-    * skip-if-done decision on it (see [[pqHeadBatch]]). */
-  private def splitBatch(parts: Array[String]): (Array[String], Option[Long]) =
-    if (parts.nonEmpty && parts.last.startsWith("batch="))
-      (parts.init, parts.last.stripPrefix("batch=").toLongOption)
-    else (parts, None)
+  /** A sidecar's trailing `key=value` tokens — `batch=<id>` (the
+    * daily-loop tick that published the version; the tick's crash
+    * re-run keys its skip-if-done decision on it, see [[pqHeadBatch]])
+    * and `ti=<n>` (the PQ training depth, absent in pre-`ti` sidecars).
+    * Positional tokens keep their order; keyed tokens are
+    * position-independent, which is what keeps old and new sidecars
+    * mutually readable. */
+  private def splitKeyed(parts: Array[String]): (Array[String], Map[String, String]) = {
+    val (pos, keyed) = parts.partition(!_.contains("="))
+    (pos, keyed.flatMap(_.split("=", 2) match {
+      case Array(k, v) => Some(k -> v)
+      case _ => None
+    }).toMap)
+  }
+
+  private def splitBatch(parts: Array[String]): (Array[String], Option[Long]) = {
+    val (pos, keyed) = splitKeyed(parts)
+    (pos, keyed.get("batch").flatMap(_.toLongOption))
+  }
 
   def pqParams(spark: SparkSession, path: String): PqParams = {
-    val (parts, _) =
-      splitBatch(metaTextOf(spark, path, currentVersion(spark, path)).split(" "))
+    val (parts, keyed) =
+      splitKeyed(metaTextOf(spark, path, currentVersion(spark, path)).split(" "))
+    val ti = keyed.get("ti").flatMap(_.toIntOption).getOrElse(DefaultTrainIters)
     parts(0) match {
       case "pq" =>
         require(parts.length == 4,
           s"malformed pq sidecar under $path: '${parts.mkString(" ")}'")
-        PqParams(parts(1).toInt, parts(2).toInt, parts(3).toInt)
+        PqParams(parts(1).toInt, parts(2).toInt, parts(3).toInt, ti)
       case "pq-delta" =>
         require(parts.length == 5,
           s"malformed pq-delta sidecar under $path: '${parts.mkString(" ")}'")
-        PqParams(parts(2).toInt, parts(3).toInt, parts(4).toInt)
+        PqParams(parts(2).toInt, parts(3).toInt, parts(4).toInt, ti)
       case other =>
         throw new IllegalArgumentException(
           s"artifact under $path is '$other', not a PQ index")

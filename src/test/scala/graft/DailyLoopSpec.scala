@@ -584,6 +584,42 @@ class DailyLoopSpec extends SparkSpec {
     assert(AnnIndex.pqCodes(spark, p.ann).count() == e.count() * m)
   }
 
+  test("a custom-built index refreshes under its OWN sidecar params — trainIters included") {
+    import graft.operators.AnnIndex
+    val p = DailyLoop.Paths(work())
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val emptyDocs = docs.limit(0)
+    def emb(d: Int) = e.select("vec_id", "embedding")
+      .filter(col("vec_id") % 4 === lit(d))
+    // built OUTSIDE the loop with custom geometry AND training depth —
+    // the sidecar must carry all four so loop-driven maintenance can
+    // never silently degrade the index to the build defaults
+    AnnIndex.buildPq(emb(0), p.ann, m = 2, subLen = 32, numCodes = 8,
+      trainIters = 5)
+    val custom = AnnIndex.PqParams(2, 32, 8, 5)
+    assert(AnnIndex.pqParams(spark, p.ann) == custom)
+    def tick(d: Int, maxChain: Int = Int.MaxValue): Unit =
+      DailyLoop.runTick(spark, CvePipeline.Landing(), emptyDocs, p,
+        ts(f"2025-04-0$d%d 00:00:00"), embDelta = Some(emb(d)),
+        annRefreshEvery = 2, annMaxChain = maxChain)
+    tick(1) // O(delta) append: the delta sidecar propagates ti
+    assert(AnnIndex.pqParams(spark, p.ann) == custom)
+    tick(2) // REFRESH: retrain from the store at the SIDECAR's depth
+    assert(AnnIndex.pqChain(spark, p.ann).length == 1)
+    assert(AnnIndex.pqHeadBatch(spark, p.ann).contains(2L))
+    assert(AnnIndex.pqParams(spark, p.ann) == custom,
+      "a refresh must retrain under the committed params, trainIters included")
+    tick(3, maxChain = 1) // append then COMPACT: ti survives compaction too
+    assert(AnnIndex.pqChain(spark, p.ann).length == 1)
+    assert(AnnIndex.pqParams(spark, p.ann) == custom)
+    // and the codes are the custom-m encoding of the STORE's live
+    // corpus (slices 1–3; the outside-built slice 0 never landed in the
+    // vector store, so the refresh — whose rebuild source IS the store,
+    // by the storeVectors contract — legitimately drops it)
+    assert(AnnIndex.pqCodes(spark, p.ann).count()
+      == e.filter(col("vec_id") % 4 >= 1).count() * 2)
+  }
+
   test("a doc deleted in an earlier tick that RE-LANDS recovers its pairs the same tick") {
     import spark.implicits._
     import graft.streaming.DocsStream
@@ -721,6 +757,57 @@ class DailyLoopSpec extends SparkSpec {
       finally in.close()
     assert(holder == winners.head)
     DailyLoop.releaseLease(spark, p)
+  }
+
+  test("breaker mutex: a live mid-break contender blocks the break; a stranded one is swept") {
+    val p = DailyLoop.Paths(work())
+    val f = new org.apache.hadoop.fs.Path(p.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def ageLease(ms: Long): Unit =
+      f.setTimes(new org.apache.hadoop.fs.Path(p.root, "lease"),
+        System.currentTimeMillis() - ms, -1)
+    // a stale lease whose break is ALREADY claimed by another (live)
+    // contender: this contender must lose the race loudly — and must
+    // NOT delete the stale lease out from under the mutex holder
+    DailyLoop.acquireLease(spark, p, "crashed-writer")
+    ageLease(600000L)
+    val bp = new org.apache.hadoop.fs.Path(p.root, "lease.breaker")
+    f.create(bp, false).close() // simulate a contender mid-break
+    val err = intercept[IllegalStateException] {
+      DailyLoop.acquireLease(spark, p, "contender", staleMs = 60000L)
+    }
+    assert(err.getMessage.contains("lost the lease race"), err.getMessage)
+    assert(f.exists(new org.apache.hadoop.fs.Path(p.root, "lease")),
+      "a blocked breaker must not touch the stale lease")
+    // the mutex holder CRASHED: once the breaker itself is stale the
+    // next acquirer sweeps it and reclaims the root
+    f.setTimes(bp, System.currentTimeMillis() - 600000L, -1)
+    DailyLoop.acquireLease(spark, p, "contender", staleMs = 60000L)
+    val in = f.open(new org.apache.hadoop.fs.Path(p.root, "lease"))
+    val holder = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    assert(holder == "contender")
+    assert(!f.exists(bp), "the break must release the mutex")
+    DailyLoop.releaseLease(spark, p)
+  }
+
+  test("heartbeat ownership is decided on ONE clean read: missing or usurped lease is fatal immediately") {
+    val p = DailyLoop.Paths(work())
+    // nothing in the acquire protocol deletes or renames a FRESH lease,
+    // so the heartbeat needs no re-read-and-sleep grace: a clean read
+    // that does not show this holder IS a loss (a transient IO error,
+    // by contrast, propagates for the heartbeat thread's 3-strike
+    // policy — not reproducible against a healthy local FS)
+    DailyLoop.acquireLease(spark, p, "usurper")
+    val lost = intercept[IllegalStateException] {
+      DailyLoop.heartbeatLease(spark, p, Some("previous-writer"))
+    }
+    assert(lost.getMessage.contains("lease lost to 'usurper'"), lost.getMessage)
+    DailyLoop.releaseLease(spark, p)
+    val gone = intercept[IllegalStateException] {
+      DailyLoop.heartbeatLease(spark, p, Some("previous-writer"))
+    }
+    assert(gone.getMessage.contains("lease lost to '<missing>'"), gone.getMessage)
   }
 
   test("releaseLease deletes only its own lease — a lost writer cannot erase the usurper's") {

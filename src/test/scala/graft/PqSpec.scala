@@ -370,11 +370,13 @@ class PqSpec extends SparkSpec {
     AnnIndex.appendPq(e.limit(0), pq, removals = Some(r4.select("vec_id")))
     assert(AnnIndex.pqChain(spark, pq).length == 5)
     // the fold expresses ALL tomb layers as one layer-stamped anti-join
-    // — Catalyst then pushes it below the layer Union and constant-
-    // folds each child's `tomb_layer > layer` predicate down to just
-    // the tombs NEWER than that child, so every data row is probed by
-    // exactly ONE anti-join against one (tiny, removal-sized) hashed
-    // relation. The old per-tomb-layer fold STACKED k sequential
+    // sitting ABOVE the layer union: every data row flows up through
+    // the union and is probed exactly ONCE against the one (tiny,
+    // removal-sized) broadcast-hashed tomb relation, the per-row
+    // `tomb_layer > layer` predicate deciding survival. (It is FILTERS
+    // — cell/partition predicates — that push below the union to each
+    // layer's scan, not the join itself; the join stays put, and once
+    // is all it runs.) The old per-tomb-layer fold STACKED k sequential
     // anti-joins on the data path and probed every row k times —
     // assert structurally that no anti-join feeds another's data side
     val codes = AnnIndex.pqCodes(spark, pq)
