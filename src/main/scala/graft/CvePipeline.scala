@@ -30,11 +30,18 @@ object CvePipeline {
       metasploit: Option[String] = None,
       debian: Option[String] = None,
       cveOrgDir: Option[String] = None,
-      redhat: Option[String] = None) {
+      redhat: Option[String] = None,
+      /** Upstream publication stamps the fetch probed per source
+        * (P11/S12): the tick commits them as `source_last_update` at
+        * its freshness-stamp step, closing the skip-when-fresh loop. A
+        * source skipped as fresh lands neither a file nor a stamp —
+        * its stored stamp must not advance. */
+      stamps: Map[String, java.sql.Timestamp] = Map.empty) {
     /** No source landed this tick (DailyLoop skips the merge step).
       * Enumerated explicitly — a productIterator fold would silently
       * treat a future non-Option field as "empty"; adding a field here
-      * is a compile-visible decision. */
+      * is a compile-visible decision. `stamps` is deliberately NOT
+      * consulted: it is commit metadata, not landed data. */
     def isEmpty: Boolean =
       Seq(nvd, epss, exploitDb, kev, metasploit, debian, cveOrgDir, redhat)
         .forall(_.isEmpty)

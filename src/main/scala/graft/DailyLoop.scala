@@ -482,8 +482,18 @@ object DailyLoop {
     if (failAt.contains(AfterCompact)) throw new InjectedCrash(AfterCompact)
     leaseCheck()
 
-    // (4) freshness metadata for P11 consumers (idempotent re-stamp)
-    operators.Watermarks.upsert(spark, p.status, CveJob.JobSource, now)
+    // (4) freshness metadata for P11 consumers (idempotent re-stamp):
+    // the job row, plus each fetched source's upstream publication
+    // stamp (landing.stamps — the landed _STAMPS sidecar, so a crash
+    // re-run stamps identical values). A source the fetch SKIPPED as
+    // fresh has no stamp here and its source_last_update stays put —
+    // the advance-only-on-real-change contract the freshness gate
+    // (Main.probeStamp + Watermarks.isFresh) converges on. One
+    // control-plane write for the lot.
+    operators.Watermarks.upsertAll(spark, p.status,
+      (CveJob.JobSource, now, Option.empty[Timestamp]) +:
+        landing.stamps.toSeq.sortBy(_._1)
+          .map { case (s, up) => (s, now, Some(up)) })
 
     // (5) THE commit: one atomic marker create — then sweep markers
     // older than the newest KeepMarkers so the tick-listing control

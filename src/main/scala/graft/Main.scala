@@ -109,76 +109,253 @@ object Main {
     * its dir; single-file lands overwrite). */
   val LandedMarker = "_LANDED"
 
-  /** The single-file sources the reference's job fetches besides NVD
-    * (main.py:64-89: ExploitDB, Metasploit, CWE, EPSS, CISA KEV —
-    * downloads via handlers/utils.py:56-141), each mapped to its
-    * canonical landing filename (the names [[landingFrom]] probes;
-    * CWE lands as the archive plus its extracted XML for the S10/J4
-    * cross-ref consumer — it enriches no snapshot envelope). */
+  /** The single-file sources the reference's job fetches besides the
+    * paginated ones (main.py:64-89: ExploitDB, Metasploit, CWE, EPSS,
+    * CISA KEV; plus the dormant Debian tracker,
+    * debian_handler.py:33-52), each mapped to its canonical landing
+    * filename (the names [[landingFrom]] probes; CWE lands as the
+    * archive plus its extracted XML for the S10/J4 cross-ref
+    * consumer — it enriches no snapshot envelope). */
   val SingleFileSources: Seq[(String, String)] = Seq(
     "exploitdb" -> "files_exploits.csv",
     "metasploit" -> "modules_metadata_base.json",
     "cwe" -> "cwec_latest.xml.zip",
     "epss" -> "epss_scores.csv.gz",
-    "cisa" -> "known_exploited_vulnerabilities.json")
+    "cisa" -> "known_exploited_vulnerabilities.json",
+    "debian" -> "debian.json")
+
+  /** Landed stamps sidecar: `section=epochMillis` lines recording the
+    * upstream publication stamp each fetched source was CURRENT at.
+    * Written before the landing marker, read back into
+    * `Landing.stamps`, committed as `source_last_update` by the tick's
+    * freshness-stamp step — so a crash re-run stamps the identical
+    * values (the stamps are part of the landed delta, not re-probed). */
+  val StampsFile = "_STAMPS"
+
+  /** Bytes the in-body freshness probes peek at (the EPSS metadata
+    * line and KEV `dateReleased` both live in the first KB). */
+  val ProbePrefixBytes = 4096
+
+  /** Probe a single-file source's upstream publication stamp WITHOUT
+    * downloading the file (P11/S12 — the operational wiring of
+    * `Watermarks.isFresh`):
+    *
+    *  - a section with a `probe_url` GETs that (small) endpoint and
+    *    parses a last-commit stamp, GitHub or GitLab shape — the
+    *    reference's ExploitDB/Metasploit probes
+    *    (exploitdb_handler.py:42-45, metasploit_handler.py:40-55,
+    *    handlers/utils.py:148-222);
+    *  - EPSS and CISA carry their stamp INSIDE the file (metadata
+    *    line / `dateReleased`, epss_handler.py:89-120,
+    *    cisa_handler.py:46-52): a ranged prefix GET peeks at the
+    *    first KBs (gunzipped for the `.csv.gz` feed) — where the
+    *    reference re-downloads the whole file to decide, the probe
+    *    costs ~2 KB;
+    *  - anything else (CWE, Debian): no stamp, fetch every tick.
+    *
+    * A probe failure of any kind degrades to None = "fetch anyway":
+    * a broken forge API must never wedge a data source. */
+  def probeStamp(conf: Config.Conf, section: String, url: String,
+                 policy: graft.sources.Fetch.Policy): Option[Timestamp] =
+    scala.util.Try {
+      import graft.sources.Fetch
+      conf.get(section, "probe_url") match {
+        case Some(purl) =>
+          Fetch.parseCommitStamp(new String(
+            Fetch.fetchFileWithRetry(purl, policy),
+            java.nio.charset.StandardCharsets.UTF_8))
+        case None =>
+          def prefix(): String = {
+            val raw = Fetch.fetchFileWithRetry(url, policy,
+              get = Fetch.httpBytesPrefix(_, ProbePrefixBytes))
+            if (url.endsWith(".gz")) Fetch.gunzipPrefix(raw)
+            else new String(raw, java.nio.charset.StandardCharsets.UTF_8)
+          }
+          section match {
+            case "epss" => Fetch.parseEpssStamp(prefix())
+            case "cisa" => Fetch.parseKevStamp(prefix())
+            case _ => None
+          }
+      }
+    }.toOption.flatten
 
   /** The in-process networked fetch (--fetch): pull each configured
     * HTTP source into the tick's landing dir BEFORE the tick consumes
     * it — the reference's main.py:64-89 shape, where fetching and
     * merging live in one process. A source fetches when its config
-    * section carries a `url`; NVD is the paginated one (probe page 0
-    * for totalResults, ceil-div into pages, distributed rate-limited
-    * pull — the whole Fetch/Landing S1 machinery over a real socket);
-    * the other five are driver-side single-file GETs with the same
-    * bounded-retry policy. Gzip sources land compressed (Hadoop codecs
-    * decompress on read); zip sources additionally extract their
-    * single member beside the archive (the reference's transparent
-    * decompress, handlers/utils.py:105-124). An already-landed dir
-    * (marker present) is reused verbatim — see [[LandedMarker]]. */
-  def fetchLanding(spark: SparkSession, conf: Config.Conf, dir: String): Unit = {
+    * section carries a `url`; NVD and Red Hat are the paginated ones
+    * (probe page 0 for totalResults, ceil-div into pages, distributed
+    * rate-limited pull — the Fetch/Landing S1/S2 machinery over a real
+    * socket; redhat_handler.py:62-124 uses the same
+    * resultsPerPage/startIndex envelope as NVD); cve.org is the
+    * delta-log incremental (landed log → watermark-windowed entry set
+    * → distributed per-CVE fan-out, cveorg_handler.py:114-190; day
+    * zero full-clones the configured archive instead); the single-file
+    * sources are driver-side STREAMING GETs (straight to the landing
+    * dir, never the driver heap) with the shared bounded-retry policy.
+    * Gzip sources land compressed (Hadoop codecs decompress on read);
+    * zip sources additionally extract their single member beside the
+    * archive (the reference's transparent decompress,
+    * handlers/utils.py:105-124).
+    *
+    * With `statusPath` set, each stamp-bearing source is freshness-
+    * GATED (P11): probe the upstream stamp first and skip both the
+    * download and — by not landing the file — the downstream merge
+    * when `Watermarks.isFresh` says current (the reference's
+    * per-handler "Skipping update" path). Skipped sources advance no
+    * stamp; fetched ones land theirs in [[StampsFile]] for the tick
+    * to commit. An already-landed dir (marker present) is reused
+    * verbatim — see [[LandedMarker]]. */
+  def fetchLanding(spark: SparkSession, conf: Config.Conf, dir: String,
+                   statusPath: Option[String] = None): Unit = {
+    import graft.sources.{Fetch, Landing}
     val marker = JPaths.get(dir, LandedMarker)
     if (Files.exists(marker)) {
       Log.info(s"[fetch] $dir already landed — re-run consumes the " +
         "identical delta (no re-fetch)", "main")
       return
     }
-    conf.get("nvd", "url").foreach { base =>
-      val policy = conf.fetchPolicy("nvd")
-      val transport = graft.sources.Fetch.httpTransport(p =>
-        s"$base?resultsPerPage=${policy.resultsPerPage}" +
-          s"&startIndex=${p * policy.resultsPerPage}")
-      val total = graft.sources.Fetch.parseTotalResults(
-        graft.sources.Fetch.fetchWithRetry(transport, 0L, policy).body)
-      val landed = graft.sources.Landing.landPages(
-        graft.sources.Fetch.fetchPages(spark, total, policy,
-          numPartitions = conf.getInt("nvd", "fetch_partitions", 2),
-          transport),
-        s"$dir/nvd_pages")
-      Log.info(s"[nvd] Landed $landed pages ($total results) into $dir/nvd_pages", "main")
-    }
+    Files.createDirectories(JPaths.get(dir))
+    val stamps = scala.collection.mutable.Map.empty[String, Timestamp]
+    def stored(section: String): Option[Timestamp] = statusPath.flatMap(sp =>
+      graft.operators.Watermarks.sourceLastUpdate(spark, sp, section))
+
+    // paginated pulls: NVD (nvd_handler) and Red Hat Hydra
+    // (redhat_handler.py:107-124 — identical totalResults envelope)
+    def paginated(section: String, sub: String): Unit =
+      conf.get(section, "url").foreach { base =>
+        val policy = conf.fetchPolicy(section)
+        val transport = Fetch.httpTransport(p =>
+          s"$base?resultsPerPage=${policy.resultsPerPage}" +
+            s"&startIndex=${p * policy.resultsPerPage}")
+        val total = Fetch.parseTotalResults(
+          Fetch.fetchWithRetry(transport, 0L, policy).body)
+        val landed = Landing.landPages(
+          Fetch.fetchPages(spark, total, policy,
+            numPartitions = conf.getInt(section, "fetch_partitions", 2),
+            transport),
+          s"$dir/$sub")
+        Log.info(s"[$section] Landed $landed pages ($total results) into $dir/$sub", "main")
+      }
+    paginated("nvd", "nvd_pages")
+    paginated("redhat", "redhat_pages")
+
     SingleFileSources.foreach { case (section, name) =>
       conf.get(section, "url").foreach { url =>
-        val bytes = graft.sources.Fetch.fetchFileWithRetry(
-          url, conf.fetchPolicy(section))
-        val landed = graft.sources.Landing.landBytes(dir, name, bytes)
-        if (name.endsWith(".zip")) {
-          val member = graft.sources.Landing.extractSingleMemberZip(landed, dir)
-          val canonical = JPaths.get(dir, name.stripSuffix(".zip"))
-          if (JPaths.get(member) != canonical)
-            Files.move(JPaths.get(member), canonical,
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        val policy = conf.fetchPolicy(section)
+        val upstream =
+          if (statusPath.nonEmpty) probeStamp(conf, section, url, policy)
+          else None
+        val s = stored(section)
+        if (upstream.exists(up => graft.operators.Watermarks.isFresh(s, up))) {
+          Log.info(s"[$section] Skipping update, source_last_update: " +
+            s"${s.get}", "main")
+        } else {
+          val dest = JPaths.get(dir, name)
+          val size = Fetch.downloadFileWithRetry(url, policy, dest)
+          if (name.endsWith(".zip")) {
+            val member = Landing.extractSingleMemberZip(dest.toString, dir)
+            val canonical = JPaths.get(dir, name.stripSuffix(".zip"))
+            if (JPaths.get(member) != canonical)
+              Files.move(JPaths.get(member), canonical,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+          upstream.foreach(up => stamps += section -> up)
+          Log.info(s"[$section] Landed $name ($size bytes) into $dir", "main")
         }
-        Log.info(s"[$section] Landed $name (${bytes.length} bytes) into $dir", "main")
       }
     }
-    Files.createDirectories(JPaths.get(dir))
+
+    fetchCveOrg(spark, conf, dir, stored("cveorg")).foreach(up =>
+      stamps += "cveorg" -> up)
+
+    if (stamps.nonEmpty) {
+      val lines = stamps.toSeq.sortBy(_._1)
+        .map { case (s, t) => s"$s=${t.getTime}" }.mkString("", "\n", "\n")
+      Files.write(JPaths.get(dir, StampsFile),
+        lines.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     Files.createFile(marker); ()
   }
 
+  /** The cve.org fetch (cveorg_handler.py): land the delta log, then
+    * either (day zero / watermark older than the log's coverage) full-
+    * clone the configured cvelistV5 archive — `init()`'s zip download,
+    * cveorg_handler.py:107-118 — or fan the watermark-windowed entry
+    * set's per-CVE links out through the DISTRIBUTED key-addressed
+    * fetch (the reference's ThreadPoolExecutor loop,
+    * cveorg_handler.py:164-183, as a rate-limited Spark job). Returns
+    * the stamp the landing is current through (max consumed
+    * fetchTime); None when nothing new landed. */
+  def fetchCveOrg(spark: SparkSession, conf: Config.Conf, dir: String,
+                  stored: Option[Timestamp]): Option[Timestamp] =
+    conf.get("cveorg", "url_updates").map { logUrl =>
+      import graft.sources.{Fetch, Landing, Readers}
+      val policy = conf.fetchPolicy("cveorg")
+      val logPath = JPaths.get(dir, "cveorg_deltaLog.json")
+      Fetch.downloadFileWithRetry(logUrl, policy, logPath)
+      val log = Readers.deltaLog(spark, logPath.toString)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val coveredFrom = Readers.deltaLogMinFetch(log)
+        stored match {
+          case Some(wm) if !wm.before(coveredFrom) =>
+            // incremental: entries newer than the watermark, each CVE's
+            // json pulled through the distributed keyed fetch. The
+            // collect is delta-sized control plane — the reference
+            // collects the same github_links list.
+            val entries = Readers.deltaCves(log, wm)
+              .select("cveId", "githubLink", "fetchTime").collect()
+            if (entries.isEmpty) {
+              Log.info("[cveorg] Skipping update, no delta entries newer " +
+                s"than $wm", "main")
+              None
+            } else {
+              val items = entries.toSeq.map(r => (r.getString(0), r.getString(1)))
+              val landed = Landing.landKeyed(
+                Fetch.fetchKeyed(spark, items, policy,
+                  numPartitions = conf.getInt("cveorg", "fetch_partitions", 2),
+                  Fetch.httpUrlTransport()),
+                s"$dir/cveorg")
+              Log.info(s"[cveorg] Landed $landed delta CVE records into " +
+                s"$dir/cveorg", "main")
+              Some(entries.map(_.getTimestamp(2)).max)
+            }
+          case _ =>
+            // day zero (or fell behind the log's retention): full clone
+            // of the archive when configured (init's zip path); without
+            // an archive url, fan out everything the log still covers
+            conf.get("cveorg", "url") match {
+              case Some(zipUrl) =>
+                val zipDest = JPaths.get(dir, "cveorg_all.zip")
+                Fetch.downloadFileWithRetry(zipUrl, policy, zipDest)
+                val n = Landing.extractZip(zipDest.toString, s"$dir/cveorg").size
+                Log.info(s"[cveorg] Landed full clone ($n members) into " +
+                  s"$dir/cveorg", "main")
+              case None =>
+                val items = Readers.deltaCves(log, new Timestamp(0L))
+                  .select("cveId", "githubLink").collect().toSeq
+                  .map(r => (r.getString(0), r.getString(1)))
+                val landed = Landing.landKeyed(
+                  Fetch.fetchKeyed(spark, items, policy,
+                    numPartitions = conf.getInt("cveorg", "fetch_partitions", 2),
+                    Fetch.httpUrlTransport()),
+                  s"$dir/cveorg")
+                Log.warning(s"[cveorg] No archive url configured for the " +
+                  s"init pull — landed the $landed records the delta log " +
+                  "still covers", "main")
+            }
+            Some(Readers.deltaLog(spark, logPath.toString)
+              .agg(org.apache.spark.sql.functions.max(org.apache.spark.sql
+                .functions.col("fetchTime"))).head().getTimestamp(0))
+        }
+      } finally { log.unpersist(); () }
+    }.flatten
+
   /** Probe a landed tick directory for the upstreams' canonical
     * filenames. EPSS may land gzipped (the upstream ships .csv.gz,
-    * epss_handler.py:21); first match wins. NVD may also be a landed
-    * PAGES directory — what [[fetchLanding]] writes. */
+    * epss_handler.py:21); first match wins. NVD and Red Hat may also
+    * be landed PAGES directories — what [[fetchLanding]] writes. */
   def landingFrom(dir: String): Landing = {
     def f(names: String*): Option[String] =
       names.map(n => JPaths.get(dir, n))
@@ -192,7 +369,26 @@ object Main {
       metasploit = f("modules_metadata_base.json"),
       debian = f("debian.json"),
       cveOrgDir = f("cveorg").filter(p => Files.isDirectory(JPaths.get(p))),
-      redhat = f("redhat_page.json", "redhat.json"))
+      redhat = f("redhat_page.json", "redhat.json")
+        .orElse(f("redhat_pages").filter(p => Files.isDirectory(JPaths.get(p)))),
+      stamps = stampsFrom(dir))
+  }
+
+  /** Read the [[StampsFile]] sidecar back (absent = no stamps). Lines
+    * that do not parse are dropped rather than failing the tick — a
+    * malformed stamp only costs one skipped freshness advance. */
+  def stampsFrom(dir: String): Map[String, Timestamp] = {
+    val p = JPaths.get(dir, StampsFile)
+    if (!Files.exists(p)) Map.empty
+    else new String(Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .linesIterator.flatMap { line =>
+        line.split("=", 2) match {
+          case Array(s, ms) if s.nonEmpty =>
+            ms.trim.toLongOption.map(m => s -> new Timestamp(m))
+          case _ => None
+        }
+      }.toMap
   }
 
   /** The tick's document delta: `documents.parquet` under the landed
@@ -256,7 +452,7 @@ object Main {
     val annRefreshEvery = conf.getInt("dedup", "ann_refresh_every", 0)
     def landing(seq: Long) = {
       val dir = s"$root/landing/$seq"
-      if (fetch) fetchLanding(spark, conf, dir)
+      if (fetch) fetchLanding(spark, conf, dir, statusPath = Some(p.status))
       landingFrom(dir)
     }
     def delta(seq: Long) = docsDeltaFrom(spark, s"$root/landing/$seq")

@@ -45,12 +45,26 @@ object Watermarks {
   /** Upsert one source row (update_status / update_source_status). */
   def upsert(spark: SparkSession, path: String, source: String,
              lastUpdated: Timestamp,
-             sourceLastUpdate: Option[Timestamp] = None): Unit = {
+             sourceLastUpdate: Option[Timestamp] = None): Unit =
+    upsertAll(spark, path, Seq((source, lastUpdated, sourceLastUpdate)))
+
+  /** Upsert several source rows in ONE read-modify-swap — what the
+    * daily tick's freshness stamp uses (the job row plus one row per
+    * source that actually fetched): N sequential [[upsert]]s would
+    * rewrite the tiny parquet N times per tick for nothing. A None
+    * `sourceLastUpdate` preserves the stored upstream stamp. */
+  def upsertAll(spark: SparkSession, path: String,
+                entries: Seq[(String, Timestamp, Option[Timestamp])]): Unit = {
+    if (entries.isEmpty) return
     val existing = read(spark, path).collect()
       .map(r => (r.getString(0), (Option(r.getTimestamp(1)), Option(r.getTimestamp(2)))))
       .toMap
-    val merged = existing.updated(source,
-      (Some(lastUpdated), sourceLastUpdate.orElse(existing.get(source).flatMap(_._2))))
+    val merged = entries.foldLeft(existing) {
+      case (acc, (source, lastUpdated, sourceLastUpdate)) =>
+        acc.updated(source,
+          (Some(lastUpdated),
+            sourceLastUpdate.orElse(acc.get(source).flatMap(_._2))))
+    }
     val rows = merged.toSeq.sortBy(_._1).map { case (s, (lu, slu)) =>
       org.apache.spark.sql.Row(s, lu.orNull, slu.orNull)
     }

@@ -76,6 +76,45 @@ object Landing {
       .head().getLong(0)
   }
 
+  /** Land a KEY-addressed fetch as `<name>.json` files written by the
+    * EXECUTORS ([[landPages]]' shape and idempotence contract: wiped
+    * dir, deterministic names, overwriting writes — a retried task or
+    * a re-landed tick converges to identical files). This is the
+    * cve.org per-CVE fan-out's landing half: the extracted-tree reader
+    * (`Readers.cveOrg`) derives each record's id from its FILENAME, so
+    * the name must be the CVE id. Names are sanitized against path
+    * separators — a landing name never escapes its dir. Returns files
+    * landed. */
+  def landKeyed(files: Dataset[FetchedFile], dir: String): Long = {
+    import files.sparkSession.implicits._
+    val hconf = files.sparkSession.sparkContext.hadoopConfiguration
+    val conf = new org.apache.spark.util.SerializableConfiguration(hconf)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val dirFs = dirPath.getFileSystem(hconf)
+    if (dirFs.exists(dirPath)) dirFs.delete(dirPath, true)
+    dirFs.mkdirs(dirPath)
+    files.mapPartitions { it =>
+      val path = new org.apache.hadoop.fs.Path(dir)
+      val fs = path.getFileSystem(conf.value)
+      fs.mkdirs(path)
+      var landed = 0L
+      it.foreach { f =>
+        require(!f.name.contains("/") && !f.name.contains("\\") &&
+          f.name.nonEmpty && f.name != "." && f.name != "..",
+          s"illegal landing name '${f.name}'")
+        val out = fs.create(new org.apache.hadoop.fs.Path(path, s"${f.name}.json"), true)
+        try out.write(f.body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        landed += 1
+      }
+      Iterator.single(landed)
+    }.toDF("n")
+      .agg(org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.sum("n"),
+        org.apache.spark.sql.functions.lit(0L)))
+      .head().getLong(0)
+  }
+
   /** Land one fetched single-file source under its canonical landing
     * name (the upstream's own filename — what `Main.landingFrom`
     * probes). Driver-side, local landing root (the same assumption

@@ -251,7 +251,7 @@ class FetchE2eSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
-  test("--fetch parity: all six sources land canonically; the marker makes re-runs fetch-free") {
+  test("--fetch parity: all nine sources land canonically; the marker makes re-runs fetch-free") {
     import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
     val server = HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
@@ -297,6 +297,30 @@ class FetchE2eSpec extends SparkSpec {
     serve("/epss/epss_scores-current.csv.gz", () => bytesOf("epss_scores.csv.gz"))
     serve("/cisa/known_exploited_vulnerabilities.json",
       () => bytesOf("known_exploited_vulnerabilities.json"))
+    serve("/debian/json", () => bytesOf("debian.json"))
+    // cve.org day zero: the delta log plus the full-clone archive (a
+    // real zip around the fixture cvelistV5 tree)
+    val cveorgZip = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val zos = new java.util.zip.ZipOutputStream(bos)
+      for (rel <- Seq("cves/2024/0xxx/CVE-2024-0001.json",
+                      "cves/2025/0xxx/CVE-2025-0100.json")) {
+        zos.putNextEntry(new java.util.zip.ZipEntry(rel))
+        zos.write(bytesOf(s"cveorg/$rel")); zos.closeEntry()
+      }
+      zos.close()
+      bos.toByteArray
+    }
+    @volatile var deltaLogBody: Array[Byte] = bytesOf("deltaLog.json")
+    serve("/cveorg/deltaLog.json", () => deltaLogBody)
+    serve("/cveorg/main.zip", () => cveorgZip)
+    serve("/raw/CVE-2024-0001.json",
+      () => bytesOf("cveorg/cves/2024/0xxx/CVE-2024-0001.json"))
+    serve("/raw/CVE-2025-0101.json",
+      () => bytesOf("cveorg/cves/2025/0xxx/CVE-2025-0100.json"))
+    // Red Hat Hydra: the same totalResults pagination envelope as NVD
+    // (redhat_handler.py:62-124); one fixture page covers the corpus
+    serve("/hydra/cve.json", () => bytesOf("redhat_page.json"))
     server.setExecutor(null)
     server.start()
     try {
@@ -320,6 +344,14 @@ class FetchE2eSpec extends SparkSpec {
            |url: $base/epss/epss_scores-current.csv.gz
            |[cisa]
            |url: $base/cisa/known_exploited_vulnerabilities.json
+           |[debian]
+           |url: $base/debian/json
+           |[redhat]
+           |url: $base/hydra/cve.json
+           |results_per_page: 2
+           |[cveorg]
+           |url: $base/cveorg/main.zip
+           |url_updates: $base/cveorg/deltaLog.json
            |""".stripMargin)
       val ticks = Main.run(spark, conf, root, once = true,
         stop = new java.util.concurrent.atomic.AtomicBoolean(false),
@@ -330,19 +362,32 @@ class FetchE2eSpec extends SparkSpec {
       // completion marker committed the landing
       val land = s"$root/landing/1"
       assert(new java.io.File(s"$land/nvd_pages").isDirectory)
+      assert(new java.io.File(s"$land/redhat_pages").isDirectory)
+      assert(new java.io.File(s"$land/cveorg").isDirectory)
       for (n <- Seq("files_exploits.csv", "modules_metadata_base.json",
                     "cwec_latest.xml.zip", "cwec_latest.xml",
                     "epss_scores.csv.gz", "known_exploited_vulnerabilities.json",
+                    "debian.json", "cveorg_deltaLog.json",
                     Main.LandedMarker))
         assert(new java.io.File(s"$land/$n").isFile, s"$n must land")
-      // the merged snapshot carries every enrichment envelope (CWE is a
-      // standalone cross-ref table, not a snapshot envelope)
+      // the full-clone extract really is the cvelistV5 tree shape
+      assert(new java.io.File(
+        s"$land/cveorg/cves/2024/0xxx/CVE-2024-0001.json").isFile)
+      // the merged snapshot carries every enrichment envelope — the
+      // dormant trio's included (CWE is a standalone cross-ref table,
+      // not a snapshot envelope)
       val snap = spark.read.parquet(s"$root/snapshot")
-      for (env <- Seq("nvd", "epss", "exploitdb", "metasploit", "kev")) {
+      for (env <- Seq("nvd", "epss", "exploitdb", "metasploit", "kev",
+                      "debian", "cveorg", "redhat")) {
         assert(snap.columns.contains(env), s"missing envelope $env")
         assert(snap.filter(col(env).isNotNull).count() > 0,
           s"envelope $env carries no rows")
       }
+      // the day-zero cve.org landing committed its coverage stamp (max
+      // fetchTime of the landed delta log)
+      assert(Watermarks.sourceLastUpdate(spark, s"$root/status", "cveorg")
+        .contains(Timestamp.from(
+          java.time.OffsetDateTime.parse("2025-04-03T10:00:00Z").toInstant)))
       // and the landed gzip really was binary-preserved end-to-end: the
       // Hadoop codec read it (epss rows merged) — spot-check one value
       assert(snap.filter(col("epss").isNotNull)
@@ -353,6 +398,231 @@ class FetchE2eSpec extends SparkSpec {
       val before = hits.get()
       Main.fetchLanding(spark, conf, land)
       assert(hits.get() == before, "a landed dir must never re-fetch")
+
+      // ---- incremental cve.org tick: the delta-log fan-out pulls each
+      // windowed CVE record through the DISTRIBUTED keyed fetch (the
+      // reference's per-CVE ThreadPool loop, cveorg_handler.py:164-183,
+      // over a real socket)
+      deltaLogBody = (s"""[{"fetchTime":"2025-04-05T10:00:00.000Z",""" +
+        s""""numberOfChanges":2,"updated":[{"cveId":"CVE-2024-0001",""" +
+        s""""githubLink":"$base/raw/CVE-2024-0001.json",""" +
+        s""""dateUpdated":"2025-04-05T09:59:00.000Z"}],""" +
+        s""""new":[{"cveId":"CVE-2025-0101",""" +
+        s""""githubLink":"$base/raw/CVE-2025-0101.json",""" +
+        s""""dateUpdated":"2025-04-05T09:58:00.000Z"}]},""" +
+        s"""{"fetchTime":"2025-04-03T10:00:00.000Z","numberOfChanges":0,""" +
+        s""""updated":[],"new":[]}]""").getBytes("UTF-8")
+      val ticks2 = Main.run(spark, conf, root, once = true,
+        stop = new java.util.concurrent.atomic.AtomicBoolean(false),
+        clock = () => ts("2025-04-02 00:00:00"), fetch = true)
+      assert(ticks2 == 1)
+      val land2 = s"$root/landing/2"
+      assert(new java.io.File(s"$land2/cveorg/CVE-2024-0001.json").isFile)
+      assert(new java.io.File(s"$land2/cveorg/CVE-2025-0101.json").isFile)
+      assert(new java.io.File(s"$land2/cveorg").listFiles()
+        .map(_.getName).count(n => n.endsWith(".json") && !n.startsWith(".")) == 2,
+        "the fan-out lands exactly the windowed delta")
+      val snap2 = spark.read.parquet(s"$root/snapshot")
+      assert(snap2.filter(col("id") === "CVE-2025-0101")
+        .filter(col("cveorg").isNotNull).count() == 1,
+        "the fanned-out NEW record must reach the snapshot")
+      assert(Watermarks.sourceLastUpdate(spark, s"$root/status", "cveorg")
+        .contains(Timestamp.from(
+          java.time.OffsetDateTime.parse("2025-04-05T10:00:00Z").toInstant)))
+    } finally server.stop(0)
+  }
+
+  test("freshness-gated fetch: a fresh upstream skips download AND merge; stamps advance only on real change") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    // mutable upstream state — tick 3 advances two of the four
+    @volatile var epssDate = "2025-04-03T00:00:00Z"
+    @volatile var kevDate = "2025-04-03T14:01:05.179Z"
+    @volatile var exploitCommit = "2025-04-03T08:00:00.000Z"
+    @volatile var msfCommit = "2025-04-03T09:00:00.000Z"
+    val fullGets = new ConcurrentHashMap[String, AtomicInteger]()
+    val rangeGets = new ConcurrentHashMap[String, AtomicInteger]()
+    def gz(s: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(s.getBytes("UTF-8")); g.close()
+      bos.toByteArray
+    }
+    def serve(path: String, key: String, body: () => Array[Byte]): Unit =
+      server.createContext(path, new HttpHandler {
+        def handle(ex: HttpExchange): Unit = {
+          val ranged = ex.getRequestHeaders.containsKey("Range")
+          (if (ranged) rangeGets else fullGets)
+            .computeIfAbsent(key, _ => new AtomicInteger).incrementAndGet()
+          val b = body()
+          ex.sendResponseHeaders(200, b.length.toLong)
+          try { ex.getResponseBody.write(b) }
+          catch { case _: java.io.IOException => () } // probe closed early
+          ex.close()
+        }
+      })
+    def bytesOf(resource: String): Array[Byte] =
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(res(resource)))
+    serve("/exploitdb/files_exploits.csv", "exploitdb",
+      () => bytesOf("files_exploits.csv"))
+    serve("/gitlab/commits", "gitlab", () =>
+      s"""[{"id":"abc","created_at":"$exploitCommit","title":"update"}]"""
+        .getBytes("UTF-8"))
+    serve("/metasploit/modules_metadata_base.json", "metasploit",
+      () => bytesOf("modules_metadata_base.json"))
+    serve("/github/commits", "github", () =>
+      (s"""[{"sha":"def","commit":{"author":{"date":"$msfCommit"},""" +
+        s""""committer":{"date":"$msfCommit"}}}]""").getBytes("UTF-8"))
+    serve("/epss/epss_scores-current.csv.gz", "epss", () => gz(
+      s"#model_version:v2023.03.01,score_date:$epssDate\n" +
+        "cve,epss,percentile\nCVE-2024-0001,0.97452,0.99923\n"))
+    serve("/cisa/known_exploited_vulnerabilities.json", "cisa", () =>
+      (s"""{"catalogVersion":"2025.04.03","dateReleased":"$kevDate",""" +
+        """"count":1,"vulnerabilities":[{"cveID":"CVE-2024-0001",""" +
+        """"vendorProject":"X","product":"Y","vulnerabilityName":"X Y RCE",""" +
+        """"dateAdded":"2025-04-01","shortDescription":"RCE",""" +
+        """"requiredAction":"Patch","dueDate":"2025-04-22"}]}""").getBytes("UTF-8"))
+    server.setExecutor(null)
+    server.start()
+    def full(k: String) = Option(fullGets.get(k)).map(_.get()).getOrElse(0)
+    def ranged(k: String) = Option(rangeGets.get(k)).map(_.get()).getOrElse(0)
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val root = java.nio.file.Files.createTempDirectory("main_fresh_")
+        .resolve("root").toString
+      val conf = Config.parse(
+        s"""[exploitdb]
+           |url: $base/exploitdb/files_exploits.csv
+           |probe_url: $base/gitlab/commits
+           |[metasploit]
+           |url: $base/metasploit/modules_metadata_base.json
+           |probe_url: $base/github/commits
+           |[epss]
+           |url: $base/epss/epss_scores-current.csv.gz
+           |[cisa]
+           |url: $base/cisa/known_exploited_vulnerabilities.json
+           |""".stripMargin)
+      def tick(day: Int): Unit =
+        Main.run(spark, conf, root, once = true,
+          stop = new java.util.concurrent.atomic.AtomicBoolean(false),
+          clock = () => ts(f"2025-04-1$day%d 00:00:00"), fetch = true)
+      val status = s"$root/status"
+      def slu(s: String) = Watermarks.sourceLastUpdate(spark, status, s)
+      def iso(s: String) = Timestamp.from(
+        java.time.OffsetDateTime.parse(s).toInstant)
+
+      // ---- tick 1: nothing stored → every source probes AND fetches
+      tick(1)
+      assert(full("exploitdb") == 1 && full("metasploit") == 1)
+      assert(full("epss") == 1 && full("cisa") == 1)
+      assert(full("gitlab") == 1 && full("github") == 1)
+      assert(ranged("epss") == 1 && ranged("cisa") == 1,
+        "in-body stamps must be probed with a ranged prefix GET")
+      val snap1 = spark.read.parquet(s"$root/snapshot")
+      for (env <- Seq("epss", "exploitdb", "metasploit", "kev"))
+        assert(snap1.filter(col(env).isNotNull).count() > 0, s"envelope $env")
+      // the committed stamps are the upstreams' own publication stamps
+      assert(slu("exploitdb").contains(iso("2025-04-03T08:00:00Z")))
+      assert(slu("metasploit").contains(iso("2025-04-03T09:00:00Z")))
+      assert(slu("epss").contains(iso("2025-04-03T00:00:00Z")))
+      assert(slu("cisa").map(_.getTime).contains(
+        java.time.OffsetDateTime.parse(kevDate).toInstant.toEpochMilli))
+
+      // ---- tick 2: upstream unchanged → probes only, ZERO data GETs,
+      // no merge input, but the tick still commits
+      tick(2)
+      assert(full("exploitdb") == 1 && full("metasploit") == 1,
+        "a fresh forge source must skip its download entirely")
+      assert(full("epss") == 1 && full("cisa") == 1,
+        "a fresh in-body source must re-download nothing beyond the prefix probe")
+      assert(full("gitlab") == 2 && full("github") == 2)
+      assert(ranged("epss") == 2 && ranged("cisa") == 2)
+      assert(DailyLoop.committedTick(spark, DailyLoop.Paths(root))._1 == 2L)
+      assert(Main.landingFrom(s"$root/landing/2").isEmpty,
+        "a fresh-everywhere tick lands no source files")
+      // stored stamps did NOT advance
+      assert(slu("epss").contains(iso("2025-04-03T00:00:00Z")))
+      assert(slu("exploitdb").contains(iso("2025-04-03T08:00:00Z")))
+
+      // ---- tick 3: two upstreams move → exactly those two re-fetch
+      epssDate = "2025-04-12T00:00:00Z"
+      exploitCommit = "2025-04-12T08:00:00.000Z"
+      tick(3)
+      assert(full("exploitdb") == 2 && full("epss") == 2,
+        "changed upstreams must re-fetch")
+      assert(full("metasploit") == 1 && full("cisa") == 1,
+        "unchanged upstreams must stay skipped")
+      assert(slu("epss").contains(iso("2025-04-12T00:00:00Z")))
+      assert(slu("exploitdb").contains(iso("2025-04-12T08:00:00Z")))
+      assert(slu("metasploit").contains(iso("2025-04-03T09:00:00Z")))
+      assert(DailyLoop.committedTick(spark, DailyLoop.Paths(root))._1 == 3L)
+    } finally server.stop(0)
+  }
+
+  test("streamed single-file fetch: a large body lands byte-exact through disk, surviving a mid-download 503") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    // 80 MB of deterministic bytes, written in 1 MB chunks — the body
+    // class httpBytes' whole-body heap buffering was flagged for; the
+    // streaming path must land it byte-exact without holding it
+    val chunk = Array.tabulate[Byte](1 << 20)(i => (i * 31 + 7).toByte)
+    val chunks = 80
+    val digestOf = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      (0 until chunks).foreach(_ => md.update(chunk))
+      md.digest().toSeq
+    }
+    val hits = new AtomicInteger
+    server.createContext("/big.bin", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        if (hits.incrementAndGet() == 1) {
+          // first attempt dies mid-body: headers + half the chunks, then
+          // an abrupt close — the retry must overwrite the partial temp
+          ex.sendResponseHeaders(200, (chunks.toLong << 20))
+          val out = ex.getResponseBody
+          try { (0 until chunks / 2).foreach(_ => out.write(chunk)) }
+          finally ex.close()
+        } else {
+          ex.sendResponseHeaders(200, (chunks.toLong << 20))
+          val out = ex.getResponseBody
+          (0 until chunks).foreach(_ => out.write(chunk))
+          ex.close()
+        }
+      }
+    })
+    server.setExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(2))
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val work = java.nio.file.Files.createTempDirectory("fetch_stream")
+      val dest = work.resolve("big.bin")
+      // the truncated first attempt surfaces as an IO failure the shared
+      // retry loop does NOT swallow (it is not a 403/503) — drive it
+      // with a get that maps the stream break to a transient failure,
+      // the same contract a flaky mirror presents
+      val n = Fetch.downloadFileWithRetry(s"$base/big.bin",
+        Policy(retryDelayMs = 1L), dest, sleeper = _ => (),
+        get = (u, d) =>
+          try Fetch.httpToFile(u, d)
+          catch { case e: java.io.IOException =>
+            throw new TransientFetchException(e.getMessage) })
+      assert(n == (chunks.toLong << 20))
+      assert(hits.get() == 2, "the mid-body break must have been retried")
+      assert(java.nio.file.Files.size(dest) == (chunks.toLong << 20))
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val in = java.nio.file.Files.newInputStream(dest)
+      val buf = new Array[Byte](1 << 20)
+      try {
+        var r = in.read(buf)
+        while (r > 0) { md.update(buf, 0, r); r = in.read(buf) }
+      } finally in.close()
+      assert(md.digest().toSeq == digestOf, "landed bytes must be exact")
+      assert(!java.nio.file.Files.exists(
+        work.resolve("big.bin.inprogress")),
+        "the temp file must be gone after the atomic move")
     } finally server.stop(0)
   }
 
