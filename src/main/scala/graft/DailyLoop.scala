@@ -733,7 +733,8 @@ object DailyLoop {
     * deployment lands a fresh set of source files each day, so a fixed
     * Landing would re-merge day one's files forever (idempotent but
     * wasted work and stale data). */
-  def loop(spark: SparkSession, landing: Long => CvePipeline.Landing,
+  def loop(spark: SparkSession,
+           landing: (Long, Timestamp) => CvePipeline.Landing,
            docsDelta: Long => DataFrame, p: Paths,
            intervalHours: Double, shouldStop: () => Boolean,
            clock: () => Timestamp,
@@ -766,7 +767,9 @@ object DailyLoop {
         val now = clock()
         if (isTickDue(spark, p, now, intervalHours)) {
           val seq = committedTick(spark, p)._1 + 1
-          runTick(spark, landing(seq), docsDelta(seq), p, now, threshold,
+          // the tick's OWN stamp feeds the landing builder: an in-
+          // process fetch windows its paginated pulls to (stored, now]
+          runTick(spark, landing(seq, now), docsDelta(seq), p, now, threshold,
             maxChain, embDelta = embDelta(seq), annMaxChain = annMaxChain,
             docRemovals = docRemovals(seq), vecRemovals = vecRemovals(seq),
             pairRebuildEvery = pairRebuildEvery,

@@ -179,6 +179,15 @@ object Main {
       }
     }.toOption.flatten
 
+  /** A watermark as the reference sends it on the wire: second-
+    * precision `%Y-%m-%dT%H:%M:%SZ` (nvd_handler.py:149-150), URL-
+    * encoded for the query string (requests encodes the colons). */
+  def encodeStamp(t: Timestamp): String =
+    java.net.URLEncoder.encode(
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
+        .withZone(java.time.ZoneOffset.UTC).format(t.toInstant),
+      java.nio.charset.StandardCharsets.UTF_8)
+
   /** The in-process networked fetch (--fetch): pull each configured
     * HTTP source into the tick's landing dir BEFORE the tick consumes
     * it — the reference's main.py:64-89 shape, where fetching and
@@ -202,12 +211,21 @@ object Main {
     * GATED (P11): probe the upstream stamp first and skip both the
     * download and — by not landing the file — the downstream merge
     * when `Watermarks.isFresh` says current (the reference's
-    * per-handler "Skipping update" path). Skipped sources advance no
-    * stamp; fetched ones land theirs in [[StampsFile]] for the tick
-    * to commit. An already-landed dir (marker present) is reused
+    * per-handler "Skipping update" path), and the PAGINATED sources
+    * window their pull to (stored stamp, now] with the
+    * lastModStartDate/lastModEndDate pair (nvd_handler.py:143-166;
+    * redhat_handler.py:138-168 sends the identical params) — a daily
+    * tick fetches the day's modifications, not the whole corpus. Day
+    * zero (no stamp) is the reference's init: a full unwindowed pull.
+    * Skipped sources advance no stamp; fetched ones land theirs in
+    * [[StampsFile]] for the tick to commit (a paginated source's stamp
+    * is its consumed window END — an empty window still advances it,
+    * like the reference's update_status after every run, so windows
+    * stay bounded). An already-landed dir (marker present) is reused
     * verbatim — see [[LandedMarker]]. */
   def fetchLanding(spark: SparkSession, conf: Config.Conf, dir: String,
-                   statusPath: Option[String] = None): Unit = {
+                   statusPath: Option[String] = None,
+                   now: Timestamp = new Timestamp(System.currentTimeMillis())): Unit = {
     import graft.sources.{Fetch, Landing}
     val marker = JPaths.get(dir, LandedMarker)
     if (Files.exists(marker)) {
@@ -221,21 +239,37 @@ object Main {
       graft.operators.Watermarks.sourceLastUpdate(spark, sp, section))
 
     // paginated pulls: NVD (nvd_handler) and Red Hat Hydra
-    // (redhat_handler.py:107-124 — identical totalResults envelope)
+    // (redhat_handler.py:107-124 — identical totalResults envelope).
+    // An update tick windows the pull to (stored stamp, now]; day zero
+    // pulls everything. A zero-result window lands NOTHING (no empty
+    // pages dir — the tick's merge skips the source entirely) but still
+    // advances the stamp: the window was consumed, there was just
+    // nothing in it.
     def paginated(section: String, sub: String): Unit =
       conf.get(section, "url").foreach { base =>
         val policy = conf.fetchPolicy(section)
+        val from = stored(section)
+        val window = from.map(f =>
+          s"&lastModStartDate=${encodeStamp(f)}" +
+            s"&lastModEndDate=${encodeStamp(now)}").getOrElse("")
         val transport = Fetch.httpTransport(p =>
           s"$base?resultsPerPage=${policy.resultsPerPage}" +
-            s"&startIndex=${p * policy.resultsPerPage}")
+            s"&startIndex=${p * policy.resultsPerPage}" + window)
         val total = Fetch.parseTotalResults(
           Fetch.fetchWithRetry(transport, 0L, policy).body)
-        val landed = Landing.landPages(
-          Fetch.fetchPages(spark, total, policy,
-            numPartitions = conf.getInt(section, "fetch_partitions", 2),
-            transport),
-          s"$dir/$sub")
-        Log.info(s"[$section] Landed $landed pages ($total results) into $dir/$sub", "main")
+        if (from.nonEmpty && total == 0L) {
+          Log.info(s"[$section] Skipping update, no modifications since " +
+            s"${from.get}", "main")
+        } else {
+          val landed = Landing.landPages(
+            Fetch.fetchPages(spark, total, policy,
+              numPartitions = conf.getInt(section, "fetch_partitions", 2),
+              transport),
+            s"$dir/$sub")
+          Log.info(s"[$section] Landed $landed pages ($total results) " +
+            s"into $dir/$sub" + from.fold("")(f => s" (window $f..$now)"), "main")
+        }
+        stamps += section -> now
       }
     paginated("nvd", "nvd_pages")
     paginated("redhat", "redhat_pages")
@@ -450,9 +484,10 @@ object Main {
     val annMaxChain = conf.getInt("dedup", "ann_max_chain", Int.MaxValue)
     val pairRebuildEvery = conf.getInt("dedup", "pair_rebuild_every", 0)
     val annRefreshEvery = conf.getInt("dedup", "ann_refresh_every", 0)
-    def landing(seq: Long) = {
+    def landing(seq: Long, now: Timestamp) = {
       val dir = s"$root/landing/$seq"
-      if (fetch) fetchLanding(spark, conf, dir, statusPath = Some(p.status))
+      if (fetch) fetchLanding(spark, conf, dir, statusPath = Some(p.status),
+        now = now)
       landingFrom(dir)
     }
     def delta(seq: Long) = docsDeltaFrom(spark, s"$root/landing/$seq")
@@ -477,7 +512,8 @@ object Main {
         DailyLoop.LeaseStaleMs)
       try {
         val seq = DailyLoop.committedTick(spark, p)._1 + 1
-        DailyLoop.runTick(spark, landing(seq), delta(seq), p, clock(),
+        val tickNow = clock()
+        DailyLoop.runTick(spark, landing(seq, tickNow), delta(seq), p, tickNow,
           threshold, maxChain, embDelta = emb(seq), annMaxChain = annMaxChain,
           docRemovals = docRem(seq), vecRemovals = vecRem(seq),
           pairRebuildEvery = pairRebuildEvery,

@@ -46,7 +46,7 @@ class DailyLoopSpec extends SparkSpec {
       ts("2025-04-02 00:00:00"), // tick 2
       ts("2025-04-03 00:00:00"), // tick 3
       ts("2025-04-03 12:00:00")) // not due — sleeps
-    val ticks = DailyLoop.loop(spark, _ => landing, delta, p,
+    val ticks = DailyLoop.loop(spark, (_, _) => landing, delta, p,
       intervalHours = 24,
       shouldStop = () => calls >= clockTimes.length,
       clock = () => {
@@ -160,7 +160,7 @@ class DailyLoopSpec extends SparkSpec {
     // version numbers and duplicate every tick's work)
     DailyLoop.acquireLease(spark, p, "writer-a")
     val err = intercept[IllegalStateException] {
-      DailyLoop.loop(spark, _ => landing, delta, p, intervalHours = 24,
+      DailyLoop.loop(spark, (_, _) => landing, delta, p, intervalHours = 24,
         shouldStop = () => true, clock = () => ts("2025-04-01 00:00:00"))
     }
     assert(err.getMessage.contains("leased by 'writer-a'"))
@@ -174,11 +174,11 @@ class DailyLoopSpec extends SparkSpec {
     // the loop releases on exit: a fresh run right after one finishes
     // must acquire cleanly
     DailyLoop.releaseLease(spark, p)
-    val ticks = DailyLoop.loop(spark, _ => landing, delta, p,
+    val ticks = DailyLoop.loop(spark, (_, _) => landing, delta, p,
       intervalHours = 24, shouldStop = () => true,
       clock = () => ts("2025-04-01 00:00:00"))
     assert(ticks == 0)
-    DailyLoop.loop(spark, _ => landing, delta, p, intervalHours = 24,
+    DailyLoop.loop(spark, (_, _) => landing, delta, p, intervalHours = 24,
       shouldStop = () => true, clock = () => ts("2025-04-01 00:00:00"))
   }
 

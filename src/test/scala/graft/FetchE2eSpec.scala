@@ -560,6 +560,108 @@ class FetchE2eSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("--fetch windows the paginated pull to the stored watermark (lastModStartDate parity)") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    // upstream state is mutable: tick 2 sees two modifications, tick 3 none
+    @volatile var corpus = initRecs
+    val queries = new java.util.concurrent.ConcurrentLinkedQueue[Map[String, String]]()
+    server.createContext("/rest/json/cves/2.0", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        // getQuery pre-decodes (%3A → ':'), like the real API's stack
+        val params = Option(ex.getRequestURI.getQuery).getOrElse("")
+          .split("&").filter(_.nonEmpty).map(_.split("=", 2))
+          .map(a => a(0) -> a.lift(1).getOrElse("")).toMap
+        queries.add(params)
+        // apply lastModStartDate exactly as the real API does
+        // (nvd_handler.py:143-166): only records modified after it return
+        val win = params.get("lastModStartDate") match {
+          case Some(s) =>
+            val start = java.time.Instant.parse(s)
+            corpus.filter(r => ts(r.lastModified.replace("T", " ")
+              .stripSuffix(".000")).toInstant.isAfter(start))
+          case None => corpus
+        }
+        val body = pageBody(win,
+          params("startIndex").toLong / PerPage).getBytes("UTF-8")
+        ex.sendResponseHeaders(200, body.length.toLong)
+        ex.getResponseBody.write(body); ex.close()
+      }
+    })
+    server.setExecutor(null)
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val root = java.nio.file.Files.createTempDirectory("main_window_")
+        .resolve("root").toString
+      val conf = Config.parse(
+        s"""[nvd]
+           |url: $base/rest/json/cves/2.0
+           |results_per_page: $PerPage
+           |retry_delay: 0
+           |""".stripMargin)
+      def tick(day: Int): Unit = {
+        Main.run(spark, conf, root, once = true,
+          stop = new java.util.concurrent.atomic.AtomicBoolean(false),
+          clock = () => ts(f"2025-04-0$day%d 00:00:00"), fetch = true); ()
+      }
+      def drain(): Seq[Map[String, String]] = {
+        val out = Seq.newBuilder[Map[String, String]]
+        var m = queries.poll()
+        while (m != null) { out += m; m = queries.poll() }
+        out.result()
+      }
+      val status = s"$root/status"
+
+      // ---- tick 1: day zero — a full UNWINDOWED pull (the init path)
+      tick(1)
+      val q1 = drain()
+      assert(q1.nonEmpty && q1.forall(!_.contains("lastModStartDate")),
+        "day zero must pull the full corpus, unwindowed")
+      assert(spark.read.parquet(s"$root/snapshot").count() == 5)
+      assert(Watermarks.sourceLastUpdate(spark, status, "nvd")
+        .contains(ts("2025-04-01 00:00:00")))
+
+      // ---- tick 2: two upstream modifications → a WINDOWED pull that
+      // fetches exactly them (one page, not the whole corpus)
+      corpus = initRecs.filterNot(_.id == "CVE-2025-0001") ++ laterRecs
+      tick(2)
+      val q2 = drain()
+      assert(q2.nonEmpty)
+      val expectStart = java.net.URLDecoder.decode(
+        Main.encodeStamp(ts("2025-04-01 00:00:00")), "UTF-8")
+      q2.foreach { p =>
+        assert(p.get("lastModStartDate").contains(expectStart),
+          s"update pull must window from the stored stamp, got $p")
+        assert(p.contains("lastModEndDate"))
+      }
+      val pages2 = new java.io.File(s"$root/landing/2/nvd_pages")
+        .listFiles().map(_.getName).count(_.startsWith("page-"))
+      assert(pages2 == 1, "the windowed delta is ONE page, not the corpus")
+      val snap2 = spark.read.parquet(s"$root/snapshot")
+      assert(snap2.count() == 6) // 5 + 1 new; 0001 upserted, not duplicated
+      assert(snap2.filter(col("id") === "CVE-2025-0001")
+        .select("nvd.vulnStatus").head().getString(0) == "Analyzed")
+      assert(Watermarks.sourceLastUpdate(spark, status, "nvd")
+        .contains(ts("2025-04-02 00:00:00")))
+
+      // ---- tick 3: nothing modified in the window → no landing at all,
+      // but the tick still commits and the consumed window advances the
+      // stamp (bounded windows, like the reference's update_status)
+      tick(3)
+      val q3 = drain()
+      assert(q3.size == 1, "an empty window costs exactly the page-0 probe")
+      assert(!new java.io.File(s"$root/landing/3/nvd_pages").exists(),
+        "an empty window must not land an empty pages dir")
+      assert(Main.landingFrom(s"$root/landing/3").isEmpty)
+      assert(DailyLoop.committedTick(spark, DailyLoop.Paths(root))._1 == 3L)
+      assert(Watermarks.sourceLastUpdate(spark, status, "nvd")
+        .contains(ts("2025-04-03 00:00:00")))
+      assert(spark.read.parquet(s"$root/snapshot").count() == 6)
+    } finally server.stop(0)
+  }
+
   test("streamed single-file fetch: a large body lands byte-exact through disk, surviving a mid-download 503") {
     import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
     val server = HttpServer.create(

@@ -75,9 +75,103 @@ class FetchSpec extends SparkSpec {
       assert(p.body == s"body-${p.page}")
     }
   }
+
+  test("keyed fetch: one row per (name, url) item, retries stay in-task") {
+    // the cve.org per-CVE fan-out shape: each item carries its own URL;
+    // urls ending in an even digit fail once before succeeding
+    FetchSpec.keyedAttempts.clear()
+    val items = (1 to 11).map(i => (f"CVE-2025-$i%04d", s"https://x/rec/$i"))
+    val transport = (url: String) => {
+      val n = FetchSpec.keyedAttempts
+        .computeIfAbsent(url, _ => new AtomicInteger).incrementAndGet()
+      val i = url.split("/").last.toInt
+      if (i % 2 == 0 && n == 1) throw new TransientFetchException("503")
+      s"body-$i"
+    }
+    val out = Fetch.fetchKeyed(spark, items, Policy(retryDelayMs = 1L),
+      numPartitions = 3, transport).collect()
+    assert(out.length == 11)
+    assert(out.map(_.name).sorted.toSeq == items.map(_._1).sorted)
+    out.foreach { f =>
+      val i = f.name.split("-").last.toInt
+      assert(f.body == s"body-$i")
+      assert(f.attempts == (if (i % 2 == 0) 2 else 1))
+    }
+  }
+
+  // ---- upstream freshness-stamp parsers (P11/S12 probe primitives) ----
+  // All must be TOTAL: garbage input yields None (a broken probe must
+  // degrade to "fetch anyway", never wedge a source or throw).
+
+  private def instant(s: String) = java.time.Instant.parse(s)
+
+  test("parseIsoStamp: offset, Z, bare-local and bare-date forms; None on garbage") {
+    assert(Fetch.parseIsoStamp("2024-07-23T14:01:05.1793Z").get.toInstant ==
+      instant("2024-07-23T14:01:05.179300Z"))
+    assert(Fetch.parseIsoStamp("2024-07-23T14:01:05+02:00").get.toInstant ==
+      instant("2024-07-23T12:01:05Z"))
+    // bare local forms are assumed UTC (quirk #7's mixed stamp discipline)
+    assert(Fetch.parseIsoStamp("2024-07-23T14:01:05").get.toInstant ==
+      instant("2024-07-23T14:01:05Z"))
+    assert(Fetch.parseIsoStamp(" 2024-07-23 ").get.toInstant ==
+      instant("2024-07-23T00:00:00Z"))
+    assert(Fetch.parseIsoStamp("not-a-date").isEmpty)
+    assert(Fetch.parseIsoStamp("").isEmpty)
+  }
+
+  test("parseEpssStamp: the metadata comment line's score_date; None when absent") {
+    val prefix = "#model_version:v2025.03.14,score_date:2025-08-14T12:55:00Z\n" +
+      "cve,epss,percentile\nCVE-2025-0001,0.97,0.999\n"
+    assert(Fetch.parseEpssStamp(prefix).get.toInstant ==
+      instant("2025-08-14T12:55:00Z"))
+    assert(Fetch.parseEpssStamp("cve,epss,percentile\n").isEmpty)
+    assert(Fetch.parseEpssStamp("#model_version:v1,score_date:garbage\n").isEmpty)
+  }
+
+  test("parseKevStamp: top-of-file dateReleased; None when absent/malformed") {
+    val prefix = """{"title": "CISA KEV", "catalogVersion": "2025.08.14",
+      "dateReleased": "2025-08-14T13:06:48.1011Z", "count": 1422,"""
+    assert(Fetch.parseKevStamp(prefix).get.toInstant ==
+      instant("2025-08-14T13:06:48.101100Z"))
+    assert(Fetch.parseKevStamp("""{"title": "no stamp here"}""").isEmpty)
+    assert(Fetch.parseKevStamp("""{"dateReleased": 42}""").isEmpty)
+  }
+
+  test("parseCommitStamp: GitHub committer.date and GitLab created_at shapes") {
+    val github = """[{"sha": "abc", "commit": {"author": {"name": "x",
+      "date": "2025-08-10T00:00:00Z"}, "committer": {"name": "y",
+      "date": "2025-08-13T09:30:00Z"}, "message": "update"}}]"""
+    assert(Fetch.parseCommitStamp(github).get.toInstant ==
+      instant("2025-08-13T09:30:00Z"))
+    val gitlab = """[{"id": "def", "created_at": "2025-08-12T08:00:00.000+02:00",
+      "title": "update"}]"""
+    assert(Fetch.parseCommitStamp(gitlab).get.toInstant ==
+      instant("2025-08-12T06:00:00Z"))
+    assert(Fetch.parseCommitStamp("""{"message": "rate limited"}""").isEmpty)
+  }
+
+  test("gunzipPrefix: a truncated gzip prefix yields the leading plain text") {
+    val text = (0 until 2000).map(i => s"CVE-2025-$i,0.5,0.9").mkString(
+      "#model_version:v1,score_date:2025-08-14T00:00:00Z\n", "\n", "\n")
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(text.getBytes("UTF-8")); gz.close()
+    val whole = bos.toByteArray
+    // a ranged peek sees only the first KBs of the compressed stream:
+    // the cut lands mid-block — expected, not an error
+    val out = Fetch.gunzipPrefix(whole.take(2048))
+    assert(out.startsWith("#model_version:v1,score_date:2025-08-14T00:00:00Z\n"))
+    assert(Fetch.parseEpssStamp(out).nonEmpty)
+    // maxOut caps the inflated size even when more is decodable
+    assert(Fetch.gunzipPrefix(whole, maxOut = 64).length == 64)
+    // non-gzip garbage degrades to empty, never throws
+    assert(Fetch.gunzipPrefix(Array[Byte](1, 2, 3)) == "")
+    assert(Fetch.gunzipPrefix(Array.emptyByteArray) == "")
+  }
 }
 
 object FetchSpec {
   /** Shared across executor threads in local mode. */
   val attempts = new ConcurrentHashMap[Long, AtomicInteger]()
+  val keyedAttempts = new ConcurrentHashMap[String, AtomicInteger]()
 }

@@ -51,4 +51,36 @@ class LandingSpec extends SparkSpec {
     }
     assert(!new File(s"$work/escape.txt").exists)
   }
+
+  test("landKeyed: executors land <cveId>.json files the cveOrg reader consumes; re-land wipes") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("keyed").toString
+    val rec = (id: String) =>
+      s"""{"cveMetadata": {"cveId": "$id", "state": "PUBLISHED"},
+          "containers": {"cna": {"title": "t-$id"}}}"""
+    val files = Seq("CVE-2025-0001", "CVE-2025-0002", "CVE-2025-0003")
+      .map(id => graft.sources.FetchedFile(id, 1, rec(id)))
+    val landed = Landing.landKeyed(spark.createDataset(files).repartition(2), s"$work/cveorg")
+    assert(landed == 3)
+    val ids = Readers.cveOrg(spark, s"$work/cveorg")
+      .select("id").collect().map(_.getString(0)).sorted.toSeq
+    assert(ids == files.map(_.name))
+    // re-landing a smaller delta wipes the earlier tick's stale records
+    // (landPages' idempotence contract)
+    val again = Landing.landKeyed(
+      spark.createDataset(files.take(1)), s"$work/cveorg")
+    assert(again == 1)
+    assert(Readers.cveOrg(spark, s"$work/cveorg").count() == 1)
+  }
+
+  test("landKeyed: a landing name never escapes its dir") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("keyedEvil").toString
+    val evil = spark.createDataset(Seq(
+      graft.sources.FetchedFile("../escape", 1, "{}")))
+    intercept[org.apache.spark.SparkException] {
+      Landing.landKeyed(evil, s"$work/cveorg")
+    }
+    assert(!new File(s"$work/escape.json").exists)
+  }
 }

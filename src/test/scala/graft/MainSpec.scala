@@ -82,6 +82,24 @@ class MainSpec extends SparkSpec {
     assert(Main.landingFrom(Files.createTempDirectory("graft_none_").toString).isEmpty)
   }
 
+  test("stampsFrom: _STAMPS round-trips; malformed lines drop without failing the tick") {
+    val dir = Files.createTempDirectory("graft_stamps_").toString
+    assert(Main.stampsFrom(dir).isEmpty) // absent sidecar = no stamps
+    Files.write(JPaths.get(dir, Main.StampsFile),
+      ("epss=1755176100000\n" + // well-formed
+        "kev=not-a-number\n" +  // malformed value: dropped
+        "=1755176100000\n" +    // empty source: dropped
+        "exploitdb\n" +         // no separator: dropped
+        "cisa=1755176200000\n").getBytes("UTF-8"))
+    val stamps = Main.stampsFrom(dir)
+    assert(stamps.keySet == Set("epss", "cisa"))
+    assert(stamps("epss") == new Timestamp(1755176100000L))
+    assert(stamps("cisa") == new Timestamp(1755176200000L))
+    // a landing carrying stamps is still "empty" when no FILE landed —
+    // stamps are commit metadata, not landed data
+    assert(CvePipeline.Landing(stamps = stamps).isEmpty)
+  }
+
   test("run --once: a landed tick merges, dedups, and commits its marker") {
     import org.apache.spark.sql.functions.col
     val root = Files.createTempDirectory("graft_main_").toString

@@ -32,6 +32,34 @@ class WatermarksSpec extends SparkSpec {
     assert(Watermarks.windowStart(spark, dir, "nvd", now) == ts("2025-04-10T00:00:00Z"))
   }
 
+  test("upsertAll: one read-modify-swap equals sequential upserts; preserves omitted stamps") {
+    val a = java.nio.file.Files.createTempDirectory("wm3").toString + "/batched"
+    val b = java.nio.file.Files.createTempDirectory("wm3").toString + "/sequential"
+    // seed both with a stored upstream stamp the batch must NOT clobber
+    Seq(a, b).foreach { d =>
+      Watermarks.upsert(spark, d, "epss", ts("2025-04-01T00:00:00Z"),
+        Some(ts("2025-03-31T12:00:00Z")))
+      Watermarks.upsert(spark, d, "kev", ts("2025-04-01T00:00:00Z"),
+        Some(ts("2025-03-31T06:00:00Z")))
+    }
+    val entries = Seq(
+      ("job", ts("2025-04-02T00:00:00Z"), None), // job row: no upstream stamp
+      ("epss", ts("2025-04-02T00:00:00Z"), Some(ts("2025-04-01T20:00:00Z"))),
+      ("kev", ts("2025-04-02T00:00:00Z"), None)) // fetched, but probe failed
+    Watermarks.upsertAll(spark, a, entries)
+    entries.foreach { case (s, lu, slu) => Watermarks.upsert(spark, b, s, lu, slu) }
+    val rows = (d: String) => Watermarks.read(spark, d).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2))).sortBy(_._1).toSeq
+    assert(rows(a) == rows(b))
+    assert(Watermarks.sourceLastUpdate(spark, a, "epss").get == ts("2025-04-01T20:00:00Z"))
+    assert(Watermarks.sourceLastUpdate(spark, a, "kev").get == ts("2025-03-31T06:00:00Z"))
+    assert(Watermarks.sourceLastUpdate(spark, a, "job").isEmpty)
+    // empty batch: no-op, creates nothing
+    val c = java.nio.file.Files.createTempDirectory("wm3").toString + "/empty"
+    Watermarks.upsertAll(spark, c, Seq.empty)
+    assert(!new java.io.File(c).exists())
+  }
+
   test("P11: freshness short-circuit semantics") {
     assert(Watermarks.isFresh(Some(ts("2025-04-02T00:00:00Z")), ts("2025-04-01T00:00:00Z")))
     assert(Watermarks.isFresh(Some(ts("2025-04-01T00:00:00Z")), ts("2025-04-01T00:00:00Z")))
