@@ -252,9 +252,16 @@ object Main {
         val window = from.map(f =>
           s"&lastModStartDate=${encodeStamp(f)}" +
             s"&lastModEndDate=${encodeStamp(now)}").getOrElse("")
+        // the keyed tier's credential rides as a HEADER, spelled the
+        // way each upstream expects it (nvd_handler.py:107 `apikey`;
+        // redhat_handler.py:74 `apiKey`) — the rate POLICY already
+        // picked the keyed tier off the same config key
+        val headers = conf.get(section, "apikey").toSeq.map(k =>
+          (if (section == "redhat") "apiKey" else "apikey") -> k)
         val transport = Fetch.httpTransport(p =>
           s"$base?resultsPerPage=${policy.resultsPerPage}" +
-            s"&startIndex=${p * policy.resultsPerPage}" + window)
+            s"&startIndex=${p * policy.resultsPerPage}" + window,
+          headers = headers)
         val total = Fetch.parseTotalResults(
           Fetch.fetchWithRetry(transport, 0L, policy).body)
         if (from.nonEmpty && total == 0L) {

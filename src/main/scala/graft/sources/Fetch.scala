@@ -126,15 +126,22 @@ object Fetch {
     * `nvd_handler copy.py:72-82` — NVD rate-limits with 403), anything
     * else fails the task loudly. `urlFor` is the page→URL map (the NVD
     * shape is `...?resultsPerPage=N&startIndex=page*N`); the returned
-    * closure captures only it and is executor-serializable. Driven
-    * against a loopback server in FetchE2eSpec — the sandbox has no
-    * egress, but nothing here knows that. */
+    * closure captures only it (plus the header pairs) and is
+    * executor-serializable. `headers` carries the keyed tier's
+    * credential — the reference sends the api key as an HTTP header,
+    * not a query param (`apikey` for NVD, nvd_handler.py:107;
+    * `apiKey` for Red Hat, redhat_handler.py:74) — so it must ride
+    * every page AND probe request or the keyed rate limit is refused.
+    * Driven against a loopback server in FetchE2eSpec — the sandbox
+    * has no egress, but nothing here knows that. */
   def httpTransport(urlFor: Long => String,
-                    timeoutMs: Long = 30000L): Long => String = { page =>
-    val req = java.net.http.HttpRequest
+                    timeoutMs: Long = 30000L,
+                    headers: Seq[(String, String)] = Nil): Long => String = { page =>
+    val b = java.net.http.HttpRequest
       .newBuilder(java.net.URI.create(urlFor(page)))
       .timeout(java.time.Duration.ofMillis(timeoutMs))
-      .GET().build()
+    headers.foreach { case (k, v) => b.header(k, v) }
+    val req = b.GET().build()
     val resp = httpClient.send(req,
       java.net.http.HttpResponse.BodyHandlers.ofString())
     resp.statusCode() match {

@@ -572,7 +572,10 @@ class FetchE2eSpec extends SparkSpec {
         // getQuery pre-decodes (%3A → ':'), like the real API's stack
         val params = Option(ex.getRequestURI.getQuery).getOrElse("")
           .split("&").filter(_.nonEmpty).map(_.split("=", 2))
-          .map(a => a(0) -> a.lift(1).getOrElse("")).toMap
+          .map(a => a(0) -> a.lift(1).getOrElse("")).toMap ++
+          // record the keyed-tier credential header alongside the params
+          Option(ex.getRequestHeaders.getFirst("apikey"))
+            .map("header:apikey" -> _)
         queries.add(params)
         // apply lastModStartDate exactly as the real API does
         // (nvd_handler.py:143-166): only records modified after it return
@@ -600,6 +603,7 @@ class FetchE2eSpec extends SparkSpec {
            |url: $base/rest/json/cves/2.0
            |results_per_page: $PerPage
            |retry_delay: 0
+           |apikey: it-is-a-fixture-key
            |""".stripMargin)
       def tick(day: Int): Unit = {
         Main.run(spark, conf, root, once = true,
@@ -619,6 +623,8 @@ class FetchE2eSpec extends SparkSpec {
       val q1 = drain()
       assert(q1.nonEmpty && q1.forall(!_.contains("lastModStartDate")),
         "day zero must pull the full corpus, unwindowed")
+      assert(q1.forall(_.get("header:apikey").contains("it-is-a-fixture-key")),
+        "the keyed tier's credential must ride every request as a header")
       assert(spark.read.parquet(s"$root/snapshot").count() == 5)
       assert(Watermarks.sourceLastUpdate(spark, status, "nvd")
         .contains(ts("2025-04-01 00:00:00")))
