@@ -560,6 +560,67 @@ class FetchE2eSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("crash re-run commits the LANDED stamps, not the live upstream's") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    @volatile var epssDate = "2025-04-01T06:00:00Z"
+    def gz(s: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(s.getBytes("UTF-8")); g.close()
+      bos.toByteArray
+    }
+    server.createContext("/epss/epss_scores-current.csv.gz", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        val b = gz(s"#model_version:v1,score_date:$epssDate\n" +
+          "cve,epss,percentile\nCVE-2024-0001,0.5,0.9\n")
+        ex.sendResponseHeaders(200, b.length.toLong)
+        try ex.getResponseBody.write(b)
+        catch { case _: java.io.IOException => () } // ranged probe closed early
+        ex.close()
+      }
+    })
+    server.setExecutor(null)
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val root = java.nio.file.Files.createTempDirectory("main_crashstamp_")
+        .resolve("root").toString
+      val conf = Config.parse(
+        s"[epss]\nurl: $base/epss/epss_scores-current.csv.gz\n")
+      val status = s"$root/status"
+      def slu() = Watermarks.sourceLastUpdate(spark, status, "epss")
+      def iso(s: String) = Timestamp.from(
+        java.time.OffsetDateTime.parse(s).toInstant)
+
+      // tick 1's FETCH completes (landing + _STAMPS + marker), then the
+      // tick "crashes" before committing anything
+      Main.fetchLanding(spark, conf, s"$root/landing/1",
+        statusPath = Some(status), now = ts("2025-04-01 00:00:00"))
+      assert(Main.stampsFrom(s"$root/landing/1") ==
+        Map("epss" -> iso("2025-04-01T06:00:00Z")))
+      // the upstream publishes BETWEEN the crash and the re-run
+      epssDate = "2025-04-02T06:00:00Z"
+      // re-run of the same seq: the marker makes it consume the landed
+      // delta verbatim — it must commit the stamp the LANDED file was
+      // current at, not the live upstream's (the landed file IS the old
+      // publication; stamping the new one would mark data as newer than
+      // it is and wrongly skip the next real fetch)
+      Main.run(spark, conf, root, once = true,
+        stop = new java.util.concurrent.atomic.AtomicBoolean(false),
+        clock = () => ts("2025-04-01 00:05:00"), fetch = true)
+      assert(slu().contains(iso("2025-04-01T06:00:00Z")),
+        "the committed stamp must be the landed sidecar's value")
+      // the NEXT tick probes, sees the newer upstream, and re-fetches
+      Main.run(spark, conf, root, once = true,
+        stop = new java.util.concurrent.atomic.AtomicBoolean(false),
+        clock = () => ts("2025-04-02 00:00:00"), fetch = true)
+      assert(slu().contains(iso("2025-04-02T06:00:00Z")),
+        "the follow-up tick must catch the publication the crash window hid")
+    } finally server.stop(0)
+  }
+
   test("--fetch windows the paginated pull to the stored watermark (lastModStartDate parity)") {
     import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
     val server = HttpServer.create(
