@@ -240,15 +240,23 @@ object Main {
 
     // paginated pulls: NVD (nvd_handler) and Red Hat Hydra
     // (redhat_handler.py:107-124 — identical totalResults envelope).
-    // An update tick windows the pull to (stored stamp, now]; day zero
-    // pulls everything. A zero-result window lands NOTHING (no empty
-    // pages dir — the tick's merge skips the source entirely) but still
-    // advances the stamp: the window was consumed, there was just
-    // nothing in it.
+    // An update tick windows the pull to [stored stamp, now] (the
+    // API's lastMod bounds are inclusive — a record modified exactly
+    // at the boundary is re-fetched, never missed; the merge is
+    // idempotent); day zero pulls everything. A window older than the
+    // API's range cap (NVD rejects lastMod spans over 120 days —
+    // a resume after months of dormancy would wedge on the reference's
+    // unconditional window) falls back to the full unwindowed pull.
+    // A zero-result window lands NOTHING (no empty pages dir — the
+    // tick's merge skips the source entirely) but still advances the
+    // stamp: the window was consumed, there was just nothing in it.
     def paginated(section: String, sub: String): Unit =
       conf.get(section, "url").foreach { base =>
         val policy = conf.fetchPolicy(section)
+        val maxWindowMs = conf.getInt(section, "max_window_days", 120)
+          .toLong * 24 * 3600 * 1000
         val from = stored(section)
+          .filter(f => now.getTime - f.getTime <= maxWindowMs)
         val window = from.map(f =>
           s"&lastModStartDate=${encodeStamp(f)}" +
             s"&lastModEndDate=${encodeStamp(now)}").getOrElse("")

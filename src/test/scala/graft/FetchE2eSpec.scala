@@ -726,6 +726,23 @@ class FetchE2eSpec extends SparkSpec {
       assert(Watermarks.sourceLastUpdate(spark, status, "nvd")
         .contains(ts("2025-04-03 00:00:00")))
       assert(spark.read.parquet(s"$root/snapshot").count() == 6)
+
+      // ---- tick 4, five months later: the window would exceed the
+      // API's 120-day lastMod range cap → fall back to a FULL
+      // unwindowed pull instead of sending a request the real API
+      // rejects (a months-dormant deployment must resume, not wedge)
+      Main.run(spark, conf, root, once = true,
+        stop = new java.util.concurrent.atomic.AtomicBoolean(false),
+        clock = () => ts("2025-09-01 00:00:00"), fetch = true)
+      val q4 = drain()
+      assert(q4.nonEmpty && q4.forall(!_.contains("lastModStartDate")),
+        "an over-cap window must fall back to the full unwindowed pull")
+      val pages4 = new java.io.File(s"$root/landing/4/nvd_pages")
+        .listFiles().map(_.getName).count(_.startsWith("page-"))
+      assert(pages4 == 3) // ceil(6/2): the whole corpus re-lands
+      assert(Watermarks.sourceLastUpdate(spark, status, "nvd")
+        .contains(ts("2025-09-01 00:00:00")))
+      assert(spark.read.parquet(s"$root/snapshot").count() == 6)
     } finally server.stop(0)
   }
 
