@@ -291,27 +291,43 @@ object Main {
 
     SingleFileSources.foreach { case (section, name) =>
       conf.get(section, "url").foreach { url =>
-        val policy = conf.fetchPolicy(section)
-        val upstream =
-          if (statusPath.nonEmpty) probeStamp(conf, section, url, policy)
-          else None
-        val s = stored(section)
-        if (upstream.exists(up => graft.operators.Watermarks.isFresh(s, up))) {
-          Log.info(s"[$section] Skipping update, source_last_update: " +
-            s"${s.get}", "main")
-        } else {
-          val dest = JPaths.get(dir, name)
-          val size = Fetch.downloadFileWithRetry(url, policy, dest)
-          if (name.endsWith(".zip")) {
-            val member = Landing.extractSingleMemberZip(dest.toString, dir)
-            val canonical = JPaths.get(dir, name.stripSuffix(".zip"))
-            if (JPaths.get(member) != canonical)
-              Files.move(JPaths.get(member), canonical,
-                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        def fetchOne(): Unit = {
+          val policy = conf.fetchPolicy(section)
+          val upstream =
+            if (statusPath.nonEmpty) probeStamp(conf, section, url, policy)
+            else None
+          val s = stored(section)
+          if (upstream.exists(up => graft.operators.Watermarks.isFresh(s, up))) {
+            Log.info(s"[$section] Skipping update, source_last_update: " +
+              s"${s.get}", "main")
+          } else {
+            val dest = JPaths.get(dir, name)
+            val size = Fetch.downloadFileWithRetry(url, policy, dest)
+            if (name.endsWith(".zip")) {
+              val member = Landing.extractSingleMemberZip(dest.toString, dir)
+              val canonical = JPaths.get(dir, name.stripSuffix(".zip"))
+              if (JPaths.get(member) != canonical)
+                Files.move(JPaths.get(member), canonical,
+                  java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            }
+            upstream.foreach(up => stamps += section -> up)
+            Log.info(s"[$section] Landed $name ($size bytes) into $dir", "main")
           }
-          upstream.foreach(up => stamps += section -> up)
-          Log.info(s"[$section] Landed $name ($size bytes) into $dir", "main")
         }
+        if (section == "epss")
+          // EPSS is the one source whose reference handler self-guards
+          // its whole update path (epss_handler.py:167-169: log the
+          // error, keep the job alive) — every other handler propagates
+          // and kills the run, and so do we. No landing and no stamp on
+          // failure: the merge skips the source and the NEXT tick
+          // retries it against a fresh landing dir.
+          try fetchOne()
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              Log.error("[epss] An error occurred during the EPSS " +
+                s"update process: ${e.getMessage}", "main")
+          }
+        else fetchOne()
       }
     }
 

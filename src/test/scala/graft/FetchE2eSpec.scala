@@ -560,6 +560,62 @@ class FetchE2eSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("an EPSS failure logs and the tick continues; any other source failure kills the run") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def serve(path: String, status: Int, body: Array[Byte]): Unit =
+      server.createContext(path, new HttpHandler {
+        def handle(ex: HttpExchange): Unit = {
+          ex.sendResponseHeaders(status, body.length.toLong)
+          try ex.getResponseBody.write(body)
+          catch { case _: java.io.IOException => () }
+          ex.close()
+        }
+      })
+    def bytesOf(resource: String): Array[Byte] =
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(res(resource)))
+    // EPSS hard-404s (non-retryable); CISA is healthy
+    serve("/epss/epss_scores-current.csv.gz", 404, "gone".getBytes("UTF-8"))
+    serve("/cisa/known_exploited_vulnerabilities.json", 200,
+      bytesOf("known_exploited_vulnerabilities.json"))
+    serve("/exploitdb/files_exploits.csv", 404, "gone".getBytes("UTF-8"))
+    server.setExecutor(null)
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val root = java.nio.file.Files.createTempDirectory("main_epssfail_")
+        .resolve("root").toString
+      // the reference's EPSS handler self-guards its update path
+      // (epss_handler.py:167-169) — the job survives an EPSS outage
+      val conf = Config.parse(
+        s"""[epss]
+           |url: $base/epss/epss_scores-current.csv.gz
+           |[cisa]
+           |url: $base/cisa/known_exploited_vulnerabilities.json
+           |""".stripMargin)
+      Main.run(spark, conf, root, once = true,
+        stop = new java.util.concurrent.atomic.AtomicBoolean(false),
+        clock = () => ts("2025-04-01 00:00:00"), fetch = true)
+      val land = s"$root/landing/1"
+      assert(!new java.io.File(s"$land/epss_scores.csv.gz").exists())
+      assert(new java.io.File(s"$land/known_exploited_vulnerabilities.json").isFile)
+      assert(DailyLoop.committedTick(spark, DailyLoop.Paths(root))._1 == 1L)
+      val snap = spark.read.parquet(s"$root/snapshot")
+      assert(snap.filter(col("kev").isNotNull).count() > 0)
+      assert(Watermarks.sourceLastUpdate(spark, s"$root/status", "epss").isEmpty)
+      // every OTHER source propagates, reference-style (the handlers
+      // have no guard; a dead upstream is a dead run, visible loudly)
+      val conf2 = Config.parse(
+        s"[exploitdb]\nurl: $base/exploitdb/files_exploits.csv\n")
+      intercept[java.io.IOException] {
+        Main.run(spark, conf2, root, once = true,
+          stop = new java.util.concurrent.atomic.AtomicBoolean(false),
+          clock = () => ts("2025-04-02 00:00:00"), fetch = true)
+      }
+    } finally server.stop(0)
+  }
+
   test("crash re-run commits the LANDED stamps, not the live upstream's") {
     import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
     val server = HttpServer.create(
