@@ -115,17 +115,6 @@ object Landing {
       .head().getLong(0)
   }
 
-  /** Land one fetched single-file source under its canonical landing
-    * name (the upstream's own filename — what `Main.landingFrom`
-    * probes). Driver-side, local landing root (the same assumption
-    * `landingFrom`'s java.nio probe already makes); overwrites, so a
-    * retried fetch re-lands identically. Returns the landed path. */
-  def landBytes(dir: String, name: String, bytes: Array[Byte]): String = {
-    val d = java.nio.file.Paths.get(dir)
-    java.nio.file.Files.createDirectories(d)
-    java.nio.file.Files.write(d.resolve(name), bytes).toString
-  }
-
   /** Extract a zip archive into `destDir`, returning extracted paths in
     * archive order. Zip-slip safe. */
   def extractZip(zipPath: String, destDir: String): Seq[String] = {
