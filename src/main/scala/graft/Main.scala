@@ -243,46 +243,81 @@ object Main {
     // An update tick windows the pull to [stored stamp, now] (the
     // API's lastMod bounds are inclusive — a record modified exactly
     // at the boundary is re-fetched, never missed; the merge is
-    // idempotent); day zero pulls everything. A window older than the
-    // API's range cap (NVD rejects lastMod spans over 120 days —
-    // a resume after months of dormancy would wedge on the reference's
-    // unconditional window) falls back to the full unwindowed pull.
-    // A zero-result window lands NOTHING (no empty pages dir — the
+    // idempotent); day zero pulls everything. A span over the API's
+    // range cap (NVD rejects lastMod windows over 120 days — a
+    // dormant resume would wedge on the reference's unconditional
+    // window) is CHUNKED into consecutive cap-sized windows, all
+    // landed as one page set with disjoint page numbers — the resume
+    // stays incremental. Beyond max_window_chunks caps (default 3,
+    // ~a dormant year) it falls back to the full unwindowed pull:
+    // each record re-fetches once per window it was modified in, so
+    // for long dormancy the sum of window deltas outgrows the corpus
+    // and init-style full is the cheaper correct plan. Zero results
+    // across every window lands NOTHING (no empty pages dir — the
     // tick's merge skips the source entirely) but still advances the
-    // stamp: the window was consumed, there was just nothing in it.
+    // stamp: the windows were consumed, there was just nothing in
+    // them.
     def paginated(section: String, sub: String): Unit =
       conf.get(section, "url").foreach { base =>
         val policy = conf.fetchPolicy(section)
         val maxWindowMs = conf.getInt(section, "max_window_days", 120)
           .toLong * 24 * 3600 * 1000
-        val from = stored(section)
-          .filter(f => now.getTime - f.getTime <= maxWindowMs)
-        val window = from.map(f =>
-          s"&lastModStartDate=${encodeStamp(f)}" +
-            s"&lastModEndDate=${encodeStamp(now)}").getOrElse("")
+        val maxChunks = conf.getInt(section, "max_window_chunks", 3)
+        // None = unwindowed full pull; Some((s, e)) = one lastMod window
+        val windows: Seq[Option[(Timestamp, Timestamp)]] =
+          stored(section) match {
+            case Some(f) if now.getTime - f.getTime <= maxWindowMs * maxChunks =>
+              val n = ((now.getTime - f.getTime + maxWindowMs - 1) /
+                maxWindowMs).toInt.max(1)
+              (0 until n).map { i =>
+                val s = new Timestamp(f.getTime + i * maxWindowMs)
+                val e = if (i == n - 1) now
+                        else new Timestamp(f.getTime + (i + 1) * maxWindowMs)
+                Some((s, e))
+              }
+            case _ => Seq(None)
+          }
         // the keyed tier's credential rides as a HEADER, spelled the
         // way each upstream expects it (nvd_handler.py:107 `apikey`;
         // redhat_handler.py:74 `apiKey`) — the rate POLICY already
         // picked the keyed tier off the same config key
         val headers = conf.get(section, "apikey").toSeq.map(k =>
           (if (section == "redhat") "apiKey" else "apikey") -> k)
-        val transport = Fetch.httpTransport(p =>
-          s"$base?resultsPerPage=${policy.resultsPerPage}" +
-            s"&startIndex=${p * policy.resultsPerPage}" + window,
-          headers = headers)
-        val total = Fetch.parseTotalResults(
-          Fetch.fetchWithRetry(transport, 0L, policy).body)
-        if (from.nonEmpty && total == 0L) {
+        def transportFor(w: Option[(Timestamp, Timestamp)]) =
+          Fetch.httpTransport(p =>
+            s"$base?resultsPerPage=${policy.resultsPerPage}" +
+              s"&startIndex=${p * policy.resultsPerPage}" +
+              w.fold("") { case (s, e) =>
+                s"&lastModStartDate=${encodeStamp(s)}" +
+                  s"&lastModEndDate=${encodeStamp(e)}"
+              },
+            headers = headers)
+        // probe each window's totalResults driver-side (page 0), then
+        // land every window's pages as ONE distributed fetch — page
+        // numbers offset per window so the landed filenames stay
+        // disjoint and the declared-schema scan sees one page set
+        val probed = windows.map { w =>
+          (w, Fetch.parseTotalResults(
+            Fetch.fetchWithRetry(transportFor(w), 0L, policy).body))
+        }.filter(_._2 > 0L)
+        if (probed.isEmpty) {
           Log.info(s"[$section] Skipping update, no modifications since " +
-            s"${from.get}", "main")
+            s"${stored(section).fold("day zero")(_.toString)}", "main")
         } else {
-          val landed = Landing.landPages(
-            Fetch.fetchPages(spark, total, policy,
-              numPartitions = conf.getInt(section, "fetch_partitions", 2),
-              transport),
-            s"$dir/$sub")
-          Log.info(s"[$section] Landed $landed pages ($total results) " +
-            s"into $dir/$sub" + from.fold("")(f => s" (window $f..$now)"), "main")
+          import spark.implicits._
+          val parts = conf.getInt(section, "fetch_partitions", 2)
+          var offset = 0L
+          val pages = probed.map { case (w, total) =>
+            val off = offset
+            offset += Fetch.numPages(total, policy.resultsPerPage)
+            val ds = Fetch.fetchPages(spark, total, policy, parts,
+              transportFor(w))
+            if (off == 0L) ds else ds.map(p => p.copy(page = p.page + off))
+          }.reduce(_ union _)
+          val landed = Landing.landPages(pages, s"$dir/$sub")
+          val totals = probed.map(_._2).sum
+          Log.info(s"[$section] Landed $landed pages ($totals results, " +
+            s"${probed.size} window(s)) into $dir/$sub", "main")
         }
         stamps += section -> now
       }

@@ -694,14 +694,18 @@ class FetchE2eSpec extends SparkSpec {
           Option(ex.getRequestHeaders.getFirst("apikey"))
             .map("header:apikey" -> _)
         queries.add(params)
-        // apply lastModStartDate exactly as the real API does
-        // (nvd_handler.py:143-166): only records modified after it return
-        val win = params.get("lastModStartDate") match {
-          case Some(s) =>
-            val start = java.time.Instant.parse(s)
-            corpus.filter(r => ts(r.lastModified.replace("T", " ")
-              .stripSuffix(".000")).toInstant.isAfter(start))
-          case None => corpus
+        // apply the lastMod bounds exactly as the real API does
+        // (nvd_handler.py:143-166): inclusive [start, end]
+        def modAt(r: Rec) = ts(r.lastModified.replace("T", " ")
+          .stripSuffix(".000")).toInstant
+        val win = (params.get("lastModStartDate"),
+                   params.get("lastModEndDate")) match {
+          case (Some(s), Some(e)) =>
+            val (start, end) =
+              (java.time.Instant.parse(s), java.time.Instant.parse(e))
+            corpus.filter(r =>
+              !modAt(r).isBefore(start) && !modAt(r).isAfter(end))
+          case _ => corpus
         }
         val body = pageBody(win,
           params("startIndex").toLong / PerPage).getBytes("UTF-8")
@@ -783,22 +787,47 @@ class FetchE2eSpec extends SparkSpec {
         .contains(ts("2025-04-03 00:00:00")))
       assert(spark.read.parquet(s"$root/snapshot").count() == 6)
 
-      // ---- tick 4, five months later: the window would exceed the
-      // API's 120-day lastMod range cap → fall back to a FULL
-      // unwindowed pull instead of sending a request the real API
-      // rejects (a months-dormant deployment must resume, not wedge)
+      // ---- tick 4, ~5 months later: the span exceeds one 120-day
+      // window (the real API would reject it) but not
+      // max_window_chunks → the pull CHUNKS into consecutive
+      // cap-sized windows and stays incremental: only the chunk with
+      // the dormant-period modification lands
+      corpus = corpus :+ Rec("CVE-2025-0007",
+        "2025-08-15T00:00:00.000", "Received", "seventh")
       Main.run(spark, conf, root, once = true,
         stop = new java.util.concurrent.atomic.AtomicBoolean(false),
         clock = () => ts("2025-09-01 00:00:00"), fetch = true)
       val q4 = drain()
-      assert(q4.nonEmpty && q4.forall(!_.contains("lastModStartDate")),
-        "an over-cap window must fall back to the full unwindowed pull")
+      def iso(t: java.sql.Timestamp) =
+        java.net.URLDecoder.decode(Main.encodeStamp(t), "UTF-8")
+      val starts = q4.flatMap(_.get("lastModStartDate")).distinct.sorted
+      assert(starts == Seq(iso(ts("2025-04-03 00:00:00")),
+        iso(ts("2025-08-01 00:00:00"))), // stored + 120 days
+        s"two consecutive cap-sized windows expected, got $starts")
+      assert(q4.forall(_.contains("lastModEndDate")))
       val pages4 = new java.io.File(s"$root/landing/4/nvd_pages")
         .listFiles().map(_.getName).count(_.startsWith("page-"))
-      assert(pages4 == 3) // ceil(6/2): the whole corpus re-lands
+      assert(pages4 == 1, "only the chunk carrying the modification lands")
+      assert(spark.read.parquet(s"$root/snapshot").count() == 7)
       assert(Watermarks.sourceLastUpdate(spark, status, "nvd")
         .contains(ts("2025-09-01 00:00:00")))
-      assert(spark.read.parquet(s"$root/snapshot").count() == 6)
+
+      // ---- tick 5, a dormant YEAR: beyond max_window_chunks the sum
+      // of window deltas would outgrow the corpus (every record
+      // re-fetches once per window it changed in) → init-style FULL
+      // unwindowed pull, the cheaper correct plan
+      Main.run(spark, conf, root, once = true,
+        stop = new java.util.concurrent.atomic.AtomicBoolean(false),
+        clock = () => ts("2026-09-01 00:00:00"), fetch = true)
+      val q5 = drain()
+      assert(q5.nonEmpty && q5.forall(!_.contains("lastModStartDate")),
+        "a span beyond the chunk budget must fall back to the full pull")
+      val pages5 = new java.io.File(s"$root/landing/5/nvd_pages")
+        .listFiles().map(_.getName).count(_.startsWith("page-"))
+      assert(pages5 == 4) // ceil(7/2): the whole corpus re-lands
+      assert(spark.read.parquet(s"$root/snapshot").count() == 7)
+      assert(Watermarks.sourceLastUpdate(spark, status, "nvd")
+        .contains(ts("2026-09-01 00:00:00")))
     } finally server.stop(0)
   }
 
