@@ -72,7 +72,11 @@ object Bench {
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sk = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"skipped":$sk,"repeat":$repeat,"sf":"$sfDir"}""")
+    // the iterative entries run one extra repeat (ExtraRepeat) — emit
+    // which, so the recorded methodology matches what was measured
+    val er = ExtraRepeat.intersect(selected.keySet).toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"skipped":$sk,"repeat":$repeat,"extraRepeat":$er,"sf":"$sfDir"}""")
     spark.stop()
   }
 

@@ -552,19 +552,30 @@ object DailyLoop {
     * crash leftover the next acquirer breaks.
     *
     * Breaking a stale lease is serialized through a BREAKER MUTEX —
-    * `lease.breaker`, claimed by atomic exclusive create: the stale
-    * lease is deleted only while holding the mutex AND after
-    * re-verifying, under it, that the lease is still stale. A fresh
-    * lease is therefore never deleted (and never renamed — the old
-    * capture-restore dance is gone), which is what lets the post-create
-    * ownership verify be a single read with no timing assumption: any
-    * mismatch is a genuine race loss, immediately fatal. The create
+    * `lease.breaker`, claimed by atomic exclusive create and STAMPED
+    * with the claimant's id: the stale lease is deleted only while the
+    * mutex still reads back as ours AND after re-verifying, under it,
+    * that the lease is still stale. A fresh lease is therefore never
+    * deleted in any clean execution, which is what lets the post-create
+    * ownership verify decide on a settled clean read: a mismatch is a
+    * genuine race loss, immediately fatal; a read ERROR retries briefly
+    * and, if persistent, aborts as an IO failure without touching the
+    * file (which, on a filesystem whose exclusive create is
+    * exists-then-create rather than atomic, may be another winner's
+    * lease — the settle-then-read is what decides such races). The create
     * itself stays the winner-decider — contenders that found no live
     * lease race the exclusive create and exactly one wins. A breaker
     * stranded by a crashed contender blocks breaks only until it is
     * itself older than `staleMs` (the next acquirer sweeps it — one
     * extra stale window worst-case before an abandoned root is
     * reclaimable, the same currency the lease itself is priced in).
+    * The sweep is stat-then-delete and can, in a pathological
+    * interleave, land on a mutex a live claimant just created; the
+    * claimant's under-mutex identity re-read catches that before any
+    * lease is touched, and whatever sub-millisecond residue remains is
+    * bounded by the same detectors as below (post-create verify,
+    * heartbeat within staleMs/3, step-boundary checks) — never a
+    * silent full-tick dual writer.
     *
     * Residual window, by design: a holder that genuinely lets its
     * lease go stale (heartbeat thread dead, tick overrunning with no
@@ -593,23 +604,48 @@ object DailyLoop {
                 s"'${readLeaseHolder(f, lp)}' (heartbeat ${age / 1000}s " +
                 "ago) — refusing to run a second writer; stop it or wait " +
                 "for the lease to go stale")
-          // stale: claim the breaker mutex, or learn who beat us to it
+          // stale: claim the breaker mutex (stamped with our identity),
+          // or learn who beat us to it
           val claimed =
-            try { f.create(bp, false).close(); true }
+            try {
+              val bo = f.create(bp, false)
+              try bo.write(holder.getBytes(StandardCharsets.UTF_8))
+              finally bo.close()
+              true
+            }
             catch {
               case _: org.apache.hadoop.fs.FileAlreadyExistsException |
                    _: java.nio.file.FileAlreadyExistsException =>
                 val bAge = scala.util.Try(f.getFileStatus(bp)).toOption
                   .map(b => System.currentTimeMillis() - b.getModificationTime)
                 if (bAge.forall(_ >= staleMs)) {
-                  // stranded by a crashed breaker (or already gone):
-                  // sweep and re-run the whole acquire pass
-                  if (bAge.nonEmpty) f.delete(bp, false)
+                  // stranded by a crashed contender (or already gone):
+                  // sweep and re-run the whole acquire pass. Re-stat
+                  // right before deleting — a live claimant may have
+                  // re-created the breaker since our first stat, and a
+                  // delete must never land on a fresh mutex (the
+                  // claimant's identity re-read below backstops the
+                  // window this re-stat cannot close).
+                  if (bAge.nonEmpty &&
+                      scala.util.Try(f.getFileStatus(bp)).toOption.forall(b =>
+                        System.currentTimeMillis() - b.getModificationTime >= staleMs))
+                    f.delete(bp, false)
                   sweptBreaker = true; false
                 } else throw lostRace // a live contender is mid-break
             }
           if (claimed) {
+            var mutexOurs = true
             try {
+              // identity re-read UNDER the mutex: a sweeper racing on a
+              // stale first-stat may have deleted this breaker right
+              // after we created it (and another contender re-claimed
+              // the path). Touching the lease is only safe while the
+              // mutex file still carries OUR id.
+              if (scala.util.Try(readLeaseHolderChecked(f, bp))
+                    .getOrElse("<gone>") != holder) {
+                mutexOurs = false
+                throw lostRace
+              }
               // re-verify staleness UNDER the mutex: a racer may have
               // broken and re-claimed between our stat and our create
               scala.util.Try(f.getFileStatus(lp)).toOption.foreach { c =>
@@ -617,7 +653,11 @@ object DailyLoop {
                   throw lostRace
                 f.delete(lp, false); ()
               }
-            } finally { f.delete(bp, false); () }
+            } finally {
+              // release only a mutex that is provably ours — deleting
+              // the path after losing it would erase the new claimant's
+              if (mutexOurs) { f.delete(bp, false); () }
+            }
           }
         }
       }
@@ -625,20 +665,50 @@ object DailyLoop {
         // loop back: the stale lease is still there and must be broken
         // under a freshly claimed mutex
       } else {
+        var created = false
         try {
           val out = f.create(lp, false)
           try out.write(holder.getBytes(StandardCharsets.UTF_8))
           finally out.close()
-          // single read-back verify, no retry loop: the protocol never
-          // deletes or renames a fresh lease, so there is no transient
-          // state to wait out — a mismatch IS a race loss
-          if (readLeaseHolder(f, lp) != holder) throw lostRace
-          return
+          created = true
         } catch { // atomic-create lost a race with another acquirer
           case _: org.apache.hadoop.fs.FileAlreadyExistsException |
                _: java.nio.file.FileAlreadyExistsException =>
             throw lostRace
           case _: java.io.FileNotFoundException => () // parent raced away; retry
+        }
+        if (created) {
+          // Settle, then read-back verify. The settle matters on
+          // filesystems whose exclusive create is exists-then-create
+          // rather than atomic (the local FS): two contenders can both
+          // slip through the exists check with open create streams, and
+          // without the pause each could read back its OWN bytes before
+          // the other's write lands — dual acquire. With it, both
+          // writes land first and the content-based read picks exactly
+          // the LAST writer. A CLEAN read of another holder is a race
+          // loss, immediately fatal. A read ERROR retries briefly — a
+          // filesystem hiccup must not be mistaken for a usurper
+          // (round-14 review: the swallowing read regressed exactly the
+          // distinction heartbeats got); if it persists we abort as an
+          // IO failure WITHOUT deleting the file (on a non-atomic FS it
+          // may legitimately be another winner's lease) — a stranded
+          // own lease then costs one stale window, the fail-safe side.
+          Thread.sleep(150L)
+          var ioTries = 0
+          while (true) {
+            try {
+              if (readLeaseHolderChecked(f, lp) != holder) throw lostRace
+              return
+            } catch {
+              case e: java.io.IOException =>
+                ioTries += 1
+                if (ioTries >= 3)
+                  throw new java.io.IOException(
+                    s"daily-loop root ${p.root}: could not verify lease " +
+                      "ownership after create (persistent read failure)", e)
+                Thread.sleep(100L)
+            }
+          }
         }
       }
     }

@@ -306,11 +306,20 @@ object Main {
         } else {
           import spark.implicits._
           val parts = conf.getInt(section, "fetch_partitions", 2)
+          // the union runs every window's fetch tasks in ONE action and
+          // each window's partitions build their own RateLimiter, so
+          // the per-partition budget divides by the number of windows —
+          // the cluster-wide rate stays parts × requestsPerWindow, the
+          // configured ceiling, regardless of how many chunks a dormant
+          // resume produced (integer floor rounds the aggregate DOWN,
+          // never over the API's limit; min 1 keeps progress)
+          val chunkPolicy = policy.copy(requestsPerWindow =
+            (policy.requestsPerWindow / probed.size).max(1))
           var offset = 0L
           val pages = probed.map { case (w, total) =>
             val off = offset
             offset += Fetch.numPages(total, policy.resultsPerPage)
-            val ds = Fetch.fetchPages(spark, total, policy, parts,
+            val ds = Fetch.fetchPages(spark, total, chunkPolicy, parts,
               transportFor(w))
             if (off == 0L) ds else ds.map(p => p.copy(page = p.page + off))
           }.reduce(_ union _)
@@ -397,9 +406,23 @@ object Main {
       val log = Readers.deltaLog(spark, logPath.toString)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val coveredFrom = Readers.deltaLogMinFetch(log)
-        stored match {
-          case Some(wm) if !wm.before(coveredFrom) =>
+        // a log that parses to ZERO rows — an empty array, or a
+        // 200-status error page that mismatches the declared schema —
+        // must degrade to a loud skip, never an NPE: every other
+        // source treats a malformed body as "skip this tick, retry
+        // next" and this one is no different
+        val coveredFrom = Option(Readers.deltaLogMinFetch(log))
+        val maxFetch = Option(log
+          .agg(org.apache.spark.sql.functions.max(
+            org.apache.spark.sql.functions.col("fetchTime")))
+          .head().getTimestamp(0))
+        if (coveredFrom.isEmpty || maxFetch.isEmpty) {
+          Log.warning("[cveorg] Delta log parsed to zero entries " +
+            "(malformed or empty upstream) — skipping the source this " +
+            "tick", "main")
+          None
+        } else stored match {
+          case Some(wm) if !wm.before(coveredFrom.get) =>
             // incremental: entries newer than the watermark, each CVE's
             // json pulled through the distributed keyed fetch. The
             // collect is delta-sized control plane — the reference
@@ -445,9 +468,16 @@ object Main {
                   s"init pull — landed the $landed records the delta log " +
                   "still covers", "main")
             }
-            Some(Readers.deltaLog(spark, logPath.toString)
-              .agg(org.apache.spark.sql.functions.max(org.apache.spark.sql
-                .functions.col("fetchTime"))).head().getTimestamp(0))
+            // day-zero coverage stamp = the log's max fetchTime (from
+            // the already-persisted frame, not a re-parse). Known bound,
+            // shared with the reference (which stamps its RUN time,
+            // cveorg_handler.py:84/190 update_status — looser still):
+            // records modified between the ARCHIVE's build and this
+            // stamp are not re-fetched until touched again upstream.
+            // The zip carries no build stamp to close it with, and
+            // stamping the log's min instead would age out of the
+            // moving retention window and re-init every tick.
+            maxFetch
         }
       } finally { log.unpersist(); () }
     }.flatten

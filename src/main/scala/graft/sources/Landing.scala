@@ -40,41 +40,8 @@ object Landing {
     * include — idempotence has to hold per LANDING, not just per page.
     * Returns the number of pages landed (the action that runs the
     * fetch). */
-  def landPages(pages: Dataset[FetchedPage], dir: String): Long = {
-    import pages.sparkSession.implicits._
-    // Ship the DRIVER's Hadoop config to the tasks (spark.hadoop.* keys,
-    // fs credentials, defaultFS) — a bare executor-side Configuration
-    // would drop them and resolve the landing FS differently from a
-    // parquet write.
-    val hconf = pages.sparkSession.sparkContext.hadoopConfiguration
-    val conf = new org.apache.spark.util.SerializableConfiguration(hconf)
-    // Control-plane pre-step, before any task writes: clear stale pages
-    // from an earlier landing into the same dir. (Hadoop's delete removes
-    // a symlink itself rather than descending through it, so this cannot
-    // re-create the round-6 follow-the-link hazard deleteNoFollow guards
-    // against on java.io.File trees.)
-    val dirPath = new org.apache.hadoop.fs.Path(dir)
-    val dirFs = dirPath.getFileSystem(hconf)
-    if (dirFs.exists(dirPath)) dirFs.delete(dirPath, true)
-    dirFs.mkdirs(dirPath)
-    pages.mapPartitions { it =>
-      val path = new org.apache.hadoop.fs.Path(dir)
-      val fs = path.getFileSystem(conf.value)
-      fs.mkdirs(path)
-      var landed = 0L
-      it.foreach { p =>
-        val out = fs.create(new org.apache.hadoop.fs.Path(path, f"page-${p.page}%05d.json"), true)
-        try out.write(p.body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-        landed += 1
-      }
-      Iterator.single(landed)
-    }.toDF("n")
-      .agg(org.apache.spark.sql.functions.coalesce(
-        org.apache.spark.sql.functions.sum("n"),
-        org.apache.spark.sql.functions.lit(0L)))
-      .head().getLong(0)
-  }
+  def landPages(pages: Dataset[FetchedPage], dir: String): Long =
+    landFiles(pages, dir)(p => f"page-${p.page}%05d.json", _.body)
 
   /** Land a KEY-addressed fetch as `<name>.json` files written by the
     * EXECUTORS ([[landPages]]' shape and idempotence contract: wiped
@@ -85,25 +52,47 @@ object Landing {
     * the name must be the CVE id. Names are sanitized against path
     * separators — a landing name never escapes its dir. Returns files
     * landed. */
-  def landKeyed(files: Dataset[FetchedFile], dir: String): Long = {
-    import files.sparkSession.implicits._
-    val hconf = files.sparkSession.sparkContext.hadoopConfiguration
+  def landKeyed(files: Dataset[FetchedFile], dir: String): Long =
+    landFiles(files, dir)({ f =>
+      require(!f.name.contains("/") && !f.name.contains("\\") &&
+        f.name.nonEmpty && f.name != "." && f.name != "..",
+        s"illegal landing name '${f.name}'")
+      s"${f.name}.json"
+    }, _.body)
+
+  /** The shared landing scaffold both namers above sit on — ONE place
+    * owns the contract so the paginated and keyed landings cannot
+    * silently diverge:
+    *  - ship the DRIVER's Hadoop config to the tasks (spark.hadoop.*
+    *    keys, fs credentials, defaultFS) — a bare executor-side
+    *    Configuration would drop them and resolve the landing FS
+    *    differently from a parquet write;
+    *  - wipe + recreate the dir driver-side before any task writes:
+    *    re-landing a smaller fetch must not leave the earlier landing's
+    *    extra files for the declared-schema scan to silently include —
+    *    idempotence holds per LANDING, not just per file. (Hadoop's
+    *    delete removes a symlink itself rather than descending through
+    *    it — no round-6 follow-the-link hazard);
+    *  - executors write one deterministically-named, overwriting file
+    *    per row, so a retried task re-lands identical bytes.
+    * Returns files landed (the action that runs the fetch). */
+  private def landFiles[T](rows: Dataset[T], dir: String)
+                          (fileName: T => String, body: T => String): Long = {
+    import rows.sparkSession.implicits._
+    val hconf = rows.sparkSession.sparkContext.hadoopConfiguration
     val conf = new org.apache.spark.util.SerializableConfiguration(hconf)
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val dirFs = dirPath.getFileSystem(hconf)
     if (dirFs.exists(dirPath)) dirFs.delete(dirPath, true)
     dirFs.mkdirs(dirPath)
-    files.mapPartitions { it =>
+    rows.mapPartitions { it =>
       val path = new org.apache.hadoop.fs.Path(dir)
       val fs = path.getFileSystem(conf.value)
       fs.mkdirs(path)
       var landed = 0L
-      it.foreach { f =>
-        require(!f.name.contains("/") && !f.name.contains("\\") &&
-          f.name.nonEmpty && f.name != "." && f.name != "..",
-          s"illegal landing name '${f.name}'")
-        val out = fs.create(new org.apache.hadoop.fs.Path(path, s"${f.name}.json"), true)
-        try out.write(f.body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      it.foreach { r =>
+        val out = fs.create(new org.apache.hadoop.fs.Path(path, fileName(r)), true)
+        try out.write(body(r).getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
         landed += 1
       }

@@ -616,6 +616,51 @@ class FetchE2eSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("a delta log that parses to zero entries skips cve.org without failing the tick") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def serve(path: String, body: Array[Byte]): Unit =
+      server.createContext(path, new HttpHandler {
+        def handle(ex: HttpExchange): Unit = {
+          ex.sendResponseHeaders(200, body.length.toLong)
+          try ex.getResponseBody.write(body)
+          catch { case _: java.io.IOException => () }
+          ex.close()
+        }
+      })
+    // a 200-status body that is NOT the delta-log shape (an error page
+    // behind a proxy) — the declared-schema read parses it to zero rows
+    serve("/cveorg/deltaLog.json",
+      "<html>rate limited, try later</html>".getBytes("UTF-8"))
+    serve("/cisa/known_exploited_vulnerabilities.json",
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        res("known_exploited_vulnerabilities.json"))))
+    server.setExecutor(null)
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val root = java.nio.file.Files.createTempDirectory("main_badlog_")
+        .resolve("root").toString
+      val conf = Config.parse(
+        s"""[cveorg]
+           |url_updates: $base/cveorg/deltaLog.json
+           |[cisa]
+           |url: $base/cisa/known_exploited_vulnerabilities.json
+           |""".stripMargin)
+      Main.run(spark, conf, root, once = true,
+        stop = new java.util.concurrent.atomic.AtomicBoolean(false),
+        clock = () => ts("2025-04-01 00:00:00"), fetch = true)
+      // the tick survived: the healthy source merged and committed; the
+      // malformed log neither landed a cveorg dir, nor a stamp, nor NPE'd
+      assert(DailyLoop.committedTick(spark, DailyLoop.Paths(root))._1 == 1L)
+      assert(spark.read.parquet(s"$root/snapshot")
+        .filter(col("kev").isNotNull).count() > 0)
+      assert(!new java.io.File(s"$root/landing/1/cveorg").exists())
+      assert(Watermarks.sourceLastUpdate(spark, s"$root/status", "cveorg").isEmpty)
+    } finally server.stop(0)
+  }
+
   test("crash re-run commits the LANDED stamps, not the live upstream's") {
     import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
     val server = HttpServer.create(
