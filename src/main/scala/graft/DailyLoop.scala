@@ -520,6 +520,37 @@ object DailyLoop {
   private def leasePath(p: Paths) = new Path(p.root, "lease")
   private def breakerPath(p: Paths) = new Path(p.root, "lease.breaker")
 
+  /** Exclusive create that is ATOMIC on every filesystem the lease can
+    * live on. Hadoop's `create(path, overwrite = false)` is atomic on
+    * HDFS-class stores but exists-THEN-create on the local filesystem:
+    * two racers can both obtain create streams on the same inode and
+    * truncate each other's bytes — the failure the stale-lease race
+    * spec reproduces under load. For `file://` paths this goes through
+    * java.nio's O_EXCL createFile instead (content lands with the
+    * create; no Hadoop .crc sidecar, which the checksum reader treats
+    * as unverified-raw — fine for a ~100-byte control file). Returns
+    * false when the path already exists. */
+  private def atomicCreate(f: org.apache.hadoop.fs.FileSystem, path: Path,
+                           bytes: Array[Byte]): Boolean =
+    if (f.getScheme == "file") {
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(path.toUri.getPath), bytes,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      try {
+        val out = f.create(path, false)
+        try out.write(bytes) finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: java.nio.file.FileAlreadyExistsException => false
+      }
+    }
+
   /** Best-effort holder read for error MESSAGES only — swallows read
     * failures into "<unknown>". Ownership decisions go through
     * [[readLeaseHolderChecked]], which keeps transient read errors
@@ -556,13 +587,16 @@ object DailyLoop {
     * with the claimant's id: the stale lease is deleted only while the
     * mutex still reads back as ours AND after re-verifying, under it,
     * that the lease is still stale. A fresh lease is therefore never
-    * deleted in any clean execution, which is what lets the post-create
-    * ownership verify decide on a settled clean read: a mismatch is a
-    * genuine race loss, immediately fatal; a read ERROR retries briefly
-    * and, if persistent, aborts as an IO failure without touching the
-    * file (which, on a filesystem whose exclusive create is
-    * exists-then-create rather than atomic, may be another winner's
-    * lease — the settle-then-read is what decides such races). The create
+    * deleted in any clean execution. Both the lease and the breaker are
+    * claimed through [[atomicCreate]] — genuinely exclusive on the
+    * local filesystem too, where Hadoop's create(overwrite=false) is
+    * exists-then-create and two racers can truncate each other's
+    * bytes. The post-create ownership verify (settle, then read)
+    * remains as the belt for stores whose create is not exclusive at
+    * all (object stores): a clean mismatch is a race loss, immediately
+    * fatal; a read ERROR retries briefly and, if persistent, aborts as
+    * an IO failure without touching the file (it may legitimately be
+    * another winner's lease on such a store). The create
     * itself stays the winner-decider — contenders that found no live
     * lease race the exclusive create and exactly one wins. A breaker
     * stranded by a crashed contender blocks breaks only until it is
@@ -607,31 +641,25 @@ object DailyLoop {
           // stale: claim the breaker mutex (stamped with our identity),
           // or learn who beat us to it
           val claimed =
-            try {
-              val bo = f.create(bp, false)
-              try bo.write(holder.getBytes(StandardCharsets.UTF_8))
-              finally bo.close()
+            if (atomicCreate(f, bp, holder.getBytes(StandardCharsets.UTF_8)))
               true
-            }
-            catch {
-              case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-                   _: java.nio.file.FileAlreadyExistsException =>
-                val bAge = scala.util.Try(f.getFileStatus(bp)).toOption
-                  .map(b => System.currentTimeMillis() - b.getModificationTime)
-                if (bAge.forall(_ >= staleMs)) {
-                  // stranded by a crashed contender (or already gone):
-                  // sweep and re-run the whole acquire pass. Re-stat
-                  // right before deleting — a live claimant may have
-                  // re-created the breaker since our first stat, and a
-                  // delete must never land on a fresh mutex (the
-                  // claimant's identity re-read below backstops the
-                  // window this re-stat cannot close).
-                  if (bAge.nonEmpty &&
-                      scala.util.Try(f.getFileStatus(bp)).toOption.forall(b =>
-                        System.currentTimeMillis() - b.getModificationTime >= staleMs))
-                    f.delete(bp, false)
-                  sweptBreaker = true; false
-                } else throw lostRace // a live contender is mid-break
+            else {
+              val bAge = scala.util.Try(f.getFileStatus(bp)).toOption
+                .map(b => System.currentTimeMillis() - b.getModificationTime)
+              if (bAge.forall(_ >= staleMs)) {
+                // stranded by a crashed contender (or already gone):
+                // sweep and re-run the whole acquire pass. Re-stat
+                // right before deleting — a live claimant may have
+                // re-created the breaker since our first stat, and a
+                // delete must never land on a fresh mutex (the
+                // claimant's identity re-read below backstops the
+                // window this re-stat cannot close).
+                if (bAge.nonEmpty &&
+                    scala.util.Try(f.getFileStatus(bp)).toOption.forall(b =>
+                      System.currentTimeMillis() - b.getModificationTime >= staleMs))
+                  f.delete(bp, false)
+                sweptBreaker = true; false
+              } else throw lostRace // a live contender is mid-break
             }
           if (claimed) {
             var mutexOurs = true
@@ -667,32 +695,28 @@ object DailyLoop {
       } else {
         var created = false
         try {
-          val out = f.create(lp, false)
-          try out.write(holder.getBytes(StandardCharsets.UTF_8))
-          finally out.close()
+          if (!atomicCreate(f, lp, holder.getBytes(StandardCharsets.UTF_8)))
+            throw lostRace // atomic-create lost a race with another acquirer
           created = true
-        } catch { // atomic-create lost a race with another acquirer
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-               _: java.nio.file.FileAlreadyExistsException =>
-            throw lostRace
-          case _: java.io.FileNotFoundException => () // parent raced away; retry
+        } catch { // parent raced away; retry the pass
+          case _: java.io.FileNotFoundException => ()
+          case _: java.nio.file.NoSuchFileException => ()
         }
         if (created) {
-          // Settle, then read-back verify. The settle matters on
-          // filesystems whose exclusive create is exists-then-create
-          // rather than atomic (the local FS): two contenders can both
-          // slip through the exists check with open create streams, and
-          // without the pause each could read back its OWN bytes before
-          // the other's write lands — dual acquire. With it, both
-          // writes land first and the content-based read picks exactly
-          // the LAST writer. A CLEAN read of another holder is a race
+          // Settle, then read-back verify — the belt for stores whose
+          // create is not exclusive at all (object stores): if two
+          // writers somehow both "created", both writes land within the
+          // settle and the content read picks exactly the LAST writer —
+          // one winner. (On local and HDFS the atomicCreate above
+          // already decided.) A CLEAN read of another holder is a race
           // loss, immediately fatal. A read ERROR retries briefly — a
           // filesystem hiccup must not be mistaken for a usurper
           // (round-14 review: the swallowing read regressed exactly the
           // distinction heartbeats got); if it persists we abort as an
-          // IO failure WITHOUT deleting the file (on a non-atomic FS it
-          // may legitimately be another winner's lease) — a stranded
-          // own lease then costs one stale window, the fail-safe side.
+          // IO failure WITHOUT deleting the file (on a non-exclusive
+          // store it may legitimately be another winner's lease) — a
+          // stranded own lease then costs one stale window, the
+          // fail-safe side.
           Thread.sleep(150L)
           var ioTries = 0
           while (true) {
