@@ -224,6 +224,7 @@ object DailyLoop {
               vecRemovals: Option[DataFrame] = None,
               pairRebuildEvery: Int = 0,
               annRefreshEvery: Int = 0,
+              trainSampleMax: Long = 0L,
               leaseCheck: () => Unit = () => ()): Unit = {
     // `leaseCheck` (typically LeaseHeartbeat.check) runs at every step
     // boundary — in particular right before the whole-dir consolidation
@@ -353,11 +354,16 @@ object DailyLoop {
             // depth (sidecar, the compactPq rule) — an index built
             // outside the loop with custom (m, subLen, numCodes,
             // trainIters) must refresh to the same shape and quality,
-            // not silently to the build defaults
+            // not silently to the build defaults. trainSampleMax bounds
+            // the retrain's Lloyd passes to a deterministic hash sample
+            // (the encode still covers the whole live store) — the knob
+            // that keeps the refresh cadence affordable once the store
+            // outgrows what full-corpus training can absorb nightly
             val prm = operators.AnnIndex.pqParams(spark, p.ann)
             operators.AnnIndex.buildPq(corpus, p.ann, m = prm.m,
               subLen = prm.subLen, numCodes = prm.numCodes,
-              trainIters = prm.trainIters, batchId = Some(batchId))
+              trainIters = prm.trainIters, batchId = Some(batchId),
+              trainSampleMax = trainSampleMax)
           case None =>
             // only append when the tick actually landed something — a
             // refresh-only tick whose store emptied out (the degrade
@@ -840,7 +846,8 @@ object DailyLoop {
            vecRemovals: Long => Option[DataFrame] = _ => None,
            pairRebuildEvery: Int = 0,
            leaseStaleMs: Long = LeaseStaleMs,
-           annRefreshEvery: Int = 0): Int = {
+           annRefreshEvery: Int = 0,
+           trainSampleMax: Long = 0L): Int = {
     // single-writer lease: a second contending loop fails HERE, loudly,
     // before touching any store; a daemon heartbeat keeps the lease
     // fresh THROUGH long ticks (an O(corpus) compaction tick must not
@@ -868,6 +875,7 @@ object DailyLoop {
             docRemovals = docRemovals(seq), vecRemovals = vecRemovals(seq),
             pairRebuildEvery = pairRebuildEvery,
             annRefreshEvery = annRefreshEvery,
+            trainSampleMax = trainSampleMax,
             leaseCheck = () => hb.check())
           ticks += 1
         } else Thread.sleep(sleepMs)

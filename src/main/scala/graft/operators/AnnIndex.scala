@@ -237,14 +237,46 @@ object AnnIndex {
   private def batchSuffix(batchId: Option[Long]): String =
     batchId.map(b => s" batch=$b").getOrElse("")
 
+  /** [[buildPq]]'s deterministic training-sample modulus: the sample
+    * predicate is `mulHash(id) < ceil(cap * Denom / n)` over this
+    * denominator, so the kept fraction is a rational with a fixed,
+    * oracle-mirrorable denominator (no float thresholds that could
+    * round differently between engines). */
+  val SampleDenom: Long = 1L << 20
+
+  /** Multiplicative hash for the training sample — Knuth's 2654435761
+    * over the id's low 31 bits, reduced mod [[SampleDenom]]. Pure
+    * 64-bit integer arithmetic with the product bounded below 2^63
+    * ((2^31-1) * 2654435761 < 2^62.4), so it evaluates identically in
+    * Spark (ANSI on or off) and in any engine mirroring the oracle SQL
+    * — unlike xxhash64, which only Spark computes. pmod keeps negative
+    * ids well-defined. */
+  private def sampleHash(id: org.apache.spark.sql.Column) =
+    pmod(pmod(id, lit(2147483648L)) * lit(2654435761L), lit(SampleDenom))
+
   /** Train + encode + publish a PQ index version: codebooks (sub, code,
     * code_vec) and the encoded corpus (id, sub, code) — at scale the
     * m-small-ints-per-vector table that replaces the raw floats at query
-    * time. Returns the committed version. */
+    * time. Returns the committed version.
+    *
+    * `trainSampleMax` (0 = off) bounds the TRAINING relation: when the
+    * corpus exceeds the cap, Lloyd training runs on a deterministic
+    * hash-sampled subset of expected size ~cap ([[sampleHash]] <
+    * ceil(cap*[[SampleDenom]]/n)) while the ENCODE still covers every
+    * vector — the standard large-corpus PQ recipe (train on a bounded
+    * uniform sample, encode the full corpus), and what turns the
+    * refresh retrain from O(corpus) Lloyd passes into O(sample) train
+    * + one O(corpus) encode pass. The sample is a function of the id
+    * SET alone (no RNG, no partition order), so rebuilds are
+    * reproducible and the oracle can restate the predicate in SQL.
+    * The cap is an operational resource bound, not index geometry, so
+    * it deliberately does NOT ride the `ti=` sidecar: each refresh
+    * applies the cap its config supplies to the corpus it sees. */
   def buildPq(corpus: DataFrame, path: String, m: Int = 4, subLen: Int = 16,
               numCodes: Int = 16, trainIters: Int = DefaultTrainIters,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              batchId: Option[Long] = None): Int = {
+              batchId: Option[Long] = None,
+              trainSampleMax: Long = 0L): Int = {
     val spark = corpus.sparkSession
     // units feed every train round AND the encode (no-subplan-CSE: pin
     // once) — spill-friendly persist, NOT a localCheckpoint: this is
@@ -255,7 +287,19 @@ object AnnIndex {
       .unitVectors(corpus, Seq(idCol -> "id"), vecCol, "unit")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val books = Similarity.pqTrain(units, m, subLen, numCodes, trainIters)
+      // the count rides the persist (columnar, one pass); keep ≥ Denom
+      // whenever n ≤ cap makes the predicate vacuously true, so the
+      // capped and uncapped paths share one semantics at every scale
+      val trainUnits =
+        if (trainSampleMax > 0L) {
+          val n = units.count()
+          val keep =
+            if (n == 0L) SampleDenom
+            else (trainSampleMax * SampleDenom + n - 1L) / n
+          if (keep >= SampleDenom) units
+          else units.filter(sampleHash(col("id")) < lit(keep))
+        } else units
+      val books = Similarity.pqTrain(trainUnits, m, subLen, numCodes, trainIters)
       val next = claimVersion(spark, path)
       val vd = vdir(path, next)
       books.write.mode("overwrite").parquet(new Path(vd, "books").toString)

@@ -1100,6 +1100,35 @@ object Ext {
         .orderBy("query_id", "rank")
     }),
 
+    // q131's refresh lifecycle with the retrain's Lloyd passes bounded
+    // to a deterministic hash sample (trainSampleMax=64): tick 2's
+    // refresh trains codebooks on the ~64 live vectors whose
+    // multiplicative hash clears ceil(64*2^20/n) — a pure function of
+    // the id set, restated verbatim in the oracle SQL — while the
+    // encode still covers the whole store. Truth: Lloyd on exactly
+    // that sample (init ids = the sample's first 16), every vector
+    // encoded under the sampled books. This is the knob that turns the
+    // O(corpus) refresh retrain into O(sample) train + one O(corpus)
+    // encode pass; PqSpec pins the recall cost vs the full retrain.
+    "q138_daily_loop_refresh_sampled" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val work = java.nio.file.Files.createTempDirectory("graft_dailyrefs_")
+      val p = graft.DailyLoop.Paths(work.toString)
+      val emptyDocs = t(s, dir, "documents").select("doc_id", "text").limit(0)
+      (1 to 3).foreach { d =>
+        graft.DailyLoop.runTick(s, graft.CvePipeline.Landing(), emptyDocs, p,
+          java.sql.Timestamp.valueOf(f"2025-04-0$d%d 00:00:00"),
+          embDelta = Some(e.select("vec_id", "embedding")
+            .filter(col("vec_id") % 3 === lit(d - 1))),
+          annRefreshEvery = 2, trainSampleMax = 64L)
+      }
+      graft.operators.AnnIndex
+        .pqTopK(s, p.ann, e.filter(col("vec_id") % 100 === 0), k = 5)
+        .select(col("query_id"), col("cand_id"), col("rank"),
+                round(col("approx_sim"), 6).as("approx_sim"))
+        .orderBy("query_id", "rank")
+    }),
+
     // q124's probe with a FIXED-SIZE query batch (first 600 ids): the
     // %100 entries' query COUNT grows with the corpus, so their totals
     // scale ~N²/100 by construction — this entry isolates the claim
@@ -1633,6 +1662,25 @@ object Ext {
       // widened to the refresh tick's live corpus (thirds 0+1); the
       // encode still covers everything
       "q131_daily_loop_refresh" -> refreshSql,
+      // the SAMPLED refresh truth: q131 with the training relation
+      // (tsubs AND b0's init-id pool) further restricted to the hash
+      // sample — keep = ceil(64 * 2^20 / n) over the live corpus, ids
+      // kept when ((id % 2^31) * 2654435761) % 2^20 < keep; pure
+      // 64-bit integer arithmetic, so DuckDB computes bit-identically
+      // what AnnIndex.sampleHash computes in Spark. The b0 replace
+      // runs FIRST (its target substring also appears inside the keepn
+      // CTE the tsubs replace inserts).
+      "q138_daily_loop_refresh_sampled" -> refreshSql
+        .replace("FROM e WHERE vec_id % 3 <> 2",
+          "FROM e WHERE vec_id % 3 <> 2 AND " +
+            "((vec_id % 2147483648) * 2654435761) % 1048576 < " +
+            "(SELECT keep FROM keepn)")
+        .replace("tsubs AS (SELECT * FROM subs WHERE vec_id % 3 <> 2)",
+          "keepn AS (SELECT (64 * 1048576 + count(*) - 1) // count(*) " +
+            "AS keep FROM e WHERE vec_id % 3 <> 2), " +
+            "tsubs AS (SELECT * FROM subs WHERE vec_id % 3 <> 2 AND " +
+            "((vec_id % 2147483648) * 2654435761) % 1048576 < " +
+            "(SELECT keep FROM keepn))"),
       // q124's probe truth with the query set fixed to the first 600
       // ids instead of the corpus-proportional %100 sample
       "q132_ann_postings_fixedq" -> base("q124_ann_ivf_postings").replace(

@@ -37,6 +37,69 @@ class PqSpec extends SparkSpec {
     assert(recall >= 0.85, s"recall $recall")
   }
 
+  test("sampled-train buildPq: books train on exactly the hash sample; recall within bound of full-train") {
+    // the refresh-retrain cap (trainSampleMax): Lloyd runs on the
+    // deterministic hash sample, the encode covers everything. Two
+    // claims pinned here: (1) the training set is EXACTLY the
+    // documented predicate — hash(id) < ceil(cap·2^20/n) — not merely
+    // "some subset" (the q138 oracle re-proves this end-to-end in SQL);
+    // (2) the quality cost is bounded: sampled-train recall stays
+    // within a fixed margin of full-train recall on a clustered corpus.
+    import spark.implicits._
+    import graft.operators.AnnIndex
+    val rnd = new scala.util.Random(11)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val rows = (0 until 80).flatMap { b =>
+      val base = vec()
+      (0 until 5).map { c =>
+        val v = if (c == 0) base
+                else base.zip(vec()).map { case (x, n) => x + 0.15f * n }
+        (b * 10L + c, v)
+      }
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val work = java.nio.file.Files.createTempDirectory("graft_annsamp_")
+    val full = work.resolve("full").toString
+    val samp = work.resolve("samp").toString
+    AnnIndex.buildPq(corpus, full)
+    val cap = 120L
+    AnnIndex.buildPq(corpus, samp, trainSampleMax = cap)
+    // (1) books == pqTrain on the predicate's exact sample
+    val n = corpus.count()
+    val keep = (cap * AnnIndex.SampleDenom + n - 1L) / n
+    val units = Similarity.unitVectors(corpus, Seq("vec_id" -> "id"),
+      "embedding", "unit")
+    val sampleUnits = units.filter(
+      pmod(pmod(col("id"), lit(2147483648L)) * lit(2654435761L),
+           lit(AnnIndex.SampleDenom)) < lit(keep))
+    val sampleN = sampleUnits.count()
+    assert(sampleN > 0 && sampleN < n, s"cap must bite: $sampleN of $n")
+    info(s"hash sample: $sampleN of $n (cap $cap)")
+    def bookSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("sub", "code", "code_vec").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSet
+    assert(bookSet(AnnIndex.pqBooks(spark, samp)) ==
+           bookSet(Similarity.pqTrain(sampleUnits, 4, 16, 16, 2)),
+      "sampled index must train on exactly the documented hash sample")
+    // (2) recall: sampled-train within a fixed margin of full-train
+    val queries = corpus.filter($"vec_id" % 10 === 0)
+    val exact = Similarity.bruteForceTopK(corpus, queries, 4)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(path: String) = {
+      val pq = AnnIndex.pqTopK(spark, path, queries, 4)
+        .select("query_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & pq).size.toDouble / exact.size
+    }
+    val rFull = recall(full)
+    val rSamp = recall(samp)
+    info(s"recall@4 full-train = $rFull, sampled-train = $rSamp")
+    assert(rSamp >= 0.80, s"sampled-train recall $rSamp")
+    assert(rSamp >= rFull - 0.10,
+      s"sampled-train recall $rSamp fell more than 0.10 below full-train $rFull")
+  }
+
   test("persisted artifacts: a fresh probe from disk equals the in-session build") {
     import graft.operators.AnnIndex
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
