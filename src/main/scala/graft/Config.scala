@@ -42,6 +42,25 @@ object Config {
     def getInt(section: String, key: String, default: Int): Int =
       get(section, key).map(_.toInt).getOrElse(default)
 
+    def getLong(section: String, key: String, default: Long): Long =
+      get(section, key).map(_.toLong).getOrElse(default)
+
+    /** [section] allowed_url_prefixes — comma-separated URL prefixes
+      * the section's fetched-content-derived links (the cve.org delta
+      * log's per-CVE github links) and probe URLs must match before
+      * any GET. The delta log is DOWNLOADED content: without this, a
+      * compromised upstream could point executor-side GETs at internal
+      * endpoints (SSRF). Absent key = no restriction (the pre-existing
+      * trust model; operators opt in per section). */
+    def allowedUrlPrefixes(section: String): Option[Seq[String]] =
+      get(section, "allowed_url_prefixes")
+        .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+
+    /** True when `url` clears [[allowedUrlPrefixes]] for the section —
+      * vacuously true with no allowlist configured. */
+    def urlAllowed(section: String, url: String): Boolean =
+      allowedUrlPrefixes(section).forall(_.exists(url.startsWith))
+
     /** [cvemate] scheduler — tick interval in hours
       * (configuration.ini.template:4; main.py scheduler loop). FLOAT
       * hours, matching `float(cvemate_config.get('scheduler', 4))`

@@ -160,6 +160,12 @@ object Main {
     scala.util.Try {
       import graft.sources.Fetch
       conf.get(section, "probe_url") match {
+        case Some(purl) if !conf.urlAllowed(section, purl) =>
+          // off-allowlist probe endpoint: degrade to "fetch anyway"
+          // (None), same as any other probe failure — loudly
+          Log.warning(s"[$section] probe_url $purl is outside " +
+            "allowed_url_prefixes — skipping the probe", "main")
+          None
         case Some(purl) =>
           Fetch.parseCommitStamp(new String(
             Fetch.fetchFileWithRetry(purl, policy),
@@ -292,43 +298,69 @@ object Main {
                   s"&lastModEndDate=${encodeStamp(e)}"
               },
             headers = headers)
-        // probe each window's totalResults driver-side (page 0), then
-        // land every window's pages as ONE distributed fetch — page
-        // numbers offset per window so the landed filenames stay
-        // disjoint and the declared-schema scan sees one page set
+        // probe each window's totalResults driver-side; the probe BODY
+        // doubles as the window's landed page 0 (the distributed fetch
+        // starts at page 1) — one request per window per tick saved
+        // against a rate-limited upstream
         val probed = windows.map { w =>
-          (w, Fetch.parseTotalResults(
-            Fetch.fetchWithRetry(transportFor(w), 0L, policy).body))
-        }.filter(_._2 > 0L)
+          (w, Fetch.fetchWithRetry(transportFor(w), 0L, policy))
+        }.map { case (w, p0) => (w, Fetch.parseTotalResults(p0.body), p0) }
+          .filter(_._2 > 0L)
         if (probed.isEmpty) {
-          Log.info(s"[$section] Skipping update, no modifications since " +
-            s"${stored(section).fold("day zero")(_.toString)}", "main")
+          if (windows.head.isDefined) {
+            // windowed pulls may legitimately be empty — the windows
+            // were consumed, there was just nothing in them — so the
+            // stamp still advances and the next tick's window stays
+            // bounded
+            Log.info(s"[$section] Skipping update, no modifications since " +
+              s"${stored(section).fold("day zero")(_.toString)}", "main")
+            stamps += section -> now
+          } else {
+            // an UNWINDOWED pull (day zero / full-pull fallback) that
+            // reports zero totalResults is an upstream glitch, not an
+            // empty delta: a well-formed 200 with a bogus zero would
+            // otherwise advance the stamp to `now` and every later
+            // windowed tick would permanently skip the records
+            // predating it. Land nothing, stamp nothing — the next
+            // tick retries the full pull.
+            Log.warning(s"[$section] Unwindowed pull returned zero " +
+              "totalResults — landing nothing and leaving the watermark " +
+              "unset (a glitchy zero must not orphan the corpus)", "main")
+          }
         } else {
           import spark.implicits._
           val parts = conf.getInt(section, "fetch_partitions", 2)
-          // the union runs every window's fetch tasks in ONE action and
-          // each window's partitions build their own RateLimiter, so
-          // the per-partition budget divides by the number of windows —
-          // the cluster-wide rate stays parts × requestsPerWindow, the
-          // configured ceiling, regardless of how many chunks a dormant
-          // resume produced (integer floor rounds the aggregate DOWN,
-          // never over the API's limit; min 1 keeps progress)
-          val chunkPolicy = policy.copy(requestsPerWindow =
-            (policy.requestsPerWindow / probed.size).max(1))
+          // window GROUPS of at most requestsPerWindow run as
+          // SEQUENTIAL actions (later groups append to the landing,
+          // page numbers already disjoint); within a group each
+          // window's partitions build their own RateLimiter with the
+          // budget floor-divided by the group size — so the cluster-
+          // wide rate is parts × groupSize × (rpw / groupSize) ≤
+          // parts × requestsPerWindow, the configured ceiling, for ANY
+          // number of chunks a dormant resume produced (the min-1
+          // floor can no longer exceed it: groupSize ≤ rpw)
+          val groups = probed.grouped(policy.requestsPerWindow.max(1)).toSeq
           var offset = 0L
-          val pages = probed.map { case (w, total) =>
-            val off = offset
-            offset += Fetch.numPages(total, policy.resultsPerPage)
-            val ds = Fetch.fetchPages(spark, total, chunkPolicy, parts,
-              transportFor(w))
-            if (off == 0L) ds else ds.map(p => p.copy(page = p.page + off))
-          }.reduce(_ union _)
-          val landed = Landing.landPages(pages, s"$dir/$sub")
+          var landed = 0L
+          groups.zipWithIndex.foreach { case (grp, gi) =>
+            val chunkPolicy = policy.copy(requestsPerWindow =
+              (policy.requestsPerWindow / grp.size).max(1))
+            val pages = grp.map { case (w, total, p0) =>
+              val off = offset
+              offset += Fetch.numPages(total, policy.resultsPerPage)
+              val head = spark.createDataset(Seq(p0.copy(page = off)))
+              val rest = Fetch.fetchPages(spark, total, chunkPolicy, parts,
+                transportFor(w), fromPage = 1L)
+              head union (if (off == 0L) rest
+                          else rest.map(p => p.copy(page = p.page + off)))
+            }.reduce(_ union _)
+            landed += Landing.landPages(pages, s"$dir/$sub", wipe = gi == 0)
+          }
           val totals = probed.map(_._2).sum
           Log.info(s"[$section] Landed $landed pages ($totals results, " +
             s"${probed.size} window(s)) into $dir/$sub", "main")
+          stamps += section -> now
         }
-        stamps += section -> now
       }
     paginated("nvd", "nvd_pages")
     paginated("redhat", "redhat_pages")
@@ -341,7 +373,14 @@ object Main {
             if (statusPath.nonEmpty) probeStamp(conf, section, url, policy)
             else None
           val s = stored(section)
-          if (upstream.exists(up => graft.operators.Watermarks.isFresh(s, up))) {
+          // freshness_granularity = day: the reference's `.date()`
+          // compare (a same-day re-release is skipped); default stays
+          // the stricter full-instant compare
+          val dayGranularity =
+            conf.get(section, "freshness_granularity").contains("day")
+          if (upstream.exists(up =>
+            if (dayGranularity) graft.operators.Watermarks.isFreshDay(s, up)
+            else graft.operators.Watermarks.isFresh(s, up))) {
             Log.info(s"[$section] Skipping update, source_last_update: " +
               s"${s.get}", "main")
           } else {
@@ -403,6 +442,22 @@ object Main {
       val policy = conf.fetchPolicy("cveorg")
       val logPath = JPaths.get(dir, "cveorg_deltaLog.json")
       Fetch.downloadFileWithRetry(logUrl, policy, logPath)
+      // the fan-out's SSRF guard: the delta log is DOWNLOADED content,
+      // so its per-CVE links are only trusted as far as the section's
+      // allowed_url_prefixes. Off-allowlist entries are dropped LOUDLY
+      // and deliberately stay dropped (the stamp still consumes them):
+      // a link pointing into private address space is an attack to
+      // refuse, not a record to retry.
+      def allowlisted(items: Seq[(String, String)]): Seq[(String, String)] = {
+        val (ok, bad) = items.partition { case (_, u) =>
+          conf.urlAllowed("cveorg", u) }
+        if (bad.nonEmpty)
+          Log.warning(s"[cveorg] dropping ${bad.size} delta entries with " +
+            s"off-allowlist links (first: ${bad.head._2}) — the delta log " +
+            "is fetched content; only allowed_url_prefixes may be fetched",
+            "main")
+        ok
+      }
       val log = Readers.deltaLog(spark, logPath.toString)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
@@ -434,14 +489,19 @@ object Main {
                 s"than $wm", "main")
               None
             } else {
-              val items = entries.toSeq.map(r => (r.getString(0), r.getString(1)))
-              val landed = Landing.landKeyed(
-                Fetch.fetchKeyed(spark, items, policy,
-                  numPartitions = conf.getInt("cveorg", "fetch_partitions", 2),
-                  Fetch.httpUrlTransport()),
-                s"$dir/cveorg")
-              Log.info(s"[cveorg] Landed $landed delta CVE records into " +
-                s"$dir/cveorg", "main")
+              val items = allowlisted(
+                entries.toSeq.map(r => (r.getString(0), r.getString(1))))
+              if (items.nonEmpty) {
+                val landed = Landing.landKeyed(
+                  Fetch.fetchKeyed(spark, items, policy,
+                    numPartitions = conf.getInt("cveorg", "fetch_partitions", 2),
+                    Fetch.httpUrlTransport()),
+                  s"$dir/cveorg")
+                Log.info(s"[cveorg] Landed $landed delta CVE records into " +
+                  s"$dir/cveorg", "main")
+              }
+              // the stamp consumes every entry — including deliberately
+              // refused off-allowlist ones (see allowlisted)
               Some(entries.map(_.getTimestamp(2)).max)
             }
           case _ =>
@@ -452,13 +512,20 @@ object Main {
               case Some(zipUrl) =>
                 val zipDest = JPaths.get(dir, "cveorg_all.zip")
                 Fetch.downloadFileWithRetry(zipUrl, policy, zipDest)
-                val n = Landing.extractZip(zipDest.toString, s"$dir/cveorg").size
-                Log.info(s"[cveorg] Landed full clone ($n members) into " +
-                  s"$dir/cveorg", "main")
+                // batched landing: ONE streaming repack pass on the
+                // driver (no per-member FS creates, no JSON parsing —
+                // the ~500k records parse distributed in the reader's
+                // from_json scan), vs the reference's file-per-member
+                // extraction loop (cveorg_handler.py:107-118)
+                val n = Landing.extractZipBatched(zipDest.toString,
+                  s"$dir/cveorg")
+                Log.info(s"[cveorg] Landed full clone ($n members, " +
+                  "batched) into " + s"$dir/cveorg", "main")
               case None =>
-                val items = Readers.deltaCves(log, new Timestamp(0L))
-                  .select("cveId", "githubLink").collect().toSeq
-                  .map(r => (r.getString(0), r.getString(1)))
+                val items = allowlisted(
+                  Readers.deltaCves(log, new Timestamp(0L))
+                    .select("cveId", "githubLink").collect().toSeq
+                    .map(r => (r.getString(0), r.getString(1))))
                 val landed = Landing.landKeyed(
                   Fetch.fetchKeyed(spark, items, policy,
                     numPartitions = conf.getInt("cveorg", "fetch_partitions", 2),
@@ -580,6 +647,9 @@ object Main {
     val annMaxChain = conf.getInt("dedup", "ann_max_chain", Int.MaxValue)
     val pairRebuildEvery = conf.getInt("dedup", "pair_rebuild_every", 0)
     val annRefreshEvery = conf.getInt("dedup", "ann_refresh_every", 0)
+    // bounds the refresh retrain's Lloyd passes to a deterministic hash
+    // sample of the live vector store (0 = train on the full store)
+    val trainSampleMax = conf.getLong("dedup", "train_sample_max", 0L)
     def landing(seq: Long, now: Timestamp) = {
       val dir = s"$root/landing/$seq"
       if (fetch) fetchLanding(spark, conf, dir, statusPath = Some(p.status),
@@ -614,6 +684,7 @@ object Main {
           docRemovals = docRem(seq), vecRemovals = vecRem(seq),
           pairRebuildEvery = pairRebuildEvery,
           annRefreshEvery = annRefreshEvery,
+          trainSampleMax = trainSampleMax,
           leaseCheck = () => hb.check())
         // surface a loss the heartbeat observed during the tick's last
         // step loudly, even though the tick itself is already done
@@ -637,7 +708,8 @@ object Main {
         embDelta = emb, annMaxChain = annMaxChain,
         docRemovals = docRem, vecRemovals = vecRem,
         pairRebuildEvery = pairRebuildEvery,
-        annRefreshEvery = annRefreshEvery)
+        annRefreshEvery = annRefreshEvery,
+        trainSampleMax = trainSampleMax)
       Log.info("[Scheduler] Shutdown event detected. Exiting scheduler loop.", "main")
       ticks
     }

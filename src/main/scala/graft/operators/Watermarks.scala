@@ -87,4 +87,21 @@ object Watermarks {
     * we stored (epss_handler.py:111-120 and friends). */
   def isFresh(stored: Option[Timestamp], upstream: Timestamp): Boolean =
     stored.exists(s => !upstream.after(s))
+
+  /** [[isFresh]] at the reference's DAY granularity — the handlers
+    * compare `.date()`s, not instants (cisa_handler.py:55,
+    * epss_handler.py:64), so an upstream that re-releases LATER THE
+    * SAME DAY reads as fresh and is skipped until tomorrow. The
+    * default fetch path deliberately keeps the stricter full-instant
+    * [[isFresh]] (same probe cost, no same-day blind spot); this
+    * variant exists for behavioral-fidelity deployments
+    * (`freshness_granularity = day` in the source's config section).
+    * Days are UTC calendar days — stamp comparison must not depend on
+    * the driver host's timezone. */
+  def isFreshDay(stored: Option[Timestamp], upstream: Timestamp): Boolean =
+    stored.exists { s =>
+      val utcDay = (t: Timestamp) =>
+        t.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate
+      !utcDay(upstream).isAfter(utcDay(s))
+    }
 }

@@ -345,10 +345,14 @@ object Fetch {
     * as the multimodal codec stub). */
   def fetchPages(spark: SparkSession, totalResults: Long, policy: Policy,
                  numPartitions: Int,
-                 transport: Long => String): Dataset[FetchedPage] = {
+                 transport: Long => String,
+                 fromPage: Long = 0L): Dataset[FetchedPage] = {
     import spark.implicits._
     val pages = numPages(totalResults, policy.resultsPerPage)
-    spark.range(0L, pages, 1L, numPartitions).as[Long]
+    // fromPage = 1 when the caller already holds page 0 — the driver's
+    // totalResults probe body doubles as the landed page instead of a
+    // second request against a rate-limited upstream
+    spark.range(fromPage, pages, 1L, numPartitions).as[Long]
       .mapPartitions { it =>
         val limiter = new RateLimiter(policy.requestsPerWindow, policy.windowMs)
         it.map { page =>

@@ -39,9 +39,16 @@ object Landing {
     * higher-numbered page files for the declared-schema scan to silently
     * include — idempotence has to hold per LANDING, not just per page.
     * Returns the number of pages landed (the action that runs the
-    * fetch). */
-  def landPages(pages: Dataset[FetchedPage], dir: String): Long =
-    landFiles(pages, dir)(p => f"page-${p.page}%05d.json", _.body)
+    * fetch).
+    *
+    * `wipe = false` APPENDS to an existing landing — the sequential-
+    * window-group path, where one tick's chunked pull lands as several
+    * consecutive actions (page numbers already disjoint) and only the
+    * FIRST may wipe: a later group wiping would silently drop the
+    * earlier groups' pages from the scan. */
+  def landPages(pages: Dataset[FetchedPage], dir: String,
+                wipe: Boolean = true): Long =
+    landFiles(pages, dir, wipe)(p => f"page-${p.page}%05d.json", _.body)
 
   /** Land a KEY-addressed fetch as `<name>.json` files written by the
     * EXECUTORS ([[landPages]]' shape and idempotence contract: wiped
@@ -67,23 +74,26 @@ object Landing {
     *    keys, fs credentials, defaultFS) — a bare executor-side
     *    Configuration would drop them and resolve the landing FS
     *    differently from a parquet write;
-    *  - wipe + recreate the dir driver-side before any task writes:
-    *    re-landing a smaller fetch must not leave the earlier landing's
-    *    extra files for the declared-schema scan to silently include —
-    *    idempotence holds per LANDING, not just per file. (Hadoop's
-    *    delete removes a symlink itself rather than descending through
-    *    it — no round-6 follow-the-link hazard);
+    *  - wipe + recreate the dir driver-side before any task writes
+    *    (unless the caller is appending a later window group of the
+    *    SAME landing — landPages' `wipe = false`): re-landing a smaller
+    *    fetch must not leave the earlier landing's extra files for the
+    *    declared-schema scan to silently include — idempotence holds
+    *    per LANDING, not just per file. (Hadoop's delete removes a
+    *    symlink itself rather than descending through it — no round-6
+    *    follow-the-link hazard);
     *  - executors write one deterministically-named, overwriting file
     *    per row, so a retried task re-lands identical bytes.
     * Returns files landed (the action that runs the fetch). */
-  private def landFiles[T](rows: Dataset[T], dir: String)
+  private def landFiles[T](rows: Dataset[T], dir: String,
+                           wipe: Boolean = true)
                           (fileName: T => String, body: T => String): Long = {
     import rows.sparkSession.implicits._
     val hconf = rows.sparkSession.sparkContext.hadoopConfiguration
     val conf = new org.apache.spark.util.SerializableConfiguration(hconf)
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val dirFs = dirPath.getFileSystem(hconf)
-    if (dirFs.exists(dirPath)) dirFs.delete(dirPath, true)
+    if (wipe && dirFs.exists(dirPath)) dirFs.delete(dirPath, true)
     dirFs.mkdirs(dirPath)
     rows.mapPartitions { it =>
       val path = new org.apache.hadoop.fs.Path(dir)
@@ -128,6 +138,87 @@ object Landing {
       }
     } finally in.close()
     out.result()
+  }
+
+  /** Batch size [[extractZipBatched]] rolls its line files at — sized
+    * so a cvelistV5-scale clone (~500k members, ~a few KB each) lands
+    * as a few dozen parquet-friendly files instead of half a million
+    * small ones. */
+  val ZipBatchBytes: Long = 64L * 1024 * 1024
+
+  /** Minimal JSON string escaping for [[extractZipBatched]]'s envelope
+    * lines — quote, backslash, and control chars; everything else is
+    * passed through (the JSON spec requires nothing more). */
+  private def jsonEscape(s: String): String = {
+    val b = new java.lang.StringBuilder(s.length + 16)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '"' => b.append("\\\"")
+        case '\\' => b.append("\\\\")
+        case '\n' => b.append("\\n")
+        case '\r' => b.append("\\r")
+        case '\t' => b.append("\\t")
+        case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+        case c => b.append(c)
+      }
+      i += 1
+    }
+    b.toString
+  }
+
+  /** Extract a zip archive into `destDir` as BATCHED JSONL envelopes —
+    * `batch-%05d.jsonl` files of `{"name": <member basename>, "body":
+    * <raw member text>}` lines, rolled at ~`maxBatchBytes` — instead of
+    * one file per member. This is the day-zero cvelistV5 clone's
+    * landing shape: the real archive holds ~500k members, and a
+    * file-per-member extraction is 500k driver-side FS creates followed
+    * forever after by 500k-file scans; the batched landing is ONE
+    * streaming pass over the archive (no JSON parsing on the driver —
+    * bodies are re-packed verbatim, only string-escaped) and the
+    * expensive work, parsing half a million CVE records, happens
+    * DISTRIBUTED in `Readers.cveOrg`'s from_json over the batch scan.
+    * Directory members are skipped; member PATHS are flattened to
+    * basenames (the reader keys records by basename, as it does for
+    * the tree layout). Returns members landed. */
+  def extractZipBatched(zipPath: String, destDir: String,
+                        maxBatchBytes: Long = ZipBatchBytes): Long = {
+    val dest = new File(destDir)
+    dest.mkdirs()
+    val in = new ZipInputStream(new FileInputStream(zipPath))
+    var members = 0L
+    var batch = 0
+    var batchBytes = 0L
+    var os: java.io.Writer = null
+    def roll(): Unit = {
+      if (os != null) os.close()
+      os = new java.io.OutputStreamWriter(
+        new BufferedOutputStream(new FileOutputStream(
+          new File(dest, f"batch-$batch%05d.jsonl"))),
+        java.nio.charset.StandardCharsets.UTF_8)
+      batch += 1; batchBytes = 0L
+    }
+    try {
+      roll()
+      var entry = in.getNextEntry
+      while (entry != null) {
+        if (!entry.isDirectory) {
+          val base = entry.getName.substring(
+            entry.getName.lastIndexOf('/') + 1)
+          val body = new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8)
+          val line = "{\"name\":\"" + jsonEscape(base) + "\",\"body\":\"" +
+            jsonEscape(body) + "\"}\n"
+          if (batchBytes > 0 && batchBytes + line.length > maxBatchBytes) roll()
+          os.write(line)
+          batchBytes += line.length
+          members += 1
+        }
+        entry = in.getNextEntry
+      }
+    } finally { in.close(); if (os != null) os.close() }
+    members
   }
 
   /** The reference's single-member invariant (handlers/utils.py:113-118):

@@ -123,19 +123,45 @@ object Readers {
       .filter(col("rn") === 1).drop("rn")
   }
 
-  /** S3/P5/F3: extracted cvelistV5 tree → {id, cveorg}; id from the
-    * filename (basename minus .json), members filtered to CVE*.json
-    * (cveorg_handler.py:70-71, 79-80). */
-  def cveOrg(spark: SparkSession, dir: String): DataFrame =
-    spark.read.schema(Schemas.cveV5Record)
-      .option("multiLine", true)
-      .option("recursiveFileLookup", true)
-      .option("pathGlobFilter", "CVE*.json")
-      .json(dir)
-      .withColumn("id",
-        regexp_extract(input_file_name(), "([^/]+)\\.json$", 1))
-      .filter(col("id").startsWith("CVE"))
-      .select(col("id"), struct(col("cveMetadata"), col("containers")).as("cveorg"))
+  /** S3/P5/F3: landed cvelistV5 clone → {id, cveorg}. Two layouts,
+    * dispatched on what actually landed:
+    *  - file-per-member tree (the keyed fan-out's landing, and legacy
+    *    extractZip clones): id from the filename (basename minus
+    *    .json), members filtered to CVE*.json (cveorg_handler.py:70-71,
+    *    79-80);
+    *  - batched JSONL envelopes (`Landing.extractZipBatched` — the
+    *    day-zero clone): `{name, body}` lines whose bodies are parsed
+    *    DISTRIBUTED via from_json — the driver never parses a record,
+    *    and a 500k-member clone scans as dozens of files, not half a
+    *    million.
+    * Both produce the identical relation (GraftSpec pins it). */
+  def cveOrg(spark: SparkSession, dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batched = fs.exists(p) &&
+      fs.globStatus(new org.apache.hadoop.fs.Path(p, "batch-*.jsonl"))
+        .nonEmpty
+    if (batched)
+      spark.read
+        .schema("name STRING, body STRING")
+        .json(new org.apache.hadoop.fs.Path(p, "batch-*.jsonl").toString)
+        .filter(col("name").startsWith("CVE") && col("name").endsWith(".json"))
+        .select(regexp_extract(col("name"), "(.+)\\.json$", 1).as("id"),
+                from_json(col("body"), Schemas.cveV5Record).as("rec"))
+        .select(col("id"),
+                struct(col("rec.cveMetadata").as("cveMetadata"),
+                       col("rec.containers").as("containers")).as("cveorg"))
+    else
+      spark.read.schema(Schemas.cveV5Record)
+        .option("multiLine", true)
+        .option("recursiveFileLookup", true)
+        .option("pathGlobFilter", "CVE*.json")
+        .json(dir)
+        .withColumn("id",
+          regexp_extract(input_file_name(), "([^/]+)\\.json$", 1))
+        .filter(col("id").startsWith("CVE"))
+        .select(col("id"), struct(col("cveMetadata"), col("containers")).as("cveorg"))
+  }
 
   /** S2: Red Hat Hydra page files → normalized {id, redhat} (the dormant
     * handler stores the bare dict with no envelope, redhat_handler.py:91-94

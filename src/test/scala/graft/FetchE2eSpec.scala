@@ -245,8 +245,9 @@ class FetchE2eSpec extends SparkSpec {
       assert(ticks == 2)
       assert(new java.io.File(s"$root/landing/1/nvd_pages").isDirectory)
       assert(new java.io.File(s"$root/landing/2/nvd_pages").isDirectory)
-      // each tick paid its own probe + pages over the socket
-      assert(hits.get() >= 8, s"expected two full fetches, saw ${hits.get()}")
+      // each tick paid its own fetch over the socket: 3 pages/tick,
+      // with the probe body doubling as page 0 (no duplicate request)
+      assert(hits.get() == 6, s"expected two 3-request fetches, saw ${hits.get()}")
       assert(spark.read.parquet(s"$root/snapshot").count() == 5)
     } finally server.stop(0)
   }
@@ -370,9 +371,14 @@ class FetchE2eSpec extends SparkSpec {
                     "debian.json", "cveorg_deltaLog.json",
                     Main.LandedMarker))
         assert(new java.io.File(s"$land/$n").isFile, s"$n must land")
-      // the full-clone extract really is the cvelistV5 tree shape
-      assert(new java.io.File(
-        s"$land/cveorg/cves/2024/0xxx/CVE-2024-0001.json").isFile)
+      // the full clone lands BATCHED (extractZipBatched): JSONL
+      // envelopes, not a file-per-member tree — the 500k-member real
+      // archive must not become 500k driver-side FS creates
+      val cloneFiles = new java.io.File(s"$land/cveorg").listFiles()
+        .map(_.getName).filter(!_.startsWith(".")).toSeq
+      assert(cloneFiles.nonEmpty &&
+        cloneFiles.forall(n => n.startsWith("batch-") && n.endsWith(".jsonl")),
+        s"day-zero clone must land batched, got $cloneFiles")
       // the merged snapshot carries every enrichment envelope — the
       // dormant trio's included (CWE is a standalone cross-ref table,
       // not a snapshot envelope)
@@ -661,6 +667,86 @@ class FetchE2eSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("fan-out allowlist: off-allowlist delta links are refused loudly and never fetched") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val evilHits = new AtomicInteger
+    val probeHits = new AtomicInteger
+    def serve(path: String, counter: Option[AtomicInteger], body: String): Unit =
+      server.createContext(path, new HttpHandler {
+        def handle(ex: HttpExchange): Unit = {
+          counter.foreach(_.incrementAndGet())
+          val b = body.getBytes("UTF-8")
+          ex.sendResponseHeaders(200, b.length.toLong)
+          ex.getResponseBody.write(b); ex.close()
+        }
+      })
+    server.setExecutor(null)
+    server.start()
+    val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+    // the delta log is FETCHED content: one link inside the allowlist,
+    // one pointing elsewhere (the SSRF shape — a compromised upstream
+    // steering executor GETs at internal endpoints)
+    serve("/cveorg/deltaLog.json", None,
+      s"""[{"fetchTime":"2025-04-05T10:00:00.000Z","numberOfChanges":2,
+           "updated":[{"cveId":"CVE-2024-0001",
+             "githubLink":"$base/raw/CVE-2024-0001.json",
+             "dateUpdated":"2025-04-05T09:59:00.000Z"}],
+           "new":[{"cveId":"CVE-2024-0002",
+             "githubLink":"$base/evil/CVE-2024-0002.json",
+             "dateUpdated":"2025-04-05T09:58:00.000Z"}]},
+          {"fetchTime":"2025-04-01T00:00:00.000Z","numberOfChanges":0,
+           "updated":[],"new":[]}]""")
+    serve("/raw/CVE-2024-0001.json", None,
+      """{"cveMetadata": {"cveId": "CVE-2024-0001", "state": "PUBLISHED"},
+         "containers": {"cna": {"title": "ok"}}}""")
+    serve("/evil/CVE-2024-0002.json", Some(evilHits), "{}")
+    serve("/probe/last-commit", Some(probeHits), "[]")
+    try {
+      val conf = Config.parse(
+        s"""[cveorg]
+           |url_updates: $base/cveorg/deltaLog.json
+           |allowed_url_prefixes: $base/raw/, $base/cveorg/
+           |[exploitdb]
+           |probe_url: $base/probe/last-commit
+           |allowed_url_prefixes: $base/elsewhere/
+           |""".stripMargin)
+      val dir = java.nio.file.Files.createTempDirectory("fetch_allow_")
+        .toString
+      val wm = Timestamp.from(
+        java.time.OffsetDateTime.parse("2025-04-01T00:00:00Z").toInstant)
+      val stamp = Main.fetchCveOrg(spark, conf, dir, Some(wm))
+      // the on-allowlist record landed; the off-allowlist one was
+      // refused BEFORE any GET — the evil endpoint never saw a request
+      assert(new java.io.File(s"$dir/cveorg/CVE-2024-0001.json").isFile)
+      assert(!new java.io.File(s"$dir/cveorg/CVE-2024-0002.json").exists())
+      assert(evilHits.get() == 0,
+        "an off-allowlist link must never be fetched")
+      // the stamp consumed every entry (the refusal is deliberate and
+      // permanent, not a retry)
+      assert(stamp.contains(Timestamp.from(
+        java.time.OffsetDateTime.parse("2025-04-05T10:00:00Z").toInstant)))
+      // probe_url outside its section's allowlist: the probe degrades
+      // to "fetch anyway" (None) without a GET
+      assert(Main.probeStamp(conf, "exploitdb", s"$base/whatever",
+        conf.fetchPolicy("exploitdb")).isEmpty)
+      assert(probeHits.get() == 0,
+        "an off-allowlist probe_url must never be probed")
+      // no allowlist configured = the pre-existing trust model: the
+      // same log fans out BOTH links
+      val conf2 = Config.parse(
+        s"""[cveorg]
+           |url_updates: $base/cveorg/deltaLog.json
+           |""".stripMargin)
+      val dir2 = java.nio.file.Files.createTempDirectory("fetch_allow2_")
+        .toString
+      Main.fetchCveOrg(spark, conf2, dir2, Some(wm))
+      assert(new java.io.File(s"$dir2/cveorg/CVE-2024-0002.json").isFile)
+      assert(evilHits.get() == 1)
+    } finally server.stop(0)
+  }
+
   test("crash re-run commits the LANDED stamps, not the live upstream's") {
     import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
     val server = HttpServer.create(
@@ -789,6 +875,11 @@ class FetchE2eSpec extends SparkSpec {
       val q1 = drain()
       assert(q1.nonEmpty && q1.forall(!_.contains("lastModStartDate")),
         "day zero must pull the full corpus, unwindowed")
+      // exactly numPages requests: the driver's totalResults probe BODY
+      // lands as page 0, so the distributed fetch starts at page 1 —
+      // no duplicate page-0 request against the rate-limited upstream
+      assert(q1.map(_("startIndex")).sorted == Seq("0", "2", "4"),
+        s"5 results at 2/page = exactly 3 requests, one per page, got $q1")
       assert(q1.forall(_.get("header:apikey").contains("it-is-a-fixture-key")),
         "the keyed tier's credential must ride every request as a header")
       assert(spark.read.parquet(s"$root/snapshot").count() == 5)
@@ -808,6 +899,9 @@ class FetchE2eSpec extends SparkSpec {
           s"update pull must window from the stored stamp, got $p")
         assert(p.contains("lastModEndDate"))
       }
+      assert(q2.size == 1,
+        s"a one-page windowed delta costs exactly ONE request (the probe " +
+          s"body IS the landed page), got ${q2.size}")
       val pages2 = new java.io.File(s"$root/landing/2/nvd_pages")
         .listFiles().map(_.getName).count(_.startsWith("page-"))
       assert(pages2 == 1, "the windowed delta is ONE page, not the corpus")
@@ -850,6 +944,9 @@ class FetchE2eSpec extends SparkSpec {
         iso(ts("2025-08-01 00:00:00"))), // stored + 120 days
         s"two consecutive cap-sized windows expected, got $starts")
       assert(q4.forall(_.contains("lastModEndDate")))
+      assert(q4.size == 2,
+        s"two chunk windows, one page each consumed at the probe — " +
+          s"exactly 2 requests, got ${q4.size}")
       val pages4 = new java.io.File(s"$root/landing/4/nvd_pages")
         .listFiles().map(_.getName).count(_.startsWith("page-"))
       assert(pages4 == 1, "only the chunk carrying the modification lands")
@@ -867,12 +964,68 @@ class FetchE2eSpec extends SparkSpec {
       val q5 = drain()
       assert(q5.nonEmpty && q5.forall(!_.contains("lastModStartDate")),
         "a span beyond the chunk budget must fall back to the full pull")
+      assert(q5.map(_("startIndex")).sorted == Seq("0", "2", "4", "6"),
+        s"7 results at 2/page = exactly 4 requests, no duplicate page 0, got $q5")
       val pages5 = new java.io.File(s"$root/landing/5/nvd_pages")
         .listFiles().map(_.getName).count(_.startsWith("page-"))
       assert(pages5 == 4) // ceil(7/2): the whole corpus re-lands
       assert(spark.read.parquet(s"$root/snapshot").count() == 7)
       assert(Watermarks.sourceLastUpdate(spark, status, "nvd")
         .contains(ts("2026-09-01 00:00:00")))
+    } finally server.stop(0)
+  }
+
+  test("a zero-totalResults UNWINDOWED pull leaves the watermark unset; the next tick retries the full pull") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    // tick 1: the upstream glitches — a well-formed 200 with
+    // totalResults: 0 on the DAY-ZERO (unwindowed) pull. Stamping `now`
+    // here would make every later windowed tick skip the entire corpus
+    // predating it.
+    @volatile var corpus = Seq.empty[Rec]
+    server.createContext("/rest/json/cves/2.0", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        val params = Option(ex.getRequestURI.getQuery).getOrElse("")
+          .split("&").filter(_.nonEmpty).map(_.split("=", 2))
+          .map(a => a(0) -> a.lift(1).getOrElse("")).toMap
+        val body = pageBody(corpus,
+          params("startIndex").toLong / PerPage).getBytes("UTF-8")
+        ex.sendResponseHeaders(200, body.length.toLong)
+        ex.getResponseBody.write(body); ex.close()
+      }
+    })
+    server.setExecutor(null)
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val root = java.nio.file.Files.createTempDirectory("main_zerotot_")
+        .resolve("root").toString
+      val conf = Config.parse(
+        s"""[nvd]
+           |url: $base/rest/json/cves/2.0
+           |results_per_page: $PerPage
+           |retry_delay: 0
+           |""".stripMargin)
+      def tick(day: Int): Unit = {
+        Main.run(spark, conf, root, once = true,
+          stop = new java.util.concurrent.atomic.AtomicBoolean(false),
+          clock = () => ts(f"2025-04-0$day%d 00:00:00"), fetch = true); ()
+      }
+      tick(1)
+      // the glitchy zero landed nothing AND stamped nothing (the tick
+      // itself still commits — other sources may have landed)
+      assert(!new java.io.File(s"$root/landing/1/nvd_pages").exists())
+      assert(Watermarks.sourceLastUpdate(spark, s"$root/status", "nvd").isEmpty,
+        "an unwindowed zero must not advance the watermark")
+      assert(DailyLoop.committedTick(spark, DailyLoop.Paths(root))._1 == 1L)
+      // tick 2: upstream recovered — still day zero (no stamp), so the
+      // FULL corpus lands and the stamp finally advances
+      corpus = initRecs
+      tick(2)
+      assert(spark.read.parquet(s"$root/snapshot").count() == 5)
+      assert(Watermarks.sourceLastUpdate(spark, s"$root/status", "nvd")
+        .contains(ts("2025-04-02 00:00:00")))
     } finally server.stop(0)
   }
 

@@ -52,6 +52,37 @@ class LandingSpec extends SparkSpec {
     assert(!new File(s"$work/escape.txt").exists)
   }
 
+  test("extractZipBatched: many-member clone lands as few JSONL batches; reader equals the tree layout") {
+    // the day-zero clone path: a cvelistV5-scale archive must not land
+    // as one file per member (500k driver-side FS creates + 500k-file
+    // scans forever after). The batched landing is one streaming repack
+    // pass; the reader dispatches on layout and must produce the
+    // IDENTICAL relation — including bodies whose text needs escaping.
+    val work = java.nio.file.Files.createTempDirectory("zipbatch").toString
+    val rec = (id: String) =>
+      s"""{"cveMetadata": {"cveId": "$id", "state": "PUBLISHED"},
+          "containers": {"cna": {"title": "t\\"quoted\\"\\t$id"}}}"""
+    val members = (1 to 500).map { i =>
+      f"cves/2025/${i / 100}xxx/CVE-2025-$i%04d.json" -> rec(f"CVE-2025-$i%04d")
+    } :+ ("cves/deltaLog.json" -> "[]")
+    makeZip(s"$work/clone.zip", members: _*)
+    val n = Landing.extractZipBatched(s"$work/clone.zip", s"$work/batched",
+      maxBatchBytes = 16 * 1024)
+    assert(n == 501)
+    val batchFiles = new File(s"$work/batched").listFiles.map(_.getName).sorted.toSeq
+    assert(batchFiles.forall(f => f.startsWith("batch-") && f.endsWith(".jsonl")),
+      s"unexpected landing files: $batchFiles")
+    assert(batchFiles.size > 1, "a tiny batch cap must roll multiple files")
+    assert(batchFiles.size < 50,
+      s"batching must land orders of magnitude fewer files than members, got ${batchFiles.size}")
+    Landing.extractZip(s"$work/clone.zip", s"$work/tree")
+    val batched = Readers.cveOrg(spark, s"$work/batched").orderBy("id").collect().toSeq
+    val tree = Readers.cveOrg(spark, s"$work/tree").orderBy("id").collect().toSeq
+    assert(batched.size == 500) // deltaLog member filtered in both layouts
+    assert(batched == tree,
+      "batched and tree layouts must read as the identical relation")
+  }
+
   test("landKeyed: executors land <cveId>.json files the cveOrg reader consumes; re-land wipes") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("keyed").toString

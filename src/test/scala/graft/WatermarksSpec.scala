@@ -66,4 +66,23 @@ class WatermarksSpec extends SparkSpec {
     assert(!Watermarks.isFresh(Some(ts("2025-04-01T00:00:00Z")), ts("2025-04-02T00:00:00Z")))
     assert(!Watermarks.isFresh(None, ts("2025-04-01T00:00:00Z")))
   }
+
+  test("day-granularity fidelity mode: a same-day re-release is fresh; next day is not") {
+    // the reference's `.date()` compare (cisa_handler.py:55,
+    // epss_handler.py:64): an upstream re-released later the SAME UTC
+    // day reads as fresh — exactly where the default full-instant
+    // compare fetches
+    val stored = Some(ts("2025-04-01T08:00:00Z"))
+    val sameDayLater = ts("2025-04-01T20:00:00Z")
+    assert(Watermarks.isFreshDay(stored, sameDayLater),
+      "same-day re-release must be fresh at day granularity")
+    assert(!Watermarks.isFresh(stored, sameDayLater),
+      "the default full-instant compare must fetch the same-day re-release")
+    // next day: both modes fetch
+    assert(!Watermarks.isFreshDay(stored, ts("2025-04-02T00:00:01Z")))
+    // earlier-day upstream: both modes skip
+    assert(Watermarks.isFreshDay(stored, ts("2025-03-31T23:59:59Z")))
+    // day zero: both modes fetch
+    assert(!Watermarks.isFreshDay(None, ts("2025-04-01T00:00:00Z")))
+  }
 }
