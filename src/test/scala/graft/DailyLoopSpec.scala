@@ -791,6 +791,73 @@ class DailyLoopSpec extends SparkSpec {
     DailyLoop.releaseLease(spark, p)
   }
 
+  test("lease stress: N contenders racing a stale lease + stranded breaker — one winner per round, fresh leases never deleted") {
+    // the multi-contender closure of the two races above, repeated: every
+    // round plants BOTH hazards at once (an abandoned stale lease AND a
+    // breaker stranded by a crashed contender) and races N threads
+    // through the full acquire protocol. Exactly one acquirer may ever
+    // hold; the surviving lease must carry the winner's id after every
+    // loser has finished (no interleave where a loser's sweep or break
+    // lands on the winner's FRESH lease); the stranded mutex must be
+    // gone. Turns the scaladoc's prose bound on the sweep residue into
+    // a tested one.
+    val p = DailyLoop.Paths(work())
+    val f = new org.apache.hadoop.fs.Path(p.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lp = new org.apache.hadoop.fs.Path(p.root, "lease")
+    val bp = new org.apache.hadoop.fs.Path(p.root, "lease.breaker")
+    def readHolder(): String = {
+      val in = f.open(lp)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+    (1 to 5).foreach { round =>
+      DailyLoop.acquireLease(spark, p, s"crashed-writer-$round")
+      f.setTimes(lp, System.currentTimeMillis() - 600000L, -1)
+      // a breaker a contender crashed holding, already stale
+      val out = f.create(bp, true)
+      try out.write(s"crashed-breaker-$round".getBytes("UTF-8"))
+      finally out.close()
+      f.setTimes(bp, System.currentTimeMillis() - 600000L, -1)
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val outcomes = new java.util.concurrent.ConcurrentHashMap[String, String]()
+      val threads = (1 to 6).map { i =>
+        val t = new Thread(() => {
+          start.await()
+          try {
+            DailyLoop.acquireLease(spark, p, s"r$round-c$i", staleMs = 60000L)
+            outcomes.put(s"r$round-c$i", "acquired")
+          } catch {
+            case e: Exception => outcomes.put(s"r$round-c$i",
+              s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          }
+        })
+        t.start(); t
+      }
+      start.countDown()
+      threads.foreach(_.join(30000L))
+      assert(threads.forall(!_.isAlive), s"round $round: a contender hung")
+      val winners = outcomes.entrySet().toArray.toSeq
+        .map(_.asInstanceOf[java.util.Map.Entry[String, String]])
+        .filter(_.getValue == "acquired").map(_.getKey)
+      assert(winners.size == 1,
+        s"round $round: exactly one contender must hold, got $outcomes")
+      // after ALL contenders finished: the winner's fresh lease survived
+      // every loser's sweep/break path intact
+      assert(readHolder() == winners.head,
+        s"round $round: surviving lease must be the winner's")
+      assert(!f.exists(bp),
+        s"round $round: the stranded breaker must be swept, not leaked")
+      // and the winner's lease is genuinely FRESH (a later contender in
+      // the same round must refuse it as live)
+      val live = intercept[IllegalStateException] {
+        DailyLoop.acquireLease(spark, p, "latecomer", staleMs = 60000L)
+      }
+      assert(live.getMessage.contains("is leased by"), live.getMessage)
+      DailyLoop.releaseLease(spark, p)
+    }
+  }
+
   test("heartbeat ownership is decided on ONE clean read: missing or usurped lease is fatal immediately") {
     val p = DailyLoop.Paths(work())
     // nothing in the acquire protocol deletes or renames a FRESH lease,
