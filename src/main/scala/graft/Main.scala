@@ -260,9 +260,10 @@ object Main {
     // for long dormancy the sum of window deltas outgrows the corpus
     // and init-style full is the cheaper correct plan. Zero results
     // across every window lands NOTHING (no empty pages dir — the
-    // tick's merge skips the source entirely) but still advances the
-    // stamp: the windows were consumed, there was just nothing in
-    // them.
+    // tick's merge skips the source entirely); WINDOWED pulls still
+    // advance the stamp (the windows were consumed, there was just
+    // nothing in them), an UNWINDOWED zero leaves it unset (see the
+    // glitch guard below).
     def paginated(section: String, sub: String): Unit =
       conf.get(section, "url").foreach { base =>
         val policy = conf.fetchPolicy(section)
