@@ -1,0 +1,68 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{AnnIndex, Similarity}
+
+/** Isolates the PQ TRAINING term that the refresh retrain's
+  * `trainSampleMax` cap bounds: times `Similarity.pqTrain` over the
+  * full unit relation vs the deterministic hash sample, across a sweep
+  * of (trainIters, numCodes) geometries. The catalog queries pin the
+  * oracle-mirrorable geometry (iters=2, k=16 — two Lloyd rounds DuckDB
+  * can unroll), where training is a minor share of a refresh tick next
+  * to the O(corpus) encode; the term the cap exists for is the one
+  * that GROWS with production geometry — Lloyd cost is
+  * O(corpus × iters × k), so at FAISS-like depths (k=256, 25 iters)
+  * full-corpus training dominates the tick while the capped sample
+  * stays flat. This tool measures exactly that pair.
+  *
+  * `repl` replicates the corpus in-session with disjoint id offsets —
+  * Lloyd's per-round cost is row-count-driven (assign + means scan
+  * every row regardless of geometry), so replication measures the row
+  * term at corpora the fixture dirs don't reach without generating
+  * scale-K parquet first.
+  * Usage: runMain graft.tools.TrainBench [sfDir] [cap] [repl]
+  */
+object TrainBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cap = args.lift(1).map(_.toLong).getOrElse(10000L)
+    val repl = args.lift(2).map(_.toInt).getOrElse(1)
+    val spark = graft.GraftSession.build()
+    spark.sparkContext.setLogLevel("WARN")
+    val e0 = graft.Tables.load(spark, sfDir, "embeddings")
+    val e = (0 until repl).map(i =>
+        e0.select((col("vec_id") + lit(i.toLong << 32)).as("vec_id"),
+                  col("embedding")))
+      .reduce(_ union _)
+    val units = Similarity
+      .unitVectors(e, Seq("vec_id" -> "id"), "embedding", "unit")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = units.count()
+    // the buildPq predicate, restated (AnnIndex keeps sampleHash private;
+    // PqSpec pins that this restatement IS the training sample)
+    val keep = (cap * AnnIndex.SampleDenom + n - 1L) / n
+    val sample = units.filter(
+      pmod(pmod(col("id"), lit(2147483648L)) * lit(2654435761L),
+           lit(AnnIndex.SampleDenom)) < lit(keep))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sn = sample.count()
+    println(s"[trainbench] corpus=$n sample=$sn (cap=$cap)")
+    def time(df: DataFrame, iters: Int, k: Int): Double = {
+      val t0 = System.nanoTime()
+      Similarity.pqTrain(df, 4, 16, k, iters)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // one throwaway round on the sample so the sweep's first cell
+    // doesn't absorb codegen/JIT warm-up
+    time(sample, 1, 16)
+    for (iters <- Seq(2, 8); k <- Seq(16, 64)) {
+      val tf = time(units, iters, k)
+      val ts = time(sample, iters, k)
+      println(f"[trainbench] iters=$iters k=$k full=$tf%.1f s " +
+        f"sampled=$ts%.1f s (${tf / ts}%.1fx)")
+    }
+    spark.stop()
+  }
+}
