@@ -76,7 +76,20 @@ object Bench {
     // which, so the recorded methodology matches what was measured
     val er = ExtraRepeat.intersect(selected.keySet).toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"skipped":$sk,"repeat":$repeat,"extraRepeat":$er,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"skipped":$sk,"repeat":$repeat,"extraRepeat":$er,"sf":"$sfDir"}"""
+    println(json)
+    // Also land the full JSON at a stable path: the driver's stdout tail
+    // keeps only the last 2 KB, so the committed BENCH_r*.json artifacts
+    // had parsed:null and cross-round diffs leaned on the ~56-query tail
+    // overlap (round-15 verdict, missing #3). The file carries the whole
+    // per-query map; a write failure must not fail the bench itself.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    }
     spark.stop()
   }
 

@@ -57,9 +57,20 @@ object Config {
         .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
 
     /** True when `url` clears [[allowedUrlPrefixes]] for the section —
-      * vacuously true with no allowlist configured. */
+      * vacuously true with no allowlist configured. A bare startsWith
+      * would let an authority-only prefix ('https://host') match
+      * 'https://host.evil.com' (ADVICE r15); a prefix not already
+      * ending in '/' therefore only matches at a boundary the URL
+      * grammar can't smuggle past: the exact string, or the prefix
+      * followed by '/', '?' or '#' (path/query/fragment starts — ':'
+      * deliberately excluded so 'https://host' cannot match
+      * 'https://host:8080', a DIFFERENT authority). */
     def urlAllowed(section: String, url: String): Boolean =
-      allowedUrlPrefixes(section).forall(_.exists(url.startsWith))
+      allowedUrlPrefixes(section).forall(_.exists { p =>
+        if (p.endsWith("/")) url.startsWith(p)
+        else url == p || url.startsWith(p + "/") ||
+             url.startsWith(p + "?") || url.startsWith(p + "#")
+      })
 
     /** [cvemate] scheduler — tick interval in hours
       * (configuration.ini.template:4; main.py scheduler loop). FLOAT

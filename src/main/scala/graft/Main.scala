@@ -264,6 +264,12 @@ object Main {
     // advance the stamp (the windows were consumed, there was just
     // nothing in them), an UNWINDOWED zero leaves it unset (see the
     // glitch guard below).
+    // `freshness_granularity` deliberately does NOT apply here: the
+    // paginated protocol has no upstream freshness probe to compare at
+    // any granularity — the pull is an instant-based lastModStart/End
+    // window derived from the stored stamp, and day-truncating those
+    // instants would re-fetch up to a day of already-landed records per
+    // tick (WatermarksSpec records the scope split)
     def paginated(section: String, sub: String): Unit =
       conf.get(section, "url").foreach { base =>
         val policy = conf.fetchPolicy(section)
@@ -344,6 +350,15 @@ object Main {
           var offset = 0L
           var landed = 0L
           groups.zipWithIndex.foreach { case (grp, gi) =>
+            // each group's action builds FRESH per-partition RateLimiters,
+            // so without a gap the last windowMs of group N's budget and
+            // group N+1's first could land inside one sliding window —
+            // transiently ~2× the ceiling (ADVICE r15). One full windowMs
+            // pause at each boundary drains the previous group's window
+            // before the next group spends; multi-group ticks only happen
+            // on multi-chunk dormant resumes, so the pause is rare and
+            // bounded (maxChunks-1 sleeps)
+            if (gi > 0) Thread.sleep(policy.windowMs)
             val chunkPolicy = policy.copy(requestsPerWindow =
               (policy.requestsPerWindow / grp.size).max(1))
             val pages = grp.map { case (w, total, p0) =>

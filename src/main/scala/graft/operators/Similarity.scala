@@ -232,7 +232,13 @@ object Similarity {
     * deterministic and engine-portable (COUNT + integer ceil-div + mod —
     * no RNG, no non-mirrorable hash), so the DuckDB oracle replays it
     * exactly. The per-label population aggregate is tiny (O(labels)) and
-    * broadcast back; the corpus itself is touched map-side only. */
+    * broadcast back; the corpus itself is touched map-side only.
+    *
+    * The subdivision alone bounds only the WITHIN-cell quadratic; the
+    * Lloyd assign over the sub-seeds must be coarse-restricted too
+    * ([[assignCellsWithinCoarse]] / [[semDedupAutoKRemovals]]) or it
+    * re-quadratizes as corpus × (corpus/targetCell) — the round-15
+    * decade point that motivated the coarse-first composition. */
   def withAutoCells(corpus: DataFrame, targetCell: Long,
                     idCol: String = "vec_id", cellCol: String = "label",
                     outCol: String = "auto_cell"): DataFrame = {
@@ -286,6 +292,132 @@ object Similarity {
     val assigned = assignCells(units, cents).select(col("id"), col("assigned_cell"))
     val au = Dedup.capPopulation(
         units.select(col("id"), col("unit")).join(assigned, "id"),
+        Seq(col("assigned_cell")), maxCell)
+      .localCheckpoint()
+    au.as("a").join(au.as("b"),
+        col("a.assigned_cell") === col("b.assigned_cell") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+              dot(col("a.unit"), col("b.unit")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .groupBy(col("b_id").as(idCol))
+      .agg(min(col("a_id")).as("witness_id"), max(col("sim")).as("max_sim"))
+  }
+
+  /** Top-1 centroid pick shared by the aggregation-based assigns: max
+    * over struct(sim, -cell) is exactly `row_number() over (order by sim
+    * desc, cell asc) = 1` (cells are distinct per id, so the ordering
+    * key is unique and the max deterministic), but as a partially-
+    * aggregable max the joined (id × centroid) relation never shuffles —
+    * each map task keeps one running best per id and only those partials
+    * move, vs the window form's full shuffle-sort of every scored pair.
+    * That difference is the point at scale: the restricted auto-k assign
+    * joins Σ |cell| × sub-seeds(cell) rows, and sorting them (q116's
+    * round-15 plan) was the catalog's worst decade point. */
+  private def top1Cell(scored: DataFrame): DataFrame =
+    scored
+      .select(col("id"),
+              struct(col("sim"), (-col("c_cell")).as("neg"),
+                     col("c_cell").as("cell")).as("s"))
+      .groupBy(col("id"))
+      .agg(max(col("s")).as("m"))
+      .select(col("id"), col("m.cell").as("assigned_cell"),
+              col("m.sim").as("cell_sim"))
+
+  /** [[assignCells]] semantics through [[top1Cell]]'s aggregation plan:
+    * same result, same (sim desc, cell asc) tie-break, but map-side
+    * combine instead of a corpus × cells window sort. */
+  def assignCellsAgg(units: DataFrame, centroids: DataFrame): DataFrame =
+    top1Cell(units.select(col("id"), col("unit"))
+      .crossJoin(broadcast(
+        centroids.select(col("cell").as("c_cell"), col("centroid"))))
+      .select(col("id"), col("c_cell"),
+              dot(col("unit"), col("centroid")).as("sim")))
+
+  /** Coarse-RESTRICTED IVF assign: centroids carry [[withAutoCells]]
+    * composite ids (`coarse · SplitCap + sub`) and each vector competes
+    * only among the sub-centroids of its own coarse cell (`coarseCol`),
+    * so the scored relation is Σ |cell| × sub-seeds(cell) rows instead
+    * of corpus × ALL seeds — the coarse-quantized first stage that keeps
+    * the auto-k assign out of the O(N²/targetCell) class. Equi-join on
+    * the coarse key (centroids broadcast: seeds × dims at fixture
+    * scales; because this is a plain equi-join, a corpus whose sub-seed
+    * table outgrows the broadcast budget degrades to a shuffled join
+    * co-partitioned on the coarse key with no plan rewrite — the corpus
+    * side still moves once), top-1 via [[top1Cell]]. Every coarse cell
+    * with a member has at least one sub-centroid (sub-seeds partition
+    * the same population), so the inner join never drops a vector. */
+  def assignCellsWithinCoarse(units: DataFrame, centroids: DataFrame,
+                              coarseCol: String = "coarse"): DataFrame =
+    top1Cell(units.select(col("id"), col(coarseCol).as("_uc"), col("unit"))
+      .join(broadcast(
+          centroids.select(col("cell").as("c_cell"), col("centroid"),
+                           expr(s"cell div ${SplitCap}L").as("_cc"))),
+        col("_uc") === col("_cc"))
+      .select(col("id"), col("c_cell"),
+              dot(col("unit"), col("centroid")).as("sim")))
+
+  /** [[semDedupRemovals]] with k scaled to the corpus AND the assign
+    * coarse-quantized — the auto-k plan that survives the decade steps
+    * (round-15 verdict: the flat assign was O(N²/targetCell), 43.6× per
+    * 10× at sf10). Stages, every one oracle-mirrored (q116):
+    *
+    *  1. COARSE layer: label-seeded exact-decimal centroids (q87's init)
+    *     and one geometric assign — corpus × |labels| dots, centroids
+    *     broadcast. Each vector gets the coarse cell it actually sits
+    *     in, not its metadata label.
+    *  2. AUTO-K subdivision of each coarse cell ([[withAutoCells]] on
+    *     the ASSIGNED coarse id): sub-seeds ∝ pop/targetCell, so seed
+    *     cells start at ~targetCell members at any corpus size.
+    *  3. Restricted Lloyd ([[assignCellsWithinCoarse]], `refineIters`
+    *     rounds + the final assign): a vector only scores against its
+    *     own coarse cell's sub-centroids — Σ |cell| × sub-seeds(cell)
+    *     work per round; sub-cells that lose all members drop out
+    *     (kmeansRefineExact's rule) but each coarse cell always retains
+    *     ≥ 1 live sub-cell, so no vector is orphaned.
+    *  4. Within-cell pairwise cosine + keep-first witness, population-
+    *     capped — unchanged from [[semDedupRemovals]].
+    *
+    * Cost shape: corpus × C coarse dots + Σ_c pop_c × ceil(pop_c /
+    * targetCell) restricted dots + Σ O(targetCell²) verify. With C
+    * fixed the middle term is N²/(C·targetCell) — C× below the flat
+    * assign and map-side-combined (no shuffle of the scored rows); past
+    * that, the coarse layer itself re-trains with larger C, the same
+    * "k grows with the corpus" prescription one level up.
+    *
+    * The corpus-sized seeded relation is localCheckpointed: it feeds
+    * every Lloyd round, the final assign and both sides of the pair
+    * join (no subplan CSE), same rationale as [[semDedupRemovals]]'s
+    * `au` pin. */
+  def semDedupAutoKRemovals(corpus: DataFrame, targetCell: Long,
+                            threshold: Double, refineIters: Int = 1,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding",
+                            labelCol: String = "label",
+                            maxCell: Long = DefaultMaxCell): DataFrame = {
+    val units = unitVectors(corpus, Seq(idCol -> "id", labelCol -> "cell"), vecCol)
+    val ccents = exactCentroids(units)
+    val coarse = assignCellsAgg(units, ccents)
+      .select(col("id"), col("assigned_cell").as("coarse"))
+    val seeded = withAutoCells(
+        units.select(col("id"), col("unit")).join(coarse, "id"),
+        targetCell, idCol = "id", cellCol = "coarse", outCol = "scell")
+      .localCheckpoint()
+    var cents = exactCentroids(
+        seeded.select(col("scell").as("cell"), col("unit")), "cell", "unit")
+      .localCheckpoint()
+    (1 to refineIters).foreach { _ =>
+      val a = assignCellsWithinCoarse(seeded, cents)
+      cents = exactCentroids(
+          seeded.join(a.select(col("id"), col("assigned_cell")), "id")
+            .select(col("assigned_cell").as("cell"), col("unit")),
+          "cell", "unit")
+        .localCheckpoint()
+    }
+    val assigned = assignCellsWithinCoarse(seeded, cents)
+      .select(col("id"), col("assigned_cell"))
+    val au = Dedup.capPopulation(
+        seeded.select(col("id"), col("unit")).join(assigned, "id"),
         Seq(col("assigned_cell")), maxCell)
       .localCheckpoint()
     au.as("a").join(au.as("b"),

@@ -662,16 +662,19 @@ object Ext {
         .orderBy("vec_id")
     }),
 
-    // q107 with k SCALED TO THE CORPUS — the piece that makes SemDeDup's
-    // Σ O(cell²) budget hold at 100 TB: seed labels are subdivided into
-    // ceil(pop / targetCell) cells by plain id arithmetic, so cells start
-    // at ~targetCell members at ANY corpus size (the sf1 rehearsal showed
-    // the fixed 10-label seeding outgrowing DefaultMaxCell at 10× — this
-    // is the documented "re-train with larger k" answer, automated).
+    // q107 with k SCALED TO THE CORPUS and the assign COARSE-QUANTIZED —
+    // the pieces that make SemDeDup's Σ O(cell²) budget hold at 100 TB:
+    // each vector is first assigned into a label-seeded coarse cell
+    // (q87's init layer), that coarse cell is subdivided into
+    // ceil(pop / targetCell) sub-seeds by plain id arithmetic, and the
+    // Lloyd rounds score a vector ONLY against its own coarse cell's
+    // sub-centroids. Round 15 ran the sub-seed assign flat against all
+    // seeds — O(N²/targetCell), the catalog's worst decade point (43.6×
+    // per 10× at sf10); the coarse restriction is the standard large-N
+    // k-means answer, composed from the operators q87/q86 already gate.
     "q116_semantic_autok" -> ((s, dir) => {
-      Similarity.semDedupRemovals(
-          Similarity.withAutoCells(t(s, dir, "embeddings"), AutoKTargetCell),
-          CosineDupThreshold, cellCol = "auto_cell")
+      Similarity.semDedupAutoKRemovals(
+          t(s, dir, "embeddings"), AutoKTargetCell, CosineDupThreshold)
         .select(col("vec_id"), col("witness_id"),
                 round(col("max_sim"), 6).as("max_sim"))
         .orderBy("vec_id")
@@ -1148,6 +1151,22 @@ object Ext {
         .orderBy("query_id", "rank")
     }),
 
+    // q61's flat PQ-ADC scan with the SAME fixed-size query batch as
+    // q132 (first 600 ids): the q61-class entries (q61/q120/q123/q125/
+    // q129/q133) sample queries at %100, so their decade totals scale
+    // ~N²/100 by benchmark construction — query COUNT × per-query scan
+    // both grow. This twin pins the per-query ADC cost alone: a fixed
+    // batch against a growing code table isolates the O(corpus·m) LUT
+    // join each single query actually pays at 100 TB (the flat-scan
+    // honest cost; q86's IVFADC is the composed scale path).
+    "q139_ann_pq_fixedq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.pqTopK(e, e.orderBy("vec_id").limit(600), k = 5)
+        .select(col("query_id"), col("cand_id"), col("rank"),
+                round(col("approx_sim"), 6).as("approx_sim"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Coreset / diversity sampling over embeddings: after IVF assignment,
     // keep the k most-central vectors per cell — the centroid-stratified
     // sample a curation pipeline feeds to expensive downstream scoring.
@@ -1401,17 +1420,75 @@ object Ext {
     s"""es AS (SELECT vec_id, u, label AS scell FROM e),
         $kmeansRefineFromSeeds"""
 
-  /** Auto-k seeds mirroring Similarity.withAutoCells: per-label integer
-    * ceil-div split count, composite cell = label · SplitCap + id mod
-    * splits. */
-  private def autoSeedCtes(targetCell: Long): String =
-    s"""pops AS (SELECT label, COUNT(*) AS n FROM e GROUP BY 1),
-        es AS (SELECT e.vec_id, e.u,
-                      CAST(e.label AS BIGINT) * ${Similarity.SplitCap}
+  /** Coarse-quantized auto-k mirror of Similarity.semDedupAutoKRemovals,
+    * ending in `a1(id, acell)` — the final restricted assignment:
+    *  - ccents/ca: label-seeded exact-decimal centroids and ONE
+    *    geometric assign (q87's init layer) → each vector's coarse cell;
+    *  - cpops/es: withAutoCells on the ASSIGNED coarse id — composite
+    *    sub-seed = coarse · SplitCap + id mod ceil(pop/targetCell);
+    *  - cents0/a0/cents1/a1: one exact-decimal Lloyd round where every
+    *    assign joins on `coarse = cell // SplitCap` instead of CROSS
+    *    JOIN — the restriction that keeps the Spark plan out of the
+    *    O(N²/targetCell) class, restated so DuckDB scores the identical
+    *    (vector, sub-centroid) pairs. Spark's top-1 is an aggregated
+    *    max over (sim, -cell); the ROW_NUMBER (sim DESC, cell ASC) here
+    *    selects the same row — the ordering key is unique per id. */
+  private def autoCoarseCtes(targetCell: Long): String =
+    s"""cflat AS (SELECT label AS cell, generate_subscripts(u, 1) AS pos,
+                         unnest(u) AS val FROM e),
+        ccdim AS (SELECT cell, pos,
+                         CAST(SUM(CAST(val AS DECIMAL(28,16))) AS DOUBLE)
+                           / CAST(COUNT(*) AS DOUBLE) AS cv
+                  FROM cflat GROUP BY 1, 2),
+        ccents AS (SELECT cell, list(cv ORDER BY pos) AS centroid
+                   FROM ccdim GROUP BY cell),
+        ca AS (SELECT id, cell AS coarse FROM (
+                 SELECT t.vec_id AS id, c.cell,
+                        ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                          ORDER BY ${foldDot("t.u", "c.centroid")} DESC,
+                                   c.cell ASC) AS rn
+                 FROM e t CROSS JOIN ccents c)
+               WHERE rn = 1),
+        cpops AS (SELECT coarse, COUNT(*) AS n FROM ca GROUP BY 1),
+        es AS (SELECT e.vec_id, e.u, ca.coarse,
+                      ca.coarse * ${Similarity.SplitCap}
                       + (e.vec_id % ((p.n + ${targetCell - 1L}) // $targetCell))
                         AS scell
-               FROM e JOIN pops p ON e.label IS NOT DISTINCT FROM p.label),
-        $kmeansRefineFromSeeds"""
+               FROM e JOIN ca ON e.vec_id = ca.id
+                      JOIN cpops p ON ca.coarse = p.coarse),
+        flat AS (SELECT scell AS cell, generate_subscripts(u, 1) AS pos,
+                        unnest(u) AS val FROM es),
+        cdim AS (SELECT cell, pos,
+                        CAST(SUM(CAST(val AS DECIMAL(28,16))) AS DOUBLE)
+                          / CAST(COUNT(*) AS DOUBLE) AS cv
+                 FROM flat GROUP BY 1, 2),
+        cents0 AS (SELECT cell, list(cv ORDER BY pos) AS centroid
+                   FROM cdim GROUP BY cell),
+        a0 AS (SELECT id, cell AS acell FROM (
+                 SELECT t.vec_id AS id, c.cell,
+                        ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                          ORDER BY ${foldDot("t.u", "c.centroid")} DESC,
+                                   c.cell ASC) AS rn
+                 FROM es t JOIN cents0 c
+                   ON t.coarse = c.cell // ${Similarity.SplitCap})
+               WHERE rn = 1),
+        flat1 AS (SELECT a0.acell AS cell, generate_subscripts(t.u, 1) AS pos,
+                         unnest(t.u) AS val
+                  FROM es t JOIN a0 ON t.vec_id = a0.id),
+        cdim1 AS (SELECT cell, pos,
+                         CAST(SUM(CAST(val AS DECIMAL(28,16))) AS DOUBLE)
+                           / CAST(COUNT(*) AS DOUBLE) AS cv
+                  FROM flat1 GROUP BY 1, 2),
+        cents1 AS (SELECT cell, list(cv ORDER BY pos) AS centroid
+                   FROM cdim1 GROUP BY cell),
+        a1 AS (SELECT id, cell AS acell FROM (
+                 SELECT t.vec_id AS id, c.cell,
+                        ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                          ORDER BY ${foldDot("t.u", "c.centroid")} DESC,
+                                   c.cell ASC) AS rn
+                 FROM es t JOIN cents1 c
+                   ON t.coarse = c.cell // ${Similarity.SplitCap})
+               WHERE rn = 1)"""
 
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -1665,28 +1742,37 @@ object Ext {
       // the SAMPLED refresh truth: q131 with the training relation
       // (tsubs AND b0's init-id pool) further restricted to the hash
       // sample — keep = ceil(64 * 2^20 / n) over the live corpus, ids
-      // kept when ((id % 2^31) * 2654435761) % 2^20 < keep; pure
-      // 64-bit integer arithmetic, so DuckDB computes bit-identically
-      // what AnnIndex.sampleHash computes in Spark. The b0 replace
-      // runs FIRST (its target substring also appears inside the keepn
-      // CTE the tsubs replace inserts).
+      // kept when, for p = (id % 2^31) * 2654435761,
+      // xor(p, p // 2^31) % 2^20 < keep (the xorshift-mixed
+      // AnnIndex.sampleHash, hardened r16 — the r15 low-bits form
+      // aliased ids mod 2^20); pure 64-bit integer arithmetic, so
+      // DuckDB computes bit-identically what Spark computes. The b0
+      // replace runs FIRST (its target substring also appears inside
+      // the keepn CTE the tsubs replace inserts).
       "q138_daily_loop_refresh_sampled" -> refreshSql
         .replace("FROM e WHERE vec_id % 3 <> 2",
           "FROM e WHERE vec_id % 3 <> 2 AND " +
-            "((vec_id % 2147483648) * 2654435761) % 1048576 < " +
-            "(SELECT keep FROM keepn)")
+            "xor((vec_id % 2147483648) * 2654435761, " +
+            "((vec_id % 2147483648) * 2654435761) // 2147483648) " +
+            "% 1048576 < (SELECT keep FROM keepn)")
         .replace("tsubs AS (SELECT * FROM subs WHERE vec_id % 3 <> 2)",
           "keepn AS (SELECT (64 * 1048576 + count(*) - 1) // count(*) " +
             "AS keep FROM e WHERE vec_id % 3 <> 2), " +
             "tsubs AS (SELECT * FROM subs WHERE vec_id % 3 <> 2 AND " +
-            "((vec_id % 2147483648) * 2654435761) % 1048576 < " +
-            "(SELECT keep FROM keepn))"),
+            "xor((vec_id % 2147483648) * 2654435761, " +
+            "((vec_id % 2147483648) * 2654435761) // 2147483648) " +
+            "% 1048576 < (SELECT keep FROM keepn))"),
       // q124's probe truth with the query set fixed to the first 600
       // ids instead of the corpus-proportional %100 sample
       "q132_ann_postings_fixedq" -> base("q124_ann_ivf_postings").replace(
         "FROM sims1 WHERE id % 100 = 0",
         "FROM sims1 WHERE id IN (SELECT vec_id FROM e " +
           "ORDER BY vec_id LIMIT 600)"),
+      // q61's ADC truth with the same fixed query batch as q132
+      "q139_ann_pq_fixedq" -> base("q61_ann_pq").replace(
+        "(SELECT * FROM subs WHERE vec_id % 100 = 0) q",
+        "(SELECT * FROM subs WHERE vec_id IN " +
+          "(SELECT vec_id FROM e ORDER BY vec_id LIMIT 600)) q"),
       // the loop's vec-delete truths: q125/q127 with the dead ids gone
       // from the encoded/assigned side (training published before the
       // delete, so it is unchanged) and the query sample moved off the
@@ -2383,17 +2469,12 @@ object Ext {
           FROM pairs WHERE sim >= $CosineDupThreshold
           GROUP BY 1 ORDER BY vec_id""",
 
-    // q107 with corpus-scaled seeds: identical Lloyd + dedup body, only
-    // the seed derivation differs (autoSeedCtes == withAutoCells).
+    // q107 with corpus-scaled seeds AND the coarse-restricted assign:
+    // identical dedup tail, the seeding/Lloyd chain is autoCoarseCtes
+    // (== semDedupAutoKRemovals stage for stage).
     "q116_semantic_autok" ->
       s"""WITH $unitCte,
-          ${autoSeedCtes(AutoKTargetCell)},
-          a1 AS (SELECT id, cell AS acell FROM (
-                   SELECT id, cell,
-                          ROW_NUMBER() OVER (PARTITION BY id
-                                             ORDER BY sim DESC, cell ASC) AS rn
-                   FROM sims1)
-                 WHERE rn = 1),
+          ${autoCoarseCtes(AutoKTargetCell)},
           au AS (SELECT e.vec_id AS id, e.u, a1.acell
                  FROM e JOIN a1 ON e.vec_id = a1.id
                  QUALIFY COUNT(*) OVER (PARTITION BY a1.acell)

@@ -186,6 +186,18 @@ object Landing {
                         maxBatchBytes: Long = ZipBatchBytes): Long = {
     val dest = new File(destDir)
     dest.mkdirs()
+    // wipe stale batches BEFORE repacking: a crash re-run whose fresh
+    // zip is smaller (or differently ordered) would otherwise leave
+    // higher-numbered batch files from the old run sitting next to the
+    // new ones, and the reader scans batch-*.jsonl wholesale — unlike
+    // the tree layout, where same-named members overwrite (landFiles
+    // wipes per landing for exactly this invariant; ADVICE r15)
+    Option(dest.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("batch-") &&
+                   f.getName.endsWith(".jsonl"))
+      .foreach { f =>
+        require(f.delete(), s"could not delete stale batch ${f.getPath}")
+      }
     val in = new ZipInputStream(new FileInputStream(zipPath))
     var members = 0L
     var batch = 0

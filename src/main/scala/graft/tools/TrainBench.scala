@@ -20,7 +20,14 @@ import graft.operators.{AnnIndex, Similarity}
   * Lloyd's per-round cost is row-count-driven (assign + means scan
   * every row regardless of geometry), so replication measures the row
   * term at corpora the fixture dirs don't reach without generating
-  * scale-K parquet first.
+  * scale-K parquet first. Replica offsets stride by an ODD PRIME
+  * (2000003) inside the hash's 31-bit id domain, so replicas land in
+  * distinct sampleHash classes and the sampled relation holds ~cap
+  * DISTINCT vectors — the round-15 `i << 32` offsets preserved
+  * id mod 2^31, making every "sampled" row a duplicate of the same
+  * cap/repl originals (timing-valid, diversity-misleading; ADVICE r15).
+  * The stride bounds repl: (repl-1)·2000003 + maxId must stay < 2^31,
+  * i.e. repl ≤ ~1073 for the 2k-vector sf0.1 fixture.
   * Usage: runMain graft.tools.TrainBench [sfDir] [cap] [repl]
   */
 object TrainBench {
@@ -31,8 +38,11 @@ object TrainBench {
     val spark = graft.GraftSession.build()
     spark.sparkContext.setLogLevel("WARN")
     val e0 = graft.Tables.load(spark, sfDir, "embeddings")
+    val maxId = e0.agg(max(col("vec_id"))).head().getLong(0)
+    require((repl - 1).toLong * 2000003L + maxId < (1L << 31),
+      s"repl=$repl would push replica ids past the 31-bit hash domain")
     val e = (0 until repl).map(i =>
-        e0.select((col("vec_id") + lit(i.toLong << 32)).as("vec_id"),
+        e0.select((col("vec_id") + lit(i.toLong * 2000003L)).as("vec_id"),
                   col("embedding")))
       .reduce(_ union _)
     val units = Similarity
@@ -40,10 +50,12 @@ object TrainBench {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = units.count()
     // the buildPq predicate, restated (AnnIndex keeps sampleHash private;
-    // PqSpec pins that this restatement IS the training sample)
+    // PqSpec pins that this restatement IS the training sample):
+    // p = (id mod 2^31) · 2654435761, hash = xor(p, p >> 31) mod 2^20
     val keep = (cap * AnnIndex.SampleDenom + n - 1L) / n
+    val prod = pmod(col("id"), lit(2147483648L)) * lit(2654435761L)
     val sample = units.filter(
-      pmod(pmod(col("id"), lit(2147483648L)) * lit(2654435761L),
+      pmod(prod.bitwiseXOR(shiftright(prod, 31)),
            lit(AnnIndex.SampleDenom)) < lit(keep))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sn = sample.count()

@@ -74,4 +74,27 @@ class ConfigSpec extends AnyFunSuite {
     assert(rh.retryDelayMs == 10000L) // redhat_handler.py:41-47 shorter delay
     assert(rh.requestsPerWindow == 50) // keyed tier
   }
+
+  test("urlAllowed: a slash-free prefix matches only at a URL-grammar boundary") {
+    // ADVICE r15: a bare startsWith let 'https://host' match
+    // 'https://host.evil.com' — the authority-extension SSRF dodge
+    def c(prefixes: String) =
+      Config.parse(s"[s]\nallowed_url_prefixes: $prefixes")
+    val host = c("https://host")
+    assert(host.urlAllowed("s", "https://host"))
+    assert(host.urlAllowed("s", "https://host/path.json"))
+    assert(host.urlAllowed("s", "https://host?x=1"))
+    assert(host.urlAllowed("s", "https://host#frag"))
+    assert(!host.urlAllowed("s", "https://host.evil.com/x"),
+      "authority extension must not clear a host-only prefix")
+    assert(!host.urlAllowed("s", "https://hostile/x"))
+    // ':' is NOT a boundary: a different port is a different authority
+    assert(!host.urlAllowed("s", "https://host:8080/x"))
+    // trailing-slash prefixes keep their documented string-prefix match
+    val dir = c("https://host/raw/")
+    assert(dir.urlAllowed("s", "https://host/raw/a/b.json"))
+    assert(!dir.urlAllowed("s", "https://host/rawx/b.json"))
+    // no allowlist configured = vacuously allowed (opt-in trust model)
+    assert(Config.parse("[s]\nx: 1").urlAllowed("s", "https://anywhere/x"))
+  }
 }

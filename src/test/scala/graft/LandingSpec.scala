@@ -83,6 +83,37 @@ class LandingSpec extends SparkSpec {
       "batched and tree layouts must read as the identical relation")
   }
 
+  test("extractZipBatched: a re-run over a smaller zip wipes the stale higher-numbered batches") {
+    // crash re-run invariant (ADVICE r15): the fresh archive is smaller,
+    // so the repack writes fewer batch files — any stale higher-numbered
+    // batch-*.jsonl from the previous run must be GONE, or the reader
+    // would scan old records alongside the fresh ones (the tree layout
+    // self-heals via same-name overwrite; the batched layout must wipe)
+    val work = java.nio.file.Files.createTempDirectory("zipbatchrerun").toString
+    val rec = (id: String) =>
+      s"""{"cveMetadata": {"cveId": "$id", "state": "PUBLISHED"},
+          "containers": {"cna": {"title": "t-$id"}}}"""
+    val big = (1 to 400).map(i =>
+      f"cves/CVE-2025-$i%04d.json" -> rec(f"CVE-2025-$i%04d"))
+    makeZip(s"$work/big.zip", big: _*)
+    Landing.extractZipBatched(s"$work/big.zip", s"$work/landing",
+      maxBatchBytes = 8 * 1024)
+    val before = new File(s"$work/landing").listFiles.length
+    assert(before > 1, "the big clone must roll several batches")
+    // fresh (smaller, disjoint-id) archive re-lands into the same dir
+    val small = (1 to 10).map(i =>
+      f"cves/CVE-2026-$i%04d.json" -> rec(f"CVE-2026-$i%04d"))
+    makeZip(s"$work/small.zip", small: _*)
+    val n = Landing.extractZipBatched(s"$work/small.zip", s"$work/landing",
+      maxBatchBytes = 8 * 1024)
+    assert(n == 10)
+    val ids = Readers.cveOrg(spark, s"$work/landing")
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(ids == small.map(m => m._1.stripPrefix("cves/")
+      .stripSuffix(".json")).toSet,
+      s"stale records from the earlier landing survived: ${ids.size} ids")
+  }
+
   test("landKeyed: executors land <cveId>.json files the cveOrg reader consumes; re-land wipes") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("keyed").toString

@@ -9,6 +9,14 @@ import graft.operators.Similarity
   * brute-force top-k. */
 class PqSpec extends SparkSpec {
 
+  /** AnnIndex.sampleHash restated (it is private by design; the specs
+    * and TrainBench pin that this restatement IS the training sample):
+    * p = (id mod 2^31) · 2654435761, hash = xor(p, p >> 31) mod 2^20. */
+  private def sampleHashCol(id: org.apache.spark.sql.Column) = {
+    val p = pmod(id, lit(2147483648L)) * lit(2654435761L)
+    pmod(p.bitwiseXOR(shiftright(p, 31)), lit(operators.AnnIndex.SampleDenom))
+  }
+
   test("PQ recall on clustered corpus: planted near-neighbors are found") {
     // 40 seeded base directions, 4 noisy copies each (the structure real
     // embedding corpora have; on pure-noise data NO 8×-compressing
@@ -69,9 +77,7 @@ class PqSpec extends SparkSpec {
     val keep = (cap * AnnIndex.SampleDenom + n - 1L) / n
     val units = Similarity.unitVectors(corpus, Seq("vec_id" -> "id"),
       "embedding", "unit")
-    val sampleUnits = units.filter(
-      pmod(pmod(col("id"), lit(2147483648L)) * lit(2654435761L),
-           lit(AnnIndex.SampleDenom)) < lit(keep))
+    val sampleUnits = units.filter(sampleHashCol(col("id")) < lit(keep))
     val sampleN = sampleUnits.count()
     assert(sampleN > 0 && sampleN < n, s"cap must bite: $sampleN of $n")
     info(s"hash sample: $sampleN of $n (cap $cap)")
@@ -98,6 +104,75 @@ class PqSpec extends SparkSpec {
     assert(rSamp >= 0.80, s"sampled-train recall $rSamp")
     assert(rSamp >= rFull - 0.10,
       s"sampled-train recall $rSamp fell more than 0.10 below full-train $rFull")
+  }
+
+  test("sampleHash spreads low-bit-aliased id sets; cap still bites (r15 verdict watch)") {
+    // ids all ≡ 7 mod 2^20 — under the round-15 low-bits hash these
+    // shared ONE hash value, so the sample was all-or-nothing (empty
+    // here, since 7·C mod 2^20 lands above keep). The xorshift-mixed
+    // hash must spread them so the cap samples ~cap of them.
+    import spark.implicits._
+    import graft.operators.AnnIndex
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 200).map { k =>
+      (7L + k.toLong * (1L << 20), Array.fill(64)(rnd.nextGaussian().toFloat))
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val n = corpus.count()
+    // cap 32 over 200 aliased ids → a ~32-row sample, ABOVE the
+    // numCodes=16 degenerate-sample floor, so the build must use it
+    val cap = 32L
+    val keep = (cap * AnnIndex.SampleDenom + n - 1L) / n
+    val units = Similarity.unitVectors(corpus, Seq("vec_id" -> "id"),
+      "embedding", "unit")
+    val sampleN = units.filter(sampleHashCol(col("id")) < lit(keep)).count()
+    info(s"aliased-id sample: $sampleN of $n (cap $cap)")
+    assert(sampleN >= 16L, "structured ids must not starve the sample " +
+      s"below the numCodes floor: $sampleN")
+    assert(sampleN < n, s"cap must bite on aliased ids: $sampleN of $n")
+    // and the build trains on exactly that sample, end to end
+    val path = java.nio.file.Files.createTempDirectory("graft_annalias_")
+      .resolve("pq").toString
+    AnnIndex.buildPq(corpus, path, trainSampleMax = cap)
+    def bookSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("sub", "code", "code_vec").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSet
+    assert(bookSet(AnnIndex.pqBooks(spark, path)) ==
+           bookSet(Similarity.pqTrain(
+             units.filter(sampleHashCol(col("id")) < lit(keep)), 4, 16, 16, 2)))
+  }
+
+  test("degenerate sample (< numCodes rows) falls back to full-corpus training") {
+    // an id set chosen so every id hashes ABOVE keep: the sampled
+    // relation is empty, and without the guard pqTrain would seed its
+    // init codes from zero rows. buildPq must fall back to training on
+    // the full corpus — books identical to an uncapped build.
+    import spark.implicits._
+    import graft.operators.AnnIndex
+    val rnd = new scala.util.Random(17)
+    // keep for n=40, cap=8 is ceil(8·2^20/40) = 209716; select ids with
+    // sampleHash ≥ keep (deterministic — verified below before building)
+    val candidates = (0L until 400000L).map(i =>
+      (i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val keep = (8L * AnnIndex.SampleDenom + 40L - 1L) / 40L
+    val all = candidates.toDF("vec_id", "embedding")
+    val badIds = Similarity.unitVectors(all, Seq("vec_id" -> "id"),
+        "embedding", "unit")
+      .filter(sampleHashCol(col("id")) >= lit(keep))
+      .select("id").limit(40).collect().map(_.getLong(0)).toSet
+    assert(badIds.size == 40)
+    val corpus = all.filter(col("vec_id").isin(badIds.toSeq: _*))
+    val work = java.nio.file.Files.createTempDirectory("graft_annempty2_")
+    val capped = work.resolve("capped").toString
+    val full = work.resolve("full").toString
+    AnnIndex.buildPq(corpus, capped, trainSampleMax = 8L)
+    AnnIndex.buildPq(corpus, full)
+    def bookSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("sub", "code", "code_vec").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSet
+    assert(bookSet(AnnIndex.pqBooks(spark, capped)) ==
+           bookSet(AnnIndex.pqBooks(spark, full)),
+      "empty-sample build must fall back to full-corpus training")
   }
 
   test("persisted artifacts: a fresh probe from disk equals the in-session build") {

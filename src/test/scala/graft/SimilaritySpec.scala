@@ -108,6 +108,90 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("assignCellsAgg: the aggregated top-1 equals the window-based assignCells") {
+    // same semantics, different plan: max over (sim, -cell) vs
+    // row_number over (sim desc, cell asc) — must agree row for row,
+    // including the sim value, on a real fixture
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val units = Similarity.unitVectors(e, Seq("vec_id" -> "id", "label" -> "cell"))
+    val cents = Similarity.exactCentroids(units)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "assigned_cell", "cell_sim")
+        .collect().map(_.toString).sorted.toSeq
+    assert(rows(Similarity.assignCellsAgg(units, cents)) ==
+           rows(Similarity.assignCells(units, cents)))
+  }
+
+  test("assignCellsWithinCoarse only scores a vector against its own coarse cell's sub-seeds") {
+    // coarse cell 0 sub-seeds point along +x/+y, coarse cell 1 holds a
+    // sub-seed IDENTICAL to the +x one. A +x vector in coarse cell 1
+    // must take cell 1's sub-seed even though cell 0's scores the same;
+    // a +y vector in coarse 1 must NOT reach coarse 0's +y seed — it
+    // lands on cell 1's +x seed (the only one its coarse offers)
+    val cents = Seq(
+      (0L * Similarity.SplitCap + 0L, Array(1.0, 0.0)),
+      (0L * Similarity.SplitCap + 1L, Array(0.0, 1.0)),
+      (1L * Similarity.SplitCap + 0L, Array(1.0, 0.0))
+    ).toDF("cell", "centroid")
+    val units = Seq(
+      (10L, 0L, Array(1.0, 0.0)), (11L, 0L, Array(0.0, 1.0)),
+      (20L, 1L, Array(1.0, 0.0)), (21L, 1L, Array(0.0, 1.0))
+    ).toDF("id", "coarse", "unit")
+    val got = Similarity.assignCellsWithinCoarse(units, cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      10L -> 0L, 11L -> (0L * Similarity.SplitCap + 1L),
+      20L -> (1L * Similarity.SplitCap + 0L),
+      21L -> (1L * Similarity.SplitCap + 0L)))
+    // and every assignment stays inside its coarse cell by construction
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val u = Similarity.unitVectors(e, Seq("vec_id" -> "id", "label" -> "cell"))
+    val coarse = Similarity.assignCellsAgg(u, Similarity.exactCentroids(u))
+      .select(col("id"), col("assigned_cell").as("coarse"))
+    val seeded = Similarity.withAutoCells(
+      u.select(col("id"), col("unit")).join(coarse, "id"),
+      targetCell = 24L, idCol = "id", cellCol = "coarse", outCol = "scell")
+    val subCents = Similarity.exactCentroids(
+      seeded.select(col("scell").as("cell"), col("unit")), "cell", "unit")
+    val crossers = Similarity.assignCellsWithinCoarse(seeded, subCents)
+      .join(seeded.select("id", "coarse"), "id")
+      .filter(expr(s"assigned_cell div ${Similarity.SplitCap}L") =!= col("coarse"))
+    assert(crossers.count() == 0)
+  }
+
+  test("semDedupAutoK: separated clusters with splits = 1 equal the plain label-seeded path") {
+    // every label's members sit nearest their own label centroid and
+    // populations are under targetCell, so the coarse layer is the
+    // identity on labels and each coarse cell keeps ONE sub-seed — the
+    // removals must equal semDedupRemovals' (cell ids differ by the
+    // SplitCap encoding, which the output doesn't expose)
+    val sep = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0), (2L, Array(0.98f, 0.2f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f, 0.0f), 1), (4L, Array(0.0f, 0.97f, 0.05f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(m(Similarity.semDedupAutoKRemovals(sep, 100L, 0.9)) ==
+           m(Similarity.semDedupRemovals(sep, 0.9)))
+  }
+
+  test("semDedupAutoK: the GEOMETRIC coarse assign catches a mislabeled near-dup") {
+    // id 5 duplicates cluster 1's geometry but carries label 0: the
+    // coarse layer must assign by GEOMETRY (nearest label-seeded
+    // centroid), not by the raw label — a coarse = label shortcut would
+    // wall 5 off from 3/4 before any sub-seed Lloyd could recover it,
+    // since the restricted assign never crosses coarse cells
+    val sep = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0), (2L, Array(0.98f, 0.2f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f, 0.0f), 1), (4L, Array(0.0f, 0.97f, 0.05f), 1),
+      (5L, Array(0.0f, 0.99f, 0.01f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.semDedupAutoKRemovals(sep, 100L, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.get(5L).contains(3L),
+      s"mislabeled near-dup must be removed with the min-id witness: $out")
+  }
+
   test("native graft_dot is bit-identical to the ordered HOF fold") {
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

