@@ -28,6 +28,14 @@ import graft.operators.{AnnIndex, Similarity}
   * cap/repl originals (timing-valid, diversity-misleading; ADVICE r15).
   * The stride bounds repl: (repl-1)·2000003 + maxId must stay < 2^31,
   * i.e. repl ≤ ~1073 for the 2k-vector sf0.1 fixture.
+  *
+  * Partition-shape caveat: the replica union inherits one scan branch
+  * per replica, so a huge repl over a tiny fixture (sf0.1 × 1000)
+  * yields thousands of ~2k-row partitions and the measurement becomes
+  * task-overhead-bound (measured: the SAME 2M rows cost 79 s full /
+  * 61 s sampled that way vs 24 s / 4 s from sf10 × 10). Reach target
+  * row counts from the LARGEST available scale dir with a small repl —
+  * the recorded sweeps use ScaleData's /tmp/sf10 with repl=10.
   * Usage: runMain graft.tools.TrainBench [sfDir] [cap] [repl]
   */
 object TrainBench {
