@@ -1,0 +1,88 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** Stage-attribution probe for the coarse-quantized auto-k SemDeDup
+  * (q116, `Similarity.semDedupAutoKRemovals`): times each stage of the
+  * SAME composition with a localCheckpoint barrier after every stage,
+  * so each print is that stage's own work (plus its checkpoint copy —
+  * which the real query also pays for seeded/cents/au; the coarse
+  * relations and the final assign are barriered HERE only, so the sum
+  * reads slightly above the in-catalog number). Exists because the
+  * round-16 redesign cut the restricted assign's dot count ~10× while
+  * the sf10 decade point fell ~7–9× — the residual cost needed owners
+  * before anyone optimizes the wrong stage.
+  * Usage: runMain graft.tools.AutoKProbe [sfDir] [targetCell]
+  */
+object AutoKProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val targetCell = args.lift(1).map(_.toLong).getOrElse(24L)
+    val threshold = 0.4
+    val spark = graft.GraftSession.build()
+    spark.sparkContext.setLogLevel("WARN")
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[autokprobe] $label%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    val e = graft.Tables.load(spark, sfDir, "embeddings")
+    val units = t("unit vectors + checkpoint") {
+      Similarity.unitVectors(e, Seq("vec_id" -> "id", "label" -> "cell"))
+        .localCheckpoint()
+    }
+    val ccents = t("coarse centroids (exact-decimal)") {
+      Similarity.exactCentroids(units).localCheckpoint()
+    }
+    val coarse = t("coarse assign (agg top-1)") {
+      Similarity.assignCellsAgg(units, ccents)
+        .select(col("id"), col("assigned_cell").as("coarse"))
+        .localCheckpoint()
+    }
+    val seeded = t("auto-k subdivide + checkpoint") {
+      Similarity.withAutoCells(
+          units.select(col("id"), col("unit")).join(coarse, "id"),
+          targetCell, idCol = "id", cellCol = "coarse", outCol = "scell")
+        .localCheckpoint()
+    }
+    val cents0 = t("sub-seed centroids (cents0)") {
+      Similarity.exactCentroids(
+          seeded.select(col("scell").as("cell"), col("unit")), "cell", "unit")
+        .localCheckpoint()
+    }
+    val cents1 = t("lloyd round (restricted + means)") {
+      val a = Similarity.assignCellsWithinCoarse(seeded, cents0)
+      Similarity.exactCentroids(
+          seeded.join(a.select(col("id"), col("assigned_cell")), "id")
+            .select(col("assigned_cell").as("cell"), col("unit")),
+          "cell", "unit")
+        .localCheckpoint()
+    }
+    val assigned = t("final restricted assign") {
+      Similarity.assignCellsWithinCoarse(seeded, cents1)
+        .select(col("id"), col("assigned_cell"))
+        .localCheckpoint()
+    }
+    val au = t("population cap + join + checkpoint") {
+      Dedup.capPopulation(
+          seeded.select(col("id"), col("unit")).join(assigned, "id"),
+          Seq(col("assigned_cell")), Similarity.DefaultMaxCell)
+        .localCheckpoint()
+    }
+    t("within-cell pairs + witness agg") {
+      au.as("a").join(au.as("b"),
+          col("a.assigned_cell") === col("b.assigned_cell") &&
+          col("a.id") < col("b.id"))
+        .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+                Similarity.dot(col("a.unit"), col("b.unit")).as("sim"))
+        .filter(col("sim") >= threshold)
+        .groupBy(col("b_id").as("vec_id"))
+        .agg(min(col("a_id")).as("witness_id"), max(col("sim")).as("max_sim"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    spark.stop()
+  }
+}
