@@ -808,6 +808,103 @@ class FetchE2eSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("window GROUPS pause one rate window at the boundary and land every chunk") {
+    // ADVICE r15: sequential window groups each build FRESH per-partition
+    // RateLimiters, so back-to-back group actions could transiently put
+    // ~2x the configured budget inside one sliding window. Main now
+    // sleeps windowMs at each group boundary. Scenario: rpw=1 forces two
+    // one-window groups; each window holds 3 records = 2 pages, so each
+    // group's action fetches page 1 DISTRIBUTED — the observable is the
+    // arrival gap between the two page-1 requests.
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    @volatile var corpus = initRecs
+    val queries = new java.util.concurrent.ConcurrentLinkedQueue[Map[String, String]]()
+    server.createContext("/rest/json/cves/2.0", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        val params = Option(ex.getRequestURI.getQuery).getOrElse("")
+          .split("&").filter(_.nonEmpty).map(_.split("=", 2))
+          .map(a => a(0) -> a.lift(1).getOrElse("")).toMap +
+          ("arrival_nanos" -> System.nanoTime().toString)
+        queries.add(params)
+        def modAt(r: Rec) = ts(r.lastModified.replace("T", " ")
+          .stripSuffix(".000")).toInstant
+        val win = (params.get("lastModStartDate"),
+                   params.get("lastModEndDate")) match {
+          case (Some(s), Some(e)) =>
+            val (start, end) =
+              (java.time.Instant.parse(s), java.time.Instant.parse(e))
+            corpus.filter(r =>
+              !modAt(r).isBefore(start) && !modAt(r).isAfter(end))
+          case _ => corpus
+        }
+        val body = pageBody(win,
+          params("startIndex").toLong / PerPage).getBytes("UTF-8")
+        ex.sendResponseHeaders(200, body.length.toLong)
+        ex.getResponseBody.write(body); ex.close()
+      }
+    })
+    server.setExecutor(null)
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val root = java.nio.file.Files.createTempDirectory("main_groups_")
+        .resolve("root").toString
+      val windowMs = 3000L
+      // public tier (no apikey), ONE request per 3 s window, 1-day caps
+      val conf = Config.parse(
+        s"""[nvd]
+           |url: $base/rest/json/cves/2.0
+           |results_per_page: $PerPage
+           |retry_delay: 0
+           |public_rate_limit: 1
+           |rolling_window: ${windowMs / 1000}
+           |max_window_days: 1
+           |""".stripMargin)
+      def tick(day: Int): Unit = {
+        Main.run(spark, conf, root, once = true,
+          stop = new java.util.concurrent.atomic.AtomicBoolean(false),
+          clock = () => ts(f"2025-04-0$day%d 00:00:00"), fetch = true); ()
+      }
+      tick(1) // day zero: one unwindowed group, stamp = 04-01
+      queries.clear()
+      // two days dormant with 1-day caps → TWO chunk windows; rpw=1 →
+      // two GROUPS of one window each, with a boundary pause between.
+      // Three records per window = 2 pages each (page 0 is the probe
+      // body; page 1 is the group action's distributed fetch).
+      corpus = initRecs ++ Seq(
+        Rec("CVE-2025-0011", "2025-04-01T06:00:00.000", "Received", "w1 a"),
+        Rec("CVE-2025-0012", "2025-04-01T07:00:00.000", "Received", "w1 b"),
+        Rec("CVE-2025-0013", "2025-04-01T08:00:00.000", "Received", "w1 c"),
+        Rec("CVE-2025-0021", "2025-04-02T06:00:00.000", "Received", "w2 a"),
+        Rec("CVE-2025-0022", "2025-04-02T07:00:00.000", "Received", "w2 b"),
+        Rec("CVE-2025-0023", "2025-04-02T08:00:00.000", "Received", "w2 c"))
+      tick(3)
+      val q = {
+        val out = Seq.newBuilder[Map[String, String]]
+        var m = queries.poll()
+        while (m != null) { out += m; m = queries.poll() }
+        out.result()
+      }
+      // 2 probes + 2 distributed page-1 fetches, nothing else
+      assert(q.size == 4, s"2 windows x (probe + page 1) expected, got $q")
+      val page1 = q.filter(_("startIndex") == PerPage.toString)
+      assert(page1.size == 2 &&
+        page1.map(_("lastModStartDate")).distinct.size == 2,
+        s"each chunk window must fetch its own page 1, got $page1")
+      val gapMs = (page1.map(_("arrival_nanos").toLong).max -
+                   page1.map(_("arrival_nanos").toLong).min) / 1000000L
+      assert(gapMs >= windowMs,
+        s"group actions must sit >= one rate window apart, gap was $gapMs ms")
+      // the pause must not cost correctness: every chunk's records land,
+      // page numbers disjoint across groups (5 init + 6 new)
+      assert(spark.read.parquet(s"$root/snapshot").count() == 11)
+      assert(Watermarks.sourceLastUpdate(spark, s"$root/status", "nvd")
+        .contains(ts("2025-04-03 00:00:00")))
+    } finally server.stop(0)
+  }
+
   test("--fetch windows the paginated pull to the stored watermark (lastModStartDate parity)") {
     import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
     val server = HttpServer.create(
