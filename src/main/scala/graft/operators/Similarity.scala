@@ -334,28 +334,48 @@ object Similarity {
       .select(col("id"), col("c_cell"),
               dot(col("unit"), col("centroid")).as("sim")))
 
+  /** Sub-centroid rows up to which [[assignCellsWithinCoarse]] pins an
+    * explicit broadcast hint (~170 MB at 64 double dims — comfortably
+    * inside executor memory, far under Spark's 8 GB broadcast hard
+    * limit). A hint is a PIN, not a preference: Spark honors it past
+    * `autoBroadcastJoinThreshold` and FAILS the job past the hard
+    * limit rather than degrading, so the hint must be conditional on
+    * size — past the cap the join is left unhinted and the planner
+    * shuffles it co-partitioned on the coarse key. */
+  val BroadcastCentroidCap: Long = 262144L
+
   /** Coarse-RESTRICTED IVF assign: centroids carry [[withAutoCells]]
     * composite ids (`coarse · SplitCap + sub`) and each vector competes
     * only among the sub-centroids of its own coarse cell (`coarseCol`),
     * so the scored relation is Σ |cell| × sub-seeds(cell) rows instead
     * of corpus × ALL seeds — the coarse-quantized first stage that keeps
-    * the auto-k assign out of the O(N²/targetCell) class. Equi-join on
-    * the coarse key (centroids broadcast: seeds × dims at fixture
-    * scales; because this is a plain equi-join, a corpus whose sub-seed
-    * table outgrows the broadcast budget degrades to a shuffled join
-    * co-partitioned on the coarse key with no plan rewrite — the corpus
-    * side still moves once), top-1 via [[top1Cell]]. Every coarse cell
-    * with a member has at least one sub-centroid (sub-seeds partition
-    * the same population), so the inner join never drops a vector. */
+    * the auto-k assign out of the O(N²/targetCell) class. Null-safe
+    * equi-join on the coarse key (`<=>`): a vector whose coarse cell is
+    * NULL (a NULL-label seed — [[withAutoCells]] keeps them alive as one
+    * undivided cell whose composite id is NULL) still reaches its own
+    * sub-centroid instead of silently dropping out. The broadcast hint
+    * is CONDITIONAL: when the centroid table holds at most
+    * `broadcastCap` rows (one control-plane `count()` of the tiny,
+    * usually checkpointed relation) it is pinned broadcast; past the cap
+    * the hint is omitted — an explicit hint would force the broadcast
+    * regardless of size and fail outright past Spark's 8 GB limit — and
+    * the equi-join shuffles both sides co-partitioned on the coarse key
+    * (the corpus side moves once per call). Top-1 via [[top1Cell]].
+    * Every coarse cell with a member has at least one sub-centroid
+    * (sub-seeds partition the same population), so the inner join never
+    * drops a vector. */
   def assignCellsWithinCoarse(units: DataFrame, centroids: DataFrame,
-                              coarseCol: String = "coarse"): DataFrame =
+                              coarseCol: String = "coarse",
+                              broadcastCap: Long = BroadcastCentroidCap): DataFrame = {
+    val cents = centroids.select(col("cell").as("c_cell"), col("centroid"),
+                                 expr(s"cell div ${SplitCap}L").as("_cc"))
+    val side = if (broadcastCap > 0 && centroids.count() <= broadcastCap)
+      broadcast(cents) else cents
     top1Cell(units.select(col("id"), col(coarseCol).as("_uc"), col("unit"))
-      .join(broadcast(
-          centroids.select(col("cell").as("c_cell"), col("centroid"),
-                           expr(s"cell div ${SplitCap}L").as("_cc"))),
-        col("_uc") === col("_cc"))
+      .join(side, col("_uc") <=> col("_cc"))
       .select(col("id"), col("c_cell"),
               dot(col("unit"), col("centroid")).as("sim")))
+  }
 
   /** [[semDedupRemovals]] with k scaled to the corpus AND the assign
     * coarse-quantized — the auto-k plan that survives the decade steps
@@ -366,9 +386,24 @@ object Similarity {
     *     and one geometric assign — corpus × |labels| dots, centroids
     *     broadcast. Each vector gets the coarse cell it actually sits
     *     in, not its metadata label.
-    *  2. AUTO-K subdivision of each coarse cell ([[withAutoCells]] on
-    *     the ASSIGNED coarse id): sub-seeds ∝ pop/targetCell, so seed
-    *     cells start at ~targetCell members at any corpus size.
+    *  1b. AUTO-C (when `coarseTarget > 0`): the coarse layer itself is
+    *     corpus-scaled — the same [[withAutoCells]] prescription one
+    *     level up. Each coarse cell is subdivided into
+    *     ceil(pop / coarseTarget) coarse sub-seeds by id arithmetic,
+    *     their exact-decimal means become the refined coarse centroids,
+    *     and ONE restricted geometric assign ([[assignCellsWithinCoarse]]
+    *     — a vector only scores its own coarse cell's sub-seeds) yields
+    *     the refined coarse id `coarse0 · SplitCap + sub`. Near-dups
+    *     stay reunitable: the re-assign is geometric within the coarse
+    *     cell, so two neighbors split apart by the id-mod seeding
+    *     converge onto the same refined coarse centroid. With
+    *     coarseTarget ≥ every coarse population this stage is the
+    *     IDENTITY up to the `· SplitCap` relabeling (one sub-seed per
+    *     coarse cell ⇒ a bijection), spec-pinned.
+    *  2. AUTO-K subdivision of each (refined) coarse cell
+    *     ([[withAutoCells]] on the ASSIGNED coarse id): sub-seeds ∝
+    *     pop/targetCell, so seed cells start at ~targetCell members at
+    *     any corpus size.
     *  3. Restricted Lloyd ([[assignCellsWithinCoarse]], `refineIters`
     *     rounds + the final assign): a vector only scores against its
     *     own coarse cell's sub-centroids — Σ |cell| × sub-seeds(cell)
@@ -376,14 +411,21 @@ object Similarity {
     *     (kmeansRefineExact's rule) but each coarse cell always retains
     *     ≥ 1 live sub-cell, so no vector is orphaned.
     *  4. Within-cell pairwise cosine + keep-first witness, population-
-    *     capped — unchanged from [[semDedupRemovals]].
+    *     capped — unchanged from [[semDedupRemovals]] except the pair
+    *     join is null-safe (`<=>`): NULL-label vectors, which ride the
+    *     whole chain in one NULL-id cell, still dedup against each
+    *     other instead of silently skipping the tail.
     *
-    * Cost shape: corpus × C coarse dots + Σ_c pop_c × ceil(pop_c /
-    * targetCell) restricted dots + Σ O(targetCell²) verify. With C
-    * fixed the middle term is N²/(C·targetCell) — C× below the flat
-    * assign and map-side-combined (no shuffle of the scored rows); past
-    * that, the coarse layer itself re-trains with larger C, the same
-    * "k grows with the corpus" prescription one level up.
+    * Cost shape: corpus × C coarse dots; with coarseTarget off the
+    * restricted term is Σ_c pop_c × ceil(pop_c / targetCell) =
+    * N²/(C·targetCell) with C = |labels| fixed. AUTO-C replaces it with
+    * Σ_c pop_c × ceil(pop_c / coarseTarget)   (one coarse refine round)
+    *   + rounds × N × ~ceil(coarseTarget / targetCell)  (sub-seed Lloyd)
+    * — the quadratic constant drops by coarseTarget/targetCell and the
+    * surviving quadratic lives one level up where the stage composes
+    * recursively (each added level divides it by another coarseTarget
+    * factor). All stages stay map-side-combined: no scored row ever
+    * shuffles.
     *
     * The corpus-sized seeded relation is localCheckpointed: it feeds
     * every Lloyd round, the final assign and both sides of the pair
@@ -394,11 +436,27 @@ object Similarity {
                             idCol: String = "vec_id",
                             vecCol: String = "embedding",
                             labelCol: String = "label",
-                            maxCell: Long = DefaultMaxCell): DataFrame = {
+                            maxCell: Long = DefaultMaxCell,
+                            coarseTarget: Long = 0L): DataFrame = {
     val units = unitVectors(corpus, Seq(idCol -> "id", labelCol -> "cell"), vecCol)
     val ccents = exactCentroids(units)
-    val coarse = assignCellsAgg(units, ccents)
+    val coarse0 = assignCellsAgg(units, ccents)
       .select(col("id"), col("assigned_cell").as("coarse"))
+    val coarse = if (coarseTarget <= 0L) coarse0 else {
+      // AUTO-C: subdivide over-populated coarse cells, one restricted
+      // geometric re-assign over the sub-seed means (stage 1b above)
+      val c2seed = withAutoCells(
+          units.select(col("id"), col("unit")).join(coarse0, "id"),
+          coarseTarget, idCol = "id", cellCol = "coarse", outCol = "c2cell")
+        .localCheckpoint()
+      // pinned: the conditional-broadcast count() and the refined
+      // assign would otherwise each re-run the centroid aggregate
+      val c2cents = exactCentroids(
+          c2seed.select(col("c2cell").as("cell"), col("unit")), "cell", "unit")
+        .localCheckpoint()
+      assignCellsWithinCoarse(c2seed, c2cents)
+        .select(col("id"), col("assigned_cell").as("coarse"))
+    }
     val seeded = withAutoCells(
         units.select(col("id"), col("unit")).join(coarse, "id"),
         targetCell, idCol = "id", cellCol = "coarse", outCol = "scell")
@@ -421,7 +479,7 @@ object Similarity {
         Seq(col("assigned_cell")), maxCell)
       .localCheckpoint()
     au.as("a").join(au.as("b"),
-        col("a.assigned_cell") === col("b.assigned_cell") &&
+        col("a.assigned_cell") <=> col("b.assigned_cell") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
               dot(col("a.unit"), col("b.unit")).as("sim"))

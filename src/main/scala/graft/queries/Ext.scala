@@ -48,10 +48,14 @@ object Ext {
   private val JaccardThreshold = 0.8
   private val ContainmentThreshold = 0.9
   private val CosineDupThreshold = 0.4
-  // Small enough that every sf0.01 label (44-59 vectors) actually splits
-  // (2-3 sub-seeds), so q116 exercises the subdivision path, not the
-  // splits=1 identity.
-  private val AutoKTargetCell = 24L
+  // Small enough that BOTH auto layers actually subdivide at sf0.01
+  // (labels hold 44-59 vectors): the AUTO-C coarse target (32) splits
+  // every coarse cell into ~2 refined coarse cells, and the sub-seed
+  // target (12) splits those ~20-30-vector refined cells into 2-3
+  // sub-seeds — q116 exercises the subdivision paths, not the splits=1
+  // identities.
+  private val AutoKTargetCell = 12L
+  private val AutoCoarseTarget = 32L
   /** PageRank rounds / fixed-point scale for q99. */
   private val PageRankIters = 3
   private val PageRankScale = 1000000000000L
@@ -674,7 +678,8 @@ object Ext {
     // k-means answer, composed from the operators q87/q86 already gate.
     "q116_semantic_autok" -> ((s, dir) => {
       Similarity.semDedupAutoKRemovals(
-          t(s, dir, "embeddings"), AutoKTargetCell, CosineDupThreshold)
+          t(s, dir, "embeddings"), AutoKTargetCell, CosineDupThreshold,
+          coarseTarget = AutoCoarseTarget)
         .select(col("vec_id"), col("witness_id"),
                 round(col("max_sim"), 6).as("max_sim"))
         .orderBy("vec_id")
@@ -1420,11 +1425,18 @@ object Ext {
     s"""es AS (SELECT vec_id, u, label AS scell FROM e),
         $kmeansRefineFromSeeds"""
 
-  /** Coarse-quantized auto-k mirror of Similarity.semDedupAutoKRemovals,
-    * ending in `a1(id, acell)` — the final restricted assignment:
+  /** Coarse-quantized auto-k mirror of Similarity.semDedupAutoKRemovals
+    * (with AUTO-C on), ending in `a1(id, acell)` — the final restricted
+    * assignment:
     *  - ccents/ca: label-seeded exact-decimal centroids and ONE
     *    geometric assign (q87's init layer) → each vector's coarse cell;
-    *  - cpops/es: withAutoCells on the ASSIGNED coarse id — composite
+    *  - c2pops/c2seed/c2cents/ca2: AUTO-C — the coarse layer itself
+    *    subdivided (sub-seed = coarse · SplitCap + id mod
+    *    ceil(pop/coarseTarget)), exact-decimal sub-seed means, and one
+    *    RESTRICTED geometric re-assign (`coarse IS NOT DISTINCT FROM
+    *    cell // SplitCap`) → the refined coarse cell every later stage
+    *    keys on;
+    *  - cpops/es: withAutoCells on the REFINED coarse id — composite
     *    sub-seed = coarse · SplitCap + id mod ceil(pop/targetCell);
     *  - cents0/a0/cents1/a1: one exact-decimal Lloyd round where every
     *    assign joins on `coarse = cell // SplitCap` instead of CROSS
@@ -1432,8 +1444,12 @@ object Ext {
     *    O(N²/targetCell) class, restated so DuckDB scores the identical
     *    (vector, sub-centroid) pairs. Spark's top-1 is an aggregated
     *    max over (sim, -cell); the ROW_NUMBER (sim DESC, cell ASC) here
-    *    selects the same row — the ordering key is unique per id. */
-  private def autoCoarseCtes(targetCell: Long): String =
+    *    selects the same row — the ordering key is unique per id.
+    * Every coarse-key join is IS NOT DISTINCT FROM, mirroring Spark's
+    * `<=>`: a NULL-label chain (NULL coarse → NULL composite ids all
+    * the way down) stays in the dedup instead of dropping at the first
+    * equi-join. */
+  private def autoCoarseCtes(targetCell: Long, coarseTarget: Long): String =
     s"""cflat AS (SELECT label AS cell, generate_subscripts(u, 1) AS pos,
                          unnest(u) AS val FROM e),
         ccdim AS (SELECT cell, pos,
@@ -1449,13 +1465,40 @@ object Ext {
                                    c.cell ASC) AS rn
                  FROM e t CROSS JOIN ccents c)
                WHERE rn = 1),
-        cpops AS (SELECT coarse, COUNT(*) AS n FROM ca GROUP BY 1),
-        es AS (SELECT e.vec_id, e.u, ca.coarse,
-                      ca.coarse * ${Similarity.SplitCap}
+        c2pops AS (SELECT coarse, COUNT(*) AS n FROM ca GROUP BY 1),
+        c2seed AS (SELECT e.vec_id AS id, e.u, ca.coarse,
+                          ca.coarse * ${Similarity.SplitCap}
+                          + (e.vec_id %
+                             ((p.n + ${coarseTarget - 1L}) // $coarseTarget))
+                            AS c2cell
+                   FROM e JOIN ca ON e.vec_id = ca.id
+                          JOIN c2pops p
+                            ON ca.coarse IS NOT DISTINCT FROM p.coarse),
+        c2flat AS (SELECT c2cell AS cell, generate_subscripts(u, 1) AS pos,
+                          unnest(u) AS val FROM c2seed),
+        c2dim AS (SELECT cell, pos,
+                         CAST(SUM(CAST(val AS DECIMAL(28,16))) AS DOUBLE)
+                           / CAST(COUNT(*) AS DOUBLE) AS cv
+                  FROM c2flat GROUP BY 1, 2),
+        c2cents AS (SELECT cell, list(cv ORDER BY pos) AS centroid
+                    FROM c2dim GROUP BY cell),
+        ca2 AS (SELECT id, cell AS coarse FROM (
+                  SELECT t.id, c.cell,
+                         ROW_NUMBER() OVER (PARTITION BY t.id
+                           ORDER BY ${foldDot("t.u", "c.centroid")} DESC,
+                                    c.cell ASC) AS rn
+                  FROM c2seed t JOIN c2cents c
+                    ON t.coarse IS NOT DISTINCT FROM
+                       c.cell // ${Similarity.SplitCap})
+                WHERE rn = 1),
+        cpops AS (SELECT coarse, COUNT(*) AS n FROM ca2 GROUP BY 1),
+        es AS (SELECT e.vec_id, e.u, ca2.coarse,
+                      ca2.coarse * ${Similarity.SplitCap}
                       + (e.vec_id % ((p.n + ${targetCell - 1L}) // $targetCell))
                         AS scell
-               FROM e JOIN ca ON e.vec_id = ca.id
-                      JOIN cpops p ON ca.coarse = p.coarse),
+               FROM e JOIN ca2 ON e.vec_id = ca2.id
+                      JOIN cpops p
+                        ON ca2.coarse IS NOT DISTINCT FROM p.coarse),
         flat AS (SELECT scell AS cell, generate_subscripts(u, 1) AS pos,
                         unnest(u) AS val FROM es),
         cdim AS (SELECT cell, pos,
@@ -1470,7 +1513,8 @@ object Ext {
                           ORDER BY ${foldDot("t.u", "c.centroid")} DESC,
                                    c.cell ASC) AS rn
                  FROM es t JOIN cents0 c
-                   ON t.coarse = c.cell // ${Similarity.SplitCap})
+                   ON t.coarse IS NOT DISTINCT FROM
+                      c.cell // ${Similarity.SplitCap})
                WHERE rn = 1),
         flat1 AS (SELECT a0.acell AS cell, generate_subscripts(t.u, 1) AS pos,
                          unnest(t.u) AS val
@@ -1487,7 +1531,8 @@ object Ext {
                           ORDER BY ${foldDot("t.u", "c.centroid")} DESC,
                                    c.cell ASC) AS rn
                  FROM es t JOIN cents1 c
-                   ON t.coarse = c.cell // ${Similarity.SplitCap})
+                   ON t.coarse IS NOT DISTINCT FROM
+                      c.cell // ${Similarity.SplitCap})
                WHERE rn = 1)"""
 
   private def sqlList(words: Seq[String]): String =
@@ -2469,12 +2514,15 @@ object Ext {
           FROM pairs WHERE sim >= $CosineDupThreshold
           GROUP BY 1 ORDER BY vec_id""",
 
-    // q107 with corpus-scaled seeds AND the coarse-restricted assign:
-    // identical dedup tail, the seeding/Lloyd chain is autoCoarseCtes
-    // (== semDedupAutoKRemovals stage for stage).
+    // q107 with corpus-scaled seeds (BOTH layers — auto-C coarse,
+    // auto-k sub-seeds) AND the coarse-restricted assign: identical
+    // dedup tail except the pair join is null-safe (a NULL-label
+    // chain's NULL acell still pairs, mirroring Spark's <=>); the
+    // seeding/Lloyd chain is autoCoarseCtes (== semDedupAutoKRemovals
+    // stage for stage).
     "q116_semantic_autok" ->
       s"""WITH $unitCte,
-          ${autoCoarseCtes(AutoKTargetCell)},
+          ${autoCoarseCtes(AutoKTargetCell, AutoCoarseTarget)},
           au AS (SELECT e.vec_id AS id, e.u, a1.acell
                  FROM e JOIN a1 ON e.vec_id = a1.id
                  QUALIFY COUNT(*) OVER (PARTITION BY a1.acell)
@@ -2482,7 +2530,8 @@ object Ext {
           pairs AS (SELECT x.id AS a_id, y.id AS b_id,
                            ${foldDot("x.u", "y.u")} AS sim
                     FROM au x JOIN au y
-                    ON x.acell = y.acell AND x.id < y.id)
+                    ON x.acell IS NOT DISTINCT FROM y.acell
+                       AND x.id < y.id)
           SELECT b_id AS vec_id, MIN(a_id) AS witness_id,
                  ROUND(MAX(sim), 6) AS max_sim
           FROM pairs WHERE sim >= $CosineDupThreshold

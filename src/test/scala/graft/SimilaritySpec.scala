@@ -159,6 +159,81 @@ class SimilaritySpec extends SparkSpec {
     assert(crossers.count() == 0)
   }
 
+  test("assignCellsWithinCoarse: broadcast hint OFF produces the identical relation") {
+    // the hint is conditional on centroid count (an unconditional hint
+    // would FAIL, not degrade, past Spark's broadcast hard limit at
+    // 100 TB sub-seed counts); forcing it off (broadcastCap = 0) must
+    // change only the physical join strategy — same rows, same
+    // tie-breaks, same sims
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val u = Similarity.unitVectors(e, Seq("vec_id" -> "id", "label" -> "cell"))
+    val coarse = Similarity.assignCellsAgg(u, Similarity.exactCentroids(u))
+      .select(col("id"), col("assigned_cell").as("coarse"))
+    val seeded = Similarity.withAutoCells(
+      u.select(col("id"), col("unit")).join(coarse, "id"),
+      targetCell = 8L, idCol = "id", cellCol = "coarse", outCol = "scell")
+    val subCents = Similarity.exactCentroids(
+      seeded.select(col("scell").as("cell"), col("unit")), "cell", "unit")
+      .localCheckpoint()
+    def rows(cap: Long) =
+      Similarity.assignCellsWithinCoarse(seeded, subCents, broadcastCap = cap)
+        .collect().map(_.toString).sorted.toSeq
+    assert(rows(0L) == rows(Similarity.BroadcastCentroidCap))
+  }
+
+  test("semDedupAutoK keeps NULL-label vectors in the dedup (null-safe chain)") {
+    // a NULL label rides the whole chain as one NULL-id cell: NULL
+    // coarse centroid, NULL composite seed/sub-seed ids, and a
+    // null-safe pair join — its near-dups must still be removed, not
+    // silently dropped at the first equi-join
+    val withNull = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), Some(0)),
+      (2L, Array(0.99f, 0.14f, 0.0f), Some(0)),
+      (7L, Array(0.0f, 0.0f, 1.0f), None),
+      (8L, Array(0.0f, 0.01f, 0.999f), None)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.semDedupAutoKRemovals(withNull, 100L, 0.9,
+        coarseTarget = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(2L -> 1L, 8L -> 7L))
+  }
+
+  test("semDedupAutoK auto-C: coarseTarget >= every coarse population is the identity") {
+    // one coarse sub-seed per coarse cell is a bijective relabeling
+    // (coarse -> coarse * SplitCap), so the removals must equal the
+    // coarseTarget = 0 path exactly — on the synthetic fixture and on
+    // real data
+    val sep = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0), (2L, Array(0.98f, 0.2f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f, 0.0f), 1), (4L, Array(0.0f, 0.97f, 0.05f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(m(Similarity.semDedupAutoKRemovals(sep, 100L, 0.9, coarseTarget = 100L)) ==
+           m(Similarity.semDedupAutoKRemovals(sep, 100L, 0.9)))
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    assert(m(Similarity.semDedupAutoKRemovals(e, 24L, 0.4, coarseTarget = 1000L)) ==
+           m(Similarity.semDedupAutoKRemovals(e, 24L, 0.4)))
+  }
+
+  test("semDedupAutoK auto-C: the geometric coarse refine reunites id-mod-separated near-dups") {
+    // ONE label, coarseTarget = 2 -> ceil(6/2) = 3 id-mod coarse seeds
+    // that each MIX the +x and +y clusters (1,2 land in different
+    // seeds); the restricted geometric re-assign must still converge
+    // each cluster onto one refined coarse cell, so the planted pairs
+    // (1,2) and (5,6) dedup — an arbitrary (non-geometric) coarse split
+    // would wall 1 off from 2 forever
+    val oneLabel = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0), (2L, Array(0.995f, 0.1f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f, 0.0f), 0), (4L, Array(0.9f, 0.44f, 0.0f), 0),
+      (5L, Array(0.44f, 0.9f, 0.0f), 0), (6L, Array(0.3f, 0.95f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.semDedupAutoKRemovals(oneLabel, 100L, 0.98,
+        coarseTarget = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(2L -> 1L, 6L -> 5L))
+  }
+
   test("semDedupAutoK: separated clusters with splits = 1 equal the plain label-seeded path") {
     // every label's members sit nearest their own label centroid and
     // populations are under targetCell, so the coarse layer is the
