@@ -606,7 +606,7 @@ object AnnIndex {
     * probe side of the q87 construction). */
   def ivfAssign(spark: SparkSession, path: String, corpus: DataFrame,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    Similarity.assignCells(
+    Similarity.assignCellsAgg(
       Similarity.unitVectors(corpus, Seq(idCol -> "id"), vecCol),
       ivfCentroids(spark, path))
 
@@ -708,7 +708,7 @@ object AnnIndex {
       val vd = vdir(path, next)
       cents.write.mode("overwrite").parquet(new Path(vd, "centroids").toString)
       writePostings(units.drop("cell")
-        .join(Similarity.assignCells(units, cents)
+        .join(Similarity.assignCellsAgg(units, cents)
           .select(col("id"), col("assigned_cell").as("cell")), "id"),
         new Path(vd, "postings"), cellTaskCap)
       writeIdBloom(spark, vd, spark.read
@@ -800,7 +800,7 @@ object AnnIndex {
     // id set so later O(delta) guards stay bloom-backed
     val hasData = !units.limit(1).isEmpty
     if (hasData)
-      writePostings(units.join(Similarity.assignCells(units, cents)
+      writePostings(units.join(Similarity.assignCellsAgg(units, cents)
           .select(col("id"), col("assigned_cell").as("cell")), "id"),
         new Path(vd, "postings"), cellTaskCap)
     rem.foreach(_.write.mode("overwrite")

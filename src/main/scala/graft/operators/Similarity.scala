@@ -161,7 +161,15 @@ object Similarity {
 
   /** IVF assign: each vector goes to its nearest centroid by dot product
     * (deterministic tie-break on cell id). Centroids are broadcast — the
-    * corpus never shuffles. */
+    * corpus never shuffles.
+    *
+    * This is the WINDOW-FORM REFERENCE twin of [[assignCellsAgg]], kept
+    * because its row_number plan is the literal transcription of every
+    * assign oracle's ROW_NUMBER CTE; the spec proves the two equal row
+    * for row, and all production call sites (kmeansRefine,
+    * semDedupRemovals, AnnIndex builds, q47/q60/q87/q88/q89) use the
+    * aggregated form — map-side combine instead of shuffle-sorting the
+    * corpus × cells scored relation. */
   def assignCells(units: DataFrame, centroids: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("id"))
       .orderBy(col("sim").desc, col("c_cell").asc)
@@ -182,7 +190,7 @@ object Similarity {
   def kmeansRefine(units: DataFrame, initial: DataFrame, iters: Int): DataFrame = {
     var cents = initial.localCheckpoint()
     (1 to iters).foreach { _ =>
-      val assigned = assignCells(units, cents)
+      val assigned = assignCellsAgg(units, cents)
       cents = units.join(assigned, "id")
         .groupBy(col("assigned_cell").as("cell"))
         .agg(VectorAggregates.vectorMean(col("unit")).as("centroid"))
@@ -202,7 +210,7 @@ object Similarity {
   def kmeansRefineExact(units: DataFrame, initial: DataFrame, iters: Int): DataFrame = {
     var cents = initial.localCheckpoint()
     (1 to iters).foreach { _ =>
-      val assigned = assignCells(units, cents)
+      val assigned = assignCellsAgg(units, cents)
       cents = exactCentroids(
         units.join(assigned, "id")
           .select(col("assigned_cell").as("cell"), col("unit")),
@@ -214,7 +222,7 @@ object Similarity {
   /** Mean within-cell similarity — the k-means objective (higher is
     * tighter for unit vectors). */
   def clusteringObjective(units: DataFrame, cents: DataFrame): Double =
-    assignCells(units, cents).agg(avg(col("cell_sim"))).head().getDouble(0)
+    assignCellsAgg(units, cents).agg(avg(col("cell_sim"))).head().getDouble(0)
 
   /** Cap on seed subdivisions per label — the composite cell id is
     * `label · SplitCap + sub` so distinct labels can never collide; a
@@ -289,7 +297,7 @@ object Similarity {
                        maxCell: Long = DefaultMaxCell): DataFrame = {
     val units = unitVectors(corpus, Seq(idCol -> "id", cellCol -> "cell"), vecCol)
     val cents = kmeansRefineExact(units, exactCentroids(units), refineIters)
-    val assigned = assignCells(units, cents).select(col("id"), col("assigned_cell"))
+    val assigned = assignCellsAgg(units, cents).select(col("id"), col("assigned_cell"))
     val au = Dedup.capPopulation(
         units.select(col("id"), col("unit")).join(assigned, "id"),
         Seq(col("assigned_cell")), maxCell)

@@ -561,7 +561,7 @@ object Ext {
       val units = Similarity.unitVectors(
         t(s, dir, "embeddings"), Seq("vec_id" -> "id", "label" -> "cell"))
       val cents = Similarity.exactCentroids(units, "cell", "unit")
-      Similarity.assignCells(units, cents)
+      Similarity.assignCellsAgg(units, cents)
         .select(col("id"), col("assigned_cell").cast("long").as("assigned_cell"),
                 // engines' double→decimal casts differ in the last ulp of
                 // the centroid dims; 6dp is far above that noise floor
@@ -594,7 +594,7 @@ object Ext {
       val init = Similarity.exactCentroids(units, "cell", "unit")
       val cents = Similarity.kmeansRefineExact(units, init, iters = 1)
       // both reused frames are small; materialize once (reuse pitfall)
-      val refined = Similarity.assignCells(units, cents)
+      val refined = Similarity.assignCellsAgg(units, cents)
         .select(col("id").as("vec_id"), col("assigned_cell").as("label"))
         .join(e.drop("label"), "vec_id")
         .localCheckpoint()
@@ -619,7 +619,7 @@ object Ext {
       val init = Similarity.exactCentroids(units, "cell", "unit")
       val cents = Similarity.kmeansRefineExact(units, init, iters = 1)
         .localCheckpoint()
-      val refined = Similarity.assignCells(units, cents)
+      val refined = Similarity.assignCellsAgg(units, cents)
         .select(col("id").as("vec_id"), col("assigned_cell").as("label"))
         .join(e.drop("label"), "vec_id")
         .localCheckpoint()
@@ -646,7 +646,7 @@ object Ext {
         t(s, dir, "embeddings"), Seq("vec_id" -> "id", "label" -> "cell"))
       val init = Similarity.exactCentroids(units, "cell", "unit")
       val cents = Similarity.kmeansRefineExact(units, init, iters = 1)
-      Similarity.assignCells(units, cents)
+      Similarity.assignCellsAgg(units, cents)
         .select(col("id"), col("assigned_cell").cast("long").as("assigned_cell"),
                 round(col("cell_sim"), 6).as("cell_sim"))
         .orderBy("id")
@@ -1172,6 +1172,20 @@ object Ext {
         .orderBy("query_id", "rank")
     }),
 
+    // q86's COMPOSED IVFADC path with the same fixed 600-id query batch
+    // as q132/q139 — completes the fixed-query triptych: q132 pins the
+    // posting probe's per-query cost, q139 the flat ADC scan's, and
+    // this one the coarse-restricted + ADC plan a 100 TB deployment
+    // actually runs per query batch (per query: one cell's m-byte code
+    // rows, never raw floats, never other cells).
+    "q140_ann_ivfpq_fixedq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(e, e.orderBy("vec_id").limit(600), k = 3)
+        .select(col("query_id"), col("cand_id"), col("rank"),
+                round(col("approx_sim"), 6).as("approx_sim"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Coreset / diversity sampling over embeddings: after IVF assignment,
     // keep the k most-central vectors per cell — the centroid-stratified
     // sample a curation pipeline feeds to expensive downstream scoring.
@@ -1184,7 +1198,7 @@ object Ext {
       val cents = Similarity.exactCentroids(units, "cell", "unit")
       val w = Window.partitionBy(col("assigned_cell"))
         .orderBy(col("cell_sim").desc, col("id").asc)
-      Similarity.assignCells(units, cents)
+      Similarity.assignCellsAgg(units, cents)
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .select(col("id"), col("assigned_cell").cast("long").as("assigned_cell"),
@@ -1815,6 +1829,11 @@ object Ext {
           "ORDER BY vec_id LIMIT 600)"),
       // q61's ADC truth with the same fixed query batch as q132
       "q139_ann_pq_fixedq" -> base("q61_ann_pq").replace(
+        "(SELECT * FROM subs WHERE vec_id % 100 = 0) q",
+        "(SELECT * FROM subs WHERE vec_id IN " +
+          "(SELECT vec_id FROM e ORDER BY vec_id LIMIT 600)) q"),
+      // q86's composed coarse+ADC truth with that same fixed batch
+      "q140_ann_ivfpq_fixedq" -> base("q86_ann_ivfpq").replace(
         "(SELECT * FROM subs WHERE vec_id % 100 = 0) q",
         "(SELECT * FROM subs WHERE vec_id IN " +
           "(SELECT vec_id FROM e ORDER BY vec_id LIMIT 600)) q"),
