@@ -231,7 +231,8 @@ object Main {
     * verbatim — see [[LandedMarker]]. */
   def fetchLanding(spark: SparkSession, conf: Config.Conf, dir: String,
                    statusPath: Option[String] = None,
-                   now: Timestamp = new Timestamp(System.currentTimeMillis())): Unit = {
+                   now: Timestamp = new Timestamp(System.currentTimeMillis()),
+                   shouldStop: () => Boolean = () => false): Unit = {
     import graft.sources.{Fetch, Landing}
     val marker = JPaths.get(dir, LandedMarker)
     if (Files.exists(marker)) {
@@ -349,33 +350,58 @@ object Main {
           val groups = probed.grouped(policy.requestsPerWindow.max(1)).toSeq
           var offset = 0L
           var landed = 0L
+          var aborted = false
           groups.zipWithIndex.foreach { case (grp, gi) =>
-            // each group's action builds FRESH per-partition RateLimiters,
-            // so without a gap the last windowMs of group N's budget and
-            // group N+1's first could land inside one sliding window —
-            // transiently ~2× the ceiling (ADVICE r15). One full windowMs
-            // pause at each boundary drains the previous group's window
-            // before the next group spends; multi-group ticks only happen
-            // on multi-chunk dormant resumes, so the pause is rare and
-            // bounded (maxChunks-1 sleeps)
-            if (gi > 0) Thread.sleep(policy.windowMs)
-            val chunkPolicy = policy.copy(requestsPerWindow =
-              (policy.requestsPerWindow / grp.size).max(1))
-            val pages = grp.map { case (w, total, p0) =>
-              val off = offset
-              offset += Fetch.numPages(total, policy.resultsPerPage)
-              val head = spark.createDataset(Seq(p0.copy(page = off)))
-              val rest = Fetch.fetchPages(spark, total, chunkPolicy, parts,
-                transportFor(w), fromPage = 1L)
-              head union (if (off == 0L) rest
-                          else rest.map(p => p.copy(page = p.page + off)))
-            }.reduce(_ union _)
-            landed += Landing.landPages(pages, s"$dir/$sub", wipe = gi == 0)
+            if (!aborted) {
+              // each group's action builds FRESH per-partition
+              // RateLimiters, so without a gap the last windowMs of group
+              // N's budget and group N+1's first could land inside one
+              // sliding window — transiently ~2× the ceiling (ADVICE
+              // r15). One full windowMs pause at each boundary drains the
+              // previous group's window before the next group spends.
+              // The pause cannot be shortened by the previous group's own
+              // wall time: its limiter spreads requests across the WHOLE
+              // action and the per-request arrival times live on the
+              // executors, so the last request may have fired at the
+              // action's very end (ADVICE r16 adjudication). It IS
+              // interruptible: sliced sleeps check the stop flag, and a
+              // shutdown abandons the remaining groups — the watermark is
+              // then left unset, so the next tick re-pulls every window
+              // (the merge is idempotent) instead of blocking shutdown up
+              // to a full public-tier window per boundary.
+              if (gi > 0) {
+                val deadline = System.nanoTime() + policy.windowMs * 1000000L
+                while (System.nanoTime() < deadline && !shouldStop())
+                  Thread.sleep(math.max(1L, math.min(100L,
+                    (deadline - System.nanoTime()) / 1000000L)))
+                aborted = shouldStop()
+              }
+            }
+            if (!aborted) {
+              val chunkPolicy = policy.copy(requestsPerWindow =
+                (policy.requestsPerWindow / grp.size).max(1))
+              val pages = grp.map { case (w, total, p0) =>
+                val off = offset
+                offset += Fetch.numPages(total, policy.resultsPerPage)
+                val head = spark.createDataset(Seq(p0.copy(page = off)))
+                val rest = Fetch.fetchPages(spark, total, chunkPolicy, parts,
+                  transportFor(w), fromPage = 1L)
+                head union (if (off == 0L) rest
+                            else rest.map(p => p.copy(page = p.page + off)))
+              }.reduce(_ union _)
+              landed += Landing.landPages(pages, s"$dir/$sub", wipe = gi == 0)
+            }
           }
-          val totals = probed.map(_._2).sum
-          Log.info(s"[$section] Landed $landed pages ($totals results, " +
-            s"${probed.size} window(s)) into $dir/$sub", "main")
-          stamps += section -> now
+          if (aborted)
+            Log.warning(s"[$section] Shutdown during a multi-group pull — " +
+              s"landed $landed pages before stopping; watermark left " +
+              "unset so the next tick re-pulls every window", "main")
+          else {
+            val totals = probed.map(_._2).sum
+            Log.info(s"[$section] Landed $landed pages ($totals results, " +
+              s"${probed.size} window(s)) into $dir/$sub", "main")
+            stamps += section -> now
+          }
         }
       }
     paginated("nvd", "nvd_pages")
@@ -439,7 +465,11 @@ object Main {
       Files.write(JPaths.get(dir, StampsFile),
         lines.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
-    Files.createFile(marker); ()
+    // a shutdown mid-fetch must NOT mark the landing complete: the
+    // marker short-circuits re-runs, and an aborted multi-group pull
+    // landed only a prefix of its windows — leaving it off makes the
+    // re-run re-fetch from scratch (landPages wipes per landing)
+    if (!shouldStop()) { Files.createFile(marker); () }
   }
 
   /** The cve.org fetch (cveorg_handler.py): land the delta log, then
@@ -669,7 +699,7 @@ object Main {
     def landing(seq: Long, now: Timestamp) = {
       val dir = s"$root/landing/$seq"
       if (fetch) fetchLanding(spark, conf, dir, statusPath = Some(p.status),
-        now = now)
+        now = now, shouldStop = () => stop.get())
       landingFrom(dir)
     }
     def delta(seq: Long) = docsDeltaFrom(spark, s"$root/landing/$seq")

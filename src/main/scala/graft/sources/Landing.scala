@@ -186,18 +186,20 @@ object Landing {
                         maxBatchBytes: Long = ZipBatchBytes): Long = {
     val dest = new File(destDir)
     dest.mkdirs()
-    // wipe stale batches BEFORE repacking: a crash re-run whose fresh
-    // zip is smaller (or differently ordered) would otherwise leave
-    // higher-numbered batch files from the old run sitting next to the
-    // new ones, and the reader scans batch-*.jsonl wholesale — unlike
-    // the tree layout, where same-named members overwrite (landFiles
-    // wipes per landing for exactly this invariant; ADVICE r15)
-    Option(dest.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith("batch-") &&
-                   f.getName.endsWith(".jsonl"))
-      .foreach { f =>
-        require(f.delete(), s"could not delete stale batch ${f.getPath}")
-      }
+    // Repack into a DOT-PREFIXED temp sibling and swap on success. The
+    // r15 fix wiped stale batches up front (a smaller re-run zip must
+    // not leave old higher-numbered batch files next to the new ones —
+    // the reader scans batch-*.jsonl wholesale), but wiping BEFORE the
+    // archive is even opened destroys a complete previous landing when
+    // the re-download turns out corrupt (ADVICE r16). Now a bad archive
+    // throws with the old landing intact: the wipe runs only after the
+    // whole stream extracted cleanly, between two same-directory
+    // renames. Hadoop/Spark listings skip dot-entries, so a reader
+    // racing the repack never sees the temp files; a crash leaves only
+    // the temp dir behind, which the next run clears.
+    val tmp = new File(dest, s".repack-${ProcessHandle.current().pid()}")
+    deleteNoFollow(tmp)
+    require(tmp.mkdirs(), s"could not create repack dir ${tmp.getPath}")
     val in = new ZipInputStream(new FileInputStream(zipPath))
     var members = 0L
     var batch = 0
@@ -207,7 +209,7 @@ object Landing {
       if (os != null) os.close()
       os = new java.io.OutputStreamWriter(
         new BufferedOutputStream(new FileOutputStream(
-          new File(dest, f"batch-$batch%05d.jsonl"))),
+          new File(tmp, f"batch-$batch%05d.jsonl"))),
         java.nio.charset.StandardCharsets.UTF_8)
       batch += 1; batchBytes = 0L
     }
@@ -229,7 +231,29 @@ object Landing {
         }
         entry = in.getNextEntry
       }
-    } finally { in.close(); if (os != null) os.close() }
+    } catch {
+      case t: Throwable =>
+        // leave the PREVIOUS landing untouched; only the temp is torn down
+        try { in.close(); if (os != null) os.close() }
+        catch { case _: Throwable => () }
+        deleteNoFollow(tmp)
+        throw t
+    } finally {
+      in.close(); if (os != null) os.close()
+    }
+    // success: now (and only now) retire the previous batches and move
+    // the fresh ones in — same directory, so each move is one rename
+    Option(dest.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("batch-") &&
+                   f.getName.endsWith(".jsonl"))
+      .foreach { f =>
+        require(f.delete(), s"could not delete stale batch ${f.getPath}")
+      }
+    Option(tmp.listFiles()).getOrElse(Array.empty).foreach { f =>
+      val target = new File(dest, f.getName)
+      require(f.renameTo(target), s"could not move ${f.getPath} into place")
+    }
+    deleteNoFollow(tmp)
     members
   }
 

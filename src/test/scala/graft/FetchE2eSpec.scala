@@ -905,6 +905,118 @@ class FetchE2eSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("shutdown during a multi-group pull aborts the pause, skips the stamp, and recovers") {
+    // ADVICE r16: the boundary pause used to be a bare
+    // Thread.sleep(windowMs) that ignored the stop flag — shutdown
+    // during a multi-chunk dormant resume blocked up to a full
+    // public-tier window per boundary. The pause is now sliced and
+    // stop-aware: on shutdown the remaining groups are ABANDONED, the
+    // nvd watermark stays unset (the windows were not all consumed)
+    // and the landing is NOT marked complete, so the next tick
+    // re-pulls every window and the idempotent merge heals the prefix.
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    @volatile var corpus = initRecs
+    val queries = new java.util.concurrent.ConcurrentLinkedQueue[Map[String, String]]()
+    server.createContext("/rest/json/cves/2.0", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        val params = Option(ex.getRequestURI.getQuery).getOrElse("")
+          .split("&").filter(_.nonEmpty).map(_.split("=", 2))
+          .map(a => a(0) -> a.lift(1).getOrElse("")).toMap
+        queries.add(params)
+        def modAt(r: Rec) = ts(r.lastModified.replace("T", " ")
+          .stripSuffix(".000")).toInstant
+        val win = (params.get("lastModStartDate"),
+                   params.get("lastModEndDate")) match {
+          case (Some(s), Some(e)) =>
+            val (start, end) =
+              (java.time.Instant.parse(s), java.time.Instant.parse(e))
+            corpus.filter(r =>
+              !modAt(r).isBefore(start) && !modAt(r).isAfter(end))
+          case _ => corpus
+        }
+        val body = pageBody(win,
+          params("startIndex").toLong / PerPage).getBytes("UTF-8")
+        ex.sendResponseHeaders(200, body.length.toLong)
+        ex.getResponseBody.write(body); ex.close()
+      }
+    })
+    server.setExecutor(null)
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val root = java.nio.file.Files.createTempDirectory("main_stop_")
+        .resolve("root").toString
+      def conf(windowSec: Int) = Config.parse(
+        s"""[nvd]
+           |url: $base/rest/json/cves/2.0
+           |results_per_page: $PerPage
+           |retry_delay: 0
+           |public_rate_limit: 1
+           |rolling_window: $windowSec
+           |max_window_days: 1
+           |""".stripMargin)
+      def tick(day: Int, c: Config.Conf,
+               stop: java.util.concurrent.atomic.AtomicBoolean): Unit = {
+        Main.run(spark, c, root, once = true, stop = stop,
+          clock = () => ts(f"2025-04-0$day%d 00:00:00"), fetch = true); ()
+      }
+      tick(1, conf(3), new java.util.concurrent.atomic.AtomicBoolean(false))
+      queries.clear()
+      corpus = initRecs ++ Seq(
+        Rec("CVE-2025-0011", "2025-04-01T06:00:00.000", "Received", "w1 a"),
+        Rec("CVE-2025-0012", "2025-04-01T07:00:00.000", "Received", "w1 b"),
+        Rec("CVE-2025-0013", "2025-04-01T08:00:00.000", "Received", "w1 c"),
+        Rec("CVE-2025-0021", "2025-04-02T06:00:00.000", "Received", "w2 a"),
+        Rec("CVE-2025-0022", "2025-04-02T07:00:00.000", "Received", "w2 b"),
+        Rec("CVE-2025-0023", "2025-04-02T08:00:00.000", "Received", "w2 c"))
+      // shutdown arrives while group 1's action is in flight: a watcher
+      // flips the stop flag the moment the first page-1 request lands,
+      // so the boundary pause (and group 2) must be skipped — whether
+      // the flag is seen before the pause starts or mid-slice
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val watcher = new Thread(() => {
+        while (!stop.get()) {
+          val it = queries.iterator()
+          var seen = false
+          while (it.hasNext && !seen)
+            seen = it.next()("startIndex") == PerPage.toString
+          if (seen) stop.set(true) else Thread.sleep(10)
+        }
+      })
+      watcher.setDaemon(true)
+      watcher.start()
+      tick(3, conf(3), stop)
+      watcher.join(2000)
+      val q = {
+        val out = Seq.newBuilder[Map[String, String]]
+        var m = queries.poll()
+        while (m != null) { out += m; m = queries.poll() }
+        out.result()
+      }
+      // 2 probes ran (they precede the groups); only window 1's page 1
+      // was fetched — group 2 was abandoned at the boundary
+      assert(q.count(_("startIndex") == PerPage.toString) == 1,
+        s"the second group must be abandoned on shutdown, got $q")
+      // window 1's records landed and the tick committed...
+      assert(spark.read.parquet(s"$root/snapshot").count() == 8)
+      // ...but the watermark did NOT advance and the landing was not
+      // marked complete (a prefix of the windows is not a consumed pull)
+      assert(Watermarks.sourceLastUpdate(spark, s"$root/status", "nvd")
+        .contains(ts("2025-04-01 00:00:00")))
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$root/landing/2", Main.LandedMarker)),
+        "an aborted fetch must not mark its landing complete")
+      // recovery: the next tick re-pulls BOTH windows from the stored
+      // watermark and the idempotent merge heals the w1 prefix
+      tick(3, conf(3), new java.util.concurrent.atomic.AtomicBoolean(false))
+      assert(spark.read.parquet(s"$root/snapshot").count() == 11)
+      assert(Watermarks.sourceLastUpdate(spark, s"$root/status", "nvd")
+        .contains(ts("2025-04-03 00:00:00")))
+    } finally server.stop(0)
+  }
+
   test("--fetch windows the paginated pull to the stored watermark (lastModStartDate parity)") {
     import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
     val server = HttpServer.create(

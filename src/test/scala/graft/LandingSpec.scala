@@ -114,6 +114,44 @@ class LandingSpec extends SparkSpec {
       s"stale records from the earlier landing survived: ${ids.size} ids")
   }
 
+  test("extractZipBatched: a corrupt re-run archive leaves the previous landing intact") {
+    // ADVICE r16: the r15 stale-batch wipe ran before the fresh archive
+    // was even opened, so a corrupt re-download destroyed a complete
+    // landing. The repack now streams into a dot-prefixed temp dir and
+    // swaps in only on success — a bad archive must throw with the old
+    // batches (and the relation the reader serves) untouched, and leave
+    // no temp residue behind.
+    val work = java.nio.file.Files.createTempDirectory("zipbatchcorrupt").toString
+    val rec = (id: String) =>
+      s"""{"cveMetadata": {"cveId": "$id", "state": "PUBLISHED"},
+          "containers": {"cna": {"title": "t-$id"}}}"""
+    val good = (1 to 40).map(i =>
+      f"cves/CVE-2025-$i%04d.json" -> rec(f"CVE-2025-$i%04d"))
+    makeZip(s"$work/good.zip", good: _*)
+    Landing.extractZipBatched(s"$work/good.zip", s"$work/landing",
+      maxBatchBytes = 4 * 1024)
+    val before = Readers.cveOrg(spark, s"$work/landing")
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(before.size == 40)
+    // a local-header signature followed by 0xFF bytes: the flags word
+    // marks the entry encrypted, so ZipInputStream throws on the very
+    // first getNextEntry — before any member could land
+    val corrupt = Array[Byte](0x50, 0x4b, 3, 4) ++ Array.fill[Byte](64)(-1)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$work/bad.zip"), corrupt)
+    intercept[Exception] {
+      Landing.extractZipBatched(s"$work/bad.zip", s"$work/landing",
+        maxBatchBytes = 4 * 1024)
+    }
+    val after = Readers.cveOrg(spark, s"$work/landing")
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(after == before,
+      "a corrupt archive must not destroy the previous landing")
+    assert(new File(s"$work/landing").listFiles.forall(f =>
+      f.getName.startsWith("batch-") && f.getName.endsWith(".jsonl")),
+      "the failed repack must clean up its temp directory")
+  }
+
   test("landKeyed: executors land <cveId>.json files the cveOrg reader consumes; re-land wipes") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("keyed").toString
