@@ -666,16 +666,21 @@ object Ext {
         .orderBy("vec_id")
     }),
 
-    // q107 with k SCALED TO THE CORPUS and the assign COARSE-QUANTIZED —
-    // the pieces that make SemDeDup's Σ O(cell²) budget hold at 100 TB:
-    // each vector is first assigned into a label-seeded coarse cell
-    // (q87's init layer), that coarse cell is subdivided into
-    // ceil(pop / targetCell) sub-seeds by plain id arithmetic, and the
-    // Lloyd rounds score a vector ONLY against its own coarse cell's
-    // sub-centroids. Round 15 ran the sub-seed assign flat against all
-    // seeds — O(N²/targetCell), the catalog's worst decade point (43.6×
-    // per 10× at sf10); the coarse restriction is the standard large-N
-    // k-means answer, composed from the operators q87/q86 already gate.
+    // q107 with BOTH quantizer layers scaled to the corpus and the
+    // assign coarse-restricted — the pieces that make SemDeDup's
+    // Σ O(cell²) budget hold at 100 TB: each vector is first assigned
+    // into a label-seeded coarse cell (q87's init layer); AUTO-C then
+    // subdivides over-populated coarse cells (ceil(pop/coarseTarget)
+    // id-mod sub-seeds + one restricted geometric re-assign), so the
+    // coarse layer itself grows with the corpus instead of pinning C at
+    // |labels|; auto-k subdivides the refined coarse cells into
+    // ceil(pop/targetCell) sub-seeds; and every Lloyd round scores a
+    // vector ONLY against its own coarse cell's sub-centroids. Round 15
+    // ran the sub-seed assign flat — O(N²/targetCell), the catalog's
+    // worst decade point; round 16 added the coarse restriction
+    // (N²/(C·targetCell), C fixed); round 17's auto-C bounds the
+    // restricted term when the corpus outgrows C (PLANS.md one-label
+    // matrix: the C=1 adversarial geometry stays in-band at sf10).
     "q116_semantic_autok" -> ((s, dir) => {
       Similarity.semDedupAutoKRemovals(
           t(s, dir, "embeddings"), AutoKTargetCell, CosineDupThreshold,

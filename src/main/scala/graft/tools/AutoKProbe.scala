@@ -14,12 +14,24 @@ import graft.operators.{Dedup, Similarity}
   * round-16 redesign cut the restricted assign's dot count ~10× while
   * the sf10 decade point fell ~7–9× — the residual cost needed owners
   * before anyone optimizes the wrong stage.
+  *
+  * Round 17 adds the AUTO-C stage (coarseTarget) and a `--one-label`
+  * mode that collapses every label to one value — the adversarial
+  * geometry for a FIXED coarse layer (C = 1 makes the restricted term
+  * N²/targetCell, the flat-assign class): with auto-C on, the coarse
+  * layer re-subdivides itself and the restricted assigns must stay
+  * bounded by coarseTarget, not by N/C.
   * Usage: runMain graft.tools.AutoKProbe [sfDir] [targetCell]
+  *          [coarseTarget] [--one-label]
   */
 object AutoKProbe {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val targetCell = args.lift(1).map(_.toLong).getOrElse(24L)
+    val flags = args.filter(_.startsWith("--")).toSet
+    val pos = args.filterNot(_.startsWith("--"))
+    val sfDir = pos.headOption.getOrElse("/root/testdata/sf0.1")
+    val targetCell = pos.lift(1).map(_.toLong).getOrElse(12L)
+    val coarseTarget = pos.lift(2).map(_.toLong).getOrElse(32L)
+    val oneLabel = flags.contains("--one-label")
     val threshold = 0.4
     val spark = graft.GraftSession.build()
     spark.sparkContext.setLogLevel("WARN")
@@ -29,7 +41,10 @@ object AutoKProbe {
       println(f"[autokprobe] $label%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       r
     }
-    val e = graft.Tables.load(spark, sfDir, "embeddings")
+    println(s"[autokprobe] sfDir=$sfDir targetCell=$targetCell " +
+      s"coarseTarget=$coarseTarget oneLabel=$oneLabel")
+    val e0 = graft.Tables.load(spark, sfDir, "embeddings")
+    val e = if (oneLabel) e0.withColumn("label", lit(0)) else e0
     val units = t("unit vectors + checkpoint") {
       Similarity.unitVectors(e, Seq("vec_id" -> "id", "label" -> "cell"))
         .localCheckpoint()
@@ -37,10 +52,30 @@ object AutoKProbe {
     val ccents = t("coarse centroids (exact-decimal)") {
       Similarity.exactCentroids(units).localCheckpoint()
     }
-    val coarse = t("coarse assign (agg top-1)") {
+    val coarse0 = t("coarse assign (agg top-1)") {
       Similarity.assignCellsAgg(units, ccents)
         .select(col("id"), col("assigned_cell").as("coarse"))
         .localCheckpoint()
+    }
+    val coarse = if (coarseTarget <= 0L) coarse0 else {
+      val c2seed = t("auto-C subdivide + checkpoint") {
+        Similarity.withAutoCells(
+            units.select(col("id"), col("unit")).join(coarse0, "id"),
+            coarseTarget, idCol = "id", cellCol = "coarse",
+            outCol = "c2cell")
+          .localCheckpoint()
+      }
+      val c2cents = t("auto-C sub-seed centroids") {
+        Similarity.exactCentroids(
+            c2seed.select(col("c2cell").as("cell"), col("unit")),
+            "cell", "unit")
+          .localCheckpoint()
+      }
+      t("auto-C restricted re-assign") {
+        Similarity.assignCellsWithinCoarse(c2seed, c2cents)
+          .select(col("id"), col("assigned_cell").as("coarse"))
+          .localCheckpoint()
+      }
     }
     val seeded = t("auto-k subdivide + checkpoint") {
       Similarity.withAutoCells(
@@ -74,7 +109,7 @@ object AutoKProbe {
     }
     t("within-cell pairs + witness agg") {
       au.as("a").join(au.as("b"),
-          col("a.assigned_cell") === col("b.assigned_cell") &&
+          col("a.assigned_cell") <=> col("b.assigned_cell") &&
           col("a.id") < col("b.id"))
         .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
                 Similarity.dot(col("a.unit"), col("b.unit")).as("sim"))

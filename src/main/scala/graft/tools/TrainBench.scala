@@ -36,13 +36,23 @@ import graft.operators.{AnnIndex, Similarity}
   * 61 s sampled that way vs 24 s / 4 s from sf10 × 10). Reach target
   * row counts from the LARGEST available scale dir with a small repl —
   * the recorded sweeps use ScaleData's /tmp/sf10 with repl=10.
-  * Usage: runMain graft.tools.TrainBench [sfDir] [cap] [repl]
+  * `--recall` answers the question the timing sweep cannot: does the
+  * cap cost QUALITY at real geometry? It trains the catalog-geometry
+  * codebooks (m=4, subLen=16, k=16, iters=2) on the full corpus and on
+  * the sample, encodes the SAME corpus with each, and reports recall@10
+  * of the PQ-ADC probe against exact brute-force top-10 for a fixed
+  * 100-query batch — full-train vs sampled-train, side by side.
+  * (PqSpec pins the same property at fixture scale within 0.10; this
+  * mode measures it at /tmp/sf10's 200k-vector geometry.)
+  * Usage: runMain graft.tools.TrainBench [sfDir] [cap] [repl] [--recall]
   */
 object TrainBench {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val cap = args.lift(1).map(_.toLong).getOrElse(10000L)
-    val repl = args.lift(2).map(_.toInt).getOrElse(1)
+    val flags = args.filter(_.startsWith("--")).toSet
+    val pos = args.filterNot(_.startsWith("--"))
+    val sfDir = pos.headOption.getOrElse("/root/testdata/sf0.1")
+    val cap = pos.lift(1).map(_.toLong).getOrElse(10000L)
+    val repl = pos.lift(2).map(_.toInt).getOrElse(1)
     val spark = graft.GraftSession.build()
     spark.sparkContext.setLogLevel("WARN")
     val e0 = graft.Tables.load(spark, sfDir, "embeddings")
@@ -74,14 +84,33 @@ object TrainBench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    // one throwaway round on the sample so the sweep's first cell
-    // doesn't absorb codegen/JIT warm-up
-    time(sample, 1, 16)
-    for (iters <- Seq(2, 8); k <- Seq(16, 64)) {
-      val tf = time(units, iters, k)
-      val ts = time(sample, iters, k)
-      println(f"[trainbench] iters=$iters k=$k full=$tf%.1f s " +
-        f"sampled=$ts%.1f s (${tf / ts}%.1fx)")
+    if (flags.contains("--recall")) {
+      val queries = e.orderBy("vec_id").limit(100).localCheckpoint()
+      val truth = Similarity.bruteForceTopK(e, queries, k = 10)
+        .select(col("query_id"), col("cand_id"))
+        .localCheckpoint()
+      val truthN = truth.count()
+      def recall(train: DataFrame, tag: String): Unit = {
+        val books = Similarity.pqTrain(train, 4, 16, 16, 2).localCheckpoint()
+        val codes = Similarity.pqEncode(units, books, 4, 16).localCheckpoint()
+        val ann = Similarity.pqTopKFrom(books, codes, queries, k = 10)
+          .select(col("query_id"), col("cand_id"))
+        val hits = ann.join(truth, Seq("query_id", "cand_id"), "left_semi").count()
+        println(f"[trainbench] recall@10 $tag%-7s $hits/$truthN " +
+          f"(${hits.toDouble / truthN}%.3f)")
+      }
+      recall(units, "full")
+      recall(sample, "sampled")
+    } else {
+      // one throwaway round on the sample so the sweep's first cell
+      // doesn't absorb codegen/JIT warm-up
+      time(sample, 1, 16)
+      for (iters <- Seq(2, 8); k <- Seq(16, 64)) {
+        val tf = time(units, iters, k)
+        val ts = time(sample, iters, k)
+        println(f"[trainbench] iters=$iters k=$k full=$tf%.1f s " +
+          f"sampled=$ts%.1f s (${tf / ts}%.1fx)")
+      }
     }
     spark.stop()
   }
