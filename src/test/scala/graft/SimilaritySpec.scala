@@ -169,9 +169,13 @@ class SimilaritySpec extends SparkSpec {
     val u = Similarity.unitVectors(e, Seq("vec_id" -> "id", "label" -> "cell"))
     val coarse = Similarity.assignCellsAgg(u, Similarity.exactCentroids(u))
       .select(col("id"), col("assigned_cell").as("coarse"))
+    // checkpointed: truncates withAutoCells' own broadcast(pops) hint
+    // out of the lineage so the hint probe below sees ONLY the
+    // within-coarse join's strategy
     val seeded = Similarity.withAutoCells(
       u.select(col("id"), col("unit")).join(coarse, "id"),
       targetCell = 8L, idCol = "id", cellCol = "coarse", outCol = "scell")
+      .localCheckpoint()
     val subCents = Similarity.exactCentroids(
       seeded.select(col("scell").as("cell"), col("unit")), "cell", "unit")
       .localCheckpoint()
@@ -179,6 +183,18 @@ class SimilaritySpec extends SparkSpec {
       Similarity.assignCellsWithinCoarse(seeded, subCents, broadcastCap = cap)
         .collect().map(_.toString).sorted.toSeq
     assert(rows(0L) == rows(Similarity.BroadcastCentroidCap))
+    // and the cap genuinely gates the HINT (the physical strategy is
+    // then the planner's call — a tiny side may still auto-broadcast,
+    // which is exactly the degrade-gracefully contract): under the cap
+    // the optimized plan carries the broadcast hint; past it (cap 0
+    // forces the "past" branch) no hint is pinned
+    def hinted(cap: Long) = Similarity
+      .assignCellsWithinCoarse(seeded, subCents, broadcastCap = cap)
+      .queryExecution.optimizedPlan.toString.toLowerCase
+      .contains("strategy=broadcast")
+    assert(hinted(Similarity.BroadcastCentroidCap),
+      "under the cap the centroid side must be hint-pinned broadcast")
+    assert(!hinted(0L), "past the cap no broadcast hint may be pinned")
   }
 
   test("semDedupAutoK keeps NULL-label vectors in the dedup (null-safe chain)") {
