@@ -244,6 +244,26 @@ object Main {
     val stamps = scala.collection.mutable.Map.empty[String, Timestamp]
     def stored(section: String): Option[Timestamp] = statusPath.flatMap(sp =>
       graft.operators.Watermarks.sourceLastUpdate(spark, sp, section))
+    // Shutdown is honored at every SOURCE boundary, not just the
+    // window-group pause: once the stop flag is observed, every
+    // remaining source (including the potentially multi-hundred-MB
+    // single-file downloads and the cveorg full clone) is SKIPPED. A
+    // skipped source lands nothing and stamps nothing, and an aborted
+    // fetch never writes the landed marker — so the re-run re-pulls
+    // exactly what was skipped (idempotent merge). `fetchAborted`
+    // latches: a stop that arrives only AFTER the last source
+    // completed aborts nothing, and the fully-successful landing is
+    // still marked complete.
+    var fetchAborted = false
+    def stopNow(): Boolean = {
+      if (!fetchAborted && shouldStop()) {
+        fetchAborted = true
+        Log.warning("[fetch] Shutdown observed — skipping the remaining " +
+          "sources; this landing stays unmarked and the next tick " +
+          "re-pulls what was skipped", "main")
+      }
+      fetchAborted
+    }
 
     // paginated pulls: NVD (nvd_handler) and Red Hat Hydra
     // (redhat_handler.py:107-124 — identical totalResults envelope).
@@ -272,7 +292,7 @@ object Main {
     // instants would re-fetch up to a day of already-landed records per
     // tick (WatermarksSpec records the scope split)
     def paginated(section: String, sub: String): Unit =
-      conf.get(section, "url").foreach { base =>
+      conf.get(section, "url").filter(_ => !stopNow()).foreach { base =>
         val policy = conf.fetchPolicy(section)
         val maxWindowMs = conf.getInt(section, "max_window_days", 120)
           .toLong * 24 * 3600 * 1000
@@ -374,7 +394,7 @@ object Main {
                 while (System.nanoTime() < deadline && !shouldStop())
                   Thread.sleep(math.max(1L, math.min(100L,
                     (deadline - System.nanoTime()) / 1000000L)))
-                aborted = shouldStop()
+                aborted = stopNow()
               }
             }
             if (!aborted) {
@@ -408,7 +428,7 @@ object Main {
     paginated("redhat", "redhat_pages")
 
     SingleFileSources.foreach { case (section, name) =>
-      conf.get(section, "url").foreach { url =>
+      conf.get(section, "url").filter(_ => !stopNow()).foreach { url =>
         def fetchOne(): Unit = {
           val policy = conf.fetchPolicy(section)
           val upstream =
@@ -456,8 +476,9 @@ object Main {
       }
     }
 
-    fetchCveOrg(spark, conf, dir, stored("cveorg")).foreach(up =>
-      stamps += "cveorg" -> up)
+    if (!stopNow())
+      fetchCveOrg(spark, conf, dir, stored("cveorg")).foreach(up =>
+        stamps += "cveorg" -> up)
 
     if (stamps.nonEmpty) {
       val lines = stamps.toSeq.sortBy(_._1)
@@ -465,11 +486,14 @@ object Main {
       Files.write(JPaths.get(dir, StampsFile),
         lines.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
-    // a shutdown mid-fetch must NOT mark the landing complete: the
-    // marker short-circuits re-runs, and an aborted multi-group pull
-    // landed only a prefix of its windows — leaving it off makes the
-    // re-run re-fetch from scratch (landPages wipes per landing)
-    if (!shouldStop()) { Files.createFile(marker); () }
+    // an ABORTED fetch must NOT mark the landing complete: the marker
+    // short-circuits re-runs, and an aborted pull landed only a prefix
+    // of its sources/windows — leaving it off makes the re-run re-fetch
+    // from scratch (landPages wipes per landing). Keyed on the latched
+    // abort, NOT the live flag: a stop that arrives after every source
+    // already landed and stamped aborts nothing, and re-fetching a
+    // 100%-complete landing would be waste, not safety.
+    if (!fetchAborted) { Files.createFile(marker); () }
   }
 
   /** The cve.org fetch (cveorg_handler.py): land the delta log, then

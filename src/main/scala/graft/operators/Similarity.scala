@@ -231,6 +231,19 @@ object Similarity {
     * into another label's id space. */
   val SplitCap: Long = 1L << 20
 
+  /** Largest seed-cell id [[withAutoCells]] will compose: the encoding
+    * is `cell · SplitCap + sub`, so a cell past Long.MaxValue/SplitCap
+    * would silently overflow into colliding/negative composites, and a
+    * NEGATIVE cell would break the `composite div SplitCap` recovery
+    * (truncating division != floor division below zero — and the
+    * DuckDB oracle's `//` floors, so the engines would diverge).
+    * Out-of-range cells fail loudly instead. The bound composes: a
+    * first-level composite (label · SplitCap + sub) fed back in as the
+    * next level's cell is itself range-checked, so stacking levels
+    * (auto-C over auto-k) can never overflow silently — it caps the
+    * RAW label space at MaxSeedCell/SplitCap ≈ 2^23 per added level. */
+  val MaxSeedCell: Long = Long.MaxValue / SplitCap - SplitCap
+
   /** Scale k WITH the corpus — the SemDeDup prescription ("k grows with
     * corpus size") made operational: subdivide every seed label into
     * `ceil(pop / targetCell)` sub-seeds by plain id arithmetic
@@ -262,7 +275,13 @@ object Similarity {
       .withColumn("_splits",
         expr(s"(_pop + ${targetCell - 1L}) div ${targetCell}L"))
       .withColumn(outCol,
-        when(col("_splits") < SplitCap,
+        when(col(cellCol).cast("long") < 0 ||
+             col(cellCol).cast("long") > MaxSeedCell,
+             raise_error(concat(
+               lit("withAutoCells: cell id outside the composable " +
+                 s"range [0, $MaxSeedCell]: "),
+               col(cellCol).cast("string"))))
+          .when(col("_splits") < SplitCap,
              col(cellCol).cast("long") * SplitCap + pmod(col(idCol), col("_splits")))
           .otherwise(raise_error(concat(
             lit(s"withAutoCells: label needs >= $SplitCap subdivisions ("),

@@ -192,11 +192,27 @@ object Landing {
     // the reader scans batch-*.jsonl wholesale), but wiping BEFORE the
     // archive is even opened destroys a complete previous landing when
     // the re-download turns out corrupt (ADVICE r16). Now a bad archive
-    // throws with the old landing intact: the wipe runs only after the
-    // whole stream extracted cleanly, between two same-directory
-    // renames. Hadoop/Spark listings skip dot-entries, so a reader
-    // racing the repack never sees the temp files; a crash leaves only
-    // the temp dir behind, which the next run clears.
+    // throws with the old landing intact: the vulnerable window shrinks
+    // from the WHOLE extraction (minutes for a 500k-member clone) to
+    // the two metadata-only rename loops below — and a crash inside
+    // even that window is recovered one level up, because the landing
+    // was never marked `_LANDED`, so the re-run re-fetches and
+    // re-extracts from scratch. Hadoop/Spark listings skip
+    // dot-entries, so a reader racing the repack never sees temp files.
+    // Temp dirs from CRASHED runs (dead pids) are cleared here — a
+    // crashed 500k-member repack otherwise leaks gigabytes that no
+    // future run (with its own pid-named dir) would touch.
+    Option(dest.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(".repack-"))
+      .foreach { d =>
+        val alive = scala.util.Try(
+            d.getName.stripPrefix(".repack-").toLong).toOption
+          .exists { p =>
+            val h = ProcessHandle.of(p)
+            h.isPresent && h.get.isAlive
+          }
+        if (!alive) deleteNoFollow(d)
+      }
     val tmp = new File(dest, s".repack-${ProcessHandle.current().pid()}")
     deleteNoFollow(tmp)
     require(tmp.mkdirs(), s"could not create repack dir ${tmp.getPath}")

@@ -1,5 +1,6 @@
 package graft.tools
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, Similarity}
@@ -15,6 +16,12 @@ import graft.operators.{Dedup, Similarity}
   * the sf10 decade point fell ~7–9× — the residual cost needed owners
   * before anyone optimizes the wrong stage.
   *
+  * The staged chain lives in [[removals]] with a caller-supplied
+  * per-stage wrapper: `main` wraps stages with checkpoint+timing, and
+  * SimilaritySpec wraps with checkpoint alone and asserts the output
+  * EQUALS `semDedupAutoKRemovals` — so the probe cannot silently
+  * drift into timing a pipeline production no longer runs.
+  *
   * Round 17 adds the AUTO-C stage (coarseTarget) and a `--one-label`
   * mode that collapses every label to one value — the adversarial
   * geometry for a FIXED coarse layer (C = 1 makes the restricted term
@@ -25,6 +32,67 @@ import graft.operators.{Dedup, Similarity}
   *          [coarseTarget] [--one-label]
   */
 object AutoKProbe {
+
+  /** The probed composition — `semDedupAutoKRemovals` stage for stage
+    * (refineIters = 1, the catalog geometry). `t(label)(df)` wraps
+    * every intermediate; the pair/witness tail is returned LAZY so the
+    * caller owns its materialization (main times the noop write; the
+    * drift spec collects and compares). */
+  def removals(e: DataFrame, targetCell: Long, coarseTarget: Long,
+               threshold: Double)
+              (t: String => DataFrame => DataFrame): DataFrame = {
+    val units = t("unit vectors + checkpoint")(
+      Similarity.unitVectors(e, Seq("vec_id" -> "id", "label" -> "cell")))
+    val ccents = t("coarse centroids (exact-decimal)")(
+      Similarity.exactCentroids(units))
+    val coarse0 = t("coarse assign (agg top-1)")(
+      Similarity.assignCellsAgg(units, ccents)
+        .select(col("id"), col("assigned_cell").as("coarse")))
+    val coarse = if (coarseTarget <= 0L) coarse0 else {
+      val c2seed = t("auto-C subdivide + checkpoint")(
+        Similarity.withAutoCells(
+          units.select(col("id"), col("unit")).join(coarse0, "id"),
+          coarseTarget, idCol = "id", cellCol = "coarse",
+          outCol = "c2cell"))
+      val c2cents = t("auto-C sub-seed centroids")(
+        Similarity.exactCentroids(
+          c2seed.select(col("c2cell").as("cell"), col("unit")),
+          "cell", "unit"))
+      t("auto-C restricted re-assign")(
+        Similarity.assignCellsWithinCoarse(c2seed, c2cents)
+          .select(col("id"), col("assigned_cell").as("coarse")))
+    }
+    val seeded = t("auto-k subdivide + checkpoint")(
+      Similarity.withAutoCells(
+        units.select(col("id"), col("unit")).join(coarse, "id"),
+        targetCell, idCol = "id", cellCol = "coarse", outCol = "scell"))
+    val cents0 = t("sub-seed centroids (cents0)")(
+      Similarity.exactCentroids(
+        seeded.select(col("scell").as("cell"), col("unit")), "cell", "unit"))
+    val cents1 = t("lloyd round (restricted + means)") {
+      val a = Similarity.assignCellsWithinCoarse(seeded, cents0)
+      Similarity.exactCentroids(
+        seeded.join(a.select(col("id"), col("assigned_cell")), "id")
+          .select(col("assigned_cell").as("cell"), col("unit")),
+        "cell", "unit")
+    }
+    val assigned = t("final restricted assign")(
+      Similarity.assignCellsWithinCoarse(seeded, cents1)
+        .select(col("id"), col("assigned_cell")))
+    val au = t("population cap + join + checkpoint")(
+      Dedup.capPopulation(
+        seeded.select(col("id"), col("unit")).join(assigned, "id"),
+        Seq(col("assigned_cell")), Similarity.DefaultMaxCell))
+    au.as("a").join(au.as("b"),
+        col("a.assigned_cell") <=> col("b.assigned_cell") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+              Similarity.dot(col("a.unit"), col("b.unit")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .groupBy(col("b_id").as("vec_id"))
+      .agg(min(col("a_id")).as("witness_id"), max(col("sim")).as("max_sim"))
+  }
+
   def main(args: Array[String]): Unit = {
     val flags = args.filter(_.startsWith("--")).toSet
     val pos = args.filterNot(_.startsWith("--"))
@@ -35,7 +103,7 @@ object AutoKProbe {
     val threshold = 0.4
     val spark = graft.GraftSession.build()
     spark.sparkContext.setLogLevel("WARN")
-    def t[A](label: String)(f: => A): A = {
+    def timed[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime()
       val r = f
       println(f"[autokprobe] $label%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
@@ -45,78 +113,10 @@ object AutoKProbe {
       s"coarseTarget=$coarseTarget oneLabel=$oneLabel")
     val e0 = graft.Tables.load(spark, sfDir, "embeddings")
     val e = if (oneLabel) e0.withColumn("label", lit(0)) else e0
-    val units = t("unit vectors + checkpoint") {
-      Similarity.unitVectors(e, Seq("vec_id" -> "id", "label" -> "cell"))
-        .localCheckpoint()
-    }
-    val ccents = t("coarse centroids (exact-decimal)") {
-      Similarity.exactCentroids(units).localCheckpoint()
-    }
-    val coarse0 = t("coarse assign (agg top-1)") {
-      Similarity.assignCellsAgg(units, ccents)
-        .select(col("id"), col("assigned_cell").as("coarse"))
-        .localCheckpoint()
-    }
-    val coarse = if (coarseTarget <= 0L) coarse0 else {
-      val c2seed = t("auto-C subdivide + checkpoint") {
-        Similarity.withAutoCells(
-            units.select(col("id"), col("unit")).join(coarse0, "id"),
-            coarseTarget, idCol = "id", cellCol = "coarse",
-            outCol = "c2cell")
-          .localCheckpoint()
-      }
-      val c2cents = t("auto-C sub-seed centroids") {
-        Similarity.exactCentroids(
-            c2seed.select(col("c2cell").as("cell"), col("unit")),
-            "cell", "unit")
-          .localCheckpoint()
-      }
-      t("auto-C restricted re-assign") {
-        Similarity.assignCellsWithinCoarse(c2seed, c2cents)
-          .select(col("id"), col("assigned_cell").as("coarse"))
-          .localCheckpoint()
-      }
-    }
-    val seeded = t("auto-k subdivide + checkpoint") {
-      Similarity.withAutoCells(
-          units.select(col("id"), col("unit")).join(coarse, "id"),
-          targetCell, idCol = "id", cellCol = "coarse", outCol = "scell")
-        .localCheckpoint()
-    }
-    val cents0 = t("sub-seed centroids (cents0)") {
-      Similarity.exactCentroids(
-          seeded.select(col("scell").as("cell"), col("unit")), "cell", "unit")
-        .localCheckpoint()
-    }
-    val cents1 = t("lloyd round (restricted + means)") {
-      val a = Similarity.assignCellsWithinCoarse(seeded, cents0)
-      Similarity.exactCentroids(
-          seeded.join(a.select(col("id"), col("assigned_cell")), "id")
-            .select(col("assigned_cell").as("cell"), col("unit")),
-          "cell", "unit")
-        .localCheckpoint()
-    }
-    val assigned = t("final restricted assign") {
-      Similarity.assignCellsWithinCoarse(seeded, cents1)
-        .select(col("id"), col("assigned_cell"))
-        .localCheckpoint()
-    }
-    val au = t("population cap + join + checkpoint") {
-      Dedup.capPopulation(
-          seeded.select(col("id"), col("unit")).join(assigned, "id"),
-          Seq(col("assigned_cell")), Similarity.DefaultMaxCell)
-        .localCheckpoint()
-    }
-    t("within-cell pairs + witness agg") {
-      au.as("a").join(au.as("b"),
-          col("a.assigned_cell") <=> col("b.assigned_cell") &&
-          col("a.id") < col("b.id"))
-        .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
-                Similarity.dot(col("a.unit"), col("b.unit")).as("sim"))
-        .filter(col("sim") >= threshold)
-        .groupBy(col("b_id").as("vec_id"))
-        .agg(min(col("a_id")).as("witness_id"), max(col("sim")).as("max_sim"))
-        .write.format("noop").mode("overwrite").save()
+    val tail = removals(e, targetCell, coarseTarget, threshold)(
+      label => df => timed(label)(df.localCheckpoint()))
+    timed("within-cell pairs + witness agg") {
+      tail.write.format("noop").mode("overwrite").save()
     }
     spark.stop()
   }

@@ -108,6 +108,49 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("withAutoCells fails loudly on cell ids outside the composable range") {
+    // the composite encoding is cell * SplitCap + sub: a NEGATIVE cell
+    // would break the truncating `div SplitCap` recovery (and diverge
+    // from DuckDB's flooring //), and a cell past Long.MaxValue/SplitCap
+    // would overflow into colliding/negative composites — both must
+    // raise, not corrupt
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + msgs(t.getCause)
+    val neg = Seq((1L, Array(1.0f, 0f), -3L), (2L, Array(1.0f, 0f), -3L))
+      .toDF("vec_id", "embedding", "label")
+    val e1 = intercept[Exception] {
+      Similarity.withAutoCells(neg, targetCell = 10L).collect()
+    }
+    assert(msgs(e1).contains("composable range"))
+    val huge = Seq((1L, Array(1.0f, 0f), Similarity.MaxSeedCell + 1L))
+      .toDF("vec_id", "embedding", "label")
+    val e2 = intercept[Exception] {
+      Similarity.withAutoCells(huge, targetCell = 10L).collect()
+    }
+    assert(msgs(e2).contains("composable range"))
+    // the top of the range still composes without overflow
+    val top = Seq((1L, Array(1.0f, 0f), Similarity.MaxSeedCell))
+      .toDF("vec_id", "embedding", "label")
+    val cell = Similarity.withAutoCells(top, targetCell = 10L)
+      .select("auto_cell").head().getLong(0)
+    assert(cell == Similarity.MaxSeedCell * Similarity.SplitCap)
+  }
+
+  test("AutoKProbe's staged composition equals semDedupAutoKRemovals (drift pin)") {
+    // the probe exists to attribute cost to the PRODUCTION stages; this
+    // pin makes a drift between the two a failing test instead of a
+    // silently-mistimed pipeline. Constants chosen so both auto layers
+    // actually subdivide on the 50-vector fixture.
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val probe = graft.tools.AutoKProbe.removals(e, 2L, 3L, 0.4)(
+      _ => df => df.localCheckpoint())
+    val prod = Similarity.semDedupAutoKRemovals(e, 2L, 0.4, coarseTarget = 3L)
+    assert(m(probe) == m(prod))
+    assert(m(probe).nonEmpty, "the fixture must produce removals")
+  }
+
   test("assignCellsAgg: the aggregated top-1 equals the window-based assignCells") {
     // same semantics, different plan: max over (sim, -cell) vs
     // row_number over (sim desc, cell asc) — must agree row for row,
