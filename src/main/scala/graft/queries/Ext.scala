@@ -690,6 +690,20 @@ object Ext {
         .orderBy("vec_id")
     }),
 
+    // The auto-k chain's final restricted ASSIGNMENT exposed — the
+    // second auto-C consumer (r17 verdict stretch): same two-layer
+    // corpus-scaled quantizer as q116, but the output is (vec_id, cell,
+    // sim), so the depth-2 composite cell ids (densified coarse ·
+    // SplitCap + sub) are themselves hashed against DuckDB's flooring
+    // `//` arithmetic — q116's removals surface never exposes them.
+    "q141_autok_assign" -> ((s, dir) => {
+      Similarity.semDedupAutoKAssign(
+          t(s, dir, "embeddings"), AutoKTargetCell,
+          coarseTarget = AutoCoarseTarget)
+        .select(col("vec_id"), col("cell"), round(col("sim"), 6).as("sim"))
+        .orderBy("vec_id")
+    }),
+
     // IVF+PQ composed (IVFADC): coarse cell restriction + PQ-ADC ranking
     // from m-byte codes — the standard billion-scale ANN index layout.
     // Per query the scan touches ONE cell's code rows; scoring reads m
@@ -1445,29 +1459,42 @@ object Ext {
         $kmeansRefineFromSeeds"""
 
   /** Coarse-quantized auto-k mirror of Similarity.semDedupAutoKRemovals
-    * (with AUTO-C on), ending in `a1(id, acell)` — the final restricted
-    * assignment:
+    * (with AUTO-C on), ending in `a1(id, acell, sim)` — the final
+    * restricted assignment:
     *  - ccents/ca: label-seeded exact-decimal centroids and ONE
     *    geometric assign (q87's init layer) → each vector's coarse cell;
-    *  - c2pops/c2seed/c2cents/ca2: AUTO-C — the coarse layer itself
-    *    subdivided (sub-seed = coarse · SplitCap + id mod
-    *    ceil(pop/coarseTarget)), exact-decimal sub-seed means, and one
-    *    RESTRICTED geometric re-assign (`coarse IS NOT DISTINCT FROM
-    *    cell // SplitCap`) → the refined coarse cell every later stage
-    *    keys on;
+    *  - csent: withAutoCells' NULL-cell sentinel — MAX(coarse)+1 (0 on
+    *    an all-NULL corpus), the data-derived id under which a NULL
+    *    coarse population id-mod subdivides like every labeled one
+    *    (r18; collision-free because it exceeds every live cell);
+    *  - c2pops/c2seed/c2cents/ca2r: AUTO-C — the coarse layer itself
+    *    subdivided (sub-seed = COALESCE(coarse, sentinel) · SplitCap +
+    *    id mod ceil(pop/coarseTarget)), exact-decimal sub-seed means,
+    *    and one RESTRICTED geometric re-assign (`coarse IS NOT DISTINCT
+    *    FROM cell // SplitCap`);
+    *  - cmap/ca2: the surviving cells DENSIFIED (DENSE_RANK over the
+    *    distinct-cell list, order-preserving — Similarity.densifyCells)
+    *    → the refined coarse cell every later stage keys on. This is
+    *    the engine's SINGLE-level ladder: the fixture's max coarse
+    *    population (50 at sf0.01) is far under coarseTarget², so the
+    *    recursive levels provably never engage on the gate fixture and
+    *    the oracle stays the L=1 form (same adjudication as the
+    *    bench-skip anchors);
     *  - cpops/es: withAutoCells on the REFINED coarse id — composite
-    *    sub-seed = coarse · SplitCap + id mod ceil(pop/targetCell);
+    *    sub-seed = coarse · SplitCap + id mod ceil(pop/targetCell); the
+    *    level-1 sentinel stage is the identity here (densified ids are
+    *    never NULL) and is elided;
     *  - cents0/a0/cents1/a1: one exact-decimal Lloyd round where every
     *    assign joins on `coarse = cell // SplitCap` instead of CROSS
     *    JOIN — the restriction that keeps the Spark plan out of the
     *    O(N²/targetCell) class, restated so DuckDB scores the identical
     *    (vector, sub-centroid) pairs. Spark's top-1 is an aggregated
     *    max over (sim, -cell); the ROW_NUMBER (sim DESC, cell ASC) here
-    *    selects the same row — the ordering key is unique per id.
-    * Every coarse-key join is IS NOT DISTINCT FROM, mirroring Spark's
-    * `<=>`: a NULL-label chain (NULL coarse → NULL composite ids all
-    * the way down) stays in the dedup instead of dropping at the first
-    * equi-join. */
+    *    selects the same row — the ordering key is unique per id. `a1`
+    *    carries the winning sim so q141 can expose the assignment.
+    * Every coarse-key join stays IS NOT DISTINCT FROM, mirroring
+    * Spark's `<=>` — post-sentinel no NULL reaches them, but the
+    * robustness contract is kept aligned on both engines. */
   private def autoCoarseCtes(targetCell: Long, coarseTarget: Long): String =
     s"""cflat AS (SELECT label AS cell, generate_subscripts(u, 1) AS pos,
                          unnest(u) AS val FROM e),
@@ -1484,15 +1511,18 @@ object Ext {
                                    c.cell ASC) AS rn
                  FROM e t CROSS JOIN ccents c)
                WHERE rn = 1),
+        csent AS (SELECT COALESCE(MAX(coarse) + 1, 0) AS s FROM ca),
         c2pops AS (SELECT coarse, COUNT(*) AS n FROM ca GROUP BY 1),
-        c2seed AS (SELECT e.vec_id AS id, e.u, ca.coarse,
-                          ca.coarse * ${Similarity.SplitCap}
+        c2seed AS (SELECT e.vec_id AS id, e.u,
+                          COALESCE(ca.coarse, cs.s) AS coarse,
+                          COALESCE(ca.coarse, cs.s) * ${Similarity.SplitCap}
                           + (e.vec_id %
                              ((p.n + ${coarseTarget - 1L}) // $coarseTarget))
                             AS c2cell
                    FROM e JOIN ca ON e.vec_id = ca.id
                           JOIN c2pops p
-                            ON ca.coarse IS NOT DISTINCT FROM p.coarse),
+                            ON ca.coarse IS NOT DISTINCT FROM p.coarse
+                          CROSS JOIN csent cs),
         c2flat AS (SELECT c2cell AS cell, generate_subscripts(u, 1) AS pos,
                           unnest(u) AS val FROM c2seed),
         c2dim AS (SELECT cell, pos,
@@ -1501,7 +1531,7 @@ object Ext {
                   FROM c2flat GROUP BY 1, 2),
         c2cents AS (SELECT cell, list(cv ORDER BY pos) AS centroid
                     FROM c2dim GROUP BY cell),
-        ca2 AS (SELECT id, cell AS coarse FROM (
+        ca2r AS (SELECT id, cell FROM (
                   SELECT t.id, c.cell,
                          ROW_NUMBER() OVER (PARTITION BY t.id
                            ORDER BY ${foldDot("t.u", "c.centroid")} DESC,
@@ -1510,6 +1540,10 @@ object Ext {
                     ON t.coarse IS NOT DISTINCT FROM
                        c.cell // ${Similarity.SplitCap})
                 WHERE rn = 1),
+        cmap AS (SELECT cell, DENSE_RANK() OVER (ORDER BY cell) - 1 AS dcell
+                 FROM (SELECT DISTINCT cell FROM ca2r)),
+        ca2 AS (SELECT r.id, m.dcell AS coarse
+                FROM ca2r r JOIN cmap m ON r.cell = m.cell),
         cpops AS (SELECT coarse, COUNT(*) AS n FROM ca2 GROUP BY 1),
         es AS (SELECT e.vec_id, e.u, ca2.coarse,
                       ca2.coarse * ${Similarity.SplitCap}
@@ -1544,8 +1578,9 @@ object Ext {
                   FROM flat1 GROUP BY 1, 2),
         cents1 AS (SELECT cell, list(cv ORDER BY pos) AS centroid
                    FROM cdim1 GROUP BY cell),
-        a1 AS (SELECT id, cell AS acell FROM (
+        a1 AS (SELECT id, cell AS acell, sim FROM (
                  SELECT t.vec_id AS id, c.cell,
+                        ${foldDot("t.u", "c.centroid")} AS sim,
                         ROW_NUMBER() OVER (PARTITION BY t.vec_id
                           ORDER BY ${foldDot("t.u", "c.centroid")} DESC,
                                    c.cell ASC) AS rn
@@ -2560,6 +2595,16 @@ object Ext {
                  ROUND(MAX(sim), 6) AS max_sim
           FROM pairs WHERE sim >= $CosineDupThreshold
           GROUP BY 1 ORDER BY vec_id""",
+
+    // q116's chain cut at the final restricted assignment: the hashed
+    // columns include the depth-2 composite cell ids, so both engines'
+    // sentinel/densify/ceil-div/mod arithmetic must agree value for
+    // value, not just grouping for grouping.
+    "q141_autok_assign" ->
+      s"""WITH $unitCte,
+          ${autoCoarseCtes(AutoKTargetCell, AutoCoarseTarget)}
+          SELECT id AS vec_id, acell AS cell, ROUND(sim, 6) AS sim
+          FROM a1 ORDER BY vec_id""",
 
     "q88_ann_recall_refined" ->
       s"""WITH $unitCte,

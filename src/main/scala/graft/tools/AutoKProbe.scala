@@ -27,7 +27,11 @@ import graft.operators.{Dedup, Similarity}
   * geometry for a FIXED coarse layer (C = 1 makes the restricted term
   * N²/targetCell, the flat-assign class): with auto-C on, the coarse
   * layer re-subdivides itself and the restricted assigns must stay
-  * bounded by coarseTarget, not by N/C.
+  * bounded by coarseTarget, not by N/C. Round 18 makes the stage a
+  * LADDER: when maxPop > coarseTarget² the balance rule engages extra
+  * subdivide→re-assign levels coarsest-first (each stage printed with
+  * its level target), so the probe attributes the recursion's cost
+  * level by level.
   * Usage: runMain graft.tools.AutoKProbe [sfDir] [targetCell]
   *          [coarseTarget] [--one-label]
   */
@@ -49,18 +53,32 @@ object AutoKProbe {
       Similarity.assignCellsAgg(units, ccents)
         .select(col("id"), col("assigned_cell").as("coarse")))
     val coarse = if (coarseTarget <= 0L) coarse0 else {
-      val c2seed = t("auto-C subdivide + checkpoint")(
-        Similarity.withAutoCells(
-          units.select(col("id"), col("unit")).join(coarse0, "id"),
-          coarseTarget, idCol = "id", cellCol = "coarse",
-          outCol = "c2cell"))
-      val c2cents = t("auto-C sub-seed centroids")(
-        Similarity.exactCentroids(
-          c2seed.select(col("c2cell").as("cell"), col("unit")),
-          "cell", "unit"))
-      t("auto-C restricted re-assign")(
-        Similarity.assignCellsWithinCoarse(c2seed, c2cents)
-          .select(col("id"), col("assigned_cell").as("coarse")))
+      // mirror of autoKChain's ladder decision: a control-plane read of
+      // the max coarse population picks the level targets, coarsest
+      // first (balance rule — see semDedupAutoKRemovals stage 1b)
+      val maxPop = coarse0.groupBy(col("coarse")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n"))).head().getLong(0)
+      var tops = List(coarseTarget)
+      while (maxPop > tops.head * coarseTarget &&
+             tops.size < Similarity.MaxAutoCLevels &&
+             tops.head <= Long.MaxValue / coarseTarget)
+        tops ::= tops.head * coarseTarget
+      tops.foldLeft(coarse0) { (cur, lt) =>
+        val c2seed = t(s"auto-C subdivide (t=$lt) + ckpt")(
+          Similarity.withAutoCells(
+            units.select(col("id"), col("unit")).join(cur, "id"),
+            lt, idCol = "id", cellCol = "coarse",
+            outCol = "c2cell"))
+        val c2cents = t(s"auto-C sub-seed centroids (t=$lt)")(
+          Similarity.exactCentroids(
+            c2seed.select(col("c2cell").as("cell"), col("unit")),
+            "cell", "unit"))
+        t(s"auto-C restricted re-assign (t=$lt)")(
+          Similarity.densifyCells(
+            Similarity.assignCellsWithinCoarse(c2seed, c2cents)
+              .select(col("id"), col("assigned_cell").as("coarse")),
+            "coarse"))
+      }
     }
     val seeded = t("auto-k subdivide + checkpoint")(
       Similarity.withAutoCells(
@@ -69,15 +87,18 @@ object AutoKProbe {
     val cents0 = t("sub-seed centroids (cents0)")(
       Similarity.exactCentroids(
         seeded.select(col("scell").as("cell"), col("unit")), "cell", "unit"))
+    // hoisted once per Lloyd loop, as in production (r17 verdict task 4)
+    val pin = Some(Similarity.broadcastDecision(cents0))
     val cents1 = t("lloyd round (restricted + means)") {
-      val a = Similarity.assignCellsWithinCoarse(seeded, cents0)
+      val a = Similarity.assignCellsWithinCoarse(seeded, cents0,
+        pinBroadcast = pin)
       Similarity.exactCentroids(
         seeded.join(a.select(col("id"), col("assigned_cell")), "id")
           .select(col("assigned_cell").as("cell"), col("unit")),
         "cell", "unit")
     }
     val assigned = t("final restricted assign")(
-      Similarity.assignCellsWithinCoarse(seeded, cents1)
+      Similarity.assignCellsWithinCoarse(seeded, cents1, pinBroadcast = pin)
         .select(col("id"), col("assigned_cell")))
     val au = t("population cap + join + checkpoint")(
       Dedup.capPopulation(

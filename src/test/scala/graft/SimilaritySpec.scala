@@ -240,6 +240,120 @@ class SimilaritySpec extends SparkSpec {
     assert(!hinted(0L), "past the cap no broadcast hint may be pinned")
   }
 
+  test("withAutoCells subdivides a NULL-label population under the data-derived sentinel") {
+    // r17 left NULL labels riding the chain as ONE undivided cell (null
+    // arithmetic); now they id-mod subdivide under sentinel = max(live
+    // cell) + 1, written back into the label column so downstream
+    // coarse-restricted joins see the same id the composite encodes
+    val corpus = ((1L to 7L).map(id => (id, Array(1.0f, 0f), None)) ++
+      Seq((20L, Array(0f, 1.0f), Some(0)), (21L, Array(0f, 1.0f), Some(0))))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.withAutoCells(corpus, targetCell = 2L)
+      .localCheckpoint()
+    // formerly-NULL rows: sentinel label 1, ceil(7/2) = 4 distinct cells
+    val nulls = out.filter($"vec_id" <= 7L)
+    assert(nulls.filter($"label".isNull).count() == 0)
+    assert(nulls.select("label").distinct().collect().map(_.getInt(0)).toSeq == Seq(1))
+    assert(nulls.select("auto_cell").distinct().count() == 4L)
+    // sentinel cells live in 1·SplitCap.. — disjoint from label 0's cell
+    val zeroCells = out.filter($"vec_id" >= 20L)
+      .select("auto_cell").distinct().collect().map(_.getLong(0)).toSet
+    assert(zeroCells == Set(0L * Similarity.SplitCap))
+    assert(nulls.select("auto_cell").collect()
+      .map(_.getLong(0)).forall(_ >= Similarity.SplitCap))
+    // an all-NULL corpus gets sentinel 0, not a crash
+    val allNull = Seq((1L, Array(1.0f, 0f), Option.empty[Int]),
+                      (2L, Array(1.0f, 0f), Option.empty[Int]))
+      .toDF("vec_id", "embedding", "label")
+    val an = Similarity.withAutoCells(allNull, targetCell = 1L)
+      .select("label", "auto_cell").collect()
+    assert(an.map(_.getInt(0)).toSet == Set(0))
+    assert(an.map(_.getLong(1)).toSet == Set(0L, 1L)) // 0·Cap + id mod 2
+  }
+
+  test("semDedupAutoK: a NULL-label population past maxCell subdivides and still dedups") {
+    // the r17 residual this round closes: an all-NULL corpus used to
+    // reach the pair stage as ONE cell, and past maxCell the
+    // capPopulation guard dropped the WHOLE population (zero removals,
+    // provably — 28 > 16). Under the sentinel it subdivides like any
+    // labeled corpus, so the dupe clusters must dedup with the cap
+    // still in force. Fixture: 4 orthogonal clusters of 7 near-identical
+    // members (every within-cluster pair is a near-dup; Lloyd's
+    // dupe-mass pull keeps the geometric re-assigns stable — singleton
+    // twins would self-anchor instead, a k-means fixed point no seeding
+    // could merge).
+    val dim = 64
+    def member(c: Int, m: Int): Array[Float] = {
+      val a = Array.fill(dim)(0.0f)
+      a(c) = 1.0f; a(8 + 4 * c + (m % 4)) = 0.002f + 0.001f * m
+      a
+    }
+    val corpus = (for (c <- 0 until 4; m <- 0 until 7)
+        yield ((c * 7 + m).toLong, member(c, m), Option.empty[Int]))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.semDedupAutoKRemovals(corpus, targetCell = 6L,
+        threshold = 0.99, maxCell = 16L, coarseTarget = 12L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.nonEmpty, "a NULL-only corpus past maxCell must still dedup")
+    // every removal pairs within its own cluster, witness keep-first
+    out.foreach { case (id, w) =>
+      assert(w < id && w / 7 == id / 7, s"cross-cluster removal: $id <- $w")
+    }
+    // subdivision makes the dedup effective: each final cell keeps one
+    // survivor, so with 4 clusters of 7 at least 16 of 28 must go
+    assert(out.size >= 16, s"expected >= 16 removals, got ${out.size}: $out")
+  }
+
+  test("auto-C ladder: a population past coarseTarget² engages extra levels and stays correct") {
+    // one label, 60 vectors, coarseTarget 2 → maxPop 60 > 2·2 > 4·2 →
+    // the balance rule stacks subdivide→re-assign levels to the
+    // MaxAutoCLevels cap; the dedup must stay correct through every
+    // stacked geometric re-assign. Fixture: 6 orthogonal clusters of 10
+    // near-identical members — removals must never cross clusters and
+    // must collapse most of each cluster.
+    val dim = 64
+    def member(c: Int, m: Int): Array[Float] = {
+      val a = Array.fill(dim)(0.0f)
+      a(c) = 1.0f; a(8 + 5 * c + (m % 5)) = 0.002f + 0.001f * m
+      a
+    }
+    val corpus = (for (c <- 0 until 6; m <- 0 until 10)
+        yield ((c * 10 + m).toLong, member(c, m), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.semDedupAutoKRemovals(corpus, targetCell = 4L,
+        threshold = 0.99, coarseTarget = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    out.foreach { case (id, w) =>
+      assert(w < id && w / 10 == id / 10, s"cross-cluster removal: $id <- $w")
+    }
+    // coarseTarget 2 caps the LEAF cells near pair size, so the dedup
+    // granularity is ~one removal per surviving 2-member cell (measured
+    // 18/60 here); the floor asserts every cluster still collapses
+    assert(out.size >= 12, s"expected >= 12 removals, got ${out.size}: $out")
+  }
+
+  test("densifyCells relabels to dense 0-based ranks, order-preserved") {
+    val a = Seq((1L, 7L), (2L, 3000000000L), (3L, 7L), (4L, 0L))
+      .toDF("id", "coarse")
+    val out = Similarity.densifyCells(a, "coarse")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 0L))
+  }
+
+  test("broadcastDecision sizes the pin by estimated bytes, not rows alone") {
+    // ADVICE r17: the row cap assumed 64 double dims; the decision now
+    // also estimates rows × dims × 8 so a wide-embedding centroid table
+    // cannot be force-broadcast into executor OOM territory
+    val cents = Seq((0L, Array.fill(64)(0.1)), (1L, Array.fill(64)(0.2)))
+      .toDF("cell", "centroid")
+    assert(Similarity.broadcastDecision(cents)) // 2 × 64 × 8 = 1 KiB
+    assert(!Similarity.broadcastDecision(cents, maxBytes = 1023L))
+    assert(!Similarity.broadcastDecision(cents, broadcastCap = 1L))
+    assert(!Similarity.broadcastDecision(cents, broadcastCap = 0L))
+    // empty relation: a decision, not a crash
+    assert(Similarity.broadcastDecision(cents.filter(col("cell") < 0L)))
+  }
+
   test("semDedupAutoK keeps NULL-label vectors in the dedup (null-safe chain)") {
     // a NULL label rides the whole chain as one NULL-id cell: NULL
     // coarse centroid, NULL composite seed/sub-seed ids, and a
@@ -346,7 +460,11 @@ class SimilaritySpec extends SparkSpec {
     def base(i: Int): Array[Float] = {
       val a = Array.fill(dim)(0.0f)
       // orthogonal-ish: two disjoint hot coordinates per vector
-      a(i % dim) = 1.0f; a((i * 7 + 13) % dim) = 0.5f
+      // secondary weight distinct per i: exact symmetric geometries
+      // produce EXACTLY tied centroid scores that a twin's perturbation
+      // breaks differently from its base (observed: both sides of a tie
+      // at 0.25) — varied weights keep every margin ≫ the perturbation
+      a(i % dim) = 1.0f; a((i * 7 + 13) % dim) = 0.2f + 0.01f * i
       a
     }
     val planted = (0 until 10).map { i =>
