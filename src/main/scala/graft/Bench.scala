@@ -34,6 +34,20 @@ object Bench {
     * block churn rather than the plan itself — benched with one extra
     * repeat so the reported min is the steady-state cost. */
   val ExtraRepeat: Set[String] = Set("q98_item_pairs", "q99_pagerank")
+
+  /** Default steady-state PIN set (r17 verdict task 5): the heaviest
+    * gate entries get two extra post-sequence measurements whose min is
+    * emitted as a `pins` block next to the in-sequence map — the gate's
+    * own Profile-pin record, so cross-round diffs can separate real
+    * movement from in-sequence spread (r17's driver-vs-gate reads
+    * differed 16% on identical code) without relitigating it. Override
+    * with SPARK_GRAFT_BENCH_PINS (comma-separated, "none" to disable);
+    * pins run only on FULL runs — a prefix-filtered local iteration
+    * skips them. */
+  val DefaultPins: Seq[String] = Seq(
+    "q128_daily_loop_delete", "q118_stream_index_dedup",
+    "q119_daily_loop_dedup", "q127_daily_loop_postings",
+    "q137_ann_pq_chain8")
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "2").toInt.max(1)
@@ -76,8 +90,20 @@ object Bench {
     // which, so the recorded methodology matches what was measured
     val er = ExtraRepeat.intersect(selected.keySet).toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    // steady-state pins AFTER the sequence (see DefaultPins): min of 2
+    // warm re-measurements per pinned query, full runs only
+    val pinNames =
+      if (args.nonEmpty) Seq.empty
+      else sys.env.get("SPARK_GRAFT_BENCH_PINS")
+        .map(_.split(",").map(_.trim).filter(n => n.nonEmpty && n != "none").toSeq)
+        .getOrElse(DefaultPins)
+        .filter(n => selected.contains(n) && !failed.contains(n))
+    val pins = pinNames.sorted.map { name =>
+      val (r, _) = run(spark, sfDir, Map(name -> selected(name)), 2)
+      "\"" + name + "\":" + r.head._2
+    }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"skipped":$sk,"repeat":$repeat,"extraRepeat":$er,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"skipped":$sk,"repeat":$repeat,"extraRepeat":$er,"pins":$pins,"sf":"$sfDir"}"""
     println(json)
     // Also land the full JSON at a stable path: the driver's stdout tail
     // keeps only the last 2 KB, so the committed BENCH_r*.json artifacts

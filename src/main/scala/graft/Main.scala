@@ -391,10 +391,27 @@ object Main {
               // to a full public-tier window per boundary.
               if (gi > 0) {
                 val deadline = System.nanoTime() + policy.windowMs * 1000000L
-                while (System.nanoTime() < deadline && !shouldStop())
+                // the stop observed INSIDE the loop is LATCHED (ADVICE
+                // r17): the pause exit and the abort decision must share
+                // one observation — re-reading the flag afterwards would
+                // let a non-monotone shouldStop (flicker true→false)
+                // truncate the rate-limit drain yet still run the next
+                // group past the window ceiling the pause protects
+                var stopped = shouldStop()
+                while (System.nanoTime() < deadline && !stopped) {
                   Thread.sleep(math.max(1L, math.min(100L,
                     (deadline - System.nanoTime()) / 1000000L)))
-                aborted = stopNow()
+                  stopped = shouldStop()
+                }
+                if (stopped) {
+                  if (!fetchAborted) {
+                    fetchAborted = true
+                    Log.warning("[fetch] Shutdown observed — skipping the " +
+                      "remaining sources; this landing stays unmarked and " +
+                      "the next tick re-pulls what was skipped", "main")
+                  }
+                  aborted = true
+                }
               }
             }
             if (!aborted) {

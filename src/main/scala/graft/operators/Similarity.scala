@@ -810,11 +810,24 @@ object Similarity {
                 m: Int = 4, subLen: Int = 16, numCodes: Int = 16,
                 trainIters: Int = 2, idCol: String = "vec_id",
                 vecCol: String = "embedding", cellCol: String = "label"): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     val cu = unitVectors(corpus, Seq(idCol -> "id", cellCol -> "cell"), vecCol, "unit")
     val books = pqTrain(cu, m, subLen, numCodes, trainIters)
     val codes = pqEncode(cu, books, m, subLen)
       .join(cu.select(col("id"), col("cell")), "id")
+    ivfPqTopKFrom(books, codes, queries, k, m, subLen, idCol, vecCol, cellCol)
+  }
+
+  /** The IVFADC probe alone, against PREBUILT artifacts — the
+    * [[pqTopKFrom]] analog of [[ivfPqTopK]] (whose plan it IS, factored
+    * so training can be supplied externally — TrainBench's composed
+    * recall mode trains on full-vs-sampled corpora and probes the same
+    * codes). `codes` must carry (id, sub, code, cell): the encoded
+    * corpus joined with its coarse cell ids. */
+  def ivfPqTopKFrom(books: DataFrame, codes: DataFrame, queries: DataFrame,
+                    k: Int, m: Int = 4, subLen: Int = 16,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    cellCol: String = "label"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     val qu = unitVectors(queries, Seq(idCol -> "id", cellCol -> "cell"), vecCol, "unit")
     val lut = subVectors(qu, m, subLen, Seq("id", "cell"))
       .join(broadcast(books), "sub")

@@ -146,6 +146,13 @@ object Landing {
     * small ones. */
   val ZipBatchBytes: Long = 64L * 1024 * 1024
 
+  /** Age bound past which a `.repack-*` temp dir is reclaimed even when
+    * its pid reads alive — the liveness probe's backstop against pid
+    * recycling (see the cleanup in [[extractZipBatched]]). A live repack
+    * refreshes its dir mtime with every batch roll, so 24 h is far past
+    * any real extraction. */
+  val StaleRepackMs: Long = 24L * 60 * 60 * 1000
+
   /** Minimal JSON string escaping for [[extractZipBatched]]'s envelope
     * lines — quote, backslash, and control chars; everything else is
     * passed through (the JSON spec requires nothing more). */
@@ -201,7 +208,14 @@ object Landing {
     // dot-entries, so a reader racing the repack never sees temp files.
     // Temp dirs from CRASHED runs (dead pids) are cleared here — a
     // crashed 500k-member repack otherwise leaks gigabytes that no
-    // future run (with its own pid-named dir) would touch.
+    // future run (with its own pid-named dir) would touch. Liveness is
+    // backstopped by AGE (ADVICE r17): if the OS recycled a crashed
+    // run's pid onto an unrelated long-lived process, the pid check
+    // alone would shield the orphaned multi-GB dir forever — any
+    // .repack-* older than StaleRepackMs is reclaimed regardless (a
+    // LIVE repack touches its dir continuously, so its mtime never
+    // ages anywhere near the bound).
+    val now = System.currentTimeMillis()
     Option(dest.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith(".repack-"))
       .foreach { d =>
@@ -211,7 +225,7 @@ object Landing {
             val h = ProcessHandle.of(p)
             h.isPresent && h.get.isAlive
           }
-        if (!alive) deleteNoFollow(d)
+        if (!alive || now - d.lastModified() > StaleRepackMs) deleteNoFollow(d)
       }
     val tmp = new File(dest, s".repack-${ProcessHandle.current().pid()}")
     deleteNoFollow(tmp)
@@ -257,18 +271,34 @@ object Landing {
     } finally {
       in.close(); if (os != null) os.close()
     }
-    // success: now (and only now) retire the previous batches and move
-    // the fresh ones in — same directory, so each move is one rename
+    // success: now (and only now) swap — INVERTED order (ADVICE r17):
+    // the old batches are first MOVED (renamed, not deleted) into a
+    // `retired/` corner of the dot-prefixed temp, then the fresh ones
+    // renamed into place, then the temp (old batches included) dropped.
+    // The previous landing therefore stays recoverable ON DISK until
+    // the new one is fully in place: a crash or failed rename anywhere
+    // inside the window leaves either the retired copies or the new
+    // files (the landing was never `_LANDED`-marked, so the re-run
+    // re-extracts either way) — the prior order DELETED the old batches
+    // first, so a crash between the two loops destroyed both
+    // generations at once. Readers racing the swap may still observe an
+    // empty prefix for the two metadata-rename loops, as before; they
+    // cannot observe a mix of generations under a dot-ignored temp.
+    val retired = new File(tmp, "retired")
+    require(retired.mkdirs(), s"could not create ${retired.getPath}")
     Option(dest.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith("batch-") &&
+      .filter(f => f.isFile && f.getName.startsWith("batch-") &&
                    f.getName.endsWith(".jsonl"))
       .foreach { f =>
-        require(f.delete(), s"could not delete stale batch ${f.getPath}")
+        require(f.renameTo(new File(retired, f.getName)),
+          s"could not retire stale batch ${f.getPath}")
       }
-    Option(tmp.listFiles()).getOrElse(Array.empty).foreach { f =>
-      val target = new File(dest, f.getName)
-      require(f.renameTo(target), s"could not move ${f.getPath} into place")
-    }
+    Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter(_.isFile)
+      .foreach { f =>
+        val target = new File(dest, f.getName)
+        require(f.renameTo(target), s"could not move ${f.getPath} into place")
+      }
     deleteNoFollow(tmp)
     members
   }

@@ -44,7 +44,15 @@ import graft.operators.{AnnIndex, Similarity}
   * 100-query batch — full-train vs sampled-train, side by side.
   * (PqSpec pins the same property at fixture scale within 0.10; this
   * mode measures it at /tmp/sf10's 200k-vector geometry.)
-  * Usage: runMain graft.tools.TrainBench [sfDir] [cap] [repl] [--recall]
+  *
+  * `--recall-ivf` (r17 verdict task 3) measures the same pair on the
+  * COMPOSED q86/q140-shaped probe — coarse cell restriction + ADC
+  * (Similarity.ivfPqTopKFrom) — against the same unrestricted exact
+  * top-10 truth, so the ABSOLUTE quality of the path the 100 TB plan
+  * actually serves is on record next to the flat-ADC point (whose
+  * m=4/k=16 recall floor is geometry, not sampling).
+  * Usage: runMain graft.tools.TrainBench [sfDir] [cap] [repl]
+  *          [--recall | --recall-ivf]
   */
 object TrainBench {
   def main(args: Array[String]): Unit = {
@@ -61,7 +69,7 @@ object TrainBench {
       s"repl=$repl would push replica ids past the 31-bit hash domain")
     val e = (0 until repl).map(i =>
         e0.select((col("vec_id") + lit(i.toLong * 2000003L)).as("vec_id"),
-                  col("embedding")))
+                  col("embedding"), col("label")))
       .reduce(_ union _)
     val units = Similarity
       .unitVectors(e, Seq("vec_id" -> "id"), "embedding", "unit")
@@ -84,7 +92,8 @@ object TrainBench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    if (flags.contains("--recall")) {
+    if (flags.contains("--recall") || flags.contains("--recall-ivf")) {
+      val composed = flags.contains("--recall-ivf")
       val queries = e.orderBy("vec_id").limit(100).localCheckpoint()
       val truth = Similarity.bruteForceTopK(e, queries, k = 10)
         .select(col("query_id"), col("cand_id"))
@@ -92,11 +101,20 @@ object TrainBench {
       val truthN = truth.count()
       def recall(train: DataFrame, tag: String): Unit = {
         val books = Similarity.pqTrain(train, 4, 16, 16, 2).localCheckpoint()
-        val codes = Similarity.pqEncode(units, books, 4, 16).localCheckpoint()
-        val ann = Similarity.pqTopKFrom(books, codes, queries, k = 10)
+        val codes0 = Similarity.pqEncode(units, books, 4, 16)
+        val ann = (if (composed)
+          Similarity.ivfPqTopKFrom(books,
+            codes0.join(e.select(col("vec_id").as("id"),
+                                 col("label").as("cell")), "id")
+              .localCheckpoint(),
+            queries, k = 10)
+        else
+          Similarity.pqTopKFrom(books, codes0.localCheckpoint(),
+            queries, k = 10))
           .select(col("query_id"), col("cand_id"))
         val hits = ann.join(truth, Seq("query_id", "cand_id"), "left_semi").count()
-        println(f"[trainbench] recall@10 $tag%-7s $hits/$truthN " +
+        val mode = if (composed) "ivf" else "flat"
+        println(f"[trainbench] recall@10 $mode $tag%-7s $hits/$truthN " +
           f"(${hits.toDouble / truthN}%.3f)")
       }
       recall(units, "full")

@@ -152,6 +152,42 @@ class LandingSpec extends SparkSpec {
       "the failed repack must clean up its temp directory")
   }
 
+  test("extractZipBatched: an aged .repack temp is reclaimed even when its pid reads alive") {
+    // ADVICE r17: cleanup keyed liveness on ProcessHandle alone — a
+    // crashed run's pid recycled onto an unrelated long-lived process
+    // would shield the orphaned multi-GB temp forever. The age backstop
+    // must reclaim it regardless. We fake the recycled-pid case with
+    // OUR OWN (definitely alive) pid and an mtime pushed past the bound.
+    val work = java.nio.file.Files.createTempDirectory("zipbatchstale").toString
+    val rec = (id: String) =>
+      s"""{"cveMetadata": {"cveId": "$id", "state": "PUBLISHED"},
+          "containers": {"cna": {"title": "t-$id"}}}"""
+    makeZip(s"$work/clone.zip",
+      "cves/CVE-2025-0001.json" -> rec("CVE-2025-0001"))
+    val landing = new File(s"$work/landing")
+    landing.mkdirs()
+    // pid 1 (the container init) is alive and is NOT this run's pid, so
+    // the extractor's own temp never collides with it
+    assert(ProcessHandle.of(1L).map[Boolean](_.isAlive).orElse(false),
+      "test needs a live pid 1 to model the recycled-pid case")
+    val stale = new File(landing, ".repack-1")
+    stale.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(stale.getPath, "batch-00000.jsonl"),
+      "{}".getBytes)
+    // young + alive: survives the cleanup (a genuinely live repack)
+    Landing.extractZipBatched(s"$work/clone.zip", landing.getPath)
+    assert(stale.exists(),
+      "a young .repack dir under a live pid must be left alone")
+    // aged past the bound: reclaimed despite the live pid
+    assert(stale.setLastModified(
+      System.currentTimeMillis() - Landing.StaleRepackMs - 60000L))
+    Landing.extractZipBatched(s"$work/clone.zip", landing.getPath)
+    assert(!stale.exists(),
+      "an aged .repack dir must be reclaimed despite a live pid")
+    assert(Readers.cveOrg(spark, landing.getPath).count() == 1)
+  }
+
   test("landKeyed: executors land <cveId>.json files the cveOrg reader consumes; re-land wipes") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("keyed").toString
