@@ -254,9 +254,9 @@ object Similarity {
     * grows and the within-cell quadratic stays Σ O(targetCell²). Fully
     * deterministic and engine-portable (COUNT + integer ceil-div + mod —
     * no RNG, no non-mirrorable hash), so the DuckDB oracle replays it
-    * exactly. The per-label population aggregate is tiny (O(labels)),
-    * checkpointed once, and broadcast back; the corpus itself is touched
-    * map-side only.
+    * exactly. The per-label population aggregate is tiny (O(labels))
+    * and broadcast back — the sentinel below rides the same broadcast —
+    * so the corpus itself is touched map-side only.
     *
     * NULL labels subdivide like every other cell (round-18, closing the
     * r17 verdict's top item): a NULL cell used to ride the whole chain
@@ -283,17 +283,17 @@ object Similarity {
                     outCol: String = "auto_cell"): DataFrame = {
     require(targetCell > 0, s"targetCell ($targetCell) must be positive")
     val cellType = corpus.schema(cellCol).dataType
-    // checkpointed: the sentinel aggregate below and the broadcast side
-    // both read pops — without the pin each would re-aggregate the input
-    val pops = corpus.groupBy(col(cellCol)).agg(count(lit(1)).as("_pop"))
+    val pops0 = corpus.groupBy(col(cellCol)).agg(count(lit(1)).as("_pop"))
       .withColumnRenamed(cellCol, "_pcell")
-      .localCheckpoint()
-    val sent = pops.agg(
-      coalesce(max(col("_pcell").cast("long")) + 1L, lit(0L)).as("_sent"))
+    // the sentinel rides the SAME tiny broadcast as the populations — a
+    // global window over the O(cells) aggregate, so the input is still
+    // scanned exactly once per plan side (no extra job, no checkpoint)
+    val pops = pops0.withColumn("_sent",
+      coalesce(max(col("_pcell").cast("long")).over(Window.partitionBy()) + 1L,
+               lit(0L)))
     // null-safe join: a NULL label groups in pops but an equi-join would
     // silently DROP its rows here (the plain label-seeded path keeps them)
     corpus.join(broadcast(pops), col(cellCol) <=> col("_pcell"))
-      .crossJoin(broadcast(sent))
       .drop("_pcell")
       .withColumn("_splits",
         expr(s"(_pop + ${targetCell - 1L}) div ${targetCell}L"))
@@ -563,6 +563,21 @@ object Similarity {
     * deployment would pick). */
   val MaxAutoCLevels: Int = 3
 
+  /** Scored-rows floor for engaging an extra auto-C ladder level: the
+    * balance rule (maxPop > level-target × coarseTarget) says when the
+    * surviving quadratic re-DOMINATES asymptotically, but an extra
+    * level also costs ~O(N) of its own (sub-seed means over the
+    * exploded corpus, one restricted re-assign, densify, checkpoints —
+    * a fixed handful of jobs), so at small N the level is a net LOSS:
+    * measured at sf1 (20k vectors) one engaged level cost ~6 s to
+    * remove ~1M scored rows. A level therefore engages only while the
+    * CURRENT top level's estimated scored relation, N × ceil(maxPop /
+    * topTarget), also exceeds this floor — 64M rows ≈ 7 s of dot work
+    * at 64 dims (measured ~8.6M scored rows/s), comfortably above the
+    * level's own overhead. Both reads come from the same control-plane
+    * aggregate; specs force engagement on tiny fixtures with floor 0. */
+  val LadderRowsFloor: Long = 64L * 1000 * 1000
+
   /** The shared auto-k pipeline — stages 1–3 of [[semDedupAutoKRemovals]]
     * (whose scaladoc owns the full story): coarse geometric assign,
     * the auto-C ladder, auto-k subdivision, restricted Lloyd, final
@@ -573,7 +588,8 @@ object Similarity {
     * the assignment itself (q141's surface). */
   private def autoKChain(corpus: DataFrame, targetCell: Long,
                          refineIters: Int, idCol: String, vecCol: String,
-                         labelCol: String, coarseTarget: Long)
+                         labelCol: String, coarseTarget: Long,
+                         ladderRowsFloor: Long)
       : (DataFrame, DataFrame) = {
     val units = unitVectors(corpus, Seq(idCol -> "id", labelCol -> "cell"), vecCol)
     val ccents = exactCentroids(units)
@@ -595,14 +611,20 @@ object Similarity {
       // coarseTarget factor. Levels run coarsest-first; per-cell splits
       // always use the cell's ACTUAL population, so re-assign skew
       // self-corrects at the next level down.
-      val maxPop = coarse0.groupBy(col("coarse")).agg(count(lit(1)).as("n"))
-        .agg(max(col("n"))).head().getLong(0)
+      val pr = coarse0.groupBy(col("coarse")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n")).as("mx"), sum(col("n")).as("tot")).head()
+      val maxPop = pr.getLong(0)
+      val n = pr.getLong(1)
+      // division form avoids n × ceil overflow at 100 TB counts
+      def aboveFloor(t: Long): Boolean =
+        n > 0 && (maxPop + t - 1) / t > ladderRowsFloor / n
       var tops = List(coarseTarget)
       while (maxPop > tops.head * coarseTarget &&
+             aboveFloor(tops.head) &&
              tops.size < MaxAutoCLevels &&
              tops.head <= Long.MaxValue / coarseTarget)
         tops ::= tops.head * coarseTarget
-      tops.foldLeft(coarse0) { (cur, t) =>
+      tops.zipWithIndex.foldLeft(coarse0) { case (cur, (t, i)) =>
         val seed = withAutoCells(
             units.select(col("id"), col("unit")).join(cur, "id"),
             t, idCol = "id", cellCol = "coarse", outCol = "c2cell")
@@ -612,11 +634,17 @@ object Similarity {
         val cents = exactCentroids(
             seed.select(col("c2cell").as("cell"), col("unit")), "cell", "unit")
           .localCheckpoint()
-        // densified so composite growth per level is bounded by LIVE
-        // cell counts (see densifyCells); checkpointed — it feeds the
-        // next level's (or the auto-k stage's) probe AND pops sides
-        densifyCells(assignCellsWithinCoarse(seed, cents)
-            .select(col("id"), col("assigned_cell").as("coarse")), "coarse")
+        val assigned = assignCellsWithinCoarse(seed, cents)
+          .select(col("id"), col("assigned_cell").as("coarse"))
+        // densified BETWEEN levels only (see densifyCells): the next
+        // level re-composites, so its input must stay live-cell-bounded;
+        // the LAST level's raw composites feed auto-k directly at the
+        // single-level range the oracle mirrors — and the common
+        // single-level path keeps the r17 plan shape (no densify jobs).
+        // Checkpointed either way: the next stage reads it twice
+        // (probe + pops sides).
+        (if (i < tops.size - 1) densifyCells(assigned, "coarse")
+         else assigned)
           .localCheckpoint()
       }
     }
@@ -654,9 +682,10 @@ object Similarity {
                           idCol: String = "vec_id",
                           vecCol: String = "embedding",
                           labelCol: String = "label",
-                          coarseTarget: Long = 0L): DataFrame =
+                          coarseTarget: Long = 0L,
+                          ladderRowsFloor: Long = LadderRowsFloor): DataFrame =
     autoKChain(corpus, targetCell, refineIters, idCol, vecCol, labelCol,
-               coarseTarget)._2
+               coarseTarget, ladderRowsFloor)._2
       .select(col("id").as(idCol), col("assigned_cell").as("cell"),
               col("cell_sim").as("sim"))
 
@@ -666,9 +695,10 @@ object Similarity {
                             vecCol: String = "embedding",
                             labelCol: String = "label",
                             maxCell: Long = DefaultMaxCell,
-                            coarseTarget: Long = 0L): DataFrame = {
+                            coarseTarget: Long = 0L,
+                            ladderRowsFloor: Long = LadderRowsFloor): DataFrame = {
     val (seeded, assignedFull) = autoKChain(corpus, targetCell, refineIters,
-      idCol, vecCol, labelCol, coarseTarget)
+      idCol, vecCol, labelCol, coarseTarget, ladderRowsFloor)
     val assigned = assignedFull.select(col("id"), col("assigned_cell"))
     val au = Dedup.capPopulation(
         seeded.select(col("id"), col("unit")).join(assigned, "id"),

@@ -1472,13 +1472,13 @@ object Ext {
     *    id mod ceil(pop/coarseTarget)), exact-decimal sub-seed means,
     *    and one RESTRICTED geometric re-assign (`coarse IS NOT DISTINCT
     *    FROM cell // SplitCap`);
-    *  - cmap/ca2: the surviving cells DENSIFIED (DENSE_RANK over the
-    *    distinct-cell list, order-preserving — Similarity.densifyCells)
-    *    → the refined coarse cell every later stage keys on. This is
-    *    the engine's SINGLE-level ladder: the fixture's max coarse
-    *    population (50 at sf0.01) is far under coarseTarget², so the
-    *    recursive levels provably never engage on the gate fixture and
-    *    the oracle stays the L=1 form (same adjudication as the
+    *  - ca2: the refined coarse cell every later stage keys on. This
+    *    is the engine's SINGLE-level ladder: the fixture's max coarse
+    *    population (50 at sf0.01) is far under both coarseTarget² and
+    *    the LadderRowsFloor work gate, so the recursive levels provably
+    *    never engage on the gate fixture and the oracle stays the L=1
+    *    form — on which no densify runs either (densifyCells relabels
+    *    only BETWEEN engaged levels; same adjudication as the
     *    bench-skip anchors);
     *  - cpops/es: withAutoCells on the REFINED coarse id — composite
     *    sub-seed = coarse · SplitCap + id mod ceil(pop/targetCell); the
@@ -1531,7 +1531,7 @@ object Ext {
                   FROM c2flat GROUP BY 1, 2),
         c2cents AS (SELECT cell, list(cv ORDER BY pos) AS centroid
                     FROM c2dim GROUP BY cell),
-        ca2r AS (SELECT id, cell FROM (
+        ca2 AS (SELECT id, cell AS coarse FROM (
                   SELECT t.id, c.cell,
                          ROW_NUMBER() OVER (PARTITION BY t.id
                            ORDER BY ${foldDot("t.u", "c.centroid")} DESC,
@@ -1540,10 +1540,6 @@ object Ext {
                     ON t.coarse IS NOT DISTINCT FROM
                        c.cell // ${Similarity.SplitCap})
                 WHERE rn = 1),
-        cmap AS (SELECT cell, DENSE_RANK() OVER (ORDER BY cell) - 1 AS dcell
-                 FROM (SELECT DISTINCT cell FROM ca2r)),
-        ca2 AS (SELECT r.id, m.dcell AS coarse
-                FROM ca2r r JOIN cmap m ON r.cell = m.cell),
         cpops AS (SELECT coarse, COUNT(*) AS n FROM ca2 GROUP BY 1),
         es AS (SELECT e.vec_id, e.u, ca2.coarse,
                       ca2.coarse * ${Similarity.SplitCap}

@@ -33,7 +33,9 @@ import graft.operators.{Dedup, Similarity}
   * its level target), so the probe attributes the recursion's cost
   * level by level.
   * Usage: runMain graft.tools.AutoKProbe [sfDir] [targetCell]
-  *          [coarseTarget] [--one-label]
+  *          [coarseTarget] [--one-label] [--floor0]
+  * (--floor0 zeroes LadderRowsFloor so the ladder engages on fixtures
+  * whose quadratic would not clear the production work floor.)
   */
 object AutoKProbe {
 
@@ -43,7 +45,8 @@ object AutoKProbe {
     * caller owns its materialization (main times the noop write; the
     * drift spec collects and compares). */
   def removals(e: DataFrame, targetCell: Long, coarseTarget: Long,
-               threshold: Double)
+               threshold: Double,
+               ladderRowsFloor: Long = Similarity.LadderRowsFloor)
               (t: String => DataFrame => DataFrame): DataFrame = {
     val units = t("unit vectors + checkpoint")(
       Similarity.unitVectors(e, Seq("vec_id" -> "id", "label" -> "cell")))
@@ -56,14 +59,19 @@ object AutoKProbe {
       // mirror of autoKChain's ladder decision: a control-plane read of
       // the max coarse population picks the level targets, coarsest
       // first (balance rule — see semDedupAutoKRemovals stage 1b)
-      val maxPop = coarse0.groupBy(col("coarse")).agg(count(lit(1)).as("n"))
-        .agg(max(col("n"))).head().getLong(0)
+      val pr = coarse0.groupBy(col("coarse")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n")).as("mx"), sum(col("n")).as("tot")).head()
+      val maxPop = pr.getLong(0)
+      val n = pr.getLong(1)
+      def aboveFloor(lt: Long): Boolean =
+        n > 0 && (maxPop + lt - 1) / lt > ladderRowsFloor / n
       var tops = List(coarseTarget)
       while (maxPop > tops.head * coarseTarget &&
+             aboveFloor(tops.head) &&
              tops.size < Similarity.MaxAutoCLevels &&
              tops.head <= Long.MaxValue / coarseTarget)
         tops ::= tops.head * coarseTarget
-      tops.foldLeft(coarse0) { (cur, lt) =>
+      tops.zipWithIndex.foldLeft(coarse0) { case (cur, (lt, i)) =>
         val c2seed = t(s"auto-C subdivide (t=$lt) + ckpt")(
           Similarity.withAutoCells(
             units.select(col("id"), col("unit")).join(cur, "id"),
@@ -73,11 +81,12 @@ object AutoKProbe {
           Similarity.exactCentroids(
             c2seed.select(col("c2cell").as("cell"), col("unit")),
             "cell", "unit"))
+        val assigned = Similarity.assignCellsWithinCoarse(c2seed, c2cents)
+          .select(col("id"), col("assigned_cell").as("coarse"))
+        // densify BETWEEN levels only — mirror of autoKChain
         t(s"auto-C restricted re-assign (t=$lt)")(
-          Similarity.densifyCells(
-            Similarity.assignCellsWithinCoarse(c2seed, c2cents)
-              .select(col("id"), col("assigned_cell").as("coarse")),
-            "coarse"))
+          if (i < tops.size - 1) Similarity.densifyCells(assigned, "coarse")
+          else assigned)
       }
     }
     val seeded = t("auto-k subdivide + checkpoint")(
@@ -121,6 +130,8 @@ object AutoKProbe {
     val targetCell = pos.lift(1).map(_.toLong).getOrElse(12L)
     val coarseTarget = pos.lift(2).map(_.toLong).getOrElse(32L)
     val oneLabel = flags.contains("--one-label")
+    val floor = if (flags.contains("--floor0")) 0L
+                else Similarity.LadderRowsFloor
     val threshold = 0.4
     val spark = graft.GraftSession.build()
     spark.sparkContext.setLogLevel("WARN")
@@ -131,10 +142,10 @@ object AutoKProbe {
       r
     }
     println(s"[autokprobe] sfDir=$sfDir targetCell=$targetCell " +
-      s"coarseTarget=$coarseTarget oneLabel=$oneLabel")
+      s"coarseTarget=$coarseTarget oneLabel=$oneLabel floor=$floor")
     val e0 = graft.Tables.load(spark, sfDir, "embeddings")
     val e = if (oneLabel) e0.withColumn("label", lit(0)) else e0
-    val tail = removals(e, targetCell, coarseTarget, threshold)(
+    val tail = removals(e, targetCell, coarseTarget, threshold, floor)(
       label => df => timed(label)(df.localCheckpoint()))
     timed("within-cell pairs + witness agg") {
       tail.write.format("noop").mode("overwrite").save()

@@ -149,6 +149,15 @@ class SimilaritySpec extends SparkSpec {
     val prod = Similarity.semDedupAutoKRemovals(e, 2L, 0.4, coarseTarget = 3L)
     assert(m(probe) == m(prod))
     assert(m(probe).nonEmpty, "the fixture must produce removals")
+    // and with the work floor zeroed the LADDER engages on this fixture
+    // (maxPop 50 > 3² with two stacked levels) — probe and production
+    // must stay equal through the engaged recursion too
+    val probeL = graft.tools.AutoKProbe.removals(e, 2L, 3L, 0.4,
+      ladderRowsFloor = 0L)(_ => df => df.localCheckpoint())
+    val prodL = Similarity.semDedupAutoKRemovals(e, 2L, 0.4,
+      coarseTarget = 3L, ladderRowsFloor = 0L)
+    assert(m(probeL) == m(prodL))
+    assert(m(probeL).nonEmpty, "the engaged ladder must produce removals")
   }
 
   test("assignCellsAgg: the aggregated top-1 equals the window-based assignCells") {
@@ -321,7 +330,7 @@ class SimilaritySpec extends SparkSpec {
         yield ((c * 10 + m).toLong, member(c, m), 0))
       .toDF("vec_id", "embedding", "label")
     val out = Similarity.semDedupAutoKRemovals(corpus, targetCell = 4L,
-        threshold = 0.99, coarseTarget = 2L)
+        threshold = 0.99, coarseTarget = 2L, ladderRowsFloor = 0L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     out.foreach { case (id, w) =>
       assert(w < id && w / 10 == id / 10, s"cross-cluster removal: $id <- $w")
