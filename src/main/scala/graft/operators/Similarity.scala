@@ -500,11 +500,14 @@ object Similarity {
     *  1b. AUTO-C LADDER (when `coarseTarget > 0`): the coarse layer
     *     itself is corpus-scaled — the same [[withAutoCells]]
     *     prescription one level up, now RECURSIVE (r18): a control-plane
-    *     read of the max coarse population decides how many
+    *     read of (maxPop, N) over the coarse assign decides how many
     *     subdivide→re-assign levels run (balance rule: another level
     *     engages while maxPop > level-target × coarseTarget, i.e. while
-    *     the surviving restricted quadratic would re-dominate; capped at
-    *     [[MaxAutoCLevels]], coarsest target first). Each level
+    *     the surviving restricted quadratic would re-dominate — AND the
+    *     quadratic is worth removing: N × ceil(maxPop/level-target) must
+    *     clear [[LadderRowsFloor]], or the level's own O(N) stage
+    *     overhead outweighs it; capped at [[MaxAutoCLevels]], coarsest
+    *     target first). Each level
     *     subdivides every cell into ceil(pop / target) sub-seeds by id
     *     arithmetic, takes their exact-decimal means as refined
     *     centroids, runs ONE restricted geometric assign
@@ -872,6 +875,68 @@ object Similarity {
       .agg(sum(col("l").cast(DecimalType(28, 16))).cast("double").as("approx_sim"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
+  }
+
+  /** Multi-probe IVFADC probe over prebuilt artifacts — the q89 recall
+    * dial applied to the COMPOSED path: each query's ADC lookup table
+    * joins the codes of its `nprobe` nearest cells (by centroid dot,
+    * cell-asc tie-break) instead of one, so recall recovers toward the
+    * flat-ADC ceiling at nprobe/cells of a full scan. The probe list ×
+    * LUT relation stays query-side tiny (queries × m × nprobe rows) and
+    * broadcast; the corpus side still reads only the m small-int codes
+    * of the probed cells — a candidate lives in exactly one cell, so no
+    * post-join dedup. With nprobe ≥ |cells| this IS flat PQ-ADC
+    * ([[pqTopKFrom]]), spec-pinned. `codes` as in [[ivfPqTopKFrom]];
+    * `centroids` = (cell, centroid). */
+  def ivfPqTopKFromMultiProbe(books: DataFrame, codes: DataFrame,
+                              centroids: DataFrame, queries: DataFrame,
+                              k: Int, nprobe: Int, m: Int = 4, subLen: Int = 16,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(nprobe > 0, "ivfPqTopKFromMultiProbe: nprobe must be positive")
+    val qu = unitVectors(queries, Seq(idCol -> "id"), vecCol, "unit")
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("psim").desc, col("p_cell").asc)
+    val probes = qu.select(col("id").as("query_id"), col("unit"))
+      .crossJoin(broadcast(centroids.select(col("cell").as("p_cell"), col("centroid"))))
+      .select(col("query_id"), col("p_cell"), dot(col("unit"), col("centroid")).as("psim"))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("p_cell"))
+    val lut = subVectors(qu, m, subLen, Seq("id"))
+      .join(broadcast(books), "sub")
+      .select(col("id").as("query_id"), col("sub"), col("code"),
+              dot(col("sv"), col("code_vec")).as("l"))
+      .join(probes, "query_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_sim").desc, col("cand_id").asc)
+    codes.join(broadcast(lut),
+        codes("sub") === lut("sub") && codes("code") === lut("code") &&
+        codes("cell") === lut("p_cell") && codes("id") =!= lut("query_id"))
+      .groupBy(col("query_id"), col("id").as("cand_id"))
+      .agg(sum(col("l").cast(DecimalType(28, 16))).cast("double").as("approx_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** In-session multi-probe IVFADC (q142): label cells with their
+    * exact-decimal centroids (q87's init layer — deterministic,
+    * oracle-mirrorable) as the coarse layer, PQ codebooks trained as in
+    * [[ivfPqTopK]], probe via [[ivfPqTopKFromMultiProbe]]. */
+  def ivfPqTopKMultiProbe(corpus: DataFrame, queries: DataFrame, k: Int,
+                          nprobe: Int, m: Int = 4, subLen: Int = 16,
+                          numCodes: Int = 16, trainIters: Int = 2,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding",
+                          cellCol: String = "label"): DataFrame = {
+    val cu = unitVectors(corpus, Seq(idCol -> "id", cellCol -> "cell"), vecCol, "unit")
+    val cents = exactCentroids(cu)
+    val books = pqTrain(cu, m, subLen, numCodes, trainIters)
+    val codes = pqEncode(cu, books, m, subLen)
+      .join(cu.select(col("id"), col("cell")), "id")
+    ivfPqTopKFromMultiProbe(books, codes, cents, queries, k, nprobe,
+      m, subLen, idCol, vecCol)
   }
 
   /** All-pairs variant (no blocking) — exact but O(n²); test scale only. */

@@ -716,6 +716,22 @@ object Ext {
         .orderBy("query_id", "rank")
     }),
 
+    // q86's composed IVFADC with the q89 recall dial: each query probes
+    // its nprobe=2 nearest cells BY CENTROID (exact-decimal label
+    // centroids — q87's init layer) instead of its own label cell, so
+    // recall recovers toward the flat-ADC ceiling at nprobe/cells of a
+    // full scan; the corpus side still reads only the probed cells'
+    // m-small-int codes. nprobe ≥ |cells| degenerates to flat PQ-ADC
+    // (spec-pinned against pqTopK).
+    "q142_ann_ivfpq_multiprobe" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfPqTopKMultiProbe(e, e.filter(col("vec_id") % 100 === 0),
+          k = 3, nprobe = 2)
+        .select(col("query_id"), col("cand_id"), col("rank"),
+                round(col("approx_sim"), 6).as("approx_sim"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ANN artifacts PERSISTED (the q106 disk-index move applied to the
     // quantizers): PQ codebooks + the encoded corpus are published as a
     // versioned on-disk table at BUILD time (AnnIndex.buildPq, the
@@ -2714,6 +2730,68 @@ object Ext {
                    CAST(SUM(CAST(lut.l AS DECIMAL(28,16))) AS DOUBLE) AS approx_sim
             FROM codes c JOIN lut ON c.sub = lut.sub AND c.code = lut.code
                                  AND c.label = lut.q_cell
+            WHERE c.cand_id <> lut.query_id
+            GROUP BY 1, 2)
+          SELECT query_id, cand_id, CAST(rank AS BIGINT) AS rank,
+                 ROUND(approx_sim, 6) AS approx_sim
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY approx_sim DESC, cand_id ASC)
+                            AS rank
+                FROM adc)
+          WHERE rank <= 3 ORDER BY query_id, rank""",
+
+    // q86's books/codes with the cell restriction replaced by a probe
+    // list: top-2 cells per query by exact-decimal label-centroid dot
+    // (cell tie-break), ADC restricted to the probed cells.
+    "q142_ann_ivfpq_multiprobe" ->
+      s"""WITH $unitCte,
+          subs AS (
+            SELECT vec_id, label, sub, u[sub*16+1 : sub*16+16] AS sv
+            FROM e, (SELECT unnest(range(0, 4)) AS sub)),
+          b0 AS (
+            SELECT sub, ROW_NUMBER() OVER (PARTITION BY sub ORDER BY vec_id) - 1
+                     AS code, sv AS code_vec
+            FROM subs
+            WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16)),
+          ${lloydRoundSql(1, "b0")},
+          ${lloydRoundSql(2, "b1")},
+          books AS (SELECT * FROM b2),
+          codes AS (
+            SELECT vec_id AS cand_id, label, sub, code FROM (
+              SELECT s.vec_id, s.label, s.sub, b.code,
+                     ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+                                        ORDER BY ${foldDot("s.sv", "b.code_vec")} DESC,
+                                                 b.code ASC) AS rn
+              FROM subs s JOIN books b ON s.sub = b.sub)
+            WHERE rn = 1),
+          cflat AS (SELECT label AS cell, generate_subscripts(u, 1) AS pos,
+                           unnest(u) AS val FROM e),
+          cdim AS (SELECT cell, pos,
+                          CAST(SUM(CAST(val AS DECIMAL(28,16))) AS DOUBLE)
+                            / CAST(COUNT(*) AS DOUBLE) AS cv
+                   FROM cflat GROUP BY 1, 2),
+          ccents AS (SELECT cell, list(cv ORDER BY pos) AS centroid
+                     FROM cdim GROUP BY cell),
+          probes AS (SELECT query_id, p_cell FROM (
+                       SELECT q.vec_id AS query_id, c.cell AS p_cell,
+                              ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                ORDER BY ${foldDot("q.u", "c.centroid")} DESC,
+                                         c.cell ASC) AS rn
+                       FROM (SELECT * FROM e WHERE vec_id % 100 = 0) q
+                       CROSS JOIN ccents c)
+                     WHERE rn <= 2),
+          lut AS (
+            SELECT q.vec_id AS query_id, b.sub, b.code,
+                   ${foldDot("q.sv", "b.code_vec")} AS l
+            FROM (SELECT * FROM subs WHERE vec_id % 100 = 0) q
+            JOIN books b ON q.sub = b.sub),
+          adc AS (
+            SELECT lut.query_id, c.cand_id,
+                   CAST(SUM(CAST(lut.l AS DECIMAL(28,16))) AS DOUBLE) AS approx_sim
+            FROM codes c
+            JOIN probes p ON c.label = p.p_cell
+            JOIN lut ON c.sub = lut.sub AND c.code = lut.code
+                    AND lut.query_id = p.query_id
             WHERE c.cand_id <> lut.query_id
             GROUP BY 1, 2)
           SELECT query_id, cand_id, CAST(rank AS BIGINT) AS rank,

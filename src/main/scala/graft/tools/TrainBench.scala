@@ -50,14 +50,26 @@ import graft.operators.{AnnIndex, Similarity}
   * (Similarity.ivfPqTopKFrom) — against the same unrestricted exact
   * top-10 truth, so the ABSOLUTE quality of the path the 100 TB plan
   * actually serves is on record next to the flat-ADC point (whose
-  * m=4/k=16 recall floor is geometry, not sampling).
+  * m=4/k=16 recall floor is geometry, not sampling). `--nprobe N`
+  * switches the composed probe to the multi-probe dial
+  * (Similarity.ivfPqTopKFromMultiProbe over exact label centroids, the
+  * q142 shape) — the knob that recovers recall toward the flat ceiling.
   * Usage: runMain graft.tools.TrainBench [sfDir] [cap] [repl]
-  *          [--recall | --recall-ivf]
+  *          [--recall | --recall-ivf [--nprobe N]]
   */
 object TrainBench {
   def main(args: Array[String]): Unit = {
     val flags = args.filter(_.startsWith("--")).toSet
-    val pos = args.filterNot(_.startsWith("--"))
+    val nprobe = args.sliding(2).collectFirst {
+      case Array("--nprobe", n) => n.toInt }.getOrElse(0)
+    // positional args = non-flags minus the value consumed by --nprobe
+    val npValIdx = args.indexOf("--nprobe") match {
+      case -1 => -1
+      case i  => i + 1
+    }
+    val pos = args.zipWithIndex.collect {
+      case (a, i) if !a.startsWith("--") && i != npValIdx => a
+    }
     val sfDir = pos.headOption.getOrElse("/root/testdata/sf0.1")
     val cap = pos.lift(1).map(_.toLong).getOrElse(10000L)
     val repl = pos.lift(2).map(_.toInt).getOrElse(1)
@@ -99,22 +111,30 @@ object TrainBench {
         .select(col("query_id"), col("cand_id"))
         .localCheckpoint()
       val truthN = truth.count()
+      // label-cell exact centroids for the multi-probe dial —
+      // training-set-independent, computed once
+      lazy val cents = Similarity.exactCentroids(
+        Similarity.unitVectors(e, Seq("vec_id" -> "id", "label" -> "cell")))
+        .localCheckpoint()
       def recall(train: DataFrame, tag: String): Unit = {
         val books = Similarity.pqTrain(train, 4, 16, 16, 2).localCheckpoint()
         val codes0 = Similarity.pqEncode(units, books, 4, 16)
-        val ann = (if (composed)
-          Similarity.ivfPqTopKFrom(books,
-            codes0.join(e.select(col("vec_id").as("id"),
-                                 col("label").as("cell")), "id")
-              .localCheckpoint(),
-            queries, k = 10)
+        def withCells = codes0
+          .join(e.select(col("vec_id").as("id"), col("label").as("cell")), "id")
+          .localCheckpoint()
+        val ann = (if (composed && nprobe > 0)
+          Similarity.ivfPqTopKFromMultiProbe(books, withCells, cents,
+            queries, k = 10, nprobe = nprobe)
+        else if (composed)
+          Similarity.ivfPqTopKFrom(books, withCells, queries, k = 10)
         else
           Similarity.pqTopKFrom(books, codes0.localCheckpoint(),
             queries, k = 10))
           .select(col("query_id"), col("cand_id"))
         val hits = ann.join(truth, Seq("query_id", "cand_id"), "left_semi").count()
-        val mode = if (composed) "ivf" else "flat"
-        println(f"[trainbench] recall@10 $mode $tag%-7s $hits/$truthN " +
+        val mode = if (composed && nprobe > 0) s"ivf(np=$nprobe)"
+                   else if (composed) "ivf" else "flat"
+        println(f"[trainbench] recall@10 $mode%-10s $tag%-7s $hits/$truthN " +
           f"(${hits.toDouble / truthN}%.3f)")
       }
       recall(units, "full")

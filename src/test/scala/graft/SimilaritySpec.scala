@@ -532,6 +532,26 @@ class SimilaritySpec extends SparkSpec {
            assigns(Similarity.kmeansRefine(units, init, 1)))
   }
 
+  test("multi-probe IVFADC with nprobe >= all cells equals flat PQ-ADC") {
+    // the q89 recall dial on the composed path: probing every cell
+    // makes the coarse restriction vacuous, so the ranking must equal
+    // the flat ADC scan bit for bit (same books, same LUT sums, same
+    // tie-breaks) — and nprobe=1 must stay a legal restriction
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") % 50 === 0)
+    def ranked(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "cand_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val mp = ranked(Similarity.ivfPqTopKMultiProbe(e, q, k = 3, nprobe = 10))
+    val flat = ranked(Similarity.pqTopK(e, q, k = 3))
+    assert(mp == flat) // 10 labels exist; probing all == no restriction
+    val np1 = Similarity.ivfPqTopKMultiProbe(e, q, k = 3, nprobe = 1)
+    assert(np1.count() > 0)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKMultiProbe(e, q, k = 3, nprobe = 0)
+    }
+  }
+
   test("ivfPqTopK restricts candidates to the query's cell") {
     val out = Similarity.ivfPqTopK(vecs, vecs.filter($"vec_id" === 1L), k = 3,
         m = 1, subLen = 3, numCodes = 2, trainIters = 1)
