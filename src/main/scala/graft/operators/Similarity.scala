@@ -95,8 +95,14 @@ object Similarity {
                          cellCol: String = "label"): DataFrame = {
     require(nprobe > 0, "cellTopKMultiProbe: nprobe must be positive")
     val qu = unitVectors(queries, Seq(idCol -> "query_id"), vecCol, "qu")
+    // tie-break NULLS LAST and the candidate join NULL-SAFE (ADVICE
+    // r18): a NULL-labeled cell is a probeable population like any
+    // other — its centroid is real, only its id is NULL — and Spark's
+    // bare .asc sorts NULLs FIRST where the DuckDB mirror's ASC is
+    // NULLS LAST, so an exact psim tie at the nprobe boundary would
+    // otherwise select different probe sets on the two engines
     val probeW = Window.partitionBy(col("query_id"))
-      .orderBy(col("psim").desc, col("c_cell").asc)
+      .orderBy(col("psim").desc, col("c_cell").asc_nulls_last)
     val probes = qu.crossJoin(broadcast(
         centroids.select(col("cell").as("c_cell"), col("centroid"))))
       .select(col("query_id"), col("qu"), col("c_cell"),
@@ -108,7 +114,7 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("cand_id").asc)
     cu.join(broadcast(probes),
-        col("cc") === col("c_cell") && col("cand_id") =!= col("query_id"))
+        col("cc") <=> col("c_cell") && col("cand_id") =!= col("query_id"))
       .select(col("query_id"), col("cand_id"), dot(col("qu"), col("cu")).as("sim"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -246,6 +252,27 @@ object Similarity {
     * count, not by raw-label × SplitCap growth. */
   val MaxSeedCell: Long = Long.MaxValue / SplitCap - SplitCap
 
+  /** Rows up to which [[withAutoCells]]/[[densifyCells]] keep their
+    * O(cells) CONTROL relations (per-cell populations, the densify
+    * remap) on the broadcast/global-window plan. The relations are a
+    * few longs per row (~24 B payload), so 4 M rows is ~100 MB
+    * broadcast — comfortably inside executor memory and far under
+    * Spark's 8 GiB hard limit. Past the gate the control relation is no
+    * longer "tiny" in any useful sense (at the UNTUNED coarseTarget the
+    * refined-coarse pops is ≈ N/32 rows — 10⁸–10⁹ at 10¹⁰⁺ vectors, a
+    * multi-GB forced broadcast plus a single-task window), so the plan
+    * switches shape: the pops/remap join shuffles co-partitioned
+    * (`shuffle_hash`-hinted — a positive pin, since the planner's size
+    * estimate for an aggregate output can be wrong in either direction)
+    * and the NULL sentinel becomes a 1-row aggregate cross join instead
+    * of a `Window.partitionBy()` global window. The gate is decided
+    * from a caller-supplied `cellsHint` — an UPPER BOUND on the number
+    * of distinct cells, which the auto-k chain already knows from the
+    * ladder's control-plane read — so no extra corpus pass is spent
+    * deciding; with no hint the relation keeps the broadcast plan
+    * (every non-chain call site feeds label-cardinality cells). */
+  val MaxBroadcastControlRows: Long = 4L * 1000 * 1000
+
   /** Scale k WITH the corpus — the SemDeDup prescription ("k grows with
     * corpus size") made operational: subdivide every seed label into
     * `ceil(pop / targetCell)` sub-seeds by plain id arithmetic
@@ -277,23 +304,51 @@ object Similarity {
     * Lloyd assign over the sub-seeds must be coarse-restricted too
     * ([[assignCellsWithinCoarse]] / [[semDedupAutoKRemovals]]) or it
     * re-quadratizes as corpus × (corpus/targetCell) — the round-15
-    * decade point that motivated the coarse-first composition. */
+    * decade point that motivated the coarse-first composition.
+    *
+    * `cellsHint` is an upper bound on the distinct-cell count, used to
+    * gate the O(cells) control plan (see [[MaxBroadcastControlRows]]):
+    * past the gate the pops join shuffles co-partitioned and the
+    * sentinel is a 1-row aggregate cross join (one extra map-side
+    * aggregate pass over the input — the price of not single-tasking a
+    * 10⁸⁺-row window); at or below it (or with no hint) the plan is the
+    * broadcast + global-window form, where the input is scanned exactly
+    * once per plan side. Results are identical either way
+    * (spec-pinned). The auto-k chain threads the bound it already reads
+    * for the ladder decision; direct callers at label cardinality can
+    * leave it None. */
   def withAutoCells(corpus: DataFrame, targetCell: Long,
                     idCol: String = "vec_id", cellCol: String = "label",
-                    outCol: String = "auto_cell"): DataFrame = {
+                    outCol: String = "auto_cell",
+                    cellsHint: Option[Long] = None,
+                    maxControlRows: Long = MaxBroadcastControlRows): DataFrame = {
     require(targetCell > 0, s"targetCell ($targetCell) must be positive")
     val cellType = corpus.schema(cellCol).dataType
     val pops0 = corpus.groupBy(col(cellCol)).agg(count(lit(1)).as("_pop"))
       .withColumnRenamed(cellCol, "_pcell")
-    // the sentinel rides the SAME tiny broadcast as the populations — a
-    // global window over the O(cells) aggregate, so the input is still
-    // scanned exactly once per plan side (no extra job, no checkpoint)
-    val pops = pops0.withColumn("_sent",
-      coalesce(max(col("_pcell").cast("long")).over(Window.partitionBy()) + 1L,
-               lit(0L)))
-    // null-safe join: a NULL label groups in pops but an equi-join would
-    // silently DROP its rows here (the plain label-seeded path keeps them)
-    corpus.join(broadcast(pops), col(cellCol) <=> col("_pcell"))
+    val smallControl = cellsHint.forall(_ <= maxControlRows)
+    val joined = if (smallControl) {
+      // the sentinel rides the SAME tiny broadcast as the populations —
+      // a global window over the O(cells) aggregate, so the input is
+      // still scanned exactly once per plan side (no extra job, no
+      // checkpoint)
+      val pops = pops0.withColumn("_sent",
+        coalesce(max(col("_pcell").cast("long")).over(Window.partitionBy()) + 1L,
+                 lit(0L)))
+      // null-safe join: a NULL label groups in pops but an equi-join
+      // would silently DROP its rows here (the plain label-seeded path
+      // keeps them)
+      corpus.join(broadcast(pops), col(cellCol) <=> col("_pcell"))
+    } else {
+      // past the gate: same values, scale-safe shapes — the sentinel as
+      // a fully-parallel 1-row aggregate (broadcast by construction),
+      // the pops join pinned shuffled co-partitioned on the cell key
+      val sent = pops0.agg(
+        coalesce(max(col("_pcell").cast("long")) + 1L, lit(0L)).as("_sent"))
+      corpus.join(pops0.hint("shuffle_hash"), col(cellCol) <=> col("_pcell"))
+        .crossJoin(broadcast(sent))
+    }
+    joined
       .drop("_pcell")
       .withColumn("_splits",
         expr(s"(_pop + ${targetCell - 1L}) div ${targetCell}L"))
@@ -311,7 +366,21 @@ object Similarity {
             lit(s"withAutoCells: label needs >= $SplitCap subdivisions ("),
             col("_splits").cast("string"),
             lit(s") — raise targetCell ($targetCell)")))))
-      .withColumn(cellCol, col("_ncell").cast(cellType))
+      // loud write-back: the normalized id must ROUND-TRIP the original
+      // cell type — a sentinel one past a narrower type's ceiling (an
+      // Int label column maxed at Int.MaxValue plus NULLs) would
+      // otherwise wrap (non-ANSI) or fail with an unexplained cast
+      // overflow (ANSI) on the write-back while the composite keeps the
+      // correct long, and downstream coarse joins would miss; try_cast
+      // makes the probe ANSI-independent (NULL on overflow, never throw)
+      .withColumn("_wb", expr(s"try_cast(_ncell AS ${cellType.sql})"))
+      .withColumn(cellCol,
+        when(col("_wb").cast("long") <=> col("_ncell"), col("_wb"))
+          .otherwise(raise_error(concat(
+            lit(s"withAutoCells: cell column type $cellType cannot " +
+              "represent the normalized cell id "),
+            col("_ncell").cast("string")))))
+      .drop("_wb")
       .drop("_pop", "_splits", "_sent", "_ncell")
   }
 
@@ -325,13 +394,30 @@ object Similarity {
     * that tiny relation alone (never the corpus) and broadcast back;
     * DENSE_RANK over a distinct list is exactly mirrorable in SQL.
     * Ordering is nulls-last to match DuckDB's ASC default (post-sentinel
-    * no NULL reaches here, but the tie-break contract stays aligned). */
-  def densifyCells(assigned: DataFrame, cellCol: String = "coarse"): DataFrame = {
+    * no NULL reaches here, but the tie-break contract stays aligned).
+    *
+    * `cellsHint` gates the remap JOIN exactly as in [[withAutoCells]]:
+    * past [[MaxBroadcastControlRows]] the corpus-side join shuffles
+    * co-partitioned instead of force-broadcasting the remap. The
+    * DENSE_RANK itself keeps the single-task global window — a dense
+    * 0-based total ranking has no shuffle-parallel DataFrame form — but
+    * its input is bounded structurally: densify only runs BETWEEN
+    * ladder levels, so the relation being ranked is the live-cell list
+    * of a level whose target is ≥ coarseTarget² (levels run
+    * coarsest-first), i.e. ≤ N/coarseTarget² rows ≈ 10⁷ at 10¹⁰ vectors
+    * and the untuned default — a single-task sort of longs at that size
+    * is milliseconds, not a bottleneck (the forced BROADCAST of the
+    * same relation, gated here, was the 8 GiB-limit risk). */
+  def densifyCells(assigned: DataFrame, cellCol: String = "coarse",
+                   cellsHint: Option[Long] = None,
+                   maxControlRows: Long = MaxBroadcastControlRows): DataFrame = {
     val remap = assigned.select(col(cellCol).as("_dfrom")).distinct()
       .withColumn("_dto",
         (dense_rank().over(Window.orderBy(col("_dfrom").asc_nulls_last)) - 1)
           .cast("long"))
-    assigned.join(broadcast(remap), col(cellCol) <=> col("_dfrom"))
+    val side = if (cellsHint.forall(_ <= maxControlRows)) broadcast(remap)
+               else remap.hint("shuffle_hash")
+    assigned.join(side, col(cellCol) <=> col("_dfrom"))
       .withColumn(cellCol, col("_dto"))
       .drop("_dfrom", "_dto")
   }
@@ -581,6 +667,90 @@ object Similarity {
     * aggregate; specs force engagement on tiny fixtures with floor 0. */
   val LadderRowsFloor: Long = 64L * 1000 * 1000
 
+  /** The auto-C ladder DECISION, factored so the production chain
+    * ([[autoCLadder]]) and the stage-cost probe (AutoKProbe) share one
+    * implementation — a future change to the balance rule, the work
+    * floor, the level cap, or the overflow guard cannot drift between
+    * the two on geometries the drift-pin fixture doesn't probe (r18
+    * verdict watch 1). Returns the level TARGETS, coarsest first:
+    * another level engages while the current top level's population
+    * still re-dominates (maxPop > top × coarseTarget) AND its estimated
+    * scored relation N × ceil(maxPop/top) clears `ladderRowsFloor`
+    * (division form — n × ceil would overflow at 100 TB counts), capped
+    * at [[MaxAutoCLevels]] with an overflow guard on the target
+    * itself. Pure arithmetic on the control-plane (maxPop, N) read —
+    * no Spark jobs. */
+  def ladderTargets(maxPop: Long, n: Long, coarseTarget: Long,
+                    ladderRowsFloor: Long = LadderRowsFloor): List[Long] = {
+    require(coarseTarget > 0, s"coarseTarget ($coarseTarget) must be positive")
+    def aboveFloor(t: Long): Boolean =
+      n > 0 && (maxPop + t - 1) / t > ladderRowsFloor / n
+    var tops = List(coarseTarget)
+    while (maxPop > tops.head * coarseTarget &&
+           aboveFloor(tops.head) &&
+           tops.size < MaxAutoCLevels &&
+           tops.head <= Long.MaxValue / coarseTarget)
+      tops ::= tops.head * coarseTarget
+    tops
+  }
+
+  /** Stage 1b of [[semDedupAutoKRemovals]] — the recursive auto-C
+    * ladder, factored out of the chain so AutoKProbe times the SAME
+    * fold it runs in production (one implementation, r18 verdict
+    * watch 1). One control-plane aggregate over `coarse0` reads
+    * (maxPop, N, live cells); [[ladderTargets]] picks the level
+    * targets; each level subdivides ([[withAutoCells]]), re-centers
+    * (exact-decimal means), re-assigns restricted
+    * ([[assignCellsWithinCoarse]]) and — between levels only —
+    * densifies. `wrap(label)` wraps every level intermediate:
+    * production passes a plain localCheckpoint (each relation feeds
+    * ≥ 2 plan sides), the probe adds stage timing around the same
+    * checkpoint. Returns the refined coarse assignment plus an UPPER
+    * BOUND on its live-cell count (cells_in + N/t per level, clamped
+    * to N) — the `cellsHint` the next [[withAutoCells]]/
+    * [[densifyCells]] control gates need, threaded instead of
+    * re-measured so the gate costs zero extra jobs. */
+  def autoCLadder(units: DataFrame, coarse0: DataFrame, coarseTarget: Long,
+                  ladderRowsFloor: Long = LadderRowsFloor)
+                 (wrap: String => DataFrame => DataFrame =
+                    _ => df => df.localCheckpoint())
+      : (DataFrame, Long) = {
+    val pr = coarse0.groupBy(col("coarse")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("mx"), sum(col("n")).as("tot"),
+           count(lit(1)).as("cells")).head()
+    val maxPop = if (pr.isNullAt(0)) 0L else pr.getLong(0)
+    val n = if (pr.isNullAt(1)) 0L else pr.getLong(1)
+    var cells = pr.getLong(2)
+    val tops = ladderTargets(maxPop, n, coarseTarget, ladderRowsFloor)
+    val out = tops.zipWithIndex.foldLeft(coarse0) { case (cur, (t, i)) =>
+      val curCells = cells
+      // live cells after this level ≤ its sub-seed count =
+      // Σ ceil(pop/t) ≤ cells_in + N/t (and trivially ≤ N)
+      cells = math.min(n, curCells + n / t + 1L)
+      val seed = wrap(s"auto-C subdivide (t=$t) + ckpt")(withAutoCells(
+          units.select(col("id"), col("unit")).join(cur, "id"),
+          t, idCol = "id", cellCol = "coarse", outCol = "c2cell",
+          cellsHint = Some(curCells)))
+      // pinned (via wrap): the conditional-broadcast probe and the
+      // refined assign would otherwise each re-run the centroid
+      // aggregate
+      val cents = wrap(s"auto-C sub-seed centroids (t=$t)")(exactCentroids(
+          seed.select(col("c2cell").as("cell"), col("unit")), "cell", "unit"))
+      val assigned = assignCellsWithinCoarse(seed, cents)
+        .select(col("id"), col("assigned_cell").as("coarse"))
+      // densified BETWEEN levels only (see densifyCells): the next
+      // level re-composites, so its input must stay live-cell-bounded;
+      // the LAST level's raw composites feed auto-k directly at the
+      // single-level range the oracle mirrors. Checkpointed either
+      // way: the next stage reads it twice (probe + pops sides).
+      wrap(s"auto-C restricted re-assign (t=$t)")(
+        if (i < tops.size - 1)
+          densifyCells(assigned, "coarse", cellsHint = Some(cells))
+        else assigned)
+    }
+    (out, cells)
+  }
+
   /** The shared auto-k pipeline — stages 1–3 of [[semDedupAutoKRemovals]]
     * (whose scaladoc owns the full story): coarse geometric assign,
     * the auto-C ladder, auto-k subdivision, restricted Lloyd, final
@@ -596,64 +766,38 @@ object Similarity {
       : (DataFrame, DataFrame) = {
     val units = unitVectors(corpus, Seq(idCol -> "id", labelCol -> "cell"), vecCol)
     val ccents = exactCentroids(units)
-    // checkpointed: feeds the ladder decision below plus two plan sides
-    // of the first withAutoCells (probe + pops) — without the pin the
-    // corpus × C coarse assign would re-execute per consumer
+    // checkpointed LAZILY: it feeds the ladder's control read plus two
+    // plan sides of the first withAutoCells (probe + pops) — without
+    // the pin the corpus × C coarse assign would re-execute per
+    // consumer, and with an EAGER checkpoint the materialization and
+    // the ladder's (maxPop, N) aggregate would be two separate jobs
+    // over the same relation (r18 verdict task 5: the control read now
+    // rides the checkpoint-materializing action itself)
     val coarse0 = assignCellsAgg(units, ccents)
       .select(col("id"), col("assigned_cell").as("coarse"))
-      .localCheckpoint()
-    val coarse = if (coarseTarget <= 0L) coarse0 else {
-      // AUTO-C ladder (stage 1b): how many subdivide→re-assign levels
-      // the corpus needs is a CONTROL-PLANE read of the max coarse
-      // population (one tiny aggregate over the checkpointed assign).
-      // Balance rule (r17 verdict task 2): one level's surviving
-      // restricted term is Σ pop·ceil(pop/coarseTarget), which
-      // re-dominates once ceil(maxPop/coarseTarget) > coarseTarget,
-      // i.e. maxPop > coarseTarget² — each added level first subdivides
-      // at a coarseTarget× larger target, dividing that term by another
-      // coarseTarget factor. Levels run coarsest-first; per-cell splits
-      // always use the cell's ACTUAL population, so re-assign skew
-      // self-corrects at the next level down.
-      val pr = coarse0.groupBy(col("coarse")).agg(count(lit(1)).as("n"))
-        .agg(max(col("n")).as("mx"), sum(col("n")).as("tot")).head()
-      val maxPop = pr.getLong(0)
-      val n = pr.getLong(1)
-      // division form avoids n × ceil overflow at 100 TB counts
-      def aboveFloor(t: Long): Boolean =
-        n > 0 && (maxPop + t - 1) / t > ladderRowsFloor / n
-      var tops = List(coarseTarget)
-      while (maxPop > tops.head * coarseTarget &&
-             aboveFloor(tops.head) &&
-             tops.size < MaxAutoCLevels &&
-             tops.head <= Long.MaxValue / coarseTarget)
-        tops ::= tops.head * coarseTarget
-      tops.zipWithIndex.foldLeft(coarse0) { case (cur, (t, i)) =>
-        val seed = withAutoCells(
-            units.select(col("id"), col("unit")).join(cur, "id"),
-            t, idCol = "id", cellCol = "coarse", outCol = "c2cell")
-          .localCheckpoint()
-        // pinned: the conditional-broadcast probe and the refined
-        // assign would otherwise each re-run the centroid aggregate
-        val cents = exactCentroids(
-            seed.select(col("c2cell").as("cell"), col("unit")), "cell", "unit")
-          .localCheckpoint()
-        val assigned = assignCellsWithinCoarse(seed, cents)
-          .select(col("id"), col("assigned_cell").as("coarse"))
-        // densified BETWEEN levels only (see densifyCells): the next
-        // level re-composites, so its input must stay live-cell-bounded;
-        // the LAST level's raw composites feed auto-k directly at the
-        // single-level range the oracle mirrors — and the common
-        // single-level path keeps the r17 plan shape (no densify jobs).
-        // Checkpointed either way: the next stage reads it twice
-        // (probe + pops sides).
-        (if (i < tops.size - 1) densifyCells(assigned, "coarse")
-         else assigned)
-          .localCheckpoint()
+      .localCheckpoint(false)
+    // AUTO-C ladder (stage 1b) — decision + fold live in
+    // [[ladderTargets]]/[[autoCLadder]], shared verbatim with
+    // AutoKProbe's stage-timing wrapper. Balance rule (r17 verdict
+    // task 2): one level's surviving restricted term is
+    // Σ pop·ceil(pop/coarseTarget), which re-dominates once
+    // ceil(maxPop/coarseTarget) > coarseTarget, i.e. maxPop >
+    // coarseTarget² — each added level first subdivides at a
+    // coarseTarget× larger target, dividing that term by another
+    // coarseTarget factor. Levels run coarsest-first; per-cell splits
+    // always use the cell's ACTUAL population, so re-assign skew
+    // self-corrects at the next level down.
+    val (coarse, cellsHint) =
+      if (coarseTarget <= 0L) (coarse0, None)
+      else {
+        val (c, h) = autoCLadder(units, coarse0, coarseTarget,
+          ladderRowsFloor)()
+        (c, Some(h))
       }
-    }
     val seeded = withAutoCells(
         units.select(col("id"), col("unit")).join(coarse, "id"),
-        targetCell, idCol = "id", cellCol = "coarse", outCol = "scell")
+        targetCell, idCol = "id", cellCol = "coarse", outCol = "scell",
+        cellsHint = cellsHint)
       .localCheckpoint()
     var cents = exactCentroids(
         seeded.select(col("scell").as("cell"), col("unit")), "cell", "unit")
@@ -886,8 +1030,13 @@ object Similarity {
     * broadcast; the corpus side still reads only the m small-int codes
     * of the probed cells — a candidate lives in exactly one cell, so no
     * post-join dedup. With nprobe ≥ |cells| this IS flat PQ-ADC
-    * ([[pqTopKFrom]]), spec-pinned. `codes` as in [[ivfPqTopKFrom]];
-    * `centroids` = (cell, centroid). */
+    * ([[pqTopKFrom]]), spec-pinned — including on NULL-labeled corpora:
+    * the probe tie-break is NULLS LAST (matching the oracle's ASC
+    * default) and the probe/code joins are null-safe (`<=>`, the
+    * oracle's IS NOT DISTINCT FROM), so a NULL cell is a probeable
+    * population like any other rather than a silently-dropped candidate
+    * set (ADVICE r18). `codes` as in [[ivfPqTopKFrom]]; `centroids` =
+    * (cell, centroid). */
   def ivfPqTopKFromMultiProbe(books: DataFrame, codes: DataFrame,
                               centroids: DataFrame, queries: DataFrame,
                               k: Int, nprobe: Int, m: Int = 4, subLen: Int = 16,
@@ -897,7 +1046,7 @@ object Similarity {
     require(nprobe > 0, "ivfPqTopKFromMultiProbe: nprobe must be positive")
     val qu = unitVectors(queries, Seq(idCol -> "id"), vecCol, "unit")
     val probeW = Window.partitionBy(col("query_id"))
-      .orderBy(col("psim").desc, col("p_cell").asc)
+      .orderBy(col("psim").desc, col("p_cell").asc_nulls_last)
     val probes = qu.select(col("id").as("query_id"), col("unit"))
       .crossJoin(broadcast(centroids.select(col("cell").as("p_cell"), col("centroid"))))
       .select(col("query_id"), col("p_cell"), dot(col("unit"), col("centroid")).as("psim"))
@@ -913,7 +1062,7 @@ object Similarity {
       .orderBy(col("approx_sim").desc, col("cand_id").asc)
     codes.join(broadcast(lut),
         codes("sub") === lut("sub") && codes("code") === lut("code") &&
-        codes("cell") === lut("p_cell") && codes("id") =!= lut("query_id"))
+        codes("cell") <=> lut("p_cell") && codes("id") =!= lut("query_id"))
       .groupBy(col("query_id"), col("id").as("cand_id"))
       .agg(sum(col("l").cast(DecimalType(28, 16))).cast("double").as("approx_sim"))
       .withColumn("rank", row_number().over(w).cast("long"))

@@ -56,6 +56,11 @@ object Ext {
   // identities.
   private val AutoKTargetCell = 12L
   private val AutoCoarseTarget = 32L
+  // q143's engaged-ladder coarse target: ladderTargets(maxPop, N, 5, 0)
+  // yields exactly [25, 5] while the fixture's max coarse population
+  // sits in (25, 125] — measured 66 at sf0.01, centered with margin on
+  // both boundaries (and spec-pinned at that point).
+  private val LadderCoarseTarget = 5L
   /** PageRank rounds / fixed-point scale for q99. */
   private val PageRankIters = 3
   private val PageRankScale = 1000000000000L
@@ -704,6 +709,23 @@ object Ext {
         .orderBy("vec_id")
     }),
 
+    // q141 with the auto-C ladder ENGAGED (r18 verdict task 2): small
+    // coarseTarget (5) + the work floor zeroed make ladderTargets
+    // decide [25, 5] on the sf0.01 fixture's maxPop = 66 (the floor is
+    // a PERF gate for tiny corpora, deliberately bypassed so the
+    // recursion machinery itself sits under the hash gate — the same
+    // knob the engaged-ladder specs and the AutoKProbe --floor0 drift
+    // pin use). The hashed ids are depth-3 composites, so the
+    // two-level subdivide→re-assign→densify recursion is hash-proven
+    // against DuckDB's L=2 CTE chain, not just spec-pinned.
+    "q143_autok_ladder2" -> ((s, dir) => {
+      Similarity.semDedupAutoKAssign(
+          t(s, dir, "embeddings"), AutoKTargetCell,
+          coarseTarget = LadderCoarseTarget, ladderRowsFloor = 0L)
+        .select(col("vec_id"), col("cell"), round(col("sim"), 6).as("sim"))
+        .orderBy("vec_id")
+    }),
+
     // IVF+PQ composed (IVFADC): coarse cell restriction + PQ-ADC ranking
     // from m-byte codes — the standard billion-scale ANN index layout.
     // Per query the scan touches ONE cell's code rows; scoring reads m
@@ -726,6 +748,21 @@ object Ext {
     "q142_ann_ivfpq_multiprobe" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.ivfPqTopKMultiProbe(e, e.filter(col("vec_id") % 100 === 0),
+          k = 3, nprobe = 2)
+        .select(col("query_id"), col("cand_id"), col("rank"),
+                round(col("approx_sim"), 6).as("approx_sim"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // q142's composed multi-probe plan with the FIXED 600-id query
+    // batch of q132/q139/q140 (r18 verdict stretch): q142's query set
+    // is %100 — corpus-proportional by construction, the oracle-anchor
+    // role — so this twin is the one whose decade steps pin the
+    // multi-probe IVFADC plan's per-query-batch cost, exactly as q140
+    // pins q86's single-probe shape.
+    "q144_ann_ivfpq_mp_fixedq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfPqTopKMultiProbe(e, e.orderBy("vec_id").limit(600),
           k = 3, nprobe = 2)
         .select(col("query_id"), col("cand_id"), col("rank"),
                 round(col("approx_sim"), 6).as("approx_sim"))
@@ -1476,30 +1513,40 @@ object Ext {
 
   /** Coarse-quantized auto-k mirror of Similarity.semDedupAutoKRemovals
     * (with AUTO-C on), ending in `a1(id, acell, sim)` — the final
-    * restricted assignment:
+    * restricted assignment. Parameterized by the ladder's LEVEL-TARGET
+    * list (r18 verdict task 2), so the ENGAGED recursion itself can sit
+    * under the hash gate — q116/q141 instantiate the single-level form
+    * `Seq(coarseTarget)` (the fixture's max coarse population, 66 at
+    * sf0.01, is far under coarseTarget² = 1024 and the LadderRowsFloor
+    * work gate, so the engine provably runs one level there), while
+    * q143 instantiates `Seq(25, 5)` — exactly what
+    * `Similarity.ladderTargets(66, 500, 5, 0)` decides on the same
+    * fixture (spec-pinned), so the L=2 CTE chain mirrors a chain that
+    * REALLY recursed.
     *  - ccents/ca: label-seeded exact-decimal centroids and ONE
     *    geometric assign (q87's init layer) → each vector's coarse cell;
-    *  - csent: withAutoCells' NULL-cell sentinel — MAX(coarse)+1 (0 on
-    *    an all-NULL corpus), the data-derived id under which a NULL
-    *    coarse population id-mod subdivides like every labeled one
-    *    (r18; collision-free because it exceeds every live cell);
-    *  - c2pops/c2seed/c2cents/ca2r: AUTO-C — the coarse layer itself
-    *    subdivided (sub-seed = COALESCE(coarse, sentinel) · SplitCap +
-    *    id mod ceil(pop/coarseTarget)), exact-decimal sub-seed means,
-    *    and one RESTRICTED geometric re-assign (`coarse IS NOT DISTINCT
-    *    FROM cell // SplitCap`);
-    *  - ca2: the refined coarse cell every later stage keys on. This
-    *    is the engine's SINGLE-level ladder: the fixture's max coarse
-    *    population (50 at sf0.01) is far under both coarseTarget² and
-    *    the LadderRowsFloor work gate, so the recursive levels provably
-    *    never engage on the gate fixture and the oracle stays the L=1
-    *    form — on which no densify runs either (densifyCells relabels
-    *    only BETWEEN engaged levels; same adjudication as the
-    *    bench-skip anchors);
+    *  - per level n at target t (coarsest first):
+    *    - sentN: withAutoCells' NULL-cell sentinel — MAX(coarse)+1 (0
+    *      on an all-NULL corpus), the data-derived id under which a
+    *      NULL coarse population id-mod subdivides like every labeled
+    *      one (r18; collision-free because it exceeds every live
+    *      cell); an identity past level 1 (assigned ids are never
+    *      NULL), mirrored anyway because the engine computes it;
+    *    - popsN/seedN: AUTO-C subdivision — sub-seed =
+    *      COALESCE(coarse, sentinel) · SplitCap + id mod ceil(pop/t);
+    *    - scentsN/asgN: exact-decimal sub-seed means and one
+    *      RESTRICTED geometric re-assign (`coarse IS NOT DISTINCT
+    *      FROM cell // SplitCap`);
+    *    - between levels only: dmapN/lvlN — densifyCells' DENSE_RANK
+    *      relabel over the DISTINCT live cells (ASC = NULLS LAST on
+    *      both engines), so the next level's composites grow with live
+    *      cell counts, not SplitCap^depth; the LAST level's raw
+    *      composites feed auto-k directly, as in the engine;
+    *  - ca2: the refined coarse cell every later stage keys on;
     *  - cpops/es: withAutoCells on the REFINED coarse id — composite
     *    sub-seed = coarse · SplitCap + id mod ceil(pop/targetCell); the
-    *    level-1 sentinel stage is the identity here (densified ids are
-    *    never NULL) and is elided;
+    *    sentinel stage is the identity here (assigned ids are never
+    *    NULL) and is elided;
     *  - cents0/a0/cents1/a1: one exact-decimal Lloyd round where every
     *    assign joins on `coarse = cell // SplitCap` instead of CROSS
     *    JOIN — the restriction that keeps the Spark plan out of the
@@ -1511,7 +1558,53 @@ object Ext {
     * Every coarse-key join stays IS NOT DISTINCT FROM, mirroring
     * Spark's `<=>` — post-sentinel no NULL reaches them, but the
     * robustness contract is kept aligned on both engines. */
-  private def autoCoarseCtes(targetCell: Long, coarseTarget: Long): String =
+  private def autoCoarseCtes(targetCell: Long, levels: Seq[Long]): String = {
+    require(levels.nonEmpty, "autoCoarseCtes: at least one ladder level")
+    val levelCtes = levels.zipWithIndex.map { case (t, i) =>
+      val n = i + 1
+      val prev = if (i == 0) "ca" else s"lvl$i"
+      val assign =
+        s"""sent$n AS (SELECT COALESCE(MAX(coarse) + 1, 0) AS s FROM $prev),
+        pops$n AS (SELECT coarse, COUNT(*) AS n FROM $prev GROUP BY 1),
+        seed$n AS (SELECT e.vec_id AS id, e.u,
+                          COALESCE(p0.coarse, cs.s) AS coarse,
+                          COALESCE(p0.coarse, cs.s) * ${Similarity.SplitCap}
+                          + (e.vec_id % ((p.n + ${t - 1L}) // $t)) AS c2cell
+                   FROM e JOIN $prev p0 ON e.vec_id = p0.id
+                          JOIN pops$n p
+                            ON p0.coarse IS NOT DISTINCT FROM p.coarse
+                          CROSS JOIN sent$n cs),
+        sflat$n AS (SELECT c2cell AS cell, generate_subscripts(u, 1) AS pos,
+                           unnest(u) AS val FROM seed$n),
+        sdim$n AS (SELECT cell, pos,
+                          CAST(SUM(CAST(val AS DECIMAL(28,16))) AS DOUBLE)
+                            / CAST(COUNT(*) AS DOUBLE) AS cv
+                   FROM sflat$n GROUP BY 1, 2),
+        scents$n AS (SELECT cell, list(cv ORDER BY pos) AS centroid
+                     FROM sdim$n GROUP BY cell),
+        asg$n AS (SELECT id, cell AS coarse FROM (
+                    SELECT t.id, c.cell,
+                           ROW_NUMBER() OVER (PARTITION BY t.id
+                             ORDER BY ${foldDot("t.u", "c.centroid")} DESC,
+                                      c.cell ASC) AS rn
+                    FROM seed$n t JOIN scents$n c
+                      ON t.coarse IS NOT DISTINCT FROM
+                         c.cell // ${Similarity.SplitCap})
+                  WHERE rn = 1)"""
+      val relabel = if (n < levels.size)
+        s""",
+        dmap$n AS (SELECT coarse AS dfrom,
+                          CAST(DENSE_RANK() OVER (ORDER BY coarse ASC) - 1
+                               AS BIGINT) AS dto
+                   FROM (SELECT DISTINCT coarse FROM asg$n)),
+        lvl$n AS (SELECT a.id, d.dto AS coarse
+                  FROM asg$n a JOIN dmap$n d
+                    ON a.coarse IS NOT DISTINCT FROM d.dfrom)"""
+      else
+        s""",
+        lvl$n AS (SELECT id, coarse FROM asg$n)"""
+      assign + relabel
+    }.mkString(",\n        ")
     s"""cflat AS (SELECT label AS cell, generate_subscripts(u, 1) AS pos,
                          unnest(u) AS val FROM e),
         ccdim AS (SELECT cell, pos,
@@ -1527,35 +1620,8 @@ object Ext {
                                    c.cell ASC) AS rn
                  FROM e t CROSS JOIN ccents c)
                WHERE rn = 1),
-        csent AS (SELECT COALESCE(MAX(coarse) + 1, 0) AS s FROM ca),
-        c2pops AS (SELECT coarse, COUNT(*) AS n FROM ca GROUP BY 1),
-        c2seed AS (SELECT e.vec_id AS id, e.u,
-                          COALESCE(ca.coarse, cs.s) AS coarse,
-                          COALESCE(ca.coarse, cs.s) * ${Similarity.SplitCap}
-                          + (e.vec_id %
-                             ((p.n + ${coarseTarget - 1L}) // $coarseTarget))
-                            AS c2cell
-                   FROM e JOIN ca ON e.vec_id = ca.id
-                          JOIN c2pops p
-                            ON ca.coarse IS NOT DISTINCT FROM p.coarse
-                          CROSS JOIN csent cs),
-        c2flat AS (SELECT c2cell AS cell, generate_subscripts(u, 1) AS pos,
-                          unnest(u) AS val FROM c2seed),
-        c2dim AS (SELECT cell, pos,
-                         CAST(SUM(CAST(val AS DECIMAL(28,16))) AS DOUBLE)
-                           / CAST(COUNT(*) AS DOUBLE) AS cv
-                  FROM c2flat GROUP BY 1, 2),
-        c2cents AS (SELECT cell, list(cv ORDER BY pos) AS centroid
-                    FROM c2dim GROUP BY cell),
-        ca2 AS (SELECT id, cell AS coarse FROM (
-                  SELECT t.id, c.cell,
-                         ROW_NUMBER() OVER (PARTITION BY t.id
-                           ORDER BY ${foldDot("t.u", "c.centroid")} DESC,
-                                    c.cell ASC) AS rn
-                  FROM c2seed t JOIN c2cents c
-                    ON t.coarse IS NOT DISTINCT FROM
-                       c.cell // ${Similarity.SplitCap})
-                WHERE rn = 1),
+        $levelCtes,
+        ca2 AS (SELECT id, coarse FROM lvl${levels.size}),
         cpops AS (SELECT coarse, COUNT(*) AS n FROM ca2 GROUP BY 1),
         es AS (SELECT e.vec_id, e.u, ca2.coarse,
                       ca2.coarse * ${Similarity.SplitCap}
@@ -1600,6 +1666,7 @@ object Ext {
                    ON t.coarse IS NOT DISTINCT FROM
                       c.cell // ${Similarity.SplitCap})
                WHERE rn = 1)"""
+  }
 
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -1889,6 +1956,16 @@ object Ext {
         "(SELECT * FROM subs WHERE vec_id % 100 = 0) q",
         "(SELECT * FROM subs WHERE vec_id IN " +
           "(SELECT vec_id FROM e ORDER BY vec_id LIMIT 600)) q"),
+      // q142's composed MULTI-PROBE truth with the fixed batch — the
+      // same substitution applied to BOTH query filters (the probes
+      // CTE reads e directly, the LUT reads subs)
+      "q144_ann_ivfpq_mp_fixedq" -> base("q142_ann_ivfpq_multiprobe")
+        .replace("(SELECT * FROM subs WHERE vec_id % 100 = 0) q",
+          "(SELECT * FROM subs WHERE vec_id IN " +
+            "(SELECT vec_id FROM e ORDER BY vec_id LIMIT 600)) q")
+        .replace("(SELECT * FROM e WHERE vec_id % 100 = 0) q",
+          "(SELECT * FROM e WHERE vec_id IN " +
+            "(SELECT vec_id FROM e ORDER BY vec_id LIMIT 600)) q"),
       // the loop's vec-delete truths: q125/q127 with the dead ids gone
       // from the encoded/assigned side (training published before the
       // delete, so it is unchanged) and the query sample moved off the
@@ -2593,7 +2670,7 @@ object Ext {
     // stage for stage).
     "q116_semantic_autok" ->
       s"""WITH $unitCte,
-          ${autoCoarseCtes(AutoKTargetCell, AutoCoarseTarget)},
+          ${autoCoarseCtes(AutoKTargetCell, Seq(AutoCoarseTarget))},
           au AS (SELECT e.vec_id AS id, e.u, a1.acell
                  FROM e JOIN a1 ON e.vec_id = a1.id
                  QUALIFY COUNT(*) OVER (PARTITION BY a1.acell)
@@ -2614,7 +2691,24 @@ object Ext {
     // value, not just grouping for grouping.
     "q141_autok_assign" ->
       s"""WITH $unitCte,
-          ${autoCoarseCtes(AutoKTargetCell, AutoCoarseTarget)}
+          ${autoCoarseCtes(AutoKTargetCell, Seq(AutoCoarseTarget))}
+          SELECT id AS vec_id, acell AS cell, ROUND(sim, 6) AS sim
+          FROM a1 ORDER BY vec_id""",
+
+    // q141's surface with the ladder ENGAGED (r18 verdict task 2): at
+    // coarseTarget 5 and the work floor zeroed, the engine's
+    // ladderTargets(maxPop=66, N=500, 5, 0) decides [25, 5] on the
+    // sf0.01 fixture (66 > 5², floor 0; a third level would need
+    // maxPop > 125 — spec-pinned boundary), so TWO subdivide→re-assign
+    // levels plus the between-level densify really run, and the hashed
+    // cell ids are DEPTH-3 composites ((densified L1 · SplitCap + sub)
+    // · SplitCap + sub) — a single-level chain would produce different
+    // ids outright, so the green hash is itself the proof the
+    // recursion engaged. The oracle instantiates the SAME CTE chain at
+    // Seq(25, 5).
+    "q143_autok_ladder2" ->
+      s"""WITH $unitCte,
+          ${autoCoarseCtes(AutoKTargetCell, Seq(25L, 5L))}
           SELECT id AS vec_id, acell AS cell, ROUND(sim, 6) AS sim
           FROM a1 ORDER BY vec_id""",
 
@@ -2685,7 +2779,7 @@ object Ext {
           msims AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
                            ${foldDot("q.u", "c.u")} AS sim
                     FROM rq q JOIN probes p ON p.query_id = q.vec_id
-                              JOIN r c ON c.label = p.c_cell
+                              JOIN r c ON c.label IS NOT DISTINCT FROM p.c_cell
                                       AND c.vec_id <> q.vec_id),
           mp AS (SELECT query_id, cand_id FROM (
                    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -2789,7 +2883,7 @@ object Ext {
             SELECT lut.query_id, c.cand_id,
                    CAST(SUM(CAST(lut.l AS DECIMAL(28,16))) AS DOUBLE) AS approx_sim
             FROM codes c
-            JOIN probes p ON c.label = p.p_cell
+            JOIN probes p ON c.label IS NOT DISTINCT FROM p.p_cell
             JOIN lut ON c.sub = lut.sub AND c.code = lut.code
                     AND lut.query_id = p.query_id
             WHERE c.cand_id <> lut.query_id

@@ -55,44 +55,23 @@ object AutoKProbe {
     val coarse0 = t("coarse assign (agg top-1)")(
       Similarity.assignCellsAgg(units, ccents)
         .select(col("id"), col("assigned_cell").as("coarse")))
-    val coarse = if (coarseTarget <= 0L) coarse0 else {
-      // mirror of autoKChain's ladder decision: a control-plane read of
-      // the max coarse population picks the level targets, coarsest
-      // first (balance rule — see semDedupAutoKRemovals stage 1b)
-      val pr = coarse0.groupBy(col("coarse")).agg(count(lit(1)).as("n"))
-        .agg(max(col("n")).as("mx"), sum(col("n")).as("tot")).head()
-      val maxPop = pr.getLong(0)
-      val n = pr.getLong(1)
-      def aboveFloor(lt: Long): Boolean =
-        n > 0 && (maxPop + lt - 1) / lt > ladderRowsFloor / n
-      var tops = List(coarseTarget)
-      while (maxPop > tops.head * coarseTarget &&
-             aboveFloor(tops.head) &&
-             tops.size < Similarity.MaxAutoCLevels &&
-             tops.head <= Long.MaxValue / coarseTarget)
-        tops ::= tops.head * coarseTarget
-      tops.zipWithIndex.foldLeft(coarse0) { case (cur, (lt, i)) =>
-        val c2seed = t(s"auto-C subdivide (t=$lt) + ckpt")(
-          Similarity.withAutoCells(
-            units.select(col("id"), col("unit")).join(cur, "id"),
-            lt, idCol = "id", cellCol = "coarse",
-            outCol = "c2cell"))
-        val c2cents = t(s"auto-C sub-seed centroids (t=$lt)")(
-          Similarity.exactCentroids(
-            c2seed.select(col("c2cell").as("cell"), col("unit")),
-            "cell", "unit"))
-        val assigned = Similarity.assignCellsWithinCoarse(c2seed, c2cents)
-          .select(col("id"), col("assigned_cell").as("coarse"))
-        // densify BETWEEN levels only — mirror of autoKChain
-        t(s"auto-C restricted re-assign (t=$lt)")(
-          if (i < tops.size - 1) Similarity.densifyCells(assigned, "coarse")
-          else assigned)
+    // the ladder decision AND the per-level fold are
+    // Similarity.autoCLadder itself (r18 verdict watch 1: a verbatim
+    // mirror here could drift on decision boundaries the drift-pin
+    // fixture doesn't probe) — the probe only supplies the stage-timing
+    // wrapper, so what it attributes cost to IS the production fold
+    val (coarse, cellsHint) =
+      if (coarseTarget <= 0L) (coarse0, None)
+      else {
+        val (c, h) = Similarity.autoCLadder(units, coarse0, coarseTarget,
+          ladderRowsFloor)(t)
+        (c, Some(h))
       }
-    }
     val seeded = t("auto-k subdivide + checkpoint")(
       Similarity.withAutoCells(
         units.select(col("id"), col("unit")).join(coarse, "id"),
-        targetCell, idCol = "id", cellCol = "coarse", outCol = "scell"))
+        targetCell, idCol = "id", cellCol = "coarse", outCol = "scell",
+        cellsHint = cellsHint))
     val cents0 = t("sub-seed centroids (cents0)")(
       Similarity.exactCentroids(
         seeded.select(col("scell").as("cell"), col("unit")), "cell", "unit"))

@@ -347,6 +347,121 @@ class SimilaritySpec extends SparkSpec {
     val out = Similarity.densifyCells(a, "coarse")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 0L))
+    // past the control gate the remap join is pinned SHUFFLED instead
+    // of force-broadcast — same relabeling, different physical join
+    val gated = Similarity.densifyCells(a, "coarse",
+      cellsHint = Some(3L), maxControlRows = 1L)
+    assert(gated.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == out)
+    assert(gated.queryExecution.optimizedPlan.toString.toLowerCase
+      .contains("strategy=shuffle_hash"))
+  }
+
+  test("ladderTargets: the shared auto-C decision pins its boundaries") {
+    import Similarity.{ladderTargets, MaxAutoCLevels}
+    // the q143 gate point: sf0.01's coarse assign reads maxPop 66 of
+    // N 500 — coarseTarget 5 with the floor zeroed decides EXACTLY two
+    // levels (66 > 5² engages the second; a third would need > 125)
+    assert(ladderTargets(66L, 500L, 5L, 0L) == List(25L, 5L))
+    assert(ladderTargets(125L, 500L, 5L, 0L) == List(25L, 5L))
+    assert(ladderTargets(126L, 500L, 5L, 0L) == List(125L, 25L, 5L))
+    // balance rule: at or under coarseTarget² one level suffices
+    assert(ladderTargets(25L, 500L, 5L, 0L) == List(5L))
+    // the work floor blocks an extra level whose estimated scored
+    // relation N × ceil(maxPop/t) can't clear it (division form)
+    assert(ladderTargets(66L, 500L, 5L) == List(5L)) // default 64M floor
+    assert(ladderTargets(66L, 500L, 5L,
+      ladderRowsFloor = 500L * 14 - 1) == List(25L, 5L)) // 500·ceil(66/5)=7000
+    assert(ladderTargets(66L, 500L, 5L, ladderRowsFloor = 500L * 14) == List(5L))
+    // the level cap bounds the recursion gracefully
+    assert(ladderTargets(Long.MaxValue / 2, 1L << 40, 5L, 0L).size ==
+      MaxAutoCLevels)
+    // the overflow guard stops target growth near Long.MaxValue
+    assert(ladderTargets(Long.MaxValue / 2, 1L << 40, 1L << 40, 0L).size <=
+      MaxAutoCLevels)
+    // empty corpus: no levels beyond the base
+    assert(ladderTargets(0L, 0L, 5L, 0L) == List(5L))
+    intercept[IllegalArgumentException](ladderTargets(1L, 1L, 0L, 0L))
+  }
+
+  test("withAutoCells control gate: shuffled pops + 1-row sentinel equal the broadcast form") {
+    // above MaxBroadcastControlRows the pops join is pinned shuffled
+    // and the sentinel becomes a 1-row aggregate cross join — values
+    // must be identical to the broadcast/global-window form, NULL
+    // sentinel included
+    val corpus = ((1L to 7L).map(id => (id, Array(1.0f, 0f), None)) ++
+      Seq((20L, Array(0f, 1.0f), Some(0)), (21L, Array(0f, 1.0f), Some(0))))
+      .toDF("vec_id", "embedding", "label")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "label", "auto_cell")
+        .collect().map(_.toString).sorted.toSeq
+    val below = Similarity.withAutoCells(corpus, targetCell = 2L)
+    val above = Similarity.withAutoCells(corpus, targetCell = 2L,
+      cellsHint = Some(2L), maxControlRows = 1L)
+    assert(rows(above) == rows(below))
+    // the gate genuinely switches the plan shape
+    val planAbove = above.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(planAbove.contains("strategy=shuffle_hash"),
+      "past the gate the pops join must be pinned shuffled")
+    val planBelow = below.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(!planBelow.contains("strategy=shuffle_hash"),
+      "below the gate the control plan keeps the broadcast form")
+    // a hint AT the gate keeps the broadcast plan (boundary inclusive)
+    val atGate = Similarity.withAutoCells(corpus, targetCell = 2L,
+      cellsHint = Some(1L), maxControlRows = 1L)
+    assert(!atGate.queryExecution.optimizedPlan.toString.toLowerCase
+      .contains("strategy=shuffle_hash"))
+    assert(rows(atGate) == rows(below))
+  }
+
+  test("withAutoCells fails loudly when the write-back cannot represent the sentinel") {
+    // an Int label column maxed at Int.MaxValue plus NULLs: sentinel =
+    // max+1 exceeds the type's ceiling — the write-back must raise, not
+    // wrap to a colliding/negative id while the composite keeps the
+    // correct long (r18 verdict watch 2)
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + msgs(t.getCause)
+    val edge = Seq((1L, Array(1.0f, 0f), Some(Int.MaxValue)),
+                   (2L, Array(1.0f, 0f), Option.empty[Int]))
+      .toDF("vec_id", "embedding", "label")
+    val e = intercept[Exception] {
+      Similarity.withAutoCells(edge, targetCell = 10L).collect()
+    }
+    assert(msgs(e).contains("cannot represent"))
+    // without NULLs the same ceiling label round-trips fine
+    val ok = Seq((1L, Array(1.0f, 0f), Int.MaxValue))
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.withAutoCells(ok, targetCell = 10L)
+      .select("label").head().getInt(0) == Int.MaxValue)
+  }
+
+  test("multi-probe IVFADC stays flat-ADC-equal on a NULL-labeled corpus") {
+    // ADVICE r18: the probe tie-break is NULLS LAST and the probe/code
+    // joins null-safe, so a NULL cell is a probeable population — with
+    // nprobe >= |cells| (NULL cell included) the composed path must
+    // still equal flat PQ-ADC bit for bit
+    val withNull = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), Some(0)),
+      (2L, Array(0.9f, 0.1f, 0.0f), Some(0)),
+      (3L, Array(0.0f, 1.0f, 0.0f), Some(1)),
+      (4L, Array(0.0f, 0.95f, 0.05f), None),
+      (5L, Array(-1.0f, 0.0f, 0.0f), None)
+    ).toDF("vec_id", "embedding", "label")
+    val q = withNull.filter($"vec_id" <= 2L)
+    def ranked(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "cand_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val mp = ranked(Similarity.ivfPqTopKMultiProbe(withNull, q, k = 3,
+      nprobe = 3, m = 1, subLen = 3, numCodes = 2, trainIters = 1))
+    val flat = ranked(Similarity.pqTopK(withNull, q, k = 3,
+      m = 1, subLen = 3, numCodes = 2, trainIters = 1))
+    assert(mp == flat) // 3 cells exist (0, 1, NULL); probing all == flat
+    // and with nprobe = 1 the NULL-cell population is still reachable:
+    // query 5 (NULL cell) must find its NULL cell-mate
+    val np1 = Similarity.ivfPqTopKMultiProbe(withNull,
+        withNull.filter($"vec_id" === 5L), k = 3,
+        nprobe = 1, m = 1, subLen = 3, numCodes = 2, trainIters = 1)
+      .select("cand_id").collect().map(_.getLong(0)).toSet
+    assert(np1.nonEmpty)
   }
 
   test("broadcastDecision sizes the pin by estimated bytes, not rows alone") {
