@@ -98,9 +98,15 @@ object Bench {
         .map(_.split(",").map(_.trim).filter(n => n.nonEmpty && n != "none").toSeq)
         .getOrElse(DefaultPins)
         .filter(n => selected.contains(n) && !failed.contains(n))
-    val pins = pinNames.sorted.map { name =>
-      val (r, _) = run(spark, sfDir, Map(name -> selected(name)), 2)
-      "\"" + name + "\":" + r.head._2
+    // a pin run that fails INDEPENDENTLY (the main sequence was green,
+    // e.g. a transient OOM) must not land a bogus timing in the pins
+    // JSON: destructure its failed list and omit the entry (ADVICE r18)
+    val pins = pinNames.sorted.flatMap { name =>
+      val (r, pf) = run(spark, sfDir, Map(name -> selected(name)), 2)
+      if (pf.nonEmpty) {
+        System.err.println(s"[bench] pin run for $name failed — omitted")
+        None
+      } else Some("\"" + name + "\":" + r.head._2)
     }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"skipped":$sk,"repeat":$repeat,"extraRepeat":$er,"pins":$pins,"sf":"$sfDir"}"""
@@ -136,16 +142,21 @@ object Bench {
       while (i < reps && !dead) {
         isolate(spark)
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          // only a SUCCESSFUL materialization contributes a timing —
+          // elapsed-until-exception is not a measurement (ADVICE r18)
+          best = best.min((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
           dead = true
           failed += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        best = best.min((System.nanoTime() - t0) / 1e9)
         i += 1
       }
-      name -> best
+      // a query with no successful run reports 0.0 next to its entry in
+      // `failed` — visible, and it cannot skew the total
+      name -> (if (best == Double.MaxValue) 0.0 else best)
     }
     (results, failed.toSeq)
   }

@@ -148,10 +148,24 @@ object Landing {
 
   /** Age bound past which a `.repack-*` temp dir is reclaimed even when
     * its pid reads alive — the liveness probe's backstop against pid
-    * recycling (see the cleanup in [[extractZipBatched]]). A live repack
-    * refreshes its dir mtime with every batch roll, so 24 h is far past
-    * any real extraction. */
+    * recycling (see the cleanup in [[extractZipBatched]]). Staleness is
+    * keyed on the NEWEST mtime among the dir and its entries, not the
+    * dir mtime alone (ADVICE r18): the directory's own mtime only moves
+    * on entry create/rename — once per 64 MiB batch roll — while the
+    * currently-open batch FILE's mtime moves with every buffered write,
+    * so a live extraction streaming one huge batch for longer than the
+    * bound keeps its newest-entry clock fresh and cannot be reclaimed
+    * out from under the running process. 24 h without a single write
+    * anywhere in the dir is far past any real extraction. */
   val StaleRepackMs: Long = 24L * 60 * 60 * 1000
+
+  /** Newest mtime among `d` and its direct entries — the staleness
+    * clock for [[StaleRepackMs]] (batch files land directly in the
+    * repack dir, so one level suffices; the `retired/` subdir counts
+    * as an entry via its own rename-updated mtime). */
+  private def newestTouchMs(d: File): Long =
+    (d.lastModified() +: Option(d.listFiles()).getOrElse(Array.empty)
+      .map(_.lastModified()).toSeq).max
 
   /** Minimal JSON string escaping for [[extractZipBatched]]'s envelope
     * lines — quote, backslash, and control chars; everything else is
@@ -225,7 +239,7 @@ object Landing {
             val h = ProcessHandle.of(p)
             h.isPresent && h.get.isAlive
           }
-        if (!alive || now - d.lastModified() > StaleRepackMs) deleteNoFollow(d)
+        if (!alive || now - newestTouchMs(d) > StaleRepackMs) deleteNoFollow(d)
       }
     val tmp = new File(dest, s".repack-${ProcessHandle.current().pid()}")
     deleteNoFollow(tmp)

@@ -54,21 +54,51 @@ import graft.operators.{AnnIndex, Similarity}
   * switches the composed probe to the multi-probe dial
   * (Similarity.ivfPqTopKFromMultiProbe over exact label centroids, the
   * q142 shape) — the knob that recovers recall toward the flat ceiling.
+  *
+  * `--m` / `--k` / `--iters` / `--queries` set the recall geometry
+  * (r18 verdict task 4): the catalog default m=4/k=16 floors recall@10
+  * at shot-noise level (10–20 hits/1000 at sf10) where sampling and
+  * nprobe deltas drown; a FAISS-ish m=8/k=256 geometry with a larger
+  * query set lifts the absolute numbers out of the noise so the dials
+  * read quantitatively. subLen is derived as 64/m (the fixture dim).
   * Usage: runMain graft.tools.TrainBench [sfDir] [cap] [repl]
   *          [--recall | --recall-ivf [--nprobe N]]
+  *          [--m N] [--k N] [--iters N] [--queries N]
   */
 object TrainBench {
+  /** `--name value` options, validated: a flag with a missing or
+    * non-integer value fails with a usage message instead of silently
+    * parsing to the default or throwing a bare NumberFormatException
+    * (ADVICE r18: `--nprobe` as the LAST arg used to yield 0). */
+  private val ValueFlags =
+    Seq("--nprobe", "--m", "--k", "--iters", "--queries")
+  private def intOpt(args: Array[String], name: String, dflt: Int): Int = {
+    val i = args.indexOf(name)
+    if (i < 0) dflt
+    else {
+      require(i + 1 < args.length,
+        s"usage: $name <int> — missing value for $name")
+      val v = args(i + 1)
+      require(v.forall(_.isDigit) && v.nonEmpty,
+        s"usage: $name <int> — got '$v'")
+      v.toInt
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val flags = args.filter(_.startsWith("--")).toSet
-    val nprobe = args.sliding(2).collectFirst {
-      case Array("--nprobe", n) => n.toInt }.getOrElse(0)
-    // positional args = non-flags minus the value consumed by --nprobe
-    val npValIdx = args.indexOf("--nprobe") match {
-      case -1 => -1
-      case i  => i + 1
-    }
+    val nprobe = intOpt(args, "--nprobe", 0)
+    val m = intOpt(args, "--m", 4)
+    require(m > 0 && 64 % m == 0, s"--m must divide the 64-dim fixture, got $m")
+    val subLen = 64 / m
+    val numCodes = intOpt(args, "--k", 16)
+    val trainIters = intOpt(args, "--iters", 2)
+    val numQueries = intOpt(args, "--queries", 100)
+    // positional args = non-flags minus the values consumed by --opts
+    val valIdx = ValueFlags.map(f => args.indexOf(f)).filter(_ >= 0)
+      .map(_ + 1).toSet
     val pos = args.zipWithIndex.collect {
-      case (a, i) if !a.startsWith("--") && i != npValIdx => a
+      case (a, i) if !a.startsWith("--") && !valIdx(i) => a
     }
     val sfDir = pos.headOption.getOrElse("/root/testdata/sf0.1")
     val cap = pos.lift(1).map(_.toLong).getOrElse(10000L)
@@ -106,7 +136,9 @@ object TrainBench {
     }
     if (flags.contains("--recall") || flags.contains("--recall-ivf")) {
       val composed = flags.contains("--recall-ivf")
-      val queries = e.orderBy("vec_id").limit(100).localCheckpoint()
+      println(s"[trainbench] recall geometry m=$m subLen=$subLen " +
+        s"k=$numCodes iters=$trainIters queries=$numQueries")
+      val queries = e.orderBy("vec_id").limit(numQueries).localCheckpoint()
       val truth = Similarity.bruteForceTopK(e, queries, k = 10)
         .select(col("query_id"), col("cand_id"))
         .localCheckpoint()
@@ -117,19 +149,21 @@ object TrainBench {
         Similarity.unitVectors(e, Seq("vec_id" -> "id", "label" -> "cell")))
         .localCheckpoint()
       def recall(train: DataFrame, tag: String): Unit = {
-        val books = Similarity.pqTrain(train, 4, 16, 16, 2).localCheckpoint()
-        val codes0 = Similarity.pqEncode(units, books, 4, 16)
+        val books = Similarity.pqTrain(train, m, subLen, numCodes, trainIters)
+          .localCheckpoint()
+        val codes0 = Similarity.pqEncode(units, books, m, subLen)
         def withCells = codes0
           .join(e.select(col("vec_id").as("id"), col("label").as("cell")), "id")
           .localCheckpoint()
         val ann = (if (composed && nprobe > 0)
           Similarity.ivfPqTopKFromMultiProbe(books, withCells, cents,
-            queries, k = 10, nprobe = nprobe)
+            queries, k = 10, nprobe = nprobe, m = m, subLen = subLen)
         else if (composed)
-          Similarity.ivfPqTopKFrom(books, withCells, queries, k = 10)
+          Similarity.ivfPqTopKFrom(books, withCells, queries, k = 10,
+            m = m, subLen = subLen)
         else
           Similarity.pqTopKFrom(books, codes0.localCheckpoint(),
-            queries, k = 10))
+            queries, k = 10, m = m, subLen = subLen))
           .select(col("query_id"), col("cand_id"))
         val hits = ann.join(truth, Seq("query_id", "cand_id"), "left_semi").count()
         val mode = if (composed && nprobe > 0) s"ivf(np=$nprobe)"

@@ -179,9 +179,19 @@ class LandingSpec extends SparkSpec {
     Landing.extractZipBatched(s"$work/clone.zip", landing.getPath)
     assert(stale.exists(),
       "a young .repack dir under a live pid must be left alone")
-    // aged past the bound: reclaimed despite the live pid
-    assert(stale.setLastModified(
-      System.currentTimeMillis() - Landing.StaleRepackMs - 60000L))
+    val aged = System.currentTimeMillis() - Landing.StaleRepackMs - 60000L
+    // DIR mtime aged but the open batch file still being WRITTEN
+    // (fresh entry mtime): a live extraction streaming one >64 MiB
+    // batch for longer than the bound only refreshes the file, not the
+    // dir — it must NOT be reclaimed out from under the writer
+    // (ADVICE r18: staleness keys on the newest touch, dir or entry)
+    assert(stale.setLastModified(aged))
+    Landing.extractZipBatched(s"$work/clone.zip", landing.getPath)
+    assert(stale.exists(),
+      "an aged dir with a freshly-written batch file is a LIVE repack")
+    // everything aged past the bound: reclaimed despite the live pid
+    assert(stale.setLastModified(aged))
+    assert(new File(stale, "batch-00000.jsonl").setLastModified(aged))
     Landing.extractZipBatched(s"$work/clone.zip", landing.getPath)
     assert(!stale.exists(),
       "an aged .repack dir must be reclaimed despite a live pid")
