@@ -778,7 +778,12 @@ object Similarity {
       .localCheckpoint(false)
     // AUTO-C ladder (stage 1b) — decision + fold live in
     // [[ladderTargets]]/[[autoCLadder]], shared verbatim with
-    // AutoKProbe's stage-timing wrapper. Balance rule (r17 verdict
+    // AutoKProbe's stage-timing wrapper. With coarseTarget <= 0 (the
+    // flat legacy form, small-corpus call sites) no control read
+    // exists, so the auto-k pops below keeps the ungated broadcast
+    // plan — at 10^10+ vectors the LADDER is the supported path (it
+    // threads the gate's cells bound for free from the read it
+    // already pays). Balance rule (r17 verdict
     // task 2): one level's surviving restricted term is
     // Σ pop·ceil(pop/coarseTarget), which re-dominates once
     // ceil(maxPop/coarseTarget) > coarseTarget, i.e. maxPop >

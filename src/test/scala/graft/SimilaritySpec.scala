@@ -464,6 +464,25 @@ class SimilaritySpec extends SparkSpec {
     assert(np1.nonEmpty)
   }
 
+  test("autoCLadder's returned cells bound covers the live cells it hands forward") {
+    // the bound gates the NEXT withAutoCells' control plan, so it must
+    // be a true upper bound on the refined assignment's distinct cells
+    // (cells_in + N/t per level, clamped to N)
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val units = Similarity.unitVectors(e, Seq("vec_id" -> "id", "label" -> "cell"))
+    val coarse0 = Similarity.assignCellsAgg(units, Similarity.exactCentroids(units))
+      .select(col("id"), col("assigned_cell").as("coarse"))
+      .localCheckpoint()
+    for (ct <- Seq(3L, 100L)) {
+      val (refined, bound) = Similarity.autoCLadder(units, coarse0, ct,
+        ladderRowsFloor = 0L)()
+      val live = refined.select("coarse").distinct().count()
+      assert(live <= bound,
+        s"coarseTarget $ct: live cells $live exceed the returned bound $bound")
+      assert(bound <= coarse0.count(), "the bound must clamp to N")
+    }
+  }
+
   test("broadcastDecision sizes the pin by estimated bytes, not rows alone") {
     // ADVICE r17: the row cap assumed 64 double dims; the decision now
     // also estimates rows × dims × 8 so a wide-embedding centroid table
