@@ -270,8 +270,14 @@ object Similarity {
     * of distinct cells, which the auto-k chain already knows from the
     * ladder's control-plane read — so no extra corpus pass is spent
     * deciding; with no hint the relation keeps the broadcast plan
-    * (every non-chain call site feeds label-cardinality cells). */
-  val MaxBroadcastControlRows: Long = 4L * 1000 * 1000
+    * (every non-chain call site feeds label-cardinality cells).
+    * Env-overridable (`SPARK_GRAFT_MAX_CONTROL_ROWS`, the GraftSession
+    * experiment-hook pattern) so the ABOVE-gate plan can be
+    * A/B-measured and oracle-verified at real fixture scales without a
+    * code edit — `=0` forces every hinted control join shuffled. */
+  val MaxBroadcastControlRows: Long =
+    sys.env.get("SPARK_GRAFT_MAX_CONTROL_ROWS").map(_.toLong)
+      .getOrElse(4L * 1000 * 1000)
 
   /** Scale k WITH the corpus — the SemDeDup prescription ("k grows with
     * corpus size") made operational: subdivide every seed label into
