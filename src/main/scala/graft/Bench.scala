@@ -81,11 +81,14 @@ object Bench {
       else prefixed.removedAll(uncappedAnchors)
     val skipped = prefixed.keySet.diff(selected.keySet).toSeq.sorted
     val (results, failed) = run(spark, sfDir, selected, repeat)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // a failed query's entry is null — never a fake 0.0 — and the total
+    // sums only real measurements (ADVICE r19)
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + v.map(_.toString).getOrElse("null")
+    }.mkString("{", ",", "}")
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sk = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    val total = results.flatMap(_._2).sum
     // the iterative entries run one extra repeat (ExtraRepeat) — emit
     // which, so the recorded methodology matches what was measured
     val er = ExtraRepeat.intersect(selected.keySet).toSeq.sorted
@@ -106,7 +109,7 @@ object Bench {
       if (pf.nonEmpty) {
         System.err.println(s"[bench] pin run for $name failed — omitted")
         None
-      } else Some("\"" + name + "\":" + r.head._2)
+      } else r.head._2.map(v => "\"" + name + "\":" + v)
     }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"skipped":$sk,"repeat":$repeat,"extraRepeat":$er,"pins":$pins,"sf":"$sfDir"}"""
@@ -129,10 +132,13 @@ object Bench {
     * the per-query MINIMUM. A dead query lands in the returned `failed`
     * list so it is visible in the emitted JSON, not just on stderr —
     * otherwise it would report a (tiny) wall time and the round would
-    * look green. */
+    * look green. Its per-query value is None (emitted as JSON null, not
+    * a fake 0.0), so the headline total aggregates only REAL
+    * measurements and a cross-round total diff cannot misread a failure
+    * round as a speedup (ADVICE r19). */
   def run(spark: SparkSession, sfDir: String,
           queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
-          repeat: Int = 2): (Seq[(String, Double)], Seq[String]) = {
+          repeat: Int = 2): (Seq[(String, Option[Double])], Seq[String]) = {
     val failed = scala.collection.mutable.ListBuffer[String]()
     val results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var best = Double.MaxValue
@@ -154,9 +160,7 @@ object Bench {
         }
         i += 1
       }
-      // a query with no successful run reports 0.0 next to its entry in
-      // `failed` — visible, and it cannot skew the total
-      name -> (if (best == Double.MaxValue) 0.0 else best)
+      name -> (if (best == Double.MaxValue) None else Some(best))
     }
     (results, failed.toSeq)
   }

@@ -270,12 +270,44 @@ object AnnIndex {
     pmod(p.bitwiseXOR(shiftright(p, 31)), lit(SampleDenom))
   }
 
+  /** Minimum training vectors per PQ code before the sample
+    * under-determines the codebook: standard PQ practice wants 10²–10³
+    * training points per centroid, and the r19 recall table measured
+    * the cliff directly — at k=256 a 10k cap (39/code) cost recall@10
+    * 0.139 → 0.052 while at the catalog k=16 (625/code) the same cap
+    * was quality-neutral. Below this ratio [[buildPq]] warns loudly
+    * when the cap actually binds. */
+  val MinTrainPerCode: Long = 100L
+
+  /** Sentinel for `trainSampleMax`: scale the cap WITH the codebook
+    * size instead of a fixed count — [[scaledTrainCap]], the code-level
+    * answer to the r19 finding that a fixed cap silently under-trains
+    * at FAISS-depth k. */
+  val AutoTrainSampleMax: Long = -1L
+
+  /** The k-scaled training cap [[AutoTrainSampleMax]] resolves to:
+    * numCodes × [[MinTrainPerCode]], floored at the long-standing 10k
+    * (so catalog geometries keep their exact behavior — k ≤ 100 resolves
+    * to the same 10k the r17/r18 rows measured). At m=8/k=256 this is
+    * 25.6k vectors ≥ 100/code — measured within noise of full-corpus
+    * training (see PLANS.md round-20 recall row) where the fixed 10k
+    * cap had cost 2.7× recall. */
+  def scaledTrainCap(numCodes: Int): Long =
+    math.max(10000L, numCodes.toLong * MinTrainPerCode)
+
+  /** True when an EXPLICIT cap supplies fewer than [[MinTrainPerCode]]
+    * expected training vectors per code — the warn predicate, factored
+    * for the spec to pin its boundary. */
+  def underTrainedCap(cap: Long, numCodes: Int): Boolean =
+    cap > 0L && cap < numCodes.toLong * MinTrainPerCode
+
   /** Train + encode + publish a PQ index version: codebooks (sub, code,
     * code_vec) and the encoded corpus (id, sub, code) — at scale the
     * m-small-ints-per-vector table that replaces the raw floats at query
     * time. Returns the committed version.
     *
-    * `trainSampleMax` (0 = off) bounds the TRAINING relation: when the
+    * `trainSampleMax` (0 = off, [[AutoTrainSampleMax]] = scale with
+    * numCodes via [[scaledTrainCap]]) bounds the TRAINING relation: when the
     * corpus exceeds the cap, Lloyd training runs on a deterministic
     * hash-sampled subset of expected size ~cap ([[sampleHash]] <
     * ceil(cap*[[SampleDenom]]/n)) while the ENCODE still covers every
@@ -306,12 +338,27 @@ object AnnIndex {
       // the count rides the persist (columnar, one pass); keep ≥ Denom
       // whenever n ≤ cap makes the predicate vacuously true, so the
       // capped and uncapped paths share one semantics at every scale
+      val cap =
+        if (trainSampleMax == AutoTrainSampleMax) scaledTrainCap(numCodes)
+        else trainSampleMax
       val trainUnits =
-        if (trainSampleMax > 0L) {
+        if (cap > 0L) {
           val n = units.count()
           val keep =
             if (n == 0L) SampleDenom
-            else (trainSampleMax * SampleDenom + n - 1L) / n
+            else (cap * SampleDenom + n - 1L) / n
+          // loud under-training warning (r19 verdict task 1): fires only
+          // when the sample genuinely binds (keep < Denom — a corpus the
+          // cap doesn't reach trains full either way) AND the explicit
+          // cap starves the codebook. AutoTrainSampleMax never trips it.
+          if (keep < SampleDenom && underTrainedCap(cap, numCodes))
+            System.err.println(
+              s"[annindex] trainSampleMax=$cap supplies < $MinTrainPerCode " +
+                s"training vectors per code at numCodes=$numCodes — the " +
+                s"codebook will be under-determined (measured at k=256: " +
+                s"recall@10 0.052 capped-10k vs 0.139 full-train). Pass " +
+                s"trainSampleMax=AnnIndex.AutoTrainSampleMax to scale the " +
+                s"cap with k (= ${scaledTrainCap(numCodes)} here)")
           if (keep >= SampleDenom) units
           else {
             val sampled = units.filter(sampleHash(col("id")) < lit(keep))
@@ -324,7 +371,7 @@ object AnnIndex {
             // an early-exit scan, not a full count of the sample.
             if (sampled.limit(numCodes).count() < numCodes.toLong) {
               System.err.println(
-                s"[annindex] trainSampleMax=$trainSampleMax sample has " +
+                s"[annindex] trainSampleMax=$cap sample has " +
                   s"fewer than $numCodes rows (n=$n, keep=$keep/" +
                   s"$SampleDenom) — falling back to full-corpus training")
               units
@@ -849,7 +896,16 @@ object AnnIndex {
     * control-plane (≤ min(queries × nprobe, cells) ids, and cells is
     * bounded by the quantizer — centroids are already a broadcast-sized
     * table) collected once to drive static partition pruning; the big
-    * side never shuffles and never reads an unprobed directory. */
+    * side never shuffles and never reads an unprobed directory.
+    *
+    * Non-null-cell contract (r19 verdict watch 2): cells reaching an
+    * AnnIndex store are Lloyd-ASSIGNED longs ([[buildIvfPostings]]
+    * derives them from `kmeansRefineExact`'s argmax over non-empty
+    * centroid sets; [[writePostings]] partitions on them), so they are
+    * never NULL by construction — the plain `===` probe/posting join
+    * below is therefore exact, where the LABEL-keyed in-session paths
+    * ([[Similarity.cellTopKMultiProbe]]) need `<=>` because a raw
+    * label column may carry NULL populations. */
   def postingsTopK(spark: SparkSession, path: String, queries: DataFrame,
                    k: Int, nprobe: Int,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

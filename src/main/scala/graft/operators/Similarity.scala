@@ -269,15 +269,32 @@ object Similarity {
     * from a caller-supplied `cellsHint` — an UPPER BOUND on the number
     * of distinct cells, which the auto-k chain already knows from the
     * ladder's control-plane read — so no extra corpus pass is spent
-    * deciding; with no hint the relation keeps the broadcast plan
-    * (every non-chain call site feeds label-cardinality cells).
+    * deciding; with no hint the join strategy is LEFT TO THE PLANNER
+    * (AQE broadcasts it in practice — non-chain call sites feed
+    * label-cardinality cells), so a future direct caller on a
+    * high-cardinality cell column degrades to a shuffle instead of
+    * slamming into Spark's 8 GiB broadcast hard limit (r19 verdict
+    * follow-up 2: only a hint ≤ the gate PROVES broadcast-sized).
     * Env-overridable (`SPARK_GRAFT_MAX_CONTROL_ROWS`, the GraftSession
     * experiment-hook pattern) so the ABOVE-gate plan can be
     * A/B-measured and oracle-verified at real fixture scales without a
-    * code edit — `=0` forces every hinted control join shuffled. */
-  val MaxBroadcastControlRows: Long =
-    sys.env.get("SPARK_GRAFT_MAX_CONTROL_ROWS").map(_.toLong)
-      .getOrElse(4L * 1000 * 1000)
+    * code edit — `=0` forces every hinted control join shuffled.
+    * A malformed override falls back to the default with a stderr
+    * warning naming the variable — a bare toLong here would surface as
+    * an ExceptionInInitializerError for the whole object, hiding the
+    * actual cause (ADVICE r19). */
+  val MaxBroadcastControlRows: Long = {
+    val dflt = 4L * 1000 * 1000
+    sys.env.get("SPARK_GRAFT_MAX_CONTROL_ROWS") match {
+      case None => dflt
+      case Some(v) => scala.util.Try(v.trim.toLong).getOrElse {
+        System.err.println(
+          s"[similarity] SPARK_GRAFT_MAX_CONTROL_ROWS='$v' is not a " +
+            s"long — using the default ($dflt)")
+        dflt
+      }
+    }
+  }
 
   /** Scale k WITH the corpus — the SemDeDup prescription ("k grows with
     * corpus size") made operational: subdivide every seed label into
@@ -334,7 +351,7 @@ object Similarity {
       .withColumnRenamed(cellCol, "_pcell")
     val smallControl = cellsHint.forall(_ <= maxControlRows)
     val joined = if (smallControl) {
-      // the sentinel rides the SAME tiny broadcast as the populations —
+      // the sentinel rides the SAME tiny relation as the populations —
       // a global window over the O(cells) aggregate, so the input is
       // still scanned exactly once per plan side (no extra job, no
       // checkpoint)
@@ -343,8 +360,10 @@ object Similarity {
                  lit(0L)))
       // null-safe join: a NULL label groups in pops but an equi-join
       // would silently DROP its rows here (the plain label-seeded path
-      // keeps them)
-      corpus.join(broadcast(pops), col(cellCol) <=> col("_pcell"))
+      // keeps them). Broadcast is PINNED only when a hint proves the
+      // relation small; unhinted callers get the planner's choice
+      val side = if (cellsHint.isDefined) broadcast(pops) else pops
+      corpus.join(side, col(cellCol) <=> col("_pcell"))
     } else {
       // past the gate: same values, scale-safe shapes — the sentinel as
       // a fully-parallel 1-row aggregate (broadcast by construction),
@@ -402,27 +421,58 @@ object Similarity {
     * Ordering is nulls-last to match DuckDB's ASC default (post-sentinel
     * no NULL reaches here, but the tie-break contract stays aligned).
     *
-    * `cellsHint` gates the remap JOIN exactly as in [[withAutoCells]]:
-    * past [[MaxBroadcastControlRows]] the corpus-side join shuffles
-    * co-partitioned instead of force-broadcasting the remap. The
-    * DENSE_RANK itself keeps the single-task global window — a dense
-    * 0-based total ranking has no shuffle-parallel DataFrame form — but
-    * its input is bounded structurally: densify only runs BETWEEN
-    * ladder levels, so the relation being ranked is the live-cell list
-    * of a level whose target is ≥ coarseTarget² (levels run
-    * coarsest-first), i.e. ≤ N/coarseTarget² rows ≈ 10⁷ at 10¹⁰ vectors
-    * and the untuned default — a single-task sort of longs at that size
-    * is milliseconds, not a bottleneck (the forced BROADCAST of the
-    * same relation, gated here, was the 8 GiB-limit risk). */
+    * `cellsHint` gates BOTH control shapes exactly as in
+    * [[withAutoCells]]. At or below [[MaxBroadcastControlRows]] the
+    * remap is ranked by a single global DENSE_RANK window (one task
+    * over a tiny relation — the cheapest form, no extra job) and the
+    * corpus-side join is broadcast-pinned when a hint PROVES the
+    * relation small (no hint → the planner/AQE decides, same contract
+    * as withAutoCells' pops side). Past the gate the single-task
+    * window is replaced by a TWO-PASS PARALLEL ranking (r19 verdict
+    * follow-up 3): range-repartition the distinct cells (pinned by a
+    * localCheckpoint so the offsets job and the rank job see identical
+    * partitions), collect the per-partition counts (control-plane — ≤
+    * shuffle-partition-count rows), prefix-sum them into offsets on
+    * the driver, then rank per-partition (`row_number` over the
+    * partition id — fully parallel; distinct input makes row_number ≡
+    * dense_rank) plus the broadcast offset. Global rank = partition
+    * offset + within-partition rank because range partitioning orders
+    * values across partitions; the result is identical to the window
+    * form for ANY boundary placement (spec-pinned). The corpus-side
+    * join shuffles co-partitioned. This retires even the documented
+    * N/coarseTarget² single-task bound — no densify shape single-tasks
+    * a 10⁸⁺-cell relation, whatever [[MaxAutoCLevels]] becomes. */
   def densifyCells(assigned: DataFrame, cellCol: String = "coarse",
                    cellsHint: Option[Long] = None,
                    maxControlRows: Long = MaxBroadcastControlRows): DataFrame = {
-    val remap = assigned.select(col(cellCol).as("_dfrom")).distinct()
-      .withColumn("_dto",
+    val distinctCells = assigned.select(col(cellCol).as("_dfrom")).distinct()
+    val side = if (cellsHint.forall(_ <= maxControlRows)) {
+      val remap = distinctCells.withColumn("_dto",
         (dense_rank().over(Window.orderBy(col("_dfrom").asc_nulls_last)) - 1)
           .cast("long"))
-    val side = if (cellsHint.forall(_ <= maxControlRows)) broadcast(remap)
-               else remap.hint("shuffle_hash")
+      if (cellsHint.isDefined) broadcast(remap) else remap
+    } else {
+      val spark = assigned.sparkSession
+      import spark.implicits._
+      val parts = distinctCells
+        .repartitionByRange(col("_dfrom").asc_nulls_last)
+        .localCheckpoint()
+      val counts = parts.groupBy(spark_partition_id().as("_pid"))
+        .agg(count(lit(1)).as("_cnt"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      var acc = 0L
+      val offsets = counts.map { case (pid, cnt) =>
+        val off = acc; acc += cnt; (pid, off)
+      }.toSeq.toDF("_pid", "_off")
+      parts.withColumn("_pid", spark_partition_id())
+        .join(broadcast(offsets), "_pid")
+        .withColumn("_dto",
+          (row_number().over(Window.partitionBy(col("_pid"))
+              .orderBy(col("_dfrom").asc_nulls_last)) - 1).cast("long")
+            + col("_off"))
+        .drop("_pid", "_off")
+        .hint("shuffle_hash")
+    }
     assigned.join(side, col(cellCol) <=> col("_dfrom"))
       .withColumn(cellCol, col("_dto"))
       .drop("_dfrom", "_dto")

@@ -142,6 +142,47 @@ class PqSpec extends SparkSpec {
              units.filter(sampleHashCol(col("id")) < lit(keep)), 4, 16, 16, 2)))
   }
 
+  test("k-scaled training cap: AutoTrainSampleMax resolves with numCodes; warn predicate pins its boundary") {
+    // r19 verdict task 1: the fixed 10k cap silently under-trains at
+    // FAISS-depth k (measured at m=8/k=256: recall@10 0.052 vs 0.139
+    // full-train). The code-level answer is twofold — an AUTO cap that
+    // scales with the codebook, and a loud warning when an explicit cap
+    // starves it. Both pinned here at their exact boundaries.
+    import spark.implicits._
+    import graft.operators.AnnIndex
+    // the auto cap floors at the long-standing 10k (catalog geometries
+    // k <= 100 resolve to exactly the value the r17/r18 rows measured)
+    // and scales k·MinTrainPerCode past the floor
+    assert(AnnIndex.scaledTrainCap(16) == 10000L)
+    assert(AnnIndex.scaledTrainCap(100) == 10000L)
+    assert(AnnIndex.scaledTrainCap(101) == 10100L)
+    assert(AnnIndex.scaledTrainCap(256) == 25600L)
+    // warn predicate: under-trained strictly below MinTrainPerCode/code;
+    // cap=0 (off) and the exact ratio are NOT under-trained
+    assert(AnnIndex.underTrainedCap(25599L, 256))
+    assert(!AnnIndex.underTrainedCap(25600L, 256))
+    assert(!AnnIndex.underTrainedCap(0L, 256))
+    assert(AnnIndex.underTrainedCap(1599L, 16))
+    assert(!AnnIndex.underTrainedCap(1600L, 16))
+    // AutoTrainSampleMax flows through buildPq end-to-end: it resolves
+    // to scaledTrainCap(numCodes), so a build with it equals a build
+    // with the explicit resolved cap — books bit-identical
+    val rnd = new scala.util.Random(23)
+    val corpus = (0L until 60L)
+      .map(i => (i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val work = java.nio.file.Files.createTempDirectory("graft_annauto_")
+    val auto = work.resolve("auto").toString
+    val expl = work.resolve("expl").toString
+    AnnIndex.buildPq(corpus, auto, trainSampleMax = AnnIndex.AutoTrainSampleMax)
+    AnnIndex.buildPq(corpus, expl, trainSampleMax = AnnIndex.scaledTrainCap(16))
+    def bookSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("sub", "code", "code_vec").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSet
+    assert(bookSet(AnnIndex.pqBooks(spark, auto)) ==
+           bookSet(AnnIndex.pqBooks(spark, expl)))
+  }
+
   test("degenerate sample (< numCodes rows) falls back to full-corpus training") {
     // an id set chosen so every id hashes ABOVE keep: the sampled
     // relation is empty, and without the guard pqTrain would seed its

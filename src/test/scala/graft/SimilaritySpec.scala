@@ -413,6 +413,63 @@ class SimilaritySpec extends SparkSpec {
     assert(rows(atGate) == rows(below))
   }
 
+  test("withAutoCells without a hint leaves the pops join strategy to the planner") {
+    // r19 verdict follow-up 2: only a hint <= the gate PROVES the
+    // control relation broadcast-sized. Unhinted call sites no longer
+    // force-broadcast — a future direct caller on a high-cardinality
+    // cell column degrades to whatever the planner picks instead of
+    // slamming into the 8 GiB broadcast hard limit
+    val corpus = ((1L to 7L).map(id => (id, Array(1.0f, 0f), None)) ++
+      Seq((20L, Array(0f, 1.0f), Some(0)), (21L, Array(0f, 1.0f), Some(0))))
+      .toDF("vec_id", "embedding", "label")
+    def pinned(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.toString.toLowerCase
+        .contains("strategy=broadcast")
+    val noHint = Similarity.withAutoCells(corpus, targetCell = 2L)
+    val hinted = Similarity.withAutoCells(corpus, targetCell = 2L,
+      cellsHint = Some(2L))
+    assert(pinned(hinted), "a hint <= the gate must PIN the broadcast")
+    assert(!pinned(noHint), "no hint must pin nothing — planner's call")
+    // …and on a label-cardinality relation the planner still CHOOSES
+    // broadcast at runtime (the no-hint plan is unchanged in practice)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "label", "auto_cell")
+        .collect().map(_.toString).sorted.toSeq
+    val got = rows(noHint)
+    assert(noHint.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"),
+      "AQE should still broadcast the tiny pops relation")
+    assert(got == rows(hinted))
+  }
+
+  test("densifyCells above the gate ranks in parallel — identical to the window form") {
+    // r19 verdict follow-up 3: past MaxBroadcastControlRows the
+    // single-task DENSE_RANK window is replaced by range-repartition +
+    // per-partition counts -> prefix offsets -> per-partition
+    // row_number + offset. Fixture spans many range partitions
+    // (shuffle.partitions=8 in SparkSpec-land or 32 — either way > 1
+    // occupied), so the offset arithmetic is genuinely exercised.
+    val rnd = new scala.util.Random(3)
+    val cells = rnd.shuffle((0 until 100).map(i => i.toLong * 37L + 5L)).toSeq
+    val a = cells.zipWithIndex.flatMap { case (c, i) =>
+      Seq((i.toLong * 2L, c), (i.toLong * 2L + 1L, c)) // 2 rows per cell
+    }.toDF("id", "coarse")
+    val window = Similarity.densifyCells(a, "coarse")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val parallel = Similarity.densifyCells(a, "coarse",
+      cellsHint = Some(100L), maxControlRows = 1L)
+    assert(parallel.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == window)
+    // the relabel is the dense 0-based rank of the ORIGINAL cell value
+    val sortedCells = cells.sorted.zipWithIndex
+      .map { case (c, r) => c -> r.toLong }.toMap
+    val byId = a.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(window.forall { case (id, dto) => dto == sortedCells(byId(id)) })
+    // corpus-side join stays pinned shuffled above the gate
+    assert(parallel.queryExecution.optimizedPlan.toString.toLowerCase
+      .contains("strategy=shuffle_hash"))
+  }
+
   test("withAutoCells fails loudly when the write-back cannot represent the sentinel") {
     // an Int label column maxed at Int.MaxValue plus NULLs: sentinel =
     // max+1 exceeds the type's ceiling — the write-back must raise, not

@@ -104,5 +104,10 @@ class SnapshotIOSpec extends SparkSpec {
     val (results, failed) = Bench.run(spark, "unused", queries)
     assert(failed == Seq("boom"))
     assert(results.map(_._1) == Seq("boom", "ok"))
+    // a dead query carries NO measurement (None → JSON null) — the
+    // headline total sums only real timings, so a failure round can
+    // never read as a speedup (ADVICE r19)
+    assert(results.toMap.apply("boom").isEmpty)
+    assert(results.toMap.apply("ok").exists(_ >= 0.0))
   }
 }
