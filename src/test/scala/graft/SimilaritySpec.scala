@@ -470,6 +470,26 @@ class SimilaritySpec extends SparkSpec {
       .contains("strategy=shuffle_hash"))
   }
 
+  test("densifyCells parallel rank: empty relation and NULL cells match the window form") {
+    // the two edges the 100-cell fixture doesn't reach: an EMPTY input
+    // (offsets relation empty — the join must yield empty, not throw)
+    // and a NULL cell (post-sentinel none reach densify, but the
+    // nulls-last tie-break contract must hold in BOTH plan shapes)
+    val empty = Seq.empty[(Long, Long)].toDF("id", "coarse")
+    assert(Similarity.densifyCells(empty, "coarse",
+      cellsHint = Some(10L), maxControlRows = 1L).count() == 0L)
+    assert(Similarity.densifyCells(empty, "coarse").count() == 0L)
+    val withNull = Seq((1L, Some(7L)), (2L, None), (3L, Some(0L)), (4L, None))
+      .toDF("id", "coarse")
+    def got(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val win = got(Similarity.densifyCells(withNull, "coarse"))
+    // nulls-last: 0 -> 0, 7 -> 1, NULL -> 2 (both NULL rows share it)
+    assert(win == Map(1L -> 1L, 2L -> 2L, 3L -> 0L, 4L -> 2L))
+    assert(got(Similarity.densifyCells(withNull, "coarse",
+      cellsHint = Some(3L), maxControlRows = 1L)) == win)
+  }
+
   test("withAutoCells fails loudly when the write-back cannot represent the sentinel") {
     // an Int label column maxed at Int.MaxValue plus NULLs: sentinel =
     // max+1 exceeds the type's ceiling — the write-back must raise, not
