@@ -735,7 +735,10 @@ object Main {
     val pairRebuildEvery = conf.getInt("dedup", "pair_rebuild_every", 0)
     val annRefreshEvery = conf.getInt("dedup", "ann_refresh_every", 0)
     // bounds the refresh retrain's Lloyd passes to a deterministic hash
-    // sample of the live vector store (0 = train on the full store)
+    // sample of the live vector store (0 = train on the full store;
+    // -1 = AnnIndex.AutoTrainSampleMax, the cap scaled with the
+    // codebook as max(10k, numCodes·100) — the r20-measured floor
+    // below which sampling costs recall)
     val trainSampleMax = conf.getLong("dedup", "train_sample_max", 0L)
     def landing(seq: Long, now: Timestamp) = {
       val dir = s"$root/landing/$seq"
