@@ -255,7 +255,9 @@ object DailyLoop {
     // with NO landed sources (doc-only deployments, or a day every
     // upstream was fresh per P11) skips it.
     if (!landing.isEmpty)
-      CveJob.mergeLanded(spark, landing, p.snapshot, now)
+      JobLabel(spark, s"tick $batchId: cve merge") {
+        CveJob.mergeLanded(spark, landing, p.snapshot, now)
+      }
     if (failAt.contains(AfterMerge)) throw new InjectedCrash(AfterMerge)
     leaseCheck()
 
@@ -263,11 +265,36 @@ object DailyLoop {
     // Day zero: commit an EMPTY base version so the first delta probes
     // legally and yields its delta-internal pairs (guarded — a crash
     // re-run must not stack a second base).
-    if (!BandIndex.isBuilt(spark, p.index))
-      BandIndex.write(operators.Dedup.explodedShingles(
-        operators.Dedup.shingleSets(docsDelta.limit(0))), p.index)
-    DocsStream.indexedDedupTick(docsDelta, batchId, p.index, p.store,
-      p.pairs, threshold, removals = docRemovals)
+    //
+    // EMPTY-DELTA SKIP (r21, guide §1.2 "don't compute things you throw
+    // away"): a tick whose doc delta is empty and that removes nothing
+    // contributes NOTHING to any dedup store — its layer and store
+    // partition would hold zero rows and its probe/verify/merge would
+    // all be empty — yet the full machinery costs ~20 control-plane
+    // jobs (the vector-only q125/q127 families pay it 3× per query; a
+    // doc-less deployment day pays it nightly). Skip it once day-zero
+    // state exists; the FIRST tick still runs in full, so layout
+    // creation (empty base version, pair-snapshot sentinel) is
+    // byte-identical to before. Deterministic in the tick's input, so
+    // the crash model's delta-as-function-of-seq contract is untouched;
+    // the compaction cadence now counts only layers that carry rows
+    // (compaction itself is answer-invariant, so its timing is free to
+    // improve).
+    val dedupSkippable = docRemovals.isEmpty &&
+      BandIndex.isBuilt(spark, p.index) &&
+      operators.PartitionedSnapshot.isInitialized(spark, p.pairs) &&
+      JobLabel(spark, s"tick $batchId: empty-delta probe") {
+        docsDelta.limit(1).isEmpty
+      }
+    if (!dedupSkippable) {
+      if (!BandIndex.isBuilt(spark, p.index))
+        BandIndex.write(operators.Dedup.explodedShingles(
+          operators.Dedup.shingleSets(docsDelta.limit(0))), p.index)
+      JobLabel(spark, s"tick $batchId: dedup") {
+        DocsStream.indexedDedupTick(docsDelta, batchId, p.index, p.store,
+          p.pairs, threshold, removals = docRemovals)
+      }
+    }
     if (failAt.contains(AfterDedup)) throw new InjectedCrash(AfterDedup)
     leaseCheck()
 
@@ -292,7 +319,9 @@ object DailyLoop {
     // A zero-row delta skips the whole step (one limit-1 probe): a
     // day-zero build on it would train an EMPTY codebook and poison
     // every later append; an append of it would only grow the chain.
-    val annDelta = embDelta.filter(!_.limit(1).isEmpty)
+    val annDelta = JobLabel(spark, s"tick $batchId: ann delta probe") {
+      embDelta.filter(!_.limit(1).isEmpty)
+    }
     val annRem = vecRemovals.map(_.select("vec_id").distinct())
       .filter(!_.limit(1).isEmpty)
     // the refresh cadence is an exact batch-key match retraining FROM
@@ -302,7 +331,8 @@ object DailyLoop {
     // retrain on regardless of what today landed)
     val refreshDue = annRefreshEvery > 0 && batchId % annRefreshEvery == 0
     if (annDelta.nonEmpty || annRem.nonEmpty ||
-        (refreshDue && operators.AnnIndex.isBuilt(spark, p.ann))) {
+        (refreshDue && operators.AnnIndex.isBuilt(spark, p.ann)))
+      JobLabel(spark, s"tick $batchId: ann") {
       val emb = annDelta.getOrElse(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(VecsSchema.take(2))))
@@ -328,6 +358,17 @@ object DailyLoop {
           lit(null).cast("int").as("label"))))
         .getOrElse(stamped)
         .write.mode("overwrite").parquet(s"${p.vecs}/batch=$batchId")
+      // The PQ step (2b') and the posting-store step (2c) touch DISJOINT
+      // artifact stores and only READ the shared vector store, so they
+      // run CONCURRENTLY (guide §2.6; the indexedDedupTick append pair's
+      // reasoning): each side is independently idempotent under the
+      // one-marker crash model via its own batch stamp, so a crash with
+      // one side committed and the other not re-runs exactly like the
+      // sequential interleaving it replaced. The answer-invariant
+      // COMPACTIONS (and the vector-store consolidation swap, which the
+      // posting side's seed/refresh reads must not race) stay sequential
+      // AFTER both.
+      JobLabel(spark, "pq+postings") { Par(() => {
       // a REFRESH tick (batch-keyed cadence) is the deliberate quality
       // event compactPq's answer-invariance contrasts against: retrain
       // the quantizer on the LIVE corpus read back from the vector
@@ -373,16 +414,7 @@ object DailyLoop {
                 batchId = Some(batchId), removals = annRem)
         }
       }
-      if (operators.AnnIndex.isBuilt(spark, p.ann) &&
-          operators.AnnIndex.pqChain(spark, p.ann).length > annMaxChain) {
-        operators.AnnIndex.compactPq(spark, p.ann)
-        // the vector store consolidates on the same cadence: live rows
-        // republished as ONE committed-stamped partition, tombstones
-        // and removed vectors physically gone (crash-safe whole-dir
-        // swap, healed at tick start)
-        consolidateVecs(spark, p, committed, batchId)
-      }
-
+      }, () => {
       // (2c) the IVF posting store, same lifecycle. Only the day-zero
       // TRAIN needs seed-cell labels — a label-free pipeline keeps the
       // PQ index alone until a labeled delta arrives; that first seed
@@ -413,8 +445,6 @@ object DailyLoop {
               batchId = Some(batchId), checkDisjoint = false,
               removals = annRem)
         }
-        if (operators.AnnIndex.ivfpChain(spark, p.annPost).length > annMaxChain)
-          operators.AnnIndex.compactIvfPostings(spark, p.annPost)
       } else if (liveEmb.columns.contains("label") &&
                  !liveEmb.limit(1).isEmpty) {
         val corpus = storeVectors(spark, p.vecs, batchId)
@@ -422,6 +452,23 @@ object DailyLoop {
           batchId = Some(batchId),
           trainOn = Some(corpus.filter(col("label").isNotNull)))
       }
+      }) }
+
+      // compaction cadences, sequential AFTER both sides (the vector
+      // store consolidation swaps the directory the posting seed and
+      // refresh read — it must never race them)
+      if (operators.AnnIndex.isBuilt(spark, p.ann) &&
+          operators.AnnIndex.pqChain(spark, p.ann).length > annMaxChain) {
+        operators.AnnIndex.compactPq(spark, p.ann)
+        // the vector store consolidates on the same cadence: live rows
+        // republished as ONE committed-stamped partition, tombstones
+        // and removed vectors physically gone (crash-safe whole-dir
+        // swap, healed at tick start)
+        consolidateVecs(spark, p, committed, batchId)
+      }
+      if (operators.AnnIndex.isBuilt(spark, p.annPost) &&
+          operators.AnnIndex.ivfpChain(spark, p.annPost).length > annMaxChain)
+        operators.AnnIndex.compactIvfPostings(spark, p.annPost)
     }
     if (failAt.contains(AfterAnn)) throw new InjectedCrash(AfterAnn)
     // verify ownership right before the compaction whole-dir swaps —
@@ -441,7 +488,7 @@ object DailyLoop {
     // and retention runs on its own batch-keyed cadence (step 3b) —
     // the knob that stops a frequent index compaction from paying the
     // pair-verification pass every time.
-    if (BandIndex.chainLength(spark, p.index) > maxChain) {
+    if (BandIndex.chainLength(spark, p.index) > maxChain) JobLabel(spark, s"tick $batchId: compact") {
       val l = BandIndex.layout(spark, p.index)
       val corpusSh = DocsStream.storeShingles(spark, p.store, batchId)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -475,7 +522,7 @@ object DailyLoop {
     // re-triggers it deterministically on re-run (idempotent full
     // recompute + atomic swap). Store consolidation rides THIS cadence
     // when retention is decoupled (see the invariant above).
-    if (pairRebuildEvery > 0 && batchId % pairRebuildEvery == 0) {
+    if (pairRebuildEvery > 0 && batchId % pairRebuildEvery == 0) JobLabel(spark, s"tick $batchId: pair retention") {
       val l = BandIndex.layout(spark, p.index)
       val corpusSh = DocsStream.storeShingles(spark, p.store, batchId)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

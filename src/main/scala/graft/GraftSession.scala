@@ -40,6 +40,15 @@ object GraftSession {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.optimizer.excludedRules",
               "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // r21: partitioned stores here are bucket-directory layouts (band
+      // index, shingle/pair/posting snapshots) whose listings are a few
+      // dozen to a few hundred directories; the default threshold (32)
+      // turns nearly every probe's listing into a Spark JOB — measured
+      // dozens of 0.1–0.2 s listing jobs per lifecycle query. Below 256
+      // paths the driver's parallel lister is strictly cheaper; genuinely
+      // large partitioned tables (> 256 dirs) still use the distributed
+      // listing job, so this stays scale-safe rather than local-tuned.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "256")
       .config("spark.sql.warehouse.dir",
               s"/tmp/graft-warehouse-${ProcessHandle.current().pid()}")
       .config("spark.ui.enabled", "false")

@@ -179,8 +179,13 @@ object AnnIndex {
     * never to silence. Ids are read back from the just-written parquet
     * (one columnar id scan), not recomputed from lineage. */
   private def writeIdBloom(spark: SparkSession, vd: Path,
-                           ids: DataFrame): Unit = {
-    val n = math.max(ids.count(), 1L)
+                           ids: DataFrame, n0: Option[Long] = None): Unit = {
+    // `ids` may carry duplicates (setting the same bits twice is a
+    // no-op), so PQ call sites skip the read-back distinct() shuffle and
+    // size the filter from the parquet row count instead (rows = m ×
+    // distinct ids by the pqEncode contract) — one metadata-speed count
+    // replaces a full distinct per published layer (r21).
+    val n = math.max(n0.getOrElse(ids.count()), 1L)
     val numBits = {
       val want = n * 12L
       val clamped = math.min(math.max(want, 1L << 20), 1L << 28)
@@ -221,7 +226,7 @@ object AnnIndex {
     * case stays one map-only pass over the delta. */
   private def guardDisjoint(spark: SparkSession, path: String,
                             chain: Seq[Int], ids: DataFrame,
-                            exact: => Long, what: String): Unit = {
+                            exact: => Long, msg: => String): Unit = {
     val blooms = chain.map(v => readIdBloom(spark, path, v))
     val suspicious =
       if (blooms.forall(_.isDefined))
@@ -229,9 +234,7 @@ object AnnIndex {
           Bloom.mightContain(bits, col("id"), nb, k)
         }.reduce(_ || _)).limit(1).count() > 0
       else true // legacy layer without a bloom: no prefilter available
-    if (suspicious) require(exact == 0L,
-      s"$what under $path: delta contains ids already in the chain — " +
-        "changed vectors need a rebuild, not an append")
+    if (suspicious) require(exact == 0L, msg)
   }
 
   private def batchSuffix(batchId: Option[Long]): String =
@@ -326,13 +329,14 @@ object AnnIndex {
               batchId: Option[Long] = None,
               trainSampleMax: Long = 0L): Int = {
     val spark = corpus.sparkSession
+    graft.JobLabel(spark, s"ann buildPq $path") {
     // units feed every train round AND the encode (no-subplan-CSE: pin
     // once) — spill-friendly persist, NOT a localCheckpoint: this is
     // the corpus-sized relation, and an executor-disk checkpoint copy
     // of it is exactly the O(corpus) duplication a 100 TB build can't
     // afford. books are tiny and pqTrain checkpoints them per round.
     val units = Similarity
-      .unitVectors(corpus, Seq(idCol -> "id"), vecCol, "unit")
+      .unitVectors(Spread.ensureParallel(corpus), Seq(idCol -> "id"), vecCol, "unit")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // the count rides the persist (columnar, one pass); keep ≥ Denom
@@ -384,13 +388,15 @@ object AnnIndex {
       books.write.mode("overwrite").parquet(new Path(vd, "books").toString)
       Similarity.pqEncode(units, books, m, subLen)
         .write.mode("overwrite").parquet(new Path(vd, "codes").toString)
-      writeIdBloom(spark, vd, spark.read
-        .parquet(new Path(vd, "codes").toString).select("id").distinct())
+      val codesBack = spark.read.parquet(new Path(vd, "codes").toString)
+      writeIdBloom(spark, vd, codesBack.select("id"),
+        Some(codesBack.count() / m)) // rows = m × ids (pqEncode contract)
       commitMeta(spark, vd,
         s"pq $m $subLen $numCodes ti=$trainIters${batchSuffix(batchId)}")
       prune(spark, path, next)
       next
     } finally { units.unpersist(); () }
+    }
   }
 
   /** Ingest NEW vectors without touching the corpus: encode `delta`
@@ -419,11 +425,12 @@ object AnnIndex {
                batchId: Option[Long] = None,
                removals: Option[DataFrame] = None): Int = {
     val spark = delta.sparkSession
+    graft.JobLabel(spark, s"ann appendPq $path") {
     val p = pqParams(spark, path) // also proves a committed pq chain exists
     val parent = currentVersion(spark, path)
     val books = pqBooks(spark, path)
     val units = Similarity
-      .unitVectors(delta, Seq(idCol -> "id"), vecCol, "unit")
+      .unitVectors(Spread.ensureParallel(delta), Seq(idCol -> "id"), vecCol, "unit")
     val rem = removals.map(_.select(col(idCol).as("id")).distinct())
     // ids tombstoned by THIS layer are legal to re-add in it — exclude
     // them from the liveness scan (the delete+put flow)
@@ -434,13 +441,21 @@ object AnnIndex {
     def exactDup = liveIds
       .join(org.apache.spark.sql.functions.broadcast(units.select("id")), "id")
       .limit(1).count()
-    if (checkDisjoint)
-      require(exactDup == 0L,
+    // BOTH modes go through the O(delta) bloom prefilter (r21): blooms
+    // have no false negatives, so the exact chain id scan runs only on
+    // a hit (a real duplicate, or the filter's bounded false positive)
+    // — checkDisjoint keeps its exact, loud semantics while a clean
+    // append pays one map-only pass over the delta instead of an
+    // O(chain) scan per append (the q137 chain-depth cost was exactly
+    // this scan; guide §3.2's prefilter move).
+    guardDisjoint(spark, path, pqChain(spark, path), units.select("id"),
+      exactDup,
+      if (checkDisjoint)
         s"appendPq under $path: delta contains ids already encoded in the " +
-          "chain — replace them via the removals tombstone set")
-    else // the caller's pipeline claims disjointness — verify it cheaply
-      guardDisjoint(spark, path, pqChain(spark, path), units.select("id"),
-        exactDup, "appendPq")
+          "chain — replace them via the removals tombstone set"
+      else
+        s"appendPq under $path: delta contains ids already in the chain — " +
+          "changed vectors need a rebuild, not an append")
     val next = claimVersion(spark, path)
     val vd = vdir(path, next)
     // A REMOVAL-ONLY layer (empty delta + tombstones — the daily loop's
@@ -457,16 +472,18 @@ object AnnIndex {
         .write.mode("overwrite").parquet(new Path(vd, "codes").toString)
     rem.foreach(_.write.mode("overwrite")
       .parquet(new Path(vd, "tombs").toString))
-    writeIdBloom(spark, vd,
-      if (hasData) spark.read
-        .parquet(new Path(vd, "codes").toString).select("id").distinct()
-      else units.select("id"))
+    if (hasData) {
+      val codesBack = spark.read.parquet(new Path(vd, "codes").toString)
+      writeIdBloom(spark, vd, codesBack.select("id"),
+        Some(codesBack.count() / p.m)) // rows = m × ids (pqEncode contract)
+    } else writeIdBloom(spark, vd, units.select("id"))
     commitMeta(spark, vd,
       s"pq-delta $parent ${p.m} ${p.subLen} ${p.numCodes} " +
         s"ti=${p.trainIters}${batchSuffix(batchId)}")
     // no prune: every ancestor layer stays live until the next full
     // rebuild collapses the chain
     next
+    }
   }
 
   /** Collapse the layer chain WITHOUT retraining: the root's books and
@@ -480,7 +497,8 @@ object AnnIndex {
     * compaction cost class, never the raw floats). Carries the head's
     * batch stamp forward so a tick that compacts stays idempotent
     * under crash re-run. Returns the committed version. */
-  def compactPq(spark: SparkSession, path: String): Int = {
+  def compactPq(spark: SparkSession, path: String): Int =
+    graft.JobLabel(spark, s"ann compactPq $path") {
     val p = pqParams(spark, path)
     val batch = pqHeadBatch(spark, path)
     // plain reads, no pinning: the source versions stay on disk (prune
@@ -492,13 +510,14 @@ object AnnIndex {
     val vd = vdir(path, next)
     books.write.mode("overwrite").parquet(new Path(vd, "books").toString)
     codes.write.mode("overwrite").parquet(new Path(vd, "codes").toString)
-    writeIdBloom(spark, vd, spark.read
-      .parquet(new Path(vd, "codes").toString).select("id").distinct())
+    val codesBack = spark.read.parquet(new Path(vd, "codes").toString)
+    writeIdBloom(spark, vd, codesBack.select("id"),
+      Some(codesBack.count() / p.m)) // rows = m × ids (pqEncode contract)
     commitMeta(spark, vd,
       s"pq ${p.m} ${p.subLen} ${p.numCodes} ti=${p.trainIters}${batchSuffix(batch)}")
     prune(spark, path, next)
     next
-  }
+    }
 
   /** Train + publish an IVF centroid table (cell, centroid) from the
     * label-seeded exact Lloyd refinement (the q87 construction). */
@@ -507,7 +526,7 @@ object AnnIndex {
                cellCol: String = "label"): Int = {
     val spark = corpus.sparkSession
     val units = Similarity.unitVectors(
-      corpus, Seq(idCol -> "id", cellCol -> "cell"), vecCol)
+      Spread.ensureParallel(corpus), Seq(idCol -> "id", cellCol -> "cell"), vecCol)
     val cents = Similarity.kmeansRefineExact(
       units, Similarity.exactCentroids(units), refineIters)
     val next = claimVersion(spark, path)
@@ -654,7 +673,7 @@ object AnnIndex {
   def ivfAssign(spark: SparkSession, path: String, corpus: DataFrame,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     Similarity.assignCellsAgg(
-      Similarity.unitVectors(corpus, Seq(idCol -> "id"), vecCol),
+      Similarity.unitVectors(Spread.ensureParallel(corpus), Seq(idCol -> "id"), vecCol),
       ivfCentroids(spark, path))
 
   /** Rows per write task within one posting cell. One task per cell is
@@ -731,6 +750,7 @@ object AnnIndex {
                        cellTaskCap: Long = PostingCellTaskCap,
                        trainOn: Option[DataFrame] = None): Int = {
     val spark = corpus.sparkSession
+    graft.JobLabel(spark, s"ann buildIvfPostings $path") {
     // corpus-sized multi-consumer (every Lloyd round + the final
     // assignment + the posting write) — spill-friendly persist, not an
     // O(corpus) executor-disk checkpoint copy. When `trainOn` is given,
@@ -739,13 +759,14 @@ object AnnIndex {
     // labels — if any — are ignored: the seed path for a store whose
     // corpus is only partially labeled (DailyLoop's vector store after
     // label-less ticks).
+    val corpusP = Spread.ensureParallel(corpus) // scan-parallelism floor
     val units = (trainOn match {
       case None => Similarity.unitVectors(
-        corpus, Seq(idCol -> "id", cellCol -> "cell"), vecCol)
-      case Some(_) => Similarity.unitVectors(corpus, Seq(idCol -> "id"), vecCol)
+        corpusP, Seq(idCol -> "id", cellCol -> "cell"), vecCol)
+      case Some(_) => Similarity.unitVectors(corpusP, Seq(idCol -> "id"), vecCol)
     }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val seedPinned = trainOn.map(t => Similarity.unitVectors(
-      t, Seq(idCol -> "id", cellCol -> "cell"), vecCol)
+      Spread.ensureParallel(t), Seq(idCol -> "id", cellCol -> "cell"), vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     try {
       val seed = seedPinned.getOrElse(units)
@@ -764,6 +785,7 @@ object AnnIndex {
       prune(spark, path, next)
       next
     } finally { units.unpersist(); seedPinned.foreach(_.unpersist()); () }
+    }
   }
 
   /** The posting-store chain, head first, root (a full build) last —
@@ -817,9 +839,11 @@ object AnnIndex {
                         cellTaskCap: Long = PostingCellTaskCap,
                         removals: Option[DataFrame] = None): Int = {
     val spark = delta.sparkSession
+    graft.JobLabel(spark, s"ann appendIvfPostings $path") {
     val parent = ivfpChain(spark, path).head
     val cents = ivfpCentroids(spark, path)
-    val units = Similarity.unitVectors(delta, Seq(idCol -> "id"), vecCol)
+    val units = Similarity.unitVectors(
+      Spread.ensureParallel(delta), Seq(idCol -> "id"), vecCol)
     val rem = removals.map(_.select(col(idCol).as("id")).distinct())
     // the appendPq contract: a LIVE re-appended id would surface the
     // same candidate at two ranks in every probe — loud reject; ids
@@ -832,13 +856,16 @@ object AnnIndex {
     def exactDup = liveIds
       .join(broadcast(units.select("id")), "id")
       .limit(1).count()
-    if (checkDisjoint)
-      require(exactDup == 0L,
+    // the appendPq rule (r21): bloom prefilter for both modes, exact
+    // scan only on a hit — O(delta) per clean append at any chain depth
+    guardDisjoint(spark, path, ivfpChain(spark, path), units.select("id"),
+      exactDup,
+      if (checkDisjoint)
         s"appendIvfPostings under $path: delta contains ids already in " +
-          "the posting chain — replace them via the removals tombstone set")
-    else
-      guardDisjoint(spark, path, ivfpChain(spark, path), units.select("id"),
-        exactDup, "appendIvfPostings")
+          "the posting chain — replace them via the removals tombstone set"
+      else
+        s"appendIvfPostings under $path: delta contains ids already in " +
+          "the chain — changed vectors need a rebuild, not an append")
     val next = claimVersion(spark, path)
     val vd = vdir(path, next)
     // removal-only layer: skip the postings dataset entirely (the
@@ -859,6 +886,7 @@ object AnnIndex {
     commitMeta(spark, vd, s"ivfp-delta $parent${batchSuffix(batchId)}")
     // no prune: ancestors stay live until a rebuild/compaction collapses
     next
+    }
   }
 
   /** Collapse the posting chain WITHOUT retraining: root centroids +
@@ -867,7 +895,8 @@ object AnnIndex {
     * refresh retrains and legitimately changes rankings). Returns the
     * committed version. */
   def compactIvfPostings(spark: SparkSession, path: String,
-                         cellTaskCap: Long = PostingCellTaskCap): Int = {
+                         cellTaskCap: Long = PostingCellTaskCap): Int =
+    graft.JobLabel(spark, s"ann compactIvfPostings $path") {
     val chain = ivfpChain(spark, path)
     // params from the ROOT sidecar, batch stamp from the HEAD (the
     // compactPq rule: a compacting tick must stay idempotent on re-run)
@@ -886,7 +915,7 @@ object AnnIndex {
       s"${rootParts.mkString(" ")}${batchSuffix(batch)}")
     prune(spark, path, next)
     next
-  }
+    }
 
   /** Multi-probe IVF top-k against the persisted posting lists —
     * [[Similarity.cellTopKMultiProbe]]'s exact semantics (probe ranking

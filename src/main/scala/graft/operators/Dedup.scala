@@ -49,7 +49,10 @@ object Dedup {
     * projection step so the HOF shingle expression sees an attribute. */
   def shingleSets(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                   n: Int = 3): DataFrame =
-    docs
+    // parallelism floor BEFORE the tokenizer (the engine's heaviest
+    // per-row stage): a few-row-group input otherwise serializes it on
+    // as few cores (Spread.ensureParallel — identity at real scale)
+    Spread.ensureParallel(docs)
       .select(col(idCol).as("doc_id"),
               TextAnalysis.wsTokens(lower(col(textCol))).as("tokens"))
       .select(col("doc_id"), shingles(col("tokens"), n).as("shingles"))
@@ -440,7 +443,7 @@ object Dedup {
   def simhash(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text",
               tokHash: Column => Column = xxhash64(_)): DataFrame = {
-    val tf = docs
+    val tf = Spread.ensureParallel(docs) // tokenizer floor (see shingleSets)
       .select(col(idCol).as("doc_id"),
               explode(TextAnalysis.wordTokens(col(textCol))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("w"))
@@ -522,8 +525,9 @@ object Dedup {
     * caller's join. */
   def winnowFingerprints(docs: DataFrame, idCol: String = "doc_id",
                          textCol: String = "text"): DataFrame = {
-    val toked = docs.select(col(idCol).as("doc_id"),
-      TextAnalysis.wordTokens(col(textCol)).as("toks"))
+    val toked = Spread.ensureParallel(docs) // tokenizer floor (see shingleSets)
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.wordTokens(col(textCol)).as("toks"))
     // per-token polynomial hash over its chars (tokens are a bound
     // attribute — HOF re-eval pitfall). The per-element expression is
     // the codegen'd PolyHash: inside a transform lambda everything

@@ -133,9 +133,34 @@ object PartitionedSnapshot {
     val touched = deltaB.select(BucketCol).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
     if (touched.nonEmpty) {
-      // Partition-pruned read: only touched directories are scanned.
-      val snapTouched = read(spark, path)
-        .filter(col(BucketCol).isin(touched: _*))
+      // Partition-pruned read, pruned at the LISTING level (r21): the
+      // old form read the snapshot ROOT with mergeSchema, which lists
+      // and footer-probes EVERY bucket's files before the filter prunes
+      // — an O(all buckets) control-plane job per tick. Listing only
+      // the touched directories makes the merge's read O(touched) in
+      // listing and schema work too. Semantics are unchanged: the rows
+      // are exactly the touched buckets' rows either way, and a column
+      // that exists only in UNTOUCHED buckets merely stays absent from
+      // the rewritten buckets instead of riding along as all-nulls —
+      // the mergeSchema read surfaces both identically as null. Heal
+      // first (read() did it): a bucket mid-swap must not be mistaken
+      // for a brand-new one. Brand-new buckets (no directory yet) fall
+      // back to the full read ONCE for its union schema — at most once
+      // per bucket lifetime.
+      graft.SnapshotIO.recoverAll(spark.sparkContext.hadoopConfiguration, path)
+      val hfs0 = fs(spark)
+      val touchedDirs = touched.map(b => s"$path/$BucketCol=$b")
+        .filter(d => hfs0.exists(new Path(d)))
+      val snapTouched =
+        (if (touchedDirs.nonEmpty)
+          // a touched bucket with NO directory yet is brand-new and
+          // contributes no rows — exactly what the filtered full read
+          // returned for it
+          spark.read.option("mergeSchema", "true").option("basePath", path)
+            .parquet(touchedDirs: _*)
+        else // every touched bucket is new: only the sentinel carries
+             // the snapshot schema — the one case that needs a root read
+          read(spark, path).filter(col(BucketCol).isin(touched: _*)))
         .drop(BucketCol)
       val merged = postMerge(
         Merge.upsert(snapTouched, deltaB.drop(BucketCol), key, now))

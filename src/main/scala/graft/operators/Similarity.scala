@@ -55,7 +55,7 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = broadcast(unitVectors(queries, Seq(idCol -> "query_id"), vecCol, "qu"))
-    val c = unitVectors(corpus, Seq(idCol -> "cand_id"), vecCol, "cu")
+    val c = unitVectors(Spread.ensureParallel(corpus), Seq(idCol -> "cand_id"), vecCol, "cu")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("cand_id").asc)
     c.join(q, col("cand_id") =!= col("query_id"))
@@ -72,7 +72,7 @@ object Similarity {
                cellCol: String = "label"): DataFrame = {
     val q = broadcast(unitVectors(queries, Seq(idCol -> "query_id", cellCol -> "cell"),
                                   vecCol, "qu"))
-    val c = unitVectors(corpus, Seq(idCol -> "cand_id", cellCol -> "c_cell"), vecCol, "cu")
+    val c = unitVectors(Spread.ensureParallel(corpus), Seq(idCol -> "cand_id", cellCol -> "c_cell"), vecCol, "cu")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("cand_id").asc)
     c.join(q, col("c_cell") === col("cell") && col("cand_id") =!= col("query_id"))
@@ -110,7 +110,7 @@ object Similarity {
       .withColumn("rn", row_number().over(probeW))
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("qu"), col("c_cell"))
-    val cu = unitVectors(corpus, Seq(idCol -> "cand_id", cellCol -> "cc"), vecCol, "cu")
+    val cu = unitVectors(Spread.ensureParallel(corpus), Seq(idCol -> "cand_id", cellCol -> "cc"), vecCol, "cu")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("cand_id").asc)
     cu.join(broadcast(probes),
@@ -139,7 +139,7 @@ object Similarity {
                    idCol: String = "vec_id", vecCol: String = "embedding",
                    cellCol: String = "label",
                    maxCell: Long = DefaultMaxCell): DataFrame = {
-    val u0 = unitVectors(corpus, Seq(idCol -> "id", cellCol -> "cell"), vecCol, "u")
+    val u0 = unitVectors(Spread.ensureParallel(corpus), Seq(idCol -> "id", cellCol -> "cell"), vecCol, "u")
     val u = Dedup.capPopulation(u0, Seq(col("cell")), maxCell)
     u.as("a").join(u.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
@@ -502,7 +502,7 @@ object Similarity {
                        idCol: String = "vec_id", vecCol: String = "embedding",
                        cellCol: String = "label",
                        maxCell: Long = DefaultMaxCell): DataFrame = {
-    val units = unitVectors(corpus, Seq(idCol -> "id", cellCol -> "cell"), vecCol)
+    val units = unitVectors(Spread.ensureParallel(corpus), Seq(idCol -> "id", cellCol -> "cell"), vecCol)
     val cents = kmeansRefineExact(units, exactCentroids(units), refineIters)
     val assigned = assignCellsAgg(units, cents).select(col("id"), col("assigned_cell"))
     val au = Dedup.capPopulation(
@@ -820,7 +820,7 @@ object Similarity {
                          labelCol: String, coarseTarget: Long,
                          ladderRowsFloor: Long)
       : (DataFrame, DataFrame) = {
-    val units = unitVectors(corpus, Seq(idCol -> "id", labelCol -> "cell"), vecCol)
+    val units = unitVectors(Spread.ensureParallel(corpus), Seq(idCol -> "id", labelCol -> "cell"), vecCol)
     val ccents = exactCentroids(units)
     // checkpointed LAZILY: it feeds the ladder's control read plus two
     // plan sides of the first withAutoCells (probe + pops) — without
@@ -944,14 +944,19 @@ object Similarity {
       .select(col("sub"), col("code"), col("sv").as("code_vec"))
       .localCheckpoint()
     (1 to iters).foreach { _ =>
-      val w = Window.partitionBy(col("id"), col("sub"))
-        .orderBy(col("s").desc, col("code").asc)
+      // nearest-code pick through the [[top1Cell]] aggregation shape
+      // (max over struct(s, -code) == row_number over (s desc, code asc)
+      // = 1 — codes are distinct per (id, sub), so the key is unique and
+      // the max deterministic): map-side combine instead of a full
+      // shuffle-sort of the (corpus × k) scored relation, the r21 plan
+      // move mirroring what assignCellsAgg already did for IVF assigns.
       val assigned = subs.join(broadcast(books), "sub")
-        .select(col("id"), col("sub"), col("code"),
-                dot(col("sv"), col("code_vec")).as("s"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("id"), col("sub"), col("code"))
+        .select(col("id"), col("sub"),
+                struct(dot(col("sv"), col("code_vec")).as("s"),
+                       (-col("code")).as("neg")).as("sc"))
+        .groupBy(col("id"), col("sub"))
+        .agg(max(col("sc")).as("m"))
+        .select(col("id"), col("sub"), (-col("m.neg")).as("code"))
       val means = subs.join(assigned, Seq("id", "sub"))
         .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
         .groupBy(col("sub"), col("code"), col("pos"))
@@ -982,16 +987,23 @@ object Similarity {
     * corpus never shuffles. Output: (id, sub, code) — at scale this is
     * the m-byte-per-vector representation that replaces d floats. */
   def pqEncode(units: DataFrame, codebooks: DataFrame,
-               m: Int, subLen: Int): DataFrame = {
-    val w = Window.partitionBy(col("id"), col("sub"))
-      .orderBy(col("s").desc, col("code").asc)
+               m: Int, subLen: Int): DataFrame =
+    // same [[top1Cell]]-shaped aggregation as the pqTrain assign (r21):
+    // max over struct(s, -code) is exactly row_number over (s desc,
+    // code asc) = 1 — deterministic because codes are distinct per
+    // (id, sub) — but partially aggregable, so the encode pass shuffles
+    // one combined row per (id, sub) instead of shuffle-sorting the
+    // (corpus × numCodes) scored relation. This is the O(corpus) pass
+    // of every build/append/refresh, so the sort removal is the
+    // at-scale win, not just a local one.
     subVectors(units, m, subLen, Seq("id"))
       .join(broadcast(codebooks), "sub")
-      .select(col("id"), col("sub"), col("code"), dot(col("sv"), col("code_vec")).as("s"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("id"), col("sub"), col("code"))
-  }
+      .select(col("id"), col("sub"),
+              struct(dot(col("sv"), col("code_vec")).as("s"),
+                     (-col("code")).as("neg")).as("sc"))
+      .groupBy(col("id"), col("sub"))
+      .agg(max(col("sc")).as("m"))
+      .select(col("id"), col("sub"), (-col("m.neg")).as("code"))
 
   /** PQ-ADC approximate top-k: per query, a lookup table of
     * dot(query subvector, codebook entry); a candidate's approximate
@@ -1003,7 +1015,7 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
              m: Int = 4, subLen: Int = 16, numCodes: Int = 16, trainIters: Int = 2,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cu = unitVectors(corpus, Seq(idCol -> "id"), vecCol, "unit")
+    val cu = unitVectors(Spread.ensureParallel(corpus), Seq(idCol -> "id"), vecCol, "unit")
     val books = pqTrain(cu, m, subLen, numCodes, trainIters)
     val codes = pqEncode(cu, books, m, subLen)
     pqTopKFrom(books, codes, queries, k, m, subLen, idCol, vecCol)
@@ -1048,7 +1060,7 @@ object Similarity {
                 m: Int = 4, subLen: Int = 16, numCodes: Int = 16,
                 trainIters: Int = 2, idCol: String = "vec_id",
                 vecCol: String = "embedding", cellCol: String = "label"): DataFrame = {
-    val cu = unitVectors(corpus, Seq(idCol -> "id", cellCol -> "cell"), vecCol, "unit")
+    val cu = unitVectors(Spread.ensureParallel(corpus), Seq(idCol -> "id", cellCol -> "cell"), vecCol, "unit")
     val books = pqTrain(cu, m, subLen, numCodes, trainIters)
     val codes = pqEncode(cu, books, m, subLen)
       .join(cu.select(col("id"), col("cell")), "id")
@@ -1140,7 +1152,7 @@ object Similarity {
                           idCol: String = "vec_id",
                           vecCol: String = "embedding",
                           cellCol: String = "label"): DataFrame = {
-    val cu = unitVectors(corpus, Seq(idCol -> "id", cellCol -> "cell"), vecCol, "unit")
+    val cu = unitVectors(Spread.ensureParallel(corpus), Seq(idCol -> "id", cellCol -> "cell"), vecCol, "unit")
     val cents = exactCentroids(cu)
     val books = pqTrain(cu, m, subLen, numCodes, trainIters)
     val codes = pqEncode(cu, books, m, subLen)
@@ -1152,7 +1164,7 @@ object Similarity {
   /** All-pairs variant (no blocking) — exact but O(n²); test scale only. */
   def dupPairs(corpus: DataFrame, threshold: Double,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val u = unitVectors(corpus, Seq(idCol -> "id"), vecCol, "u")
+    val u = unitVectors(Spread.ensureParallel(corpus), Seq(idCol -> "id"), vecCol, "u")
     u.as("a").join(u.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
               dot(col("a.u"), col("b.u")).as("sim"))
@@ -1200,7 +1212,7 @@ object Similarity {
                   idCol: String = "vec_id", vecCol: String = "embedding",
                   maxBucket: Long = DefaultMaxSrpBucket): DataFrame = {
     val planes = srpPlanes(bands * rowsPerBand, dim)
-    val u0 = unitVectors(corpus, Seq(idCol -> "id"), vecCol, "u")
+    val u0 = unitVectors(Spread.ensureParallel(corpus), Seq(idCol -> "id"), vecCol, "u")
     // Fail LOUDLY on a dim mismatch: zip_with pads the shorter array with
     // nulls, so a wrong `dim` would silently zero projection sign bits
     // and degrade recall with no error (precision survives only because

@@ -377,7 +377,7 @@ object DocsStream {
     try {
       // one pinned tick: the batch is banded ONCE, serving both
       // the chain probe and the layer append below
-      val tick = new BandIndex.DeltaTick(idx, bsh)
+      val tick = graft.JobLabel(s, "band delta") { new BandIndex.DeltaTick(idx, bsh) }
       // candidates referencing docs deleted in EARLIER ticks are dead
       // on arrival — their shingles are tombstoned, so verify would
       // drop them anyway — but left in they inflate the touched-bucket
@@ -394,17 +394,28 @@ object DocsStream {
       // Only docs deleted earlier AND absent from this batch are pruned.
       val dels = deletedDocs(s, store, batchId)
         .join(bsh.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
-      val cand0 = tick.candidates
-      val cand = cand0
-        .join(dels.select(col("doc_id").as("a_id")), Seq("a_id"), "left_anti")
-        .join(dels.select(col("doc_id").as("b_id")), Seq("b_id"), "left_anti")
-        .select(cand0.columns.map(col).toSeq: _*)
+      val cand0 = graft.JobLabel(s, "probe candidates") { tick.candidates }
+      // checkpointed HERE (r21): the pruned candidate set feeds the
+      // touched-bucket collect below AND the verify join — without the
+      // pin the dels anti-join subtree (including deletedDocs' store
+      // aggregate) executed once per consumer (no subplan CSE).
+      // verifyStats' own defensive checkpoint of this frame is then a
+      // cheap block copy of an already-tiny relation.
+      val cand = graft.JobLabel(s, "probe candidates") {
+        cand0
+          .join(dels.select(col("doc_id").as("a_id")), Seq("a_id"), "left_anti")
+          .join(dels.select(col("doc_id").as("b_id")), Seq("b_id"), "left_anti")
+          .select(cand0.columns.map(col).toSeq: _*)
+          .localCheckpoint()
+      }
       // control-plane: which store buckets hold candidate docs
       // (≤ StoreBuckets values)
-      val touched = cand.select(col("a_id").as("doc_id"))
-        .union(cand.select(col("b_id").as("doc_id")))
-        .select(PartitionedSnapshot.bucketOf(col("doc_id"), StoreBuckets).as("b"))
-        .distinct().collect().map(_.getLong(0)).toSeq.sorted
+      val touched = graft.JobLabel(s, "touched buckets") {
+        cand.select(col("a_id").as("doc_id"))
+          .union(cand.select(col("b_id").as("doc_id")))
+          .select(PartitionedSnapshot.bucketOf(col("doc_id"), StoreBuckets).as("b"))
+          .distinct().collect().map(_.getLong(0)).toSeq.sorted
+      }
       // a doc in the CURRENT batch supersedes any stored copy of itself
       // (earlierShingles already keeps only the latest STORED batch per
       // doc; this anti-join applies the same LWW rule to the in-flight
@@ -431,24 +442,37 @@ object DocsStream {
         // buckets) per tick, not O(|all pairs ever|); per-bucket
         // crash-safe swaps + the idempotent keyed upsert make a
         // re-delivered batch converge on any mid-merge crash state.
-        if (!PartitionedSnapshot.isInitialized(s, snap))
-          PartitionedSnapshot.initEmpty(Merge.init(pairs.limit(0)), snap,
-            "pk", PairBuckets)
-        PartitionedSnapshot.mergeDelta(s, snap, pairs, "pk")
+        graft.JobLabel(s, "pair merge") {
+          if (!PartitionedSnapshot.isInitialized(s, snap))
+            PartitionedSnapshot.initEmpty(Merge.init(pairs.limit(0)), snap,
+              "pk", PairBuckets)
+          PartitionedSnapshot.mergeDelta(s, snap, pairs, "pk")
+        }
       } finally pairs.unpersist()
-      tick.append() // the O(batch) daily layer, same band rows
-      // idempotent O(batch) store append: the live shingles PLUS one
-      // null-shingle tombstone row per removed doc, clustered per
-      // bucket into one task (same small-files reasoning as
-      // BandIndex.write)
+      // The two O(batch) appends touch DISJOINT stores (the band index's
+      // fresh v-dir vs the shingle store's own batch partition) and both
+      // consume the already-pinned band/shingle frames, so they run
+      // CONCURRENTLY (guide §2.6): each is idempotent under the tick's
+      // crash model on its own (a doubled layer is distinct()ed away, a
+      // re-run store append overwrites its own partition), so overlap
+      // changes wall-clock only, never an answer or convergence.
       val tombRows = rem.map(_.select(col("doc_id"),
           lit(null).cast("long").as("shingle")))
-      tombRows.map(bsh.unionByName(_)).getOrElse(bsh)
-        .withColumn("doc_bucket",
-          PartitionedSnapshot.bucketOf(col("doc_id"), StoreBuckets))
-        .repartition(StoreBuckets, col("doc_bucket"))
-        .write.partitionBy("doc_bucket").mode("overwrite")
-        .parquet(s"$store/batch=$batchId")
+      graft.Par(
+        // the O(batch) daily layer, same band rows
+        () => graft.JobLabel(s, "layer append") { tick.append() },
+        // idempotent O(batch) store append: the live shingles PLUS one
+        // null-shingle tombstone row per removed doc, clustered per
+        // bucket into one task (same small-files reasoning as
+        // BandIndex.write)
+        () => graft.JobLabel(s, "store append") {
+          tombRows.map(bsh.unionByName(_)).getOrElse(bsh)
+            .withColumn("doc_bucket",
+              PartitionedSnapshot.bucketOf(col("doc_id"), StoreBuckets))
+            .repartition(StoreBuckets, col("doc_bucket"))
+            .write.partitionBy("doc_bucket").mode("overwrite")
+            .parquet(s"$store/batch=$batchId")
+        })
     } finally { bsh.unpersist(); rem.foreach(_.unpersist()); () }
     ()
   }
