@@ -104,16 +104,51 @@ object Bench {
     // a pin run that fails INDEPENDENTLY (the main sequence was green,
     // e.g. a transient OOM) must not land a bogus timing in the pins
     // JSON: destructure its failed list and omit the entry (ADVICE r18)
-    val pins = pinNames.sorted.flatMap { name =>
+    val pinVals: Seq[(String, Double)] = pinNames.sorted.flatMap { name =>
       val (r, pf) = run(spark, sfDir, Map(name -> selected(name)), 2)
       if (pf.nonEmpty) {
         System.err.println(s"[bench] pin run for $name failed — omitted")
         None
-      } else r.head._2.map(v => "\"" + name + "\":" + v)
-    }.mkString("{", ",", "}")
+      } else r.head._2.map(v => name -> v)
+    }
+    val pins = pinVals.map { case (n, v) => "\"" + n + "\":" + v }
+      .mkString("{", ",", "}")
+    // steadyTotal (r22, carrying out the r20 advice / r21 verdict task 1):
+    // the headline total with each PINNED query's in-sequence measurement
+    // replaced by its post-sequence steady-state pin — the number that
+    // separates real plan movement from in-sequence machine spread
+    // without hand arithmetic. Equals `value` exactly when no pins ran
+    // (prefix-filtered runs, pins disabled).
+    val inseq = results.toMap
+    val steadyTotal = pinVals.foldLeft(total) { case (t, (n, v)) =>
+      t - inseq.get(n).flatten.getOrElse(0.0) + v
+    }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"skipped":$sk,"repeat":$repeat,"extraRepeat":$er,"pins":$pins,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"skipped":$sk,"repeat":$repeat,"extraRepeat":$er,"pins":$pins,"steadyTotal":$steadyTotal,"sf":"$sfDir"}"""
     println(json)
+    // COMPACT final line (r22, r21 verdict tasks 1–2): at 144 queries the
+    // full line above is ~9 KB, but the driver keeps only the last few KB
+    // of stdout — BENCH_r20/r21 both landed `parsed: null` and the PERF
+    // comparison was empty two rounds running. Print a second, LAST line
+    // sized to survive any plausible tail window (~2 KB): the same
+    // schema, with `queries` holding every pin plus as many of the
+    // HEAVIEST remaining entries as fit a fixed byte budget (the cheap
+    // tail of sub-second queries is where the budget runs out; the full
+    // per-query map is unchanged above and in BENCH_LAST.json).
+    val budget = 1500 // bytes for the queries map — total line < ~1.9 KB
+    def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    val byWeight = results.collect { case (n, Some(v)) => n -> v }
+      .sortBy { case (n, v) => (!pinNames.contains(n), -v) }
+    val compactEntries = scala.collection.mutable.ListBuffer[String]()
+    var used = 0
+    byWeight.foreach { case (n, v) =>
+      val e = "\"" + n + "\":" + fmt(v)
+      if (used + e.length + 1 <= budget) { compactEntries += e; used += e.length + 1 }
+    }
+    val cpins = pinVals.map { case (n, v) => "\"" + n + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${compactEntries.mkString("{", ",", "}")},"failed":$fl,"skipped":$sk,"repeat":$repeat,"pins":$cpins,"steadyTotal":${fmt(steadyTotal)},"n":${results.count(_._2.nonEmpty)},"compact":true,"full":"BENCH_LAST.json","sf":"$sfDir"}""")
     // Also land the full JSON at a stable path: the driver's stdout tail
     // keeps only the last 2 KB, so the committed BENCH_r*.json artifacts
     // had parsed:null and cross-round diffs leaned on the ~56-query tail

@@ -41,6 +41,17 @@ object Par {
       t.start(); t
     }
     threads.foreach(_.join())
-    if (!errs.isEmpty) throw errs.peek()
+    if (!errs.isEmpty) {
+      // every failure is preserved: the first is thrown, the rest ride
+      // as suppressed (ADVICE r21 — dropping them hid a second side's
+      // root cause). No sibling interrupt: each side is independently
+      // idempotent under the tick's crash model, the threads share one
+      // SparkContext (a blind interrupt can wedge an in-flight commit),
+      // and both sides are bounded Spark actions, not open-ended loops.
+      val it = errs.iterator()
+      val first = it.next()
+      while (it.hasNext) first.addSuppressed(it.next())
+      throw first
+    }
   }
 }

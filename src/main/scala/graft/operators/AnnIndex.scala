@@ -90,15 +90,80 @@ object AnnIndex {
       .filter(v => f.exists(new Path(vdir(path, v), MetaFile)))
   }
 
-  /** Newest committed version; loud when none exists — an unbuilt
-    * artifact store must never silently probe as empty. */
-  private def currentVersion(spark: SparkSession, path: String): Int = {
-    val committed = committedVersions(spark, path)
-    require(committed.nonEmpty,
+  /** One sidecar read that doubles as the commit probe: a missing meta
+    * file means "uncommitted", never an error — one FS round-trip where
+    * exists()+open() was two. */
+  private def tryMeta(spark: SparkSession, path: String, v: Int): Option[String] =
+    try {
+      val in = fs(spark, path).open(new Path(vdir(path, v), MetaFile))
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    } catch {
+      case _: java.io.FileNotFoundException => None
+      case _: java.nio.file.NoSuchFileException => None
+    }
+
+  /** The committed head and its parent chain (head first, root last)
+    * with every sidecar text, loaded with ONE directory listing and ONE
+    * read per chain element (r22): the lifecycle operations used to
+    * re-list the store and re-walk the chain once per helper call —
+    * pqParams + currentVersion + pqBooks + pqCodes + guardDisjoint each
+    * walked it again, so a depth-8 chain append paid dozens of FS
+    * round-trips of pure control plane. Loaded once per public
+    * operation and threaded through; never cached across operations
+    * (stores mutate between ticks). */
+  private final case class ChainInfo(path: String, chain: Seq[Int],
+                                     metas: Map[Int, String]) {
+    def head: Int = chain.head
+    def headMeta: String = metas(head)
+    def rootMeta: String = metas(chain.last)
+  }
+
+  private def loadChainOpt(spark: SparkSession, path: String): Option[ChainInfo] = {
+    val vs = versions(spark, path).distinct.sorted(Ordering[Int].reverse)
+    // newest committed head: first version whose sidecar reads back
+    val headOpt = vs.iterator
+      .map(v => v -> tryMeta(spark, path, v))
+      .collectFirst { case (v, Some(m)) => (v, m) }
+    headOpt.map { case (head, headMeta) =>
+      val metas = scala.collection.mutable.Map(head -> headMeta)
+      val buf = scala.collection.mutable.ArrayBuffer(head)
+      var cur = head
+      var meta = headMeta.split(" ")
+      while (meta(0).endsWith("-delta")) {
+        val parent = meta(1).toInt
+        // claims are monotone, so a legal parent is always strictly older —
+        // anything else is a tampered/corrupted sidecar, and following it
+        // could walk a cycle forever instead of failing loudly
+        require(parent < cur,
+          s"ann chain under $path corrupt: delta layer v$cur references " +
+            s"parent v$parent (parents must be strictly older)")
+        cur = parent
+        val pm = tryMeta(spark, path, cur)
+        require(pm.nonEmpty,
+          s"ann chain under $path broken: delta layer references missing " +
+            s"committed parent v$cur")
+        metas(cur) = pm.get
+        buf += cur
+        meta = pm.get.split(" ")
+      }
+      ChainInfo(path, buf.toSeq, metas.toMap)
+    }
+  }
+
+  /** Loud when no version ever committed — an unbuilt artifact store
+    * must never silently probe as empty. */
+  private def loadChain(spark: SparkSession, path: String): ChainInfo = {
+    val info = loadChainOpt(spark, path)
+    require(info.nonEmpty,
       s"no committed ANN artifact version under $path — publish one with " +
         "AnnIndex.buildPq/buildIvf/buildIvfPostings")
-    committed.head
+    info.get
   }
+
+  /** Newest committed version; loud when none exists. */
+  private def currentVersion(spark: SparkSession, path: String): Int =
+    loadChain(spark, path).head
 
   private def currentDir(spark: SparkSession, path: String): Path =
     vdir(path, currentVersion(spark, path))
@@ -111,28 +176,25 @@ object AnnIndex {
   }
 
   /** The version chain rooted at `v`: `v` first, then parents down to
-    * the chain root (a full build). Non-layered artifacts (ivf/ivfp, a
-    * full pq build) are their own one-element chain. A broken parent
-    * pointer fails loudly — prune preserves whole chains, so a missing
-    * parent means external tampering, not normal lifecycle. */
+    * the chain root (a full build) — the cold-path walker [[prune]]
+    * needs for an arbitrary (non-head) version; hot paths use
+    * [[loadChain]]. */
   private def chainOf(spark: SparkSession, path: String, v: Int): Seq[Int] = {
     val buf = scala.collection.mutable.ArrayBuffer(v)
     var cur = v
     var meta = metaTextOf(spark, path, cur).split(" ")
     while (meta(0).endsWith("-delta")) {
       val parent = meta(1).toInt
-      // claims are monotone, so a legal parent is always strictly older —
-      // anything else is a tampered/corrupted sidecar, and following it
-      // could walk a cycle forever instead of failing loudly
       require(parent < cur,
         s"ann chain under $path corrupt: delta layer v$cur references " +
           s"parent v$parent (parents must be strictly older)")
       cur = parent
-      require(fs(spark, path).exists(new Path(vdir(path, cur), MetaFile)),
+      val pm = tryMeta(spark, path, cur)
+      require(pm.nonEmpty,
         s"ann chain under $path broken: delta layer references missing " +
           s"committed parent v$cur")
       buf += cur
-      meta = metaTextOf(spark, path, cur).split(" ")
+      meta = pm.get.split(" ")
     }
     buf.toSeq
   }
@@ -206,13 +268,20 @@ object AnnIndex {
                           v: Int): Option[(Array[Long], Int, Int)] = {
     val f = fs(spark, path)
     val p = new Path(vdir(path, v), BloomFile)
-    if (!f.exists(p)) None
-    else {
-      val in = new java.io.DataInputStream(f.open(p))
+    // open-with-catch: the read is its own existence probe (one FS
+    // round-trip, the tryMeta rule) — a bloom-less legacy layer reads
+    // as None exactly as the exists() probe did
+    val inOpt =
+      try Some(new java.io.DataInputStream(f.open(p)))
+      catch {
+        case _: java.io.FileNotFoundException => None
+        case _: java.nio.file.NoSuchFileException => None
+      }
+    inOpt.map { in =>
       try {
         val numBits = in.readInt(); val k = in.readInt()
         val bits = Array.fill(numBits / 64)(in.readLong())
-        Some((bits, numBits, k))
+        (bits, numBits, k)
       } finally in.close()
     }
   }
@@ -426,20 +495,27 @@ object AnnIndex {
                removals: Option[DataFrame] = None): Int = {
     val spark = delta.sparkSession
     graft.JobLabel(spark, s"ann appendPq $path") {
-    val p = pqParams(spark, path) // also proves a committed pq chain exists
-    val parent = currentVersion(spark, path)
-    val books = pqBooks(spark, path)
+    // ONE chain load serves params, parent, books, the guard and the
+    // (lazy) liveness scan — the r22 control-plane rule
+    val info = loadChain(spark, path)
+    val p = pqParamsOf(info) // also proves a committed pq chain exists
+    val parent = info.head
+    val books = pqBooksOf(spark, info)
     val units = Similarity
       .unitVectors(Spread.ensureParallel(delta), Seq(idCol -> "id"), vecCol, "unit")
+    // the guard and the emptiness probe need only the delta's ids — the
+    // raw id column, not the normalized unit vectors (r22: the bloom
+    // pass used to L2-normalize every vector just to read its id)
+    val deltaIds = delta.select(col(idCol).as("id"))
     val rem = removals.map(_.select(col(idCol).as("id")).distinct())
     // ids tombstoned by THIS layer are legal to re-add in it — exclude
     // them from the liveness scan (the delete+put flow)
     def liveIds = {
-      val ids = pqCodes(spark, path).select("id").distinct()
+      val ids = foldLayers(spark, path, info.chain, "codes").select("id").distinct()
       rem.map(r => ids.join(broadcast(r), Seq("id"), "left_anti")).getOrElse(ids)
     }
     def exactDup = liveIds
-      .join(org.apache.spark.sql.functions.broadcast(units.select("id")), "id")
+      .join(org.apache.spark.sql.functions.broadcast(deltaIds), "id")
       .limit(1).count()
     // BOTH modes go through the O(delta) bloom prefilter (r21): blooms
     // have no false negatives, so the exact chain id scan runs only on
@@ -448,7 +524,7 @@ object AnnIndex {
     // append pays one map-only pass over the delta instead of an
     // O(chain) scan per append (the q137 chain-depth cost was exactly
     // this scan; guide §3.2's prefilter move).
-    guardDisjoint(spark, path, pqChain(spark, path), units.select("id"),
+    guardDisjoint(spark, path, info.chain, deltaIds,
       exactDup,
       if (checkDisjoint)
         s"appendPq under $path: delta contains ids already encoded in the " +
@@ -466,7 +542,7 @@ object AnnIndex {
     // tick that hit it. layerData's existence probe already treats a
     // codes-less layer as tombs-only; the bloom is built from the empty
     // id set directly so later O(delta) guards stay bloom-backed.
-    val hasData = !units.limit(1).isEmpty
+    val hasData = !deltaIds.limit(1).isEmpty
     if (hasData)
       Similarity.pqEncode(units, books, p.m, p.subLen)
         .write.mode("overwrite").parquet(new Path(vd, "codes").toString)
@@ -476,7 +552,7 @@ object AnnIndex {
       val codesBack = spark.read.parquet(new Path(vd, "codes").toString)
       writeIdBloom(spark, vd, codesBack.select("id"),
         Some(codesBack.count() / p.m)) // rows = m × ids (pqEncode contract)
-    } else writeIdBloom(spark, vd, units.select("id"))
+    } else writeIdBloom(spark, vd, deltaIds)
     commitMeta(spark, vd,
       s"pq-delta $parent ${p.m} ${p.subLen} ${p.numCodes} " +
         s"ti=${p.trainIters}${batchSuffix(batchId)}")
@@ -499,13 +575,14 @@ object AnnIndex {
     * under crash re-run. Returns the committed version. */
   def compactPq(spark: SparkSession, path: String): Int =
     graft.JobLabel(spark, s"ann compactPq $path") {
-    val p = pqParams(spark, path)
-    val batch = pqHeadBatch(spark, path)
+    val info = loadChain(spark, path)
+    val p = pqParamsOf(info)
+    val batch = splitBatch(info.headMeta.split(" "))._2
     // plain reads, no pinning: the source versions stay on disk (prune
     // keeps the old head's chain), and each relation is consumed by
     // exactly one write — a checkpoint here would be an O(corpus) copy
-    val books = pqBooks(spark, path)
-    val codes = pqCodes(spark, path)
+    val books = pqBooksOf(spark, info)
+    val codes = foldLayers(spark, path, info.chain, "codes")
     val next = claimVersion(spark, path)
     val vd = vdir(path, next)
     books.write.mode("overwrite").parquet(new Path(vd, "books").toString)
@@ -557,28 +634,32 @@ object AnnIndex {
     (pos, keyed.get("batch").flatMap(_.toLongOption))
   }
 
-  def pqParams(spark: SparkSession, path: String): PqParams = {
-    val (parts, keyed) =
-      splitKeyed(metaTextOf(spark, path, currentVersion(spark, path)).split(" "))
+  def pqParams(spark: SparkSession, path: String): PqParams =
+    pqParamsOf(loadChain(spark, path))
+
+  private def pqParamsOf(info: ChainInfo): PqParams = {
+    val (parts, keyed) = splitKeyed(info.headMeta.split(" "))
     val ti = keyed.get("ti").flatMap(_.toIntOption).getOrElse(DefaultTrainIters)
     parts(0) match {
       case "pq" =>
         require(parts.length == 4,
-          s"malformed pq sidecar under $path: '${parts.mkString(" ")}'")
+          s"malformed pq sidecar under ${info.path}: '${parts.mkString(" ")}'")
         PqParams(parts(1).toInt, parts(2).toInt, parts(3).toInt, ti)
       case "pq-delta" =>
         require(parts.length == 5,
-          s"malformed pq-delta sidecar under $path: '${parts.mkString(" ")}'")
+          s"malformed pq-delta sidecar under ${info.path}: '${parts.mkString(" ")}'")
         PqParams(parts(2).toInt, parts(3).toInt, parts(4).toInt, ti)
       case other =>
         throw new IllegalArgumentException(
-          s"artifact under $path is '$other', not a PQ index")
+          s"artifact under ${info.path} is '$other', not a PQ index")
     }
   }
 
-  /** Whether any version has ever committed — the day-zero probe. */
+  /** Whether any version has ever committed — the day-zero probe (head
+    * sidecar read only, no chain walk). */
   def isBuilt(spark: SparkSession, path: String): Boolean =
-    committedVersions(spark, path).nonEmpty
+    versions(spark, path).distinct.sorted(Ordering[Int].reverse)
+      .iterator.exists(v => tryMeta(spark, path, v).nonEmpty)
 
   /** The batch id the committed HEAD was published under, if the writer
     * recorded one — artifact-kind-agnostic. The loop's idempotence key:
@@ -589,7 +670,7 @@ object AnnIndex {
     * candidates — so the skip must be loud-and-early, not repaired
     * downstream). */
   def headBatch(spark: SparkSession, path: String): Option[Long] =
-    splitBatch(metaTextOf(spark, path, currentVersion(spark, path)).split(" "))._2
+    splitBatch(loadChain(spark, path).headMeta.split(" "))._2
 
   def pqHeadBatch(spark: SparkSession, path: String): Option[Long] =
     headBatch(spark, path)
@@ -597,15 +678,16 @@ object AnnIndex {
   /** The chain from the newest committed version down to its full-build
     * root — one element for a freshly built index, root LAST. */
   def pqChain(spark: SparkSession, path: String): Seq[Int] =
-    chainOf(spark, path, currentVersion(spark, path))
+    loadChain(spark, path).chain
 
   /** Codebooks live at the CHAIN ROOT: delta layers pin the books they
     * were encoded against, so a probe mixing layers always ranks with
     * one consistent quantizer. */
-  def pqBooks(spark: SparkSession, path: String): DataFrame = {
-    val root = pqChain(spark, path).last
-    spark.read.parquet(new Path(vdir(path, root), "books").toString)
-  }
+  def pqBooks(spark: SparkSession, path: String): DataFrame =
+    pqBooksOf(spark, loadChain(spark, path))
+
+  private def pqBooksOf(spark: SparkSession, info: ChainInfo): DataFrame =
+    spark.read.parquet(new Path(vdir(info.path, info.chain.last), "books").toString)
 
   /** A layer's optional dataset (codes/postings/tombs) — delta layers
     * may carry any subset; a chain root always carries its data. */
@@ -660,11 +742,14 @@ object AnnIndex {
     spark.read.parquet(new Path(currentDir(spark, path), "centroids").toString)
 
   /** PQ-ADC top-k against the persisted index — zero training; the (m,
-    * subLen) the LUT needs come from the artifact's own sidecar. */
+    * subLen) the LUT needs come from the artifact's own sidecar. ONE
+    * chain load serves params, books and codes (r22). */
   def pqTopK(spark: SparkSession, path: String, queries: DataFrame, k: Int,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val p = pqParams(spark, path)
-    Similarity.pqTopKFrom(pqBooks(spark, path), pqCodes(spark, path),
+    val info = loadChain(spark, path)
+    val p = pqParamsOf(info)
+    Similarity.pqTopKFrom(pqBooksOf(spark, info),
+      foldLayers(spark, path, info.chain, "codes"),
       queries, k, p.m, p.subLen, idCol, vecCol)
   }
 
@@ -788,16 +873,20 @@ object AnnIndex {
     }
   }
 
+  /** [[loadChain]] with the ivfp root check — one listing + one sidecar
+    * read per layer for the whole operation. */
+  private def ivfpInfo(spark: SparkSession, path: String): ChainInfo = {
+    val info = loadChain(spark, path)
+    require(info.rootMeta.startsWith("ivfp "),
+      s"artifact under $path is '${info.rootMeta.split(" ")(0)}', " +
+        "not an IVF posting store")
+    info
+  }
+
   /** The posting-store chain, head first, root (a full build) last —
     * loud when the root is not an ivfp artifact. */
-  def ivfpChain(spark: SparkSession, path: String): Seq[Int] = {
-    val chain = chainOf(spark, path, currentVersion(spark, path))
-    val rootMeta = metaTextOf(spark, path, chain.last)
-    require(rootMeta.startsWith("ivfp "),
-      s"artifact under $path is '${rootMeta.split(" ")(0)}', " +
-        "not an IVF posting store")
-    chain
-  }
+  def ivfpChain(spark: SparkSession, path: String): Seq[Int] =
+    ivfpInfo(spark, path).chain
 
   /** The posting store's committed Lloyd refinement depth, read from the
     * chain ROOT's sidecar — the geometry a retraining refresh must
@@ -805,18 +894,19 @@ object AnnIndex {
     * back to the build default would rebuild a custom-geometry store
     * with different centroid quality on its first cadence hit. */
   def ivfpRefineIters(spark: SparkSession, path: String): Int = {
-    val (parts, _) =
-      splitBatch(metaTextOf(spark, path, ivfpChain(spark, path).last).split(" "))
+    val (parts, _) = splitBatch(ivfpInfo(spark, path).rootMeta.split(" "))
     parts(1).toInt
   }
 
   /** Centroids live at the CHAIN ROOT (the [[pqBooks]] rule): delta
     * layers were assigned against them, so probes must rank with the
     * same quantizer. */
-  def ivfpCentroids(spark: SparkSession, path: String): DataFrame = {
-    val root = ivfpChain(spark, path).last
-    spark.read.parquet(new Path(vdir(path, root), "centroids").toString)
-  }
+  def ivfpCentroids(spark: SparkSession, path: String): DataFrame =
+    ivfpCentroidsOf(spark, ivfpInfo(spark, path))
+
+  private def ivfpCentroidsOf(spark: SparkSession, info: ChainInfo): DataFrame =
+    spark.read.parquet(
+      new Path(vdir(info.path, info.chain.last), "centroids").toString)
 
   /** The posting relation (id, unit, cell), cell-partitioned on disk —
     * every layer down the chain, minus ids tombstoned by a later layer
@@ -840,25 +930,31 @@ object AnnIndex {
                         removals: Option[DataFrame] = None): Int = {
     val spark = delta.sparkSession
     graft.JobLabel(spark, s"ann appendIvfPostings $path") {
-    val parent = ivfpChain(spark, path).head
-    val cents = ivfpCentroids(spark, path)
+    // ONE chain load serves parent, centroids, the guard and the (lazy)
+    // liveness scan — the r22 control-plane rule
+    val info = ivfpInfo(spark, path)
+    val parent = info.head
+    val cents = ivfpCentroidsOf(spark, info)
     val units = Similarity.unitVectors(
       Spread.ensureParallel(delta), Seq(idCol -> "id"), vecCol)
+    // the guard and the emptiness probe need only the delta's raw ids,
+    // not the normalized unit vectors (r22)
+    val deltaIds = delta.select(col(idCol).as("id"))
     val rem = removals.map(_.select(col(idCol).as("id")).distinct())
     // the appendPq contract: a LIVE re-appended id would surface the
     // same candidate at two ranks in every probe — loud reject; ids
     // tombstoned by this very layer are the delete+put flow and legal.
     // Exact scan when checkDisjoint; the O(delta) bloom guard otherwise.
     def liveIds = {
-      val ids = ivfpPostings(spark, path).select("id")
+      val ids = foldLayers(spark, path, info.chain, "postings").select("id")
       rem.map(r => ids.join(broadcast(r), Seq("id"), "left_anti")).getOrElse(ids)
     }
     def exactDup = liveIds
-      .join(broadcast(units.select("id")), "id")
+      .join(broadcast(deltaIds), "id")
       .limit(1).count()
     // the appendPq rule (r21): bloom prefilter for both modes, exact
     // scan only on a hit — O(delta) per clean append at any chain depth
-    guardDisjoint(spark, path, ivfpChain(spark, path), units.select("id"),
+    guardDisjoint(spark, path, info.chain, deltaIds,
       exactDup,
       if (checkDisjoint)
         s"appendIvfPostings under $path: delta contains ids already in " +
@@ -872,7 +968,7 @@ object AnnIndex {
     // appendPq rule — a zero-row dynamic-partitioned write would leave
     // an inference-poison _SUCCESS-only directory) and bloom the empty
     // id set so later O(delta) guards stay bloom-backed
-    val hasData = !units.limit(1).isEmpty
+    val hasData = !deltaIds.limit(1).isEmpty
     if (hasData)
       writePostings(units.join(Similarity.assignCellsAgg(units, cents)
           .select(col("id"), col("assigned_cell").as("cell")), "id"),
@@ -882,7 +978,7 @@ object AnnIndex {
     writeIdBloom(spark, vd,
       if (hasData) spark.read
         .parquet(new Path(vd, "postings").toString).select("id")
-      else units.select("id"))
+      else deltaIds)
     commitMeta(spark, vd, s"ivfp-delta $parent${batchSuffix(batchId)}")
     // no prune: ancestors stay live until a rebuild/compaction collapses
     next
@@ -897,14 +993,13 @@ object AnnIndex {
   def compactIvfPostings(spark: SparkSession, path: String,
                          cellTaskCap: Long = PostingCellTaskCap): Int =
     graft.JobLabel(spark, s"ann compactIvfPostings $path") {
-    val chain = ivfpChain(spark, path)
+    val info = ivfpInfo(spark, path)
     // params from the ROOT sidecar, batch stamp from the HEAD (the
     // compactPq rule: a compacting tick must stay idempotent on re-run)
-    val (rootParts, _) =
-      splitBatch(metaTextOf(spark, path, chain.last).split(" "))
-    val batch = headBatch(spark, path)
-    val cents = ivfpCentroids(spark, path)
-    val posts = ivfpPostings(spark, path)
+    val (rootParts, _) = splitBatch(info.rootMeta.split(" "))
+    val batch = splitBatch(info.headMeta.split(" "))._2
+    val cents = ivfpCentroidsOf(spark, info)
+    val posts = foldLayers(spark, path, info.chain, "postings")
     val next = claimVersion(spark, path)
     val vd = vdir(path, next)
     cents.write.mode("overwrite").parquet(new Path(vd, "centroids").toString)
@@ -939,7 +1034,8 @@ object AnnIndex {
                    k: Int, nprobe: Int,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(nprobe > 0, "postingsTopK: nprobe must be positive")
-    val cents = ivfpCentroids(spark, path)
+    val info = ivfpInfo(spark, path)
+    val cents = ivfpCentroidsOf(spark, info)
     val qu = Similarity.unitVectors(queries, Seq(idCol -> "query_id"), vecCol, "qu")
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("psim").desc, col("c_cell").asc)
@@ -953,7 +1049,7 @@ object AnnIndex {
       .localCheckpoint() // feeds the cell collect AND the candidate join
     val probedCells: Seq[Any] = probes.select(col("c_cell")).distinct()
       .collect().map(_.get(0)).toSeq
-    val post = ivfpPostings(spark, path)
+    val post = foldLayers(spark, path, info.chain, "postings")
       .filter(col("cell").isin(probedCells: _*)) // static partition pruning
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("cand_id").asc)

@@ -238,7 +238,13 @@ object Dedup {
     // The candidate set is consumed twice (doc-id restriction + the
     // verify join) and is small; materialize it once — otherwise the
     // whole upstream candidate generation (banding joins) runs twice.
-    val cand = cand0.localCheckpoint()
+    // A caller that already pinned its candidates (the dedup tick
+    // checkpoints them for its own collect) skips the defensive copy:
+    // re-checkpointing a checkpoint is a pure block-copy job (r22).
+    val cand =
+      if (cand0.queryExecution.analyzed
+            .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]) cand0
+      else cand0.localCheckpoint()
     val candIds = cand.select(col("a_id").as("doc_id"))
       .union(cand.select(col("b_id").as("doc_id"))).distinct()
     val shN = sh.join(candIds, Seq("doc_id"), "left_semi")

@@ -283,9 +283,15 @@ object Similarity {
     * warning naming the variable — a bare toLong here would surface as
     * an ExceptionInInitializerError for the whole object, hiding the
     * actual cause (ADVICE r19). */
-  val MaxBroadcastControlRows: Long = {
+  val MaxBroadcastControlRows: Long =
+    parseMaxControlRows(sys.env.get("SPARK_GRAFT_MAX_CONTROL_ROWS"))
+
+  /** The override parse alone, factored so the malformed-env fallback is
+    * spec-pinnable without mutating the process environment (r21 verdict
+    * task 8 / r20 advice item 5). */
+  private[graft] def parseMaxControlRows(raw: Option[String]): Long = {
     val dflt = 4L * 1000 * 1000
-    sys.env.get("SPARK_GRAFT_MAX_CONTROL_ROWS") match {
+    raw match {
       case None => dflt
       case Some(v) => scala.util.Try(v.trim.toLong).getOrElse {
         System.err.println(
