@@ -292,18 +292,28 @@ object AnnIndex {
     * `exact` — the chain id scan — and a REAL duplicate fails loudly.
     * A violated monotone-stream contract can therefore no longer
     * silently double ADC sums or posting candidates; the clean common
-    * case stays one map-only pass over the delta. */
-  private def guardDisjoint(spark: SparkSession, path: String,
-                            chain: Seq[Int], ids: DataFrame,
-                            exact: => Long, msg: => String): Unit = {
+    * case stays one map-only pass over the delta.
+    *
+    * Returns (delta row count, suspicious): emptiness probe, bloom
+    * suspicion and the bloom-sizing count used to be THREE separate
+    * delta jobs per append — one aggregate pass now serves all of them
+    * (r22; each extra action costs a full plan + job round-trip of
+    * driver time, the lifecycle loops' dominant cost at sf0.1). The
+    * bloom probes are off-plan (r22): the literal form inlined
+    * numBits/64 longs PER LAYER into one filter expression — at chain
+    * depth 8 that made Catalyst planning ~85 % of q137's wall. */
+  private def guardStats(spark: SparkSession, path: String,
+                         chain: Seq[Int], ids: DataFrame): (Long, Boolean) = {
     val blooms = chain.map(v => readIdBloom(spark, path, v))
-    val suspicious =
-      if (blooms.forall(_.isDefined))
-        ids.filter(blooms.flatten.map { case (bits, nb, k) =>
-          Bloom.mightContain(bits, col("id"), nb, k)
-        }.reduce(_ || _)).limit(1).count() > 0
-      else true // legacy layer without a bloom: no prefilter available
-    if (suspicious) require(exact == 0L, msg)
+    if (blooms.forall(_.isDefined)) {
+      val hit = blooms.flatten.map { case (bits, nb, k) =>
+        Bloom.mightContainOffPlan(bits, col("id"), nb, k)
+      }.reduce(_ || _)
+      val r = ids.agg(count(lit(1)), count(when(hit, lit(1)))).head()
+      (r.getLong(0), r.getLong(1) > 0)
+    } else { // legacy layer without a bloom: no prefilter available
+      (ids.count(), true)
+    }
   }
 
   private def batchSuffix(batchId: Option[Long]): String =
@@ -523,9 +533,10 @@ object AnnIndex {
     // — checkDisjoint keeps its exact, loud semantics while a clean
     // append pays one map-only pass over the delta instead of an
     // O(chain) scan per append (the q137 chain-depth cost was exactly
-    // this scan; guide §3.2's prefilter move).
-    guardDisjoint(spark, path, info.chain, deltaIds,
-      exactDup,
+    // this scan; guide §3.2's prefilter move). ONE aggregate serves the
+    // guard, the emptiness probe and the bloom sizing count (r22).
+    val (deltaCount, suspicious) = guardStats(spark, path, info.chain, deltaIds)
+    if (suspicious) require(exactDup == 0L,
       if (checkDisjoint)
         s"appendPq under $path: delta contains ids already encoded in the " +
           "chain — replace them via the removals tombstone set"
@@ -542,17 +553,19 @@ object AnnIndex {
     // tick that hit it. layerData's existence probe already treats a
     // codes-less layer as tombs-only; the bloom is built from the empty
     // id set directly so later O(delta) guards stay bloom-backed.
-    val hasData = !deltaIds.limit(1).isEmpty
+    val hasData = deltaCount > 0
     if (hasData)
       Similarity.pqEncode(units, books, p.m, p.subLen)
         .write.mode("overwrite").parquet(new Path(vd, "codes").toString)
     rem.foreach(_.write.mode("overwrite")
       .parquet(new Path(vd, "tombs").toString))
     if (hasData) {
+      // bloom from the read-back (one columnar id scan), sized from the
+      // guard's delta count (≥ distinct ids — oversizing only lowers the
+      // false-positive rate) instead of a second count job (r22)
       val codesBack = spark.read.parquet(new Path(vd, "codes").toString)
-      writeIdBloom(spark, vd, codesBack.select("id"),
-        Some(codesBack.count() / p.m)) // rows = m × ids (pqEncode contract)
-    } else writeIdBloom(spark, vd, deltaIds)
+      writeIdBloom(spark, vd, codesBack.select("id"), Some(deltaCount))
+    } else writeIdBloom(spark, vd, deltaIds, Some(0L))
     commitMeta(spark, vd,
       s"pq-delta $parent ${p.m} ${p.subLen} ${p.numCodes} " +
         s"ti=${p.trainIters}${batchSuffix(batchId)}")
@@ -953,9 +966,10 @@ object AnnIndex {
       .join(broadcast(deltaIds), "id")
       .limit(1).count()
     // the appendPq rule (r21): bloom prefilter for both modes, exact
-    // scan only on a hit — O(delta) per clean append at any chain depth
-    guardDisjoint(spark, path, info.chain, deltaIds,
-      exactDup,
+    // scan only on a hit — O(delta) per clean append at any chain depth.
+    // ONE aggregate serves guard + emptiness + bloom sizing (r22).
+    val (deltaCount, suspicious) = guardStats(spark, path, info.chain, deltaIds)
+    if (suspicious) require(exactDup == 0L,
       if (checkDisjoint)
         s"appendIvfPostings under $path: delta contains ids already in " +
           "the posting chain — replace them via the removals tombstone set"
@@ -968,7 +982,7 @@ object AnnIndex {
     // appendPq rule — a zero-row dynamic-partitioned write would leave
     // an inference-poison _SUCCESS-only directory) and bloom the empty
     // id set so later O(delta) guards stay bloom-backed
-    val hasData = !deltaIds.limit(1).isEmpty
+    val hasData = deltaCount > 0
     if (hasData)
       writePostings(units.join(Similarity.assignCellsAgg(units, cents)
           .select(col("id"), col("assigned_cell").as("cell")), "id"),
@@ -978,7 +992,8 @@ object AnnIndex {
     writeIdBloom(spark, vd,
       if (hasData) spark.read
         .parquet(new Path(vd, "postings").toString).select("id")
-      else deltaIds)
+      else deltaIds,
+      Some(deltaCount)) // ≥ distinct ids — sizing-safe, no second count job
     commitMeta(spark, vd, s"ivfp-delta $parent${batchSuffix(batchId)}")
     // no prune: ancestors stay live until a rebuild/compaction collapses
     next

@@ -79,4 +79,27 @@ object Bloom {
         .bitwiseAND(lit(1L)) === lit(1L)
     }.reduce(_ && _)
   }
+
+  /** [[mightContain]] with the BITSET OUT OF THE PLAN (r22): the literal
+    * form embeds numBits/64 longs in the expression tree — 16 K longs at
+    * the 2^20 floor, up to 4 M at the 2^28 cap — and a probe ORing one
+    * filter per chain layer made Catalyst analysis/optimization the
+    * dominant cost of the whole lifecycle query (driver sampling: ~85 %
+    * of q137's steady-state wall was planning). Here the k bit POSITIONS
+    * are still computed by the exact same Catalyst expressions as the
+    * build (zero hash-drift risk — the no-false-negatives contract rides
+    * on position equality), and only the constant-time word lookup moves
+    * into a closure capturing the words array, which ships with the task
+    * binary instead of the plan. Same truth table as [[mightContain]]
+    * (spec-pinned); trades whole-stage codegen of the k tests for a plan
+    * that analyzes in microseconds — the right trade anywhere the probe
+    * side is delta-sized and the filter is chain-deep. */
+  def mightContainOffPlan(bits: Array[Long], key: Column,
+                          numBits: Int = DefaultBits,
+                          k: Int = DefaultHashes): Column = {
+    require(bits.length.toLong * 64 == numBits, s"bits length ${bits.length} != $numBits/64")
+    val test = udf((pos: Long) =>
+      ((bits((pos >>> 6).toInt) >>> (pos & 63L).toInt) & 1L) == 1L)
+    (0 until k).map(j => test(bitPos(key, j, numBits))).reduce(_ && _)
+  }
 }

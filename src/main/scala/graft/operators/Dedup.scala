@@ -247,7 +247,16 @@ object Dedup {
       else cand0.localCheckpoint()
     val candIds = cand.select(col("a_id").as("doc_id"))
       .union(cand.select(col("b_id").as("doc_id"))).distinct()
-    val shN = sh.join(candIds, Seq("doc_id"), "left_semi")
+    // ONE scan of the shingle relation (r22): the sized relation appears
+    // on BOTH sides of the intersection join below, and without a pin
+    // the whole upstream — for the daily tick, the bucket-pruned store
+    // scan plus its LWW supersede window — executed twice per
+    // verification (no subplan CSE). Semi-join first (candidate docs
+    // only — the relation is candidate-bounded, so the checkpoint is
+    // delta-class at any corpus scale), pin, then size per side over
+    // the pinned blocks.
+    val shC = sh.join(candIds, Seq("doc_id"), "left_semi").localCheckpoint()
+    val shN = shC
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
     cand
       .join(shN.as("a"), col("a_id") === col("a.doc_id"))

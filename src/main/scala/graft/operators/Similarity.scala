@@ -1045,7 +1045,12 @@ object Similarity {
               dot(col("sv"), col("code_vec")).as("l"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_sim").desc, col("cand_id").asc)
-    codes.join(broadcast(lut), Seq("sub", "code"))
+    // fan-out floor (r22): the codes relation is a few small ints per
+    // vector — AQE coalesces its (post-encode or post-fold) shuffle
+    // output to one partition by BYTES, but this join multiplies it by
+    // |queries|, so the whole ADC scan+sum ran in a single task.
+    // Identity at scale (see Spread.ensureParallelForFanout).
+    Spread.ensureParallelForFanout(codes).join(broadcast(lut), Seq("sub", "code"))
       .filter(col("id") =!= col("query_id"))
       .groupBy(col("query_id"), col("id").as("cand_id"))
       .agg(sum(col("l").cast(DecimalType(28, 16))).cast("double").as("approx_sim"))
@@ -1091,9 +1096,11 @@ object Similarity {
               col("sub"), col("code"), dot(col("sv"), col("code_vec")).as("l"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_sim").desc, col("cand_id").asc)
-    codes.join(broadcast(lut),
-        codes("sub") === lut("sub") && codes("code") === lut("code") &&
-        codes("cell") === lut("q_cell") && codes("id") =!= lut("query_id"))
+    // fan-out floor (r22): see pqTopKFrom — identity at scale
+    val codesP = Spread.ensureParallelForFanout(codes)
+    codesP.join(broadcast(lut),
+        codesP("sub") === lut("sub") && codesP("code") === lut("code") &&
+        codesP("cell") === lut("q_cell") && codesP("id") =!= lut("query_id"))
       .groupBy(col("query_id"), col("id").as("cand_id"))
       .agg(sum(col("l").cast(DecimalType(28, 16))).cast("double").as("approx_sim"))
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -1139,9 +1146,11 @@ object Similarity {
       .join(probes, "query_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_sim").desc, col("cand_id").asc)
-    codes.join(broadcast(lut),
-        codes("sub") === lut("sub") && codes("code") === lut("code") &&
-        codes("cell") <=> lut("p_cell") && codes("id") =!= lut("query_id"))
+    // fan-out floor (r22): see pqTopKFrom — identity at scale
+    val codesP = Spread.ensureParallelForFanout(codes)
+    codesP.join(broadcast(lut),
+        codesP("sub") === lut("sub") && codesP("code") === lut("code") &&
+        codesP("cell") <=> lut("p_cell") && codesP("id") =!= lut("query_id"))
       .groupBy(col("query_id"), col("id").as("cand_id"))
       .agg(sum(col("l").cast(DecimalType(28, 16))).cast("double").as("approx_sim"))
       .withColumn("rank", row_number().over(w).cast("long"))

@@ -54,12 +54,37 @@ object Spread {
     }
   }
 
+  /** Parallelism floor for a relation feeding a FAN-OUT consumer (an
+    * ADC probe joining |queries| LUT rows per code row, an exploding
+    * generate): scan-shaped inputs floor exactly like
+    * [[ensureParallel]]; post-shuffle inputs (aggregate/join outputs,
+    * where ensureParallel is deliberately the identity because the plan
+    * carries shuffle partitioning) additionally floor when the
+    * optimizer's size estimate says AQE's partition coalescing would
+    * fold them below `defaultParallelism` — AQE decides by the shuffle
+    * output's BYTES and is blind to the fan-out above it, so a few
+    * hundred KB of PQ codes (m small ints per vector) collapsed to ONE
+    * partition and the whole probe ran on one core (q139: 7.8 s of a
+    * 12.7 s query in a single task). At scale the estimate exceeds the
+    * threshold and this is the identity; the threshold is AQE's own
+    * minPartitionSize × cores, so the floor fires exactly where AQE
+    * would have under-parallelized. */
+  def ensureParallelForFanout(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (want <= 1 || df.isStreaming) df
+    else plannedPartitions(df, seeThroughShuffles = true) match {
+      case Some(n) if n < want => df.repartition(want)
+      case _ => df
+    }
+  }
+
   /** Estimated partition count of the frame's future scan stage — None
     * when the plan will introduce its own exchange (already spread) or
     * carries a leaf this walk doesn't know (stay conservative: no
     * floor, the pre-r21 behavior). Driver-side plan inspection only;
     * no job, no physical planning. */
-  private def plannedPartitions(df: DataFrame): Option[Int] = {
+  private def plannedPartitions(df: DataFrame,
+                                seeThroughShuffles: Boolean = false): Option[Int] = {
     val conf = df.sparkSession.sessionState.conf
     val want = df.sparkSession.sparkContext.defaultParallelism
 
@@ -103,6 +128,17 @@ object Spread {
                       j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi ||
                       j.joinType == org.apache.spark.sql.catalyst.plans.LeftOuter =>
         walk(j.left)
+      // fan-out mode only: see THROUGH shuffle-introducing nodes down to
+      // the scans. At plan time these carry shuffle.partitions splits,
+      // but AQE re-coalesces them by output BYTES at run time — and an
+      // aggregate/window/sort/distinct over a small scan is itself small,
+      // so the underlying scan's split count is the right smallness
+      // proxy for "will AQE fold this to fewer partitions than cores".
+      case a: Aggregate if seeThroughShuffles => walk(a.child)
+      case w: Window if seeThroughShuffles => walk(w.child)
+      case s: Sort if seeThroughShuffles => walk(s.child)
+      case d: Deduplicate if seeThroughShuffles => walk(d.child)
+      case r: RepartitionOperation if seeThroughShuffles => walk(r.child)
       case _ => None // will plan its own exchange (or unknown): leave alone
     }
     walk(df.queryExecution.analyzed).map(n =>

@@ -249,19 +249,27 @@ object DocsStream {
     * answers but pays a listing that grows one partition per tick —
     * run a consolidation cadence in any long-lived deployment. */
   def deletedDocs(spark: org.apache.spark.sql.SparkSession, store: String,
-                  upToBatch: Long): DataFrame = {
+                  upToBatch: Long): DataFrame =
+    deletedDocsOpt(spark, store, upToBatch)
+      .getOrElse(spark.range(0).select(col("id").as("doc_id")))
+
+  /** [[deletedDocs]] with the no-tombstones case surfaced to the DRIVER
+    * (r22): the null-scan probe already tells it exactly — a None lets
+    * callers skip building (and pinning) anti-join plans that the
+    * optimizer would only collapse after paying their planning cost. */
+  def deletedDocsOpt(spark: org.apache.spark.sql.SparkSession, store: String,
+                     upToBatch: Long): Option[DataFrame] = {
     val raw = spark.read.schema(StoreSchema).parquet(store)
       .filter(col("batch") <= lit(upToBatch))
     val buckets = raw.filter(col("shingle").isNull)
       .select("doc_bucket").distinct().collect().map(_.getLong(0)).toSeq
-    if (buckets.isEmpty)
-      spark.range(0).select(col("id").as("doc_id"))
-    else raw.filter(col("doc_bucket").isin(buckets: _*))
+    if (buckets.isEmpty) None
+    else Some(raw.filter(col("doc_bucket").isin(buckets: _*))
       .groupBy("doc_id")
       .agg(max("batch").as("latest"),
            max(when(col("shingle").isNull, col("batch"))).as("tomb"))
       .filter(col("tomb").isNotNull && col("tomb") === col("latest"))
-      .select("doc_id")
+      .select("doc_id"))
   }
 
   /** The LIVE pair view: verified pairs both of whose endpoints are
@@ -392,21 +400,27 @@ object DocsStream {
       // would leave the doc live in the store with its pairs silently
       // missing until the next full pair rebuild (which may never run).
       // Only docs deleted earlier AND absent from this batch are pruned.
-      val dels = deletedDocs(s, store, batchId)
-        .join(bsh.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      val delsOpt = deletedDocsOpt(s, store, batchId)
+        .map(_.join(bsh.select("doc_id").distinct(), Seq("doc_id"), "left_anti"))
       val cand0 = graft.JobLabel(s, "probe candidates") { tick.candidates }
-      // checkpointed HERE (r21): the pruned candidate set feeds the
-      // touched-bucket collect below AND the verify join — without the
-      // pin the dels anti-join subtree (including deletedDocs' store
-      // aggregate) executed once per consumer (no subplan CSE).
-      // verifyStats' own defensive checkpoint of this frame is then a
-      // cheap block copy of an already-tiny relation.
-      val cand = graft.JobLabel(s, "probe candidates") {
-        cand0
-          .join(dels.select(col("doc_id").as("a_id")), Seq("a_id"), "left_anti")
-          .join(dels.select(col("doc_id").as("b_id")), Seq("b_id"), "left_anti")
-          .select(cand0.columns.map(col).toSeq: _*)
-          .localCheckpoint()
+      // When earlier tombstones EXIST, the pruned candidate set is
+      // checkpointed here (r21): it feeds the touched-bucket collect
+      // below AND the verify join — without the pin the dels anti-join
+      // subtree (including deletedDocs' store aggregate) executed once
+      // per consumer (no subplan CSE). With NO tombstones (the common
+      // clean-stream tick) the anti-joins are the identity, so cand0 —
+      // already checkpointed by DeltaTick — serves directly (r22: the
+      // unconditional re-checkpoint was a pure block-copy job per tick,
+      // one of the q119-pin suspects).
+      val cand = delsOpt match {
+        case None => cand0
+        case Some(dels) => graft.JobLabel(s, "probe candidates") {
+          cand0
+            .join(dels.select(col("doc_id").as("a_id")), Seq("a_id"), "left_anti")
+            .join(dels.select(col("doc_id").as("b_id")), Seq("b_id"), "left_anti")
+            .select(cand0.columns.map(col).toSeq: _*)
+            .localCheckpoint()
+        }
       }
       // control-plane: which store buckets hold candidate docs
       // (≤ StoreBuckets values)

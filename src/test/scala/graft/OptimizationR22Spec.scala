@@ -55,6 +55,22 @@ class OptimizationR22Spec extends SparkSpec {
     assert(Spread.ensureParallel(rep) eq rep)
   }
 
+  test("Bloom.mightContainOffPlan == literal mightContain, no false negatives") {
+    import graft.operators.Bloom
+    val keys = spark.range(0, 3000).select((col("id") * 37 + 11).as("k"))
+    val bits = Bloom.build(keys, "k")
+    // truth-table equality on a superset (members + non-members)
+    val probe = spark.range(0, 120000).select(col("id").as("k"))
+    val viaLit = probe.filter(Bloom.mightContain(bits, col("k")))
+      .collect().map(_.getLong(0)).toSet
+    val viaOff = probe.filter(Bloom.mightContainOffPlan(bits, col("k")))
+      .collect().map(_.getLong(0)).toSet
+    assert(viaLit == viaOff)
+    // the load-bearing contract: every inserted key tests positive
+    val members = keys.collect().map(_.getLong(0)).toSet
+    assert(members.subsetOf(viaOff))
+  }
+
   test("Par: all failures preserved — first thrown, rest suppressed") {
     val e = intercept[RuntimeException] {
       Par(
